@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis + dedup operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristics, document fingerprinting, exact dedup, n-gram Jaccard
+  * near-dup, MinHash signatures + LSH banding, and SimHash.
+  *
+  * All token/shingle work uses array higher-order functions
+  * (`transform`/`filter`/`aggregate`) — codegen'd, no UDFs — so documents
+  * are processed in one pass per operator with no shuffle until the final
+  * aggregation/join. Pair generation is always LSH- or key-bucketed (never
+  * all-pairs global), which is what keeps these shapes viable at 100 TB.
+  */
+object TextOps {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Whitespace tokenization shared by every operator (oracle mirrors it
+    * with string_split_regex). */
+  private val words: Column = split(trim(col("text")), "\\s+")
+
+  /** Word 3-gram shingles, distinct; empty when the doc has < 3 tokens. */
+  private val shingles: Column = {
+    val mk = expr("transform(sequence(1, size(w) - 2), i -> " +
+      "concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")
+    array_distinct(when(size(col("w")) >= 3, mk)
+      .otherwise(array().cast("array<string>")))
+  }
+
+  private val shinglesSqlCte: String =
+    """WITH sh AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |      ELSE []::VARCHAR[] END) AS sh
+      |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents))""".stripMargin
+
+  /** Token counting: whitespace tokens + a BPE-ish sub-token estimate
+    * (chars/4 heuristic used by tokenizer budget planners). */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(words).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_m,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+      |FROM documents""".stripMargin
+
+  /** Quality scoring: stopword ratio, mean word length, uppercase-free and
+    * punctuation heuristics folded into one 0..1-ish score. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", words)
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("stop_hits",
+        size(filter(col("w"), w => w.isin("the", "a"))).cast("long"))
+      .withColumn("sum_len",
+        aggregate(transform(col("w"), w => length(w)), lit(0), (acc, x) => acc + x)
+          .cast("long"))
+      .select(
+        col("doc_id"), col("n_tok"), col("stop_hits"),
+        round(col("stop_hits").cast("double") / col("n_tok"), 4).as("stop_ratio"),
+        round(col("sum_len").cast("double") / col("n_tok"), 4).as("avg_word_len"))
+
+  val qualityScoreSql: String =
+    """SELECT doc_id, n_tok, stop_hits,
+      |  round(CAST(stop_hits AS DOUBLE) / n_tok, 4) AS stop_ratio,
+      |  round(CAST(sum_len AS DOUBLE) / n_tok, 4) AS avg_word_len
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_tok,
+      |    CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS stop_hits,
+      |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))""".stripMargin
+
+  /** Language-ID heuristic: stopword-hit-ratio thresholding (the n-gram
+    * profile approach reduced to its deterministic core). */
+  def langGuess(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", words)
+      .withColumn("hits", size(filter(col("w"), w => w.isin("the", "a"))).cast("long"))
+      .withColumn("ratio", col("hits").cast("double") / size(col("w")))
+      .select(col("doc_id"), col("hits"),
+        when(col("ratio") >= 0.08, "en")
+          .when(col("ratio") >= 0.04, "maybe_en")
+          .otherwise("other").as("guess"))
+
+  val langGuessSql: String =
+    """SELECT doc_id, hits,
+      |  CASE WHEN ratio >= 0.08 THEN 'en'
+      |       WHEN ratio >= 0.04 THEN 'maybe_en'
+      |       ELSE 'other' END AS guess
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS hits,
+      |    CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w) AS ratio
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))""".stripMargin
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      |FROM documents""".stripMargin
+
+  /** Exact dedup via content-hash groupBy: representative = min doc_id. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** N-gram Jaccard near-dup detection, candidate pairs bucketed by source
+    * (at scale: any cheap partition key or LSH band keeps this from being
+    * an all-pairs join). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .withColumn("w", words)
+      .select(col("doc_id"), col("source"), shingles.as("sh"))
+    val a = sh.select(col("doc_id").as("doc1"), col("source"), col("sh").as("sh1"))
+    val b = sh.select(col("doc_id").as("doc2"), col("source"), col("sh").as("sh2"))
+    a.join(b, "source")
+      .filter(col("doc1") < col("doc2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jacc", round(col("inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
+      .filter(col("jacc") >= 0.02)
+      .select("doc1", "doc2", "jacc")
+  }
+
+  val ngramJaccardSql: String = shinglesSqlCte +
+    """
+      |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jacc
+      |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.02""".stripMargin
+
+  /** MinHash hash function j over a shingle: first 8 hex digits of
+    * md5(shingle + "|" + j) as a 32-bit value in a BIGINT. */
+  private def mh(j: Int): Column =
+    array_min(transform(col("sh"),
+      sh => conv(substring(md5(concat(sh, lit(s"|$j"))), 1, 8), 16, 10)
+        .cast("long")))
+
+  private def mhSql(j: Int): String =
+    s"CAST(list_aggregate(list_transform(sh, x -> ('0x' || substr(md5(x || '|$j'), 1, 8))::UBIGINT), 'min') AS BIGINT)"
+
+  /** MinHash signatures (4 permutations) over word 3-gram shingles. */
+  def minhashSignature(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", words)
+      .withColumn("sh", shingles)
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), mh(0).as("mh0"), mh(1).as("mh1"),
+        mh(2).as("mh2"), mh(3).as("mh3"))
+
+  val minhashSignatureSql: String = shinglesSqlCte +
+    s"""
+       |SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
+       |  ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
+       |FROM sh WHERE len(sh) > 0""".stripMargin
+
+  /** MinHash-LSH candidate pairs: 2 bands × 2 rows — docs agreeing on a
+    * whole band land in the same bucket and pair up (union over bands).
+    * This is the scalable near-dup path: cost is bucket-local, never
+    * all-pairs. */
+  def minhashBandPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignature(s, dir)
+    def bandPairs(c1: String, c2: String): DataFrame = {
+      val x = sig.select(col("doc_id").as("doc1"),
+        concat_ws("_", col(c1), col(c2)).as("band"))
+      val y = sig.select(col("doc_id").as("doc2"),
+        concat_ws("_", col(c1), col(c2)).as("band"))
+      x.join(y, "band").filter(col("doc1") < col("doc2")).select("doc1", "doc2")
+    }
+    bandPairs("mh0", "mh1").union(bandPairs("mh2", "mh3")).distinct()
+  }
+
+  val minhashBandPairsSql: String = shinglesSqlCte +
+    s"""
+       |, sig AS (
+       |  SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
+       |    ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
+       |  FROM sh WHERE len(sh) > 0)
+       |SELECT a.doc_id AS doc1, b.doc_id AS doc2
+       |FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+       |UNION
+       |SELECT a.doc_id AS doc1, b.doc_id AS doc2
+       |FROM sig a JOIN sig b ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id""".stripMargin
+
+  /** 16-bit SimHash over distinct words: per-bit majority vote of word
+    * hashes, reassembled into a fingerprint. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val exploded = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(words)).as("word"))
+      .withColumn("h", conv(substring(md5(col("word")), 1, 4), 16, 10).cast("int"))
+    val weights = (0 until 16).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"w$b"))
+    exploded.groupBy("doc_id")
+      .agg(weights.head, weights.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b => when(col(s"w$b") > 0, 1 << b).otherwise(0))
+          .reduce(_ + _).cast("long").as("simhash"))
+  }
+
+  val simhashSql: String = {
+    val weights = (0 until 16)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS w$b")
+      .mkString(",\n    ")
+    val assemble = (0 until 16)
+      .map(b => s"CASE WHEN w$b > 0 THEN ${1 << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM (
+       |  SELECT doc_id,
+       |    $weights
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(('0x' || substr(md5(w), 1, 4))::UBIGINT AS INT) AS h
+       |    FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w
+       |          FROM documents))
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Tag categorization (§2.4 `parse_fields_from_tags_HF`): bucket tokens
+    * by vocabulary membership with array HOFs + broadcast-sized vocab
+    * literals; outputs joined-string buckets. */
+  def tagBuckets(s: SparkSession, dir: String): DataFrame = {
+    val tech = Seq("spark", "hash", "join", "merge", "sort", "scan", "window")
+    val sizes = Seq("small", "big", "fast", "slow")
+    t(s, dir, "documents")
+      .withColumn("w", words)
+      .select(
+        col("doc_id"),
+        array_join(array_sort(array_distinct(
+          filter(col("w"), x => x.isin(tech: _*)))), ",").as("tech_tags"),
+        array_join(array_sort(array_distinct(
+          filter(col("w"), x => x.isin(sizes: _*)))), ",").as("size_tags"),
+        size(filter(col("w"), x =>
+          !x.isin(tech ++ sizes: _*))).cast("long").as("n_other"))
+  }
+
+  val tagBucketsSql: String =
+    """SELECT doc_id,
+      |  COALESCE(array_to_string(list_sort(list_distinct(list_filter(w,
+      |    x -> x IN ('spark','hash','join','merge','sort','scan','window')))), ','), '') AS tech_tags,
+      |  COALESCE(array_to_string(list_sort(list_distinct(list_filter(w,
+      |    x -> x IN ('small','big','fast','slow')))), ','), '') AS size_tags,
+      |  CAST(len(list_filter(w, x -> x NOT IN
+      |    ('spark','hash','join','merge','sort','scan','window','small','big','fast','slow'))) AS BIGINT) AS n_other
+      |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count" -> tokenCount _,
+    "q_quality_score" -> qualityScore _,
+    "q_lang_guess" -> langGuess _,
+    "q_fingerprint" -> fingerprint _,
+    "q_dedup_exact" -> dedupExact _,
+    "q_ngram_jaccard" -> ngramJaccard _,
+    "q_minhash_signature" -> minhashSignature _,
+    "q_minhash_band_pairs" -> minhashBandPairs _,
+    "q_simhash" -> simhash _,
+    "q_tag_buckets" -> tagBuckets _)
+
+  val oracles: Map[String, String] = Map(
+    "q_token_count" -> tokenCountSql,
+    "q_quality_score" -> qualityScoreSql,
+    "q_lang_guess" -> langGuessSql,
+    "q_fingerprint" -> fingerprintSql,
+    "q_dedup_exact" -> dedupExactSql,
+    "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_minhash_signature" -> minhashSignatureSql,
+    "q_minhash_band_pairs" -> minhashBandPairsSql,
+    "q_simhash" -> simhashSql,
+    "q_tag_buckets" -> tagBucketsSql)
+}
