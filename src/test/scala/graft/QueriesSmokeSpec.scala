@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query must run at sf0.001 and agree between `queries` and
+  * `oracleSql` key sets — the invariants the driver's gate depends on. */
+class QueriesSmokeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("every query has an oracle and vice versa") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, TestSpark.sf0001)
+      assert(df.columns.nonEmpty)
+      df.count() // must not throw
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.load
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The reference's versioning scenario (`test_GraphHandler.py:115-120`
+  * fixture sequence): load v1, re-load (idempotent extension), load a
+  * changed version (deprecation + new range), verify current/as-of
+  * queries. */
+class TripletStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def batch(rows: Seq[(String, String, String)], time: String,
+                    method: String = "parser", conf: Double = 1.0): DataFrame =
+    rows.toDF("subject", "predicate", "obj")
+      .withColumn("objKind", lit("literal"))
+      .withColumn("datatype", lit(""))
+      .withColumn("extractionMethod", lit(method))
+      .withColumn("confidence", lit(conf))
+      .withColumn("extractionTime", lit(ts(time)))
+
+  test("SCD-2 merge: create, extend, deprecate, as-of") {
+    val dir = Files.createTempDirectory("store").toString
+    val store = new TripletStore(spark, dir)
+
+    // v0: two subjects, two facts each
+    val s1 = store.merge(batch(Seq(
+      ("m1", "name", "alpha"), ("m1", "task", "nlp"),
+      ("m2", "name", "beta"), ("m2", "task", "vision")),
+      "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    assert(s1.nNew == 4 && s1.nExtended == 0 && s1.nDeprecated == 0)
+    assert(store.distinctSubjectCount == 2)
+
+    // idempotent re-load at a later time: all ranges extend, none deprecate
+    val s2 = store.merge(batch(Seq(
+      ("m1", "name", "alpha"), ("m1", "task", "nlp"),
+      ("m2", "name", "beta"), ("m2", "task", "vision")),
+      "2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"))
+    assert(s2.nNew == 0 && s2.nExtended == 4 && s2.nDeprecated == 0)
+    val afterExtend = store.ranges
+    assert(afterExtend.filter(col("useEnd") === ts("2024-02-01 00:00:00")).count() == 4)
+
+    // m1 changes its name; m2 not in the batch → untouched
+    val s3 = store.merge(batch(Seq(
+      ("m1", "name", "alpha-v2"), ("m1", "task", "nlp")),
+      "2024-03-01 00:00:00"), ts("2024-03-01 00:00:00"))
+    assert(s3.nNew == 1)       // the new name
+    assert(s3.nExtended == 1)  // the unchanged task
+    assert(s3.nDeprecated == 1) // the old name
+
+    val cur = store.currentTriples
+    assert(cur.filter(col("subject") === "m1" && col("predicate") === "name")
+      .select("obj").as[String].collect().toSet == Set("alpha-v2"))
+    assert(cur.count() == 4) // m1: name+task, m2: name+task
+    val dep = store.ranges.filter(col("deprecated"))
+    assert(dep.count() == 1)
+    assert(dep.select("obj").as[String].head() == "alpha")
+
+    // as-of January: the original name was current
+    val asOfJan = store.asOf(ts("2024-01-15 00:00:00"))
+    assert(asOfJan.filter(col("subject") === "m1" && col("predicate") === "name")
+      .select("obj").as[String].collect().toSet contains "alpha")
+
+    // delta between snapshots: v1 → v2 adds alpha-v2, retires alpha
+    val (added, retired) = store.delta(1, 2)
+    assert(added.select("obj").as[String].collect().toSet == Set("alpha-v2"))
+    assert(retired.select("obj").as[String].collect().toSet == Set("alpha"))
+  }
+
+  test("distinct extraction methods keep separate ranges (V2/J5)") {
+    val dir = Files.createTempDirectory("store2").toString
+    val store = new TripletStore(spark, dir)
+    val b = batch(Seq(("m1", "name", "alpha")), "2024-01-01 00:00:00", "parserA")
+      .unionByName(batch(Seq(("m1", "name", "alpha")), "2024-01-01 00:00:00", "parserB", 0.5))
+    val s = store.merge(b, ts("2024-01-01 00:00:00"))
+    assert(s.nNew == 2)
+    assert(store.currentTriples.count() == 1) // same triple, two provenances
+    assert(store.ranges.select("infoHash").distinct().count() == 2)
+  }
+}
