@@ -29,6 +29,8 @@ object VectorOps {
 
   private def embWithNorm(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
+      // single-split test file → spread the dot-product work across cores
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
 
