@@ -1,0 +1,145 @@
+package graft.extract
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.extract.SchemaPropertyExtractor.{PropertyQuery, TokenOverlapScorer}
+import graft.load.TripletStore
+import graft.operators.TagCategorizer.Vocabs
+import graft.transform.TripleBuilder
+
+/** SURVEY §7.2 minimum end-to-end slice: fixture snapshot → P3 filter →
+  * P1 + tags + Y1 + E8 → triples + metadata → A7 disambiguation → V1-V5
+  * versioned MERGE → current-graph / distinct-count queries → re-load a
+  * modified fixture → deprecation asserted (the reference's `_small_1..4`
+  * scenario, `test_GraphHandler.py:115-120`).
+  */
+class PipelineEndToEndSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val goodCard =
+    """---
+      |license: apache-2.0
+      |extra_gated_prompt: agree to terms
+      |---
+      |# BERT variant
+      |A compact transformer model for text classification tasks.
+      |## Intended Use
+      |Use this model for classifying short english text snippets.
+      |## Training Details
+      |Trained on a curated corpus with standard hyperparameters for epochs.
+      |""".stripMargin + ("filler " * 30)
+
+  private val defaultCard =
+    QualityFilter.Indicators.mkString("\n") + "\n" +
+      ("[More Information Needed]\n" * 40)
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def tstamp(s: String) = new Timestamp(ts(s).getTime)
+
+  private def snapshot(cardForM1: String) = Seq(
+    ("org/model-one", "org", tstamp("2024-01-02 00:00:00"), 100L, 5L,
+      "transformers", Seq("dataset:squad", "en", "text-classification", "arxiv:1000.1"),
+      "text-classification", tstamp("2024-01-01 00:00:00"), cardForM1),
+    // filtered out: default card
+    ("org/default", "org", tstamp("2024-01-02 00:00:00"), 1L, 0L,
+      "transformers", Seq("en"), "fill-mask", tstamp("2024-01-01 00:00:00"), defaultCard),
+    // filtered out: no pipeline tag
+    ("org/untagged", "org", tstamp("2024-01-02 00:00:00"), 1L, 0L,
+      "transformers", Seq("en"), null, tstamp("2024-01-01 00:00:00"), goodCard))
+    .toDF("modelId", "author", "last_modified", "downloads", "likes",
+      "library_name", "tags", "pipeline_tag", "createdAt", "card")
+
+  private val vocabs = Vocabs(
+    languages = Seq("en", "zh"),
+    libraries = Seq("transformers"),
+    tasks = Seq("text classification", "fill mask"))
+
+  private val queries = Seq(
+    PropertyQuery("fair4ml:intendedUse", "intended use of the model"),
+    PropertyQuery("fair4ml:trainingDetails", "training details and data"))
+
+  test("extract slice: filter, project, tag, yaml, context-match") {
+    val props = ModelCardPipeline.properties(
+      snapshot(goodCard), vocabs, new TokenOverlapScorer, queries)
+    val byProp = props.filter(col("modelId") === "org/model-one")
+      .select("property", "value", "method", "confidence")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+
+    // only the good card survives P3
+    assert(props.select("modelId").distinct().as[String].collect().toSeq ==
+      Seq("org/model-one"))
+    // P1 known fields
+    assert(byProp.contains(("schema.org:name", "model-one", "Parsed_from_HF_dataset")))
+    assert(byProp.exists(p => p._1 == "schema.org:url" &&
+      p._2 == "https://huggingface.co/org/model-one"))
+    // §2.4 tag buckets
+    assert(byProp.contains(("fair4ml:trainedOn", "squad", "Parsed_from_HF_tags")))
+    assert(byProp.contains(("codemeta:referencePublication",
+      "https://arxiv.org/abs/1000.1", "Parsed_from_HF_tags")))
+    assert(byProp.contains(("fair4ml:mlTask", "text classification", "Parsed_from_HF_tags")))
+    // Y1 front-matter
+    assert(byProp.contains(("schema.org:license", "apache-2.0", "Parsed_from_YAML")))
+    assert(byProp.exists(p => p._1 == "schema.org:conditionsOfAccess" &&
+      p._2.contains("agree to terms")))
+    // E8 context matching finds the right sections
+    val intended = props.filter(col("property") === "fair4ml:intendedUse")
+      .select("value").as[String].head()
+    assert(intended.contains("classifying short english text"))
+    val training = props.filter(col("property") === "fair4ml:trainingDetails")
+      .select("value").as[String].head()
+    assert(training.contains("curated corpus"))
+  }
+
+  test("full slice into versioned store with deprecation on re-load") {
+    val dir = Files.createTempDirectory("e2e_store").toString
+    val store = new TripletStore(spark, dir)
+    val backend = new TokenOverlapScorer
+
+    // load v1
+    val t1 = ts("2024-01-10 00:00:00")
+    val props1 = ModelCardPipeline.properties(snapshot(goodCard), vocabs, backend, queries)
+    val inc1 = ModelCardPipeline.toTriples(props1, "hf", t1)
+    store.merge(inc1, t1)
+    val nTriples = store.currentTriples.count()
+    assert(nTriples > 10)
+    assert(store.distinctSubjectCount == 1)
+
+    // disambiguation view over the metadata side
+    val meta = inc1.select("subject", "predicate", "obj",
+      "extractionMethod", "confidence", "extractionTime")
+    assert(TripleBuilder.disambiguate(meta).count() ==
+      meta.dropDuplicates("subject", "predicate", "obj").count())
+
+    // v2: the card's license changes → old license deprecated, new created
+    val cardV2 = goodCard.replace("license: apache-2.0", "license: mit")
+    val t2 = ts("2024-02-10 00:00:00")
+    val props2 = ModelCardPipeline.properties(snapshot(cardV2), vocabs, backend, queries)
+    val inc2 = ModelCardPipeline.toTriples(props2, "hf", t2)
+    val s2 = store.merge(inc2, t2)
+    assert(s2.nNew == 1, s"expected 1 new (mit), got ${s2.nNew}")
+    assert(s2.nDeprecated == 1, s"expected 1 deprecated (apache-2.0), got ${s2.nDeprecated}")
+
+    val lic = store.currentTriples
+      .filter(col("predicate") === "schema.org:license")
+      .select("obj").as[String].collect().toSeq
+    assert(lic == Seq("mit"))
+
+    // as-of January still sees apache-2.0
+    val licJan = store.asOf(ts("2024-01-15 00:00:00"))
+      .filter(col("predicate") === "schema.org:license")
+      .select("obj").as[String].collect().toSet
+    assert(licJan contains "apache-2.0")
+
+    // V6 delta between snapshots
+    val (added, retired) = store.delta(0, 1)
+    assert(added.select("obj").as[String].collect().toSet == Set("mit"))
+    assert(retired.select("obj").as[String].collect().toSet == Set("apache-2.0"))
+  }
+}
