@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Native Catalyst expressions for the engine's hot scalar functions —
+  * stage (b) of the extension ladder (compose built-ins < custom
+  * Expression < custom operator): both generate inline Java via
+  * `doGenCode` calling a static evaluator, so they stay inside
+  * whole-stage codegen spans instead of falling back to interpreted
+  * ScalaUDF rows (SURVEY §4: candidate custom expressions `n3_escape`,
+  * document hashing).
+  */
+object Evaluators {
+
+  /** N-Triples literal escaping (shared with graft.model.N3). */
+  def n3Escape(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.model.N3.escapeLiteral(s.toString))
+
+  /** 64-bit SimHash over an array of token strings: per-bit majority vote
+    * of murmur-style 64-bit token hashes. */
+  def simhash64(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(arr.getUTF8String(i).getBaseObject,
+            arr.getUTF8String(i).getBaseOffset,
+            arr.getUTF8String(i).numBytes, 42)
+        // widen the 32-bit murmur to 64 bits deterministically
+        val h64 = (h.toLong << 32) | (Integer.rotateLeft(h, 13).toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          if (((h64 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** `n3_escape(string) -> string` as a codegen'd unary expression. */
+case class N3EscapeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"n3_escape needs STRING, got ${child.dataType}")
+  override protected def nullSafeEval(v: Any): Any =
+    Evaluators.n3Escape(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Evaluators.n3Escape($c)")
+  override protected def withNewChildInternal(c: Expression): N3EscapeExpr = copy(c)
+}
+
+/** `simhash64(array<string>) -> bigint` as a codegen'd unary expression. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    Evaluators.simhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Evaluators.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(c)
+}
+
+object GraftFunctions {
+  /** Column-API wrappers. */
+  def n3_escape(c: Column): Column =
+    ColumnBridge.column(N3EscapeExpr(ColumnBridge.expression(c)))
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c)))
+
+  /** Register for SQL use on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "n3_escape", exprs => N3EscapeExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
+  }
+}
+
+/** Session extension: `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` (or `spark.sql.extensions=graft.functions.
+  * GraftExtensions`) injects the engine's functions into every session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("n3_escape"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[N3EscapeExpr].getName, "n3_escape"),
+      (exprs: Seq[Expression]) => N3EscapeExpr(exprs.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHash64Expr].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
+  }
+}

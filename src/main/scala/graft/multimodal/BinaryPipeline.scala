@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media carried as opaque `binary` payloads
+  * with typed metadata, decoded/feature-extracted in partition-local
+  * batches behind a `Decoder` trait.
+  *
+  * The image/audio libraries are not in this container, so the shipped
+  * decoder is a deterministic stub — but the Spark-side contract is real:
+  * schema (id, payload, mediaType), `mapPartitions` batch shape (decode
+  * amortizes model/codec setup per partition, the Scala analog of
+  * `mapInPandas`), and the typed feature output.
+  */
+object BinaryPipeline {
+
+  final case class MediaRow(id: Long, payload: Array[Byte], mediaType: String)
+
+  final case class Features(
+      id: Long, mediaType: String, nBytes: Int, ok: Boolean,
+      features: Array[Float])
+
+  /** Per-partition decoder: `open()` once per partition (codec/model
+    * setup), then `decode` per payload. Must be serializable. */
+  trait Decoder extends Serializable {
+    def open(): Unit = ()
+    def decode(payload: Array[Byte], mediaType: String): Array[Float]
+  }
+
+  /** Deterministic stand-in for a real image/audio decoder: fixed-size
+    * byte-histogram features. Replace with a JNI/codec-backed decoder in
+    * production; the pipeline shape does not change. */
+  final class StubDecoder(dim: Int = 16) extends Decoder {
+    override def decode(payload: Array[Byte], mediaType: String): Array[Float] = {
+      val f = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        f(java.lang.Byte.toUnsignedInt(payload(i)) % dim) += 1f
+        i += 1
+      }
+      if (payload.length > 0) {
+        var j = 0
+        while (j < dim) { f(j) /= payload.length; j += 1 }
+      }
+      f
+    }
+  }
+
+  /** Decode + featurize in partition batches. Failures yield ok=false rows
+    * with empty features (zero-vector fallback, the reference's E1 failure
+    * contract). */
+  def extract(media: Dataset[MediaRow], decoder: Decoder): Dataset[Features] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      decoder.open()
+      rows.map { r =>
+        try Features(r.id, r.mediaType, r.payload.length, ok = true,
+          decoder.decode(r.payload, r.mediaType))
+        catch {
+          case _: Exception =>
+            Features(r.id, r.mediaType,
+              Option(r.payload).map(_.length).getOrElse(0), ok = false,
+              Array.empty[Float])
+        }
+      }
+    }
+  }
+
+  /** Frame sampling stub for video-like payloads: every `stride`-th byte
+    * window becomes a "frame" (the partitioning/explode shape of real
+    * frame extraction). */
+  def sampleFrames(media: DataFrame, frameSize: Int, stride: Int): DataFrame =
+    media
+      .withColumn("n_frames",
+        greatest(lit(0),
+          floor((octet_length(col("payload")) - frameSize) / stride) + 1)
+          .cast("int"))
+      .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1)))
+      .withColumn("frame",
+        expr(s"substring(payload, frame_idx * $stride + 1, $frameSize)"))
+      .select(col("id"), col("frame_idx"), col("frame"))
+}

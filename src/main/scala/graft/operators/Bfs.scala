@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative frontier expansion (A11 — the reference's BFS over
+  * `fineTunedFrom` base models, `HFExtractor.py:46-135`): a driver loop of
+  * DataFrame joins; the frontier and visited sets stay distributed — only
+  * loop control lives on the driver. Each round: frontier ⋈ edges →
+  * next frontier minus visited.
+  *
+  * At 100 TB scale the per-round joins shuffle on the node id; checkpoint
+  * every few rounds would truncate lineage for deep traversals (depth here
+  * mirrors the reference's default of 2).
+  */
+object Bfs {
+
+  /** @param edges  (src, dst) edge table
+    * @param seeds  single-column node table (column `id`)
+    * @param depth  number of expansion rounds
+    * @return (id, depth) — every reached node with its first-seen depth
+    */
+  def expand(edges: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
+    val src = edges.columns(0)
+    val dst = edges.columns(1)
+    var visited = seeds.select(col("id"), lit(0).as("depth"))
+    var frontier = seeds.select(col("id"))
+    var d = 0
+    while (d < depth) {
+      d += 1
+      val next = edges
+        .join(frontier, edges(src) === frontier("id"))
+        .select(edges(dst).as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint() // truncate lineage; each round is one join deep
+      if (next.isEmpty) {
+        d = depth
+      } else {
+        visited = visited.unionByName(next.withColumn("depth", lit(d)))
+          .localCheckpoint()
+        frontier = next
+      }
+    }
+    visited
+  }
+}

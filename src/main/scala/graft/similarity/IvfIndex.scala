@@ -1,0 +1,118 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF (inverted-file) approximate nearest neighbor over an embedding
+  * column — the scale path beyond brute-force cosine top-k: partition the
+  * corpus into k centroid cells (Lloyd iterations as DataFrame jobs),
+  * then probe only the `nprobe` nearest cells per query.
+  *
+  * Scale properties: centroids are tiny (k vectors) and live broadcast;
+  * assignment is one map stage over the corpus; a search touches
+  * ~corpus × nprobe / k vectors. With nprobe = k the search is exactly
+  * brute force (the recall knob is explicit). Everything is deterministic:
+  * centroid seeds are chosen by vec_id order, not RNG.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  private def sqdist(a: Seq[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def nearest(v: Seq[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val d = sqdist(v, cents(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Lloyd's k-means with deterministic seeding (first k vectors in vec_id
+    * order). Centroid recomputation is a groupBy-average DataFrame job;
+    * only the k centroid vectors ever reach the driver. */
+  def fit(emb: DataFrame, k: Int, iters: Int): Model = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    var cents: Array[Array[Double]] = vecs.orderBy("vec_id").limit(k)
+      .select("v").as[Seq[Double]].collect().map(_.toArray)
+
+    val dim = cents.head.length
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cents)
+      val assignUdf = udf((v: Seq[Double]) => nearest(v, bc.value))
+      val assigned = vecs.withColumn("cell", assignUdf(col("v")))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val arr = new Array[Double](dim)
+            rows.foreach(r => arr(r.getInt(1)) = r.getAs[Long]("n") match {
+              case 0 => 0.0
+              case n => r.getAs[Double]("sx") / n
+            })
+            arr
+          case None => cents(c) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+    Model(cents)
+  }
+
+  /** Corpus cell assignment (one map stage, broadcast centroids). */
+  def assign(emb: DataFrame, model: Model): DataFrame = {
+    val spark = emb.sparkSession
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    val assignUdf = udf((v: Seq[Double]) => nearest(v, bc.value))
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell", assignUdf(col("v")))
+  }
+
+  /** Top-k cosine search probing the `nprobe` nearest cells per query.
+    * Queries and corpus are both (vec_id, embedding) tables; queries are
+    * expected to be the small side (broadcast). */
+  def topK(corpus: DataFrame, queries: DataFrame, model: Model,
+           k: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    val probeUdf = udf { (v: Seq[Double]) =>
+      bc.value.indices
+        .map(c => (sqdist(v, bc.value(c)), c)).sorted.take(nprobe).map(_._2)
+    }
+    val assignedCorpus = assign(corpus, model)
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (a, x) => a + x)))
+    val q = queries
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("cells", probeUdf(col("qv")))
+      .withColumn("qn", sqrt(aggregate(transform(col("qv"), x => x * x),
+        lit(0.0), (a, x) => a + x)))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("cells")).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    assignedCorpus.join(broadcast(q), "cell")
+      .withColumn("dot", aggregate(zip_with(col("qv"), col("v"),
+        (x, y) => x * y), lit(0.0), (a, x) => a + x))
+      .withColumn("cos", col("dot") / (col("qn") * col("nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.model.{N3, ObjKind, Triple}
+
+/** File sinks (K1-K3, SURVEY §2.2): TSV dump, JSON records, and N-Triples
+  * serialization. All distributed writers — formatting happens per
+  * partition, never on the driver. External-system sinks (Postgres /
+  * Virtuoso / ES, K4-K7) are replaced by the engine-owned parquet store
+  * (graft.load.TripletStore) + the doc-pivot/search queries.
+  */
+object Sinks {
+
+  /** K1 raw TSV dump (`HFExtractor.py:321-325`). */
+  def writeTsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("sep", "\t").option("header", "true")
+      .csv(path)
+
+  /** K2 JSON records dump (`HFExtractor.py:327-331`). */
+  def writeJsonRecords(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** K3 N-Triples serialization (`MlentoryTransform.py:145-155`): each
+    * triple row formatted via the pure N3 layer. */
+  def writeNTriples(triples: DataFrame, path: String): Unit = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    triples
+      .select("subject", "predicate", "obj", "objKind", "datatype")
+      .as[Triple]
+      .map(N3.formatTriple)
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** Parse N-Triples text back to a triple table (load-from-file mode,
+    * `run_extract_transform_load.py:423-452`). Handles the subset K3
+    * emits: IRIs, plain + typed literals. */
+  def readNTriples(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val Line =
+      "^<([^>]*)> <([^>]*)> (.*) \\.\\s*$".r
+    val TypedLit = "^\"(.*)\"\\^\\^<([^>]*)>$".r
+    val PlainLit = "^\"(.*)\"$".r
+    val Iri = "^<([^>]*)>$".r
+    spark.read.textFile(path)
+      .flatMap {
+        case Line(s, p, o) =>
+          o match {
+            case Iri(u) => Some(Triple(s, p, u, ObjKind.Iri, ""))
+            case TypedLit(v, dt) => Some(Triple(s, p, unescape(v), ObjKind.Literal, dt))
+            case PlainLit(v) => Some(Triple(s, p, unescape(v), ObjKind.Literal, ""))
+            case _ => None
+          }
+        case _ => None
+      }
+      .toDF()
+  }
+
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\n", "\n").replace("\\r", "\r")
+      .replace("\\t", "\t").replace("\\\\", "\\")
+}

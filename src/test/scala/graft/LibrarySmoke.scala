@@ -50,6 +50,32 @@ object LibrarySmoke {
 
     // doc pivot + name resolution over generated triples
     println(s"PIVOT_ROWS=${TripleBuilder.docPivot(tri).count()}")
+
+    // N-Triples sink/source roundtrip on the generated graph
+    val ntDir = Files.createTempDirectory("smoke_nt").toString + "/g"
+    sinks.Sinks.writeNTriples(tri.select("subject","predicate","obj","objKind","datatype"), ntDir)
+    println(s"NT_ROUNDTRIP=${sinks.Sinks.readNTriples(spark, ntDir).count()} of ${tri.count()}")
+
+    // custom expressions via SQL on a real scan
+    functions.GraftFunctions.register(spark)
+    Tables(spark, TestSpark.sf0001, "documents").createOrReplaceTempView("docs_sm")
+    val sh = spark.sql(
+      "SELECT doc_id, simhash64(split(text, ' ')) AS h, n3_escape(text) AS esc FROM docs_sm LIMIT 3").collect()
+    println("SIMHASH_SQL=" + sh.map(r => r.getLong(1)).mkString(","))
+
+    // IVF search on real embeddings
+    val embS = Tables(spark, TestSpark.sf0001, "embeddings")
+    val model = similarity.IvfIndex.fit(embS, k = 8, iters = 2)
+    val hits = similarity.IvfIndex.topK(embS.filter(col("vec_id") >= 10),
+      embS.filter(col("vec_id") < 3), model, k = 3, nprobe = 2)
+    println(s"IVF_HITS=${hits.count()}")
+
+    // croissant expansion through the builder
+    val cj = """{"@context":{"sc":"https://schema.org/"},"@type":"sc:Dataset","sc:name":"d1","creator":{"@type":"sc:Person","sc:name":"A"}}"""
+    import spark.implicits._
+    val cro = graft.transform.CroissantBuilder.build(
+      Seq(("x/d1", cj)).toDF("datasetId", "croissant_json"))
+    println(s"CROISSANT_TRIPLES=${cro.count()}")
     spark.stop()
   }
 }

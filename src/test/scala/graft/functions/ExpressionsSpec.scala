@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.model.N3
+
+class ExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("n3_escape expression matches the pure implementation") {
+    GraftFunctions.register(spark)
+    val inputs = Seq("plain", "line\nbreak", "quote\"q", "tab\there", "back\\slash")
+    val df = inputs.toDF("s")
+    val viaCol = df.select(GraftFunctions.n3_escape($"s").as("e"))
+      .as[String].collect().toSeq
+    val viaSql = df.selectExpr("n3_escape(s) AS e").as[String].collect().toSeq
+    val expected = inputs.map(N3.escapeLiteral)
+    assert(viaCol == expected)
+    assert(viaSql == expected)
+  }
+
+  test("simhash64: similar token sets have small hamming distance") {
+    GraftFunctions.register(spark)
+    val base = (1 to 60).map(i => s"token$i")
+    val near = base.updated(0, "changed").updated(1, "words")
+    val far = (1 to 60).map(i => s"other$i")
+    val df = Seq(("base", base), ("near", near), ("far", far)).toDF("id", "toks")
+    val out = df.select($"id", GraftFunctions.simhash64($"toks").as("h"))
+      .as[(String, Long)].collect().toMap
+    val dNear = Evaluators.hamming64(out("base"), out("near"))
+    val dFar = Evaluators.hamming64(out("base"), out("far"))
+    assert(dNear < dFar, s"near=$dNear far=$dFar")
+    assert(dNear <= 16)
+    // deterministic across Column and SQL paths
+    val viaSql = df.selectExpr("id", "simhash64(toks) AS h")
+      .as[(String, Long)].collect().toMap
+    assert(viaSql == out)
+  }
+
+  test("expressions stay inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // a real scan, so the plan has codegen stages (local relations fold)
+    val df = graft.Tables(spark, graft.TestSpark.sf0001, "part")
+      .select(GraftFunctions.n3_escape($"p_name").as("e"),
+        GraftFunctions.simhash64(split($"p_name", " ")).as("h"))
+    val hasCodegenStage = df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasCodegenStage, df.queryExecution.executedPlan.toString)
+    assert(df.count() > 0)
+  }
+
+  test("GraftExtensions injects functions into a fresh session") {
+    val s2 = TestSpark.spark.newSession()
+    new GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions {})
+    // registration path via extensions object on existing session state:
+    GraftFunctions.register(s2)
+    assert(s2.sql("SELECT n3_escape('a\nb') AS e").collect()(0).getString(0) == "a\\nb")
+  }
+}

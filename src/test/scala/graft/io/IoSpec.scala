@@ -1,0 +1,74 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Bfs
+import graft.sinks.Sinks
+import graft.sources.ConfigSources
+
+class IoSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("TSV vocab roundtrip (S10/K1)") {
+    val dir = Files.createTempDirectory("tsv").toString + "/vocab"
+    val df = Seq(("en", "english"), ("zh", "chinese"), ("de", "german"))
+      .toDF("tag_name", "description")
+    Sinks.writeTsv(df, dir)
+    val back = ConfigSources.readTsv(spark, dir)
+    assert(back.count() == 3)
+    assert(back.columns.toSeq == Seq("tag_name", "description"))
+    assert(ConfigSources.vocab(spark, dir) == Seq("de", "en", "zh"))
+  }
+
+  test("JSON records sink (K2)") {
+    val dir = Files.createTempDirectory("json").toString + "/recs"
+    Sinks.writeJsonRecords(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+    assert(back.filter($"id" === 1).select("v").as[String].head() == "a")
+  }
+
+  test("N-Triples write/read roundtrip incl. escaping and datatypes (K3)") {
+    val dir = Files.createTempDirectory("nt").toString + "/graph"
+    val tri = Seq(
+      ("http://s1", "http://p", "http://o", "iri", ""),
+      ("http://s1", "http://p2", "multi\nline \"quoted\"", "literal", ""),
+      ("http://s2", "http://p3", "2024-01-01", "literal",
+        "http://www.w3.org/2001/XMLSchema#date"))
+      .toDF("subject", "predicate", "obj", "objKind", "datatype")
+    Sinks.writeNTriples(tri, dir)
+    val back = Sinks.readNTriples(spark, dir)
+    assert(back.count() == 3)
+    val lit = back.filter($"predicate" === "http://p2").select("obj").as[String].head()
+    assert(lit == "multi\nline \"quoted\"")
+    val typed = back.filter($"predicate" === "http://p3")
+    assert(typed.select("datatype").as[String].head().endsWith("#date"))
+  }
+
+  test("dotted-path projection (S7/S9)") {
+    val df = spark.read.json(Seq(
+      """{"run": {"id": 7, "flow": {"name": "f1"}}, "score": 0.9}""").toDS())
+    val out = ConfigSources.dottedPaths(df,
+      Map("run_id" -> "run.id", "flow_name" -> "run.flow.name"))
+    assert(out.select("run_id").as[Long].head() == 7L)
+    assert(out.select("flow_name").as[String].head() == "f1")
+  }
+
+  test("BFS frontier expansion with depth tracking (A11)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (9L, 10L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val out = Bfs.expand(edges, seeds, depth = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 5L -> 2))
+    // depth 3 reaches node 4; disconnected 9/10 never reached
+    val out3 = Bfs.expand(edges, seeds, depth = 3).as[(Long, Int)].collect().toMap
+    assert(out3(4L) == 3 && !out3.contains(10L))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class IvfSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+  private lazy val corpus = emb.filter($"vec_id" >= 10)
+  private lazy val queries = emb.filter($"vec_id" < 5)
+
+  test("nprobe = k reproduces exact brute-force top-k") {
+    val model = IvfIndex.fit(emb, k = 8, iters = 2)
+    val exact = graft.queries.VectorOps.cosineTopK(spark, TestSpark.sf0001)
+      .filter($"query_id" < 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val full = IvfIndex.topK(corpus, queries, model, k = 5, nprobe = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
+
+  test("small nprobe trades recall for touched vectors") {
+    val model = IvfIndex.fit(emb, k = 8, iters = 2)
+    val exact = IvfIndex.topK(corpus, queries, model, k = 5, nprobe = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = IvfIndex.topK(corpus, queries, model, k = 5, nprobe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall=$recall")
+    assert(approx.size <= exact.size)
+    // every approx hit is a real corpus neighbor of the right query
+    assert(approx.forall { case (q, n) => q < 5 && n >= 10 })
+  }
+
+  test("assignment covers the corpus and respects k") {
+    val model = IvfIndex.fit(emb, k = 4, iters = 1)
+    val assigned = IvfIndex.assign(emb, model)
+    assert(assigned.count() == emb.count())
+    val cells = assigned.select("cell").distinct().as[Int].collect().toSet
+    assert(cells.subsetOf((0 until 4).toSet))
+  }
+}
