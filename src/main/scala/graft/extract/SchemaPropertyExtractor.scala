@@ -29,8 +29,7 @@ object SchemaPropertyExtractor {
   /** Deterministic stub: Jaccard overlap of lowercased token sets —
     * the offline stand-in for cosine-over-embeddings (E2). */
   final class TokenOverlapScorer extends ScoringBackend {
-    private def toks(s: String): Set[String] =
-      s.toLowerCase.split("\\W+").filter(_.nonEmpty).toSet
+    private def toks(s: String): Set[String] = TextUtil.contentTokens(s)
     override def score(query: String, texts: Seq[String]): Seq[Double] = {
       val q = toks(query)
       texts.map { t =>

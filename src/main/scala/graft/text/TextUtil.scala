@@ -47,6 +47,21 @@ object TextUtil {
       .map(w => w.head.toUpper + w.tail).mkString(" ")
   }
 
+  /** Minimal stopword list for deterministic token-overlap scoring. */
+  val Stopwords: Set[String] = Set(
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "at", "by",
+    "is", "are", "was", "were", "be", "been", "it", "its", "this", "that",
+    "what", "which", "who", "how", "does", "did", "do", "under", "for",
+    "with", "from", "have", "has", "had", "not", "no", "can", "will")
+
+  /** Content-bearing tokens for overlap scoring: lowercase, drop
+    * stopwords and short tokens, crude prefix stemming so inflections
+    * ("supports"/"supported") collide. */
+  def contentTokens(s: String): Set[String] =
+    s.toLowerCase.split("\\W+")
+      .filter(t => t.length > 2 && !Stopwords.contains(t))
+      .map(_.take(5)).toSet
+
   /** Empty-value sentinel normalization (P8,
     * `core/GraphBuilderFAIR4ML.py:323-330`). */
   val EmptySentinels: Set[String] =

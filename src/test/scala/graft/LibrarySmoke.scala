@@ -76,6 +76,23 @@ object LibrarySmoke {
     val cro = graft.transform.CroissantBuilder.build(
       Seq(("x/d1", cj)).toDF("datasetId", "croissant_json"))
     println(s"CROISSANT_TRIPLES=${cro.count()}")
+
+    // grouped QA + question clustering over real document text
+    val docsQa = Tables(spark, TestSpark.sf0001, "documents").limit(3)
+      .select(col("doc_id").cast("string").as("id"), col("text").as("context"))
+      .crossJoin(Seq("which words describe speed?", "what is a spark window?").toDF("question"))
+    val answers = graft.extract.QaEngine.groupedQa(docsQa, new graft.extract.QaEngine.EchoBackend)
+    println(s"QA_ANSWERS=${answers.count()}")
+    val groups = graft.extract.QuestionClustering.cluster(
+      Seq("what datasets were used for training?", "what training datasets did it use?",
+          "what license applies?", "under what license is it released?"),
+      new graft.extract.SchemaPropertyExtractor.TokenOverlapScorer, nClusters = 2, maxPerGroup = 5)
+    println(s"QCLUSTERS=${groups.map(_.size).mkString(",")}")
+    // T3 arXiv builder on a fixture row
+    val arx = graft.transform.EntityBuilders.arxivTriples(Seq(
+      ("2104.01778v3", "AST", "Audio Spectrogram Transformer.", "2021-04-05",
+       "10.1/abc", Seq("cs.SD"))).toDF("arxiv_id","title","summary","published","doi","categories"))
+    println(s"ARXIV_TRIPLES=${arx.count()}")
     spark.stop()
   }
 }

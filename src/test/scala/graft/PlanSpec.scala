@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts for the scale-critical queries: these assert
+  * the properties that keep the engine viable at 100 TB — filters and
+  * projections reaching the parquet scan, small dims broadcast instead of
+  * shuffled, global top-k as TakeOrderedAndProject (no full sort), and a
+  * bounded number of shuffles per query.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def executed(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def countShuffles(df: DataFrame): Int = {
+    // count() to let AQE finalize, then inspect the final plan
+    df.count()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other =>
+        Seq(other) ++ other.children.flatMap(walk) ++ other.subqueries.flatMap(walk)
+    }
+    walk(executed(df)).count(_.isInstanceOf[ShuffleExchangeLike])
+  }
+
+  test("scan pushdown: filter and projection reach the parquet reader") {
+    val s = planString(queries.Relational.scanPushdown(spark, dir))
+    // plan string truncates long filter lists; the leading pushed filters
+    // prove the predicate reached the reader
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate)"), s)
+    // only the 5 referenced columns are read
+    assert(s.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double"), s)
+    assert(!s.contains("l_comment") && !s.contains("l_returnflag"), s)
+  }
+
+  test("star join broadcasts every dimension (single fact shuffle family)") {
+    val s = planString(queries.Relational.joinStar(spark, dir))
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    // region filter applied before the join (partition-pruning analog)
+    assert(s.contains("Batched"), s)
+  }
+
+  test("broadcast dim join produces no shuffle of the fact side") {
+    val df = queries.Relational.joinBroadcast(spark, dir)
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s)
+    // the only shuffle is the final aggregation exchange
+    assert(countShuffles(df) <= 1, s)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val s = planString(queries.Relational.topK(spark, dir))
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("semi/anti joins stay joins (no subquery re-execution)") {
+    val semi = planString(queries.Relational.semiJoin(spark, dir))
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = planString(queries.Relational.antiJoin(spark, dir))
+    assert(anti.contains("LeftAnti"), anti)
+  }
+
+  test("keyed window queries shuffle exactly once") {
+    assert(countShuffles(queries.Temporal.dedupKeepLast(spark, dir)) == 1)
+    assert(countShuffles(queries.Temporal.scd2Ranges(spark, dir)) == 1)
+  }
+
+  test("as-of join is one shuffle per side plus the window (no range blowup)") {
+    val df = queries.Temporal.asOfJoinQ(spark, dir)
+    assert(countShuffles(df) <= 3, planString(df))
+    assert(!planString(df).contains("CartesianProduct"))
+  }
+
+  test("cosine top-k broadcasts the query side; corpus is never shuffled for the join") {
+    val s = planString(queries.VectorOps.cosineTopK(spark, dir))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("hash aggregations use partial (map-side) aggregation") {
+    val s = planString(queries.Relational.q1Agg(spark, dir))
+    assert(s.contains("HashAggregate"), s)
+    // partial + final pair around one exchange
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s)
+  }
+}
