@@ -93,6 +93,15 @@ object LibrarySmoke {
       ("2104.01778v3", "AST", "Audio Spectrogram Transformer.", "2021-04-05",
        "10.1/abc", Seq("cs.SD"))).toDF("arxiv_id","title","summary","published","doi","categories"))
     println(s"ARXIV_TRIPLES=${arx.count()}")
+
+    // scale joins: salted equivalence on real tables
+    val factS = Tables(spark, TestSpark.sf0001, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val dimS = Tables(spark, TestSpark.sf0001, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    val nPlain = factS.join(dimS, "k").count()
+    val nSalted = operators.ScaleJoins.saltedJoin(factS, dimS, "k", 8).count()
+    println(s"SALTED_JOIN=${nSalted} plain=${nPlain} equal=${nSalted == nPlain}")
     spark.stop()
   }
 }
