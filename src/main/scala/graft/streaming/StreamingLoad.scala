@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.load.TripletStore
+
+/** Streaming load path (§2.12 → §2.11): a file stream of extraction
+  * batches drives the versioned store's MERGE through `foreachBatch` —
+  * the Structured-Streaming restatement of the reference's
+  * scheduled-incremental loads. Each micro-batch is one logical update:
+  * late re-extractions are absorbed by V3's `useEnd := max(seen)`
+  * semantics exactly as in batch mode.
+  */
+object StreamingLoad {
+
+  /** Incoming extraction-record schema (what ModelCardPipeline.toTriples
+    * emits, parquet-encoded). */
+  val tripleSchema: StructType = StructType(Seq(
+    StructField("subject", StringType), StructField("predicate", StringType),
+    StructField("obj", StringType), StructField("objKind", StringType),
+    StructField("datatype", StringType),
+    StructField("extractionMethod", StringType),
+    StructField("confidence", DoubleType),
+    StructField("extractionTime", TimestampType)))
+
+  def readTripleStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(tripleSchema)
+      .option("maxFilesPerTrigger", 1) // one extraction batch per micro-batch
+      .parquet(dir)
+
+  /** Start the merge stream. Each micro-batch merges at its own max
+    * extraction time (the logical load clock). */
+  def start(stream: DataFrame, store: TripletStore,
+            checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val now = batch.agg(max(col("extractionTime"))).head().getTimestamp(0)
+          store.merge(batch, now)
+          ()
+        }
+      }
+      .start()
+}

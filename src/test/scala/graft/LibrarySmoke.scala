@@ -102,6 +102,31 @@ object LibrarySmoke {
     val nPlain = factS.join(dimS, "k").count()
     val nSalted = operators.ScaleJoins.saltedJoin(factS, dimS, "k", 8).count()
     println(s"SALTED_JOIN=${nSalted} plain=${nPlain} equal=${nSalted == nPlain}")
+
+    // provenance wide<->long roundtrip on the real extract output shape
+    val longProps = Seq(("m1", "schema.org:name", "alpha", "p", 1.0, "2024"),
+      ("m1", "fair4ml:mlTask", "nlp", "p", 1.0, "2024"))
+      .toDF("modelId", "property", "value", "method", "confidence", "time")
+    val wide = graft.model.Provenance.longToWide(longProps, "modelId",
+      Seq("schema.org:name", "fair4ml:mlTask"))
+    val back = graft.model.Provenance.wideToLong(wide, "modelId",
+      Seq("schema.org:name", "fair4ml:mlTask"))
+    println(s"PROV_ROUNDTRIP=${back.count()} of ${longProps.count()}")
+
+    // streaming load into a store on disk
+    val sin = Files.createTempDirectory("sm_stream_in").toString
+    val sck = Files.createTempDirectory("sm_stream_ck").toString
+    val sst = Files.createTempDirectory("sm_stream_store").toString
+    val st2 = new load.TripletStore(spark, sst)
+    Seq(("s1", "p1", "v1")).toDF("subject", "predicate", "obj")
+      .withColumn("objKind", lit("literal")).withColumn("datatype", lit(""))
+      .withColumn("extractionMethod", lit("m")).withColumn("confidence", lit(1.0))
+      .withColumn("extractionTime", lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+      .coalesce(1).write.mode("append").parquet(sin)
+    val sq = streaming.StreamingLoad.start(
+      streaming.StreamingLoad.readTripleStream(spark, sin), st2, sck)
+    sq.processAllAvailable(); sq.stop()
+    println(s"STREAM_LOAD_TRIPLES=${st2.currentTriples.count()} v=${st2.currentVersion}")
     spark.stop()
   }
 }

@@ -89,4 +89,18 @@ class ExtractOpsSpec extends AnyFunSuite {
     // stable across invocations
     assert(groups == QuestionClustering.cluster(qs, backend, 3, 5))
   }
+
+  test("S7/S9 schema-driven mapping: paths, format strings, concat") {
+    import SchemaMapping._
+    val df = spark.read.json(Seq(
+      """{"run": {"id": 42, "flow_name": "weka.J48"}, "task": {"name": "t1"}, "uploader": "ada"}""").toDS())
+    val out = SchemaMapping(df, Seq(
+      "identifier" -> Format("Run_{run.id}"),
+      "name" -> Path("run.flow_name"),
+      "contributors" -> Concat(Seq("uploader", "task.name"))))
+    val row = out.collect()(0)
+    assert(row.getAs[String]("identifier") == "Run_42")
+    assert(row.getAs[String]("name") == "weka.J48")
+    assert(row.getSeq[String](out.columns.indexOf("contributors")) == Seq("ada", "t1"))
+  }
 }
