@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Graph, Relational, Temporal, TextOps, VectorOps}
+import graft.queries.{Analytics, Graph, Relational, Sessions, Temporal, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,8 +17,8 @@ object SparkEntry {
     Relational.joinStar(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Temporal.queries ++ TextOps.queries ++ VectorOps.queries ++ Graph.queries ++ Analytics.queries
+    Relational.queries ++ Temporal.queries ++ TextOps.queries ++ VectorOps.queries ++ Graph.queries ++ Analytics.queries ++ Sessions.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Temporal.oracles ++ TextOps.oracles ++ VectorOps.oracles ++ Graph.oracles ++ Analytics.oracles
+    Relational.oracles ++ Temporal.oracles ++ TextOps.oracles ++ VectorOps.oracles ++ Graph.oracles ++ Analytics.oracles ++ Sessions.oracles
 }

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.Tables.{dec2, epochMs}
+import graft.functions.GraftFunctions
+
+/** Second analytics batch: sessionization (gap-based), ntile bucketing,
+  * CUBE grouping, Levenshtein near-dup on entity names, a wide scalar
+  * string-function surface, and a native-expression SimHash near-dup pair
+  * query (no SQL oracle — the murmur hash is engine-defined; the driver
+  * records a rows-only check and correctness is pinned by ExpressionsSpec).
+  */
+object Sessions {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Gap-based sessionization: a >30-minute silence starts a new session —
+    * lag + cumulative sum over one keyed window (one shuffle). */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("ms", epochMs("ts"))
+      .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+      .withColumn("is_new", when(col("gap_ms").isNull ||
+        col("gap_ms") > 30 * 60 * 1000, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("session_start"),
+        max(col("ms")).as("session_end"),
+        sum(dec2(col("value"))).cast("double").as("session_value"))
+  }
+
+  val sessionizeSql: String =
+    """SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ms) AS session_start, MAX(ms) AS session_end,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM (
+      |  SELECT user_id, ms, value,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+      |      CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+      |        OR lag(epoch_ms(ts), 1) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS is_new
+      |    FROM events))
+      |GROUP BY user_id, session_id""".stripMargin
+
+  /** NTILE quartiles by account balance within segment. */
+  def ntileBuckets(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile"))
+  }
+
+  val ntileBucketsSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+      |FROM customer""".stripMargin
+
+  /** CUBE over (priority, status): all grouping combinations. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"), col("n"))
+
+  val cubeAggSql: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COALESCE(o_orderstatus, 'ALL') AS status, COUNT(*) AS n
+      |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin
+
+  /** Fuzzy (edit-distance) near-dup over part names, done right for
+    * scale: exact-dedup to the distinct-name dictionary FIRST (hash
+    * groupBy — rows collapse by orders of magnitude), fuzzy-match the
+    * dictionary pairwise within brand, and carry each name's row count.
+    * Row-level pairing would pay |rows|^2 edit distances for identical
+    * strings; dictionary-level pairing pays |distinct names|^2. */
+  def levenshteinPairs(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part")
+      .groupBy(col("p_brand"), col("p_name"))
+      .agg(count(lit(1)).as("n_rows"), min(col("p_partkey")).as("rep_id"))
+    val a = names.select(col("p_brand"), col("p_name").as("n1"),
+      col("n_rows").as("rows1"), col("rep_id").as("rep1"))
+    val b = names.select(col("p_brand"), col("p_name").as("n2"),
+      col("n_rows").as("rows2"), col("rep_id").as("rep2"))
+    a.join(b, "p_brand")
+      .filter(col("n1") < col("n2"))
+      // dist <= 3 implies |len difference| <= 3: free pre-filter
+      .filter(abs(length(col("n1")) - length(col("n2"))) <= 3)
+      .withColumn("dist", levenshtein(col("n1"), col("n2")))
+      .filter(col("dist") <= 3)
+      .select("p_brand", "n1", "n2", "rows1", "rows2", "rep1", "rep2", "dist")
+  }
+
+  val levenshteinPairsSql: String =
+    """WITH names AS (
+      |  SELECT p_brand, p_name, COUNT(*) AS n_rows, MIN(p_partkey) AS rep_id
+      |  FROM part GROUP BY p_brand, p_name)
+      |SELECT a.p_brand, a.p_name AS n1, b.p_name AS n2,
+      |  a.n_rows AS rows1, b.n_rows AS rows2,
+      |  a.rep_id AS rep1, b.rep_id AS rep2,
+      |  levenshtein(a.p_name, b.p_name) AS dist
+      |FROM names a JOIN names b
+      |  ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+      |WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+      |  AND levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
+
+  /** Wide scalar string surface: initcap-free deterministic ops shared by
+    * both engines. */
+  def stringOps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      translate(col("p_name"), " ", "_").as("snake"),
+      lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+      reverse(col("p_name")).as("rev"),
+      substring(col("p_name"), 1, 3).as("prefix3"),
+      regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_head"),
+      concat_ws("::", col("p_brand"), col("p_type")).as("brand_type"))
+
+  val stringOpsSql: String =
+    """SELECT p_partkey,
+      |  replace(p_name, ' ', '_') AS snake,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+      |  reverse(p_name) AS rev,
+      |  substr(p_name, 1, 3) AS prefix3,
+      |  regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+      |  p_brand || '::' || p_type AS brand_type
+      |FROM part""".stripMargin
+
+  /** SimHash near-dup via the native codegen'd expression + Hamming
+    * distance; LSH-banded by the fingerprint's top 16 bits so candidate
+    * pairs stay bucket-local. Oracle-less: engine-defined hash. */
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val fp = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        GraftFunctions.simhash64(split(trim(col("text")), "\\s+")).as("fp"))
+      .withColumn("band", shiftright(col("fp"), 48))
+      .localCheckpoint()
+    val a = fp.select(col("doc_id").as("doc1"), col("fp").as("fp1"), col("band"))
+    val b = fp.select(col("doc_id").as("doc2"), col("fp").as("fp2"), col("band"))
+    a.join(b, "band")
+      .filter(col("doc1") < col("doc2"))
+      .withColumn("hamming",
+        bit_count(col("fp1").bitwiseXOR(col("fp2"))))
+      .filter(col("hamming") <= 12)
+      .select("doc1", "doc2", "hamming")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> sessionize _,
+    "q_ntile" -> ntileBuckets _,
+    "q_cube" -> cubeAgg _,
+    "q_levenshtein_pairs" -> levenshteinPairs _,
+    "q_string_ops" -> stringOps _,
+    "q_simhash_neardup" -> simhashNearDup _)
+
+  /** q_simhash_neardup intentionally absent: engine-defined hash → the
+    * driver records its weaker rows-only check. */
+  val oracles: Map[String, String] = Map(
+    "q_sessionize" -> sessionizeSql,
+    "q_ntile" -> ntileBucketsSql,
+    "q_cube" -> cubeAggSql,
+    "q_levenshtein_pairs" -> levenshteinPairsSql,
+    "q_string_ops" -> stringOpsSql)
+}

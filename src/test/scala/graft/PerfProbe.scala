@@ -56,6 +56,8 @@ object PerfProbe {
     time("Q ngram_jaccard.count")(queries.TextOps.ngramJaccard(spark, dir).count())
     time("Q json_extract.count")(queries.Relational.jsonExtract(spark, dir).count())
     time("Q json_extract.count 2")(queries.Relational.jsonExtract(spark, dir).count())
+    time("Q levenshtein_pairs")(queries.Sessions.levenshteinPairs(spark, dir).count())
+    time("Q simhash_neardup")(queries.Sessions.simhashNearDup(spark, dir).count())
     spark.stop()
   }
 }

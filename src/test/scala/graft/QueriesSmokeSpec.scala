@@ -8,8 +8,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  test("every query has an oracle and vice versa") {
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  test("every oracle has a query; non-oracled queries are known") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // oracle-less queries must be the engine-defined-hash ones only
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
+      Set("q_simhash_neardup"))
   }
 
   test("entry returns rows") {
