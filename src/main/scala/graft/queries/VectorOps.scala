@@ -129,10 +129,22 @@ object VectorOps {
       |  source
       |FROM documents""".stripMargin
 
+  /** IVF-probed ANN top-k (oracle-less: centroid fit is engine-defined;
+    * correctness vs brute force is pinned by IvfSpec's nprobe=k test). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = graft.similarity.IvfIndex.fit(emb, k = 8, iters = 2)
+    graft.similarity.IvfIndex.topK(
+        emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+        model, k = 5, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> cosineTopK _,
     "q_embed_neardup" -> embedNearDup _,
-    "q_multimodal_meta" -> multimodalMeta _)
+    "q_multimodal_meta" -> multimodalMeta _,
+    "q_ann_ivf" -> annIvf _)
 
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> cosineTopKSql,

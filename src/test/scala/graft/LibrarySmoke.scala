@@ -127,6 +127,13 @@ object LibrarySmoke {
       streaming.StreamingLoad.readTripleStream(spark, sin), st2, sck)
     sq.processAllAvailable(); sq.stop()
     println(s"STREAM_LOAD_TRIPLES=${st2.currentTriples.count()} v=${st2.currentVersion}")
+
+    // reified metadata emit -> ingest over the real customer-triple metadata
+    val meta1 = tri.select(col("subject"), col("predicate"), col("obj"),
+      col("extractionMethod"), col("confidence"), col("extractionTime"))
+    val reified = graft.transform.MetadataReification.emit(meta1)
+    val ingested = graft.transform.MetadataReification.ingest(reified)
+    println(s"REIFY_ROUNDTRIP=${ingested.count()} of ${meta1.count()} (reified=${reified.count()})")
     spark.stop()
   }
 }
