@@ -1,0 +1,82 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.extract.SchemaMapping.Rule
+
+/** Platform extraction pipelines beyond HF (SURVEY §3.2/§3.3): both are
+  * schema-driven projections over nested API records —
+  *
+  *  - OpenML (`OpenMLExtractor.py:322-546`): run/dataset records mapped by
+  *    dotted paths / format strings / concat rules, with the dataset
+  *    status lookup as a broadcast join + coalesce (J3).
+  *  - AI4Life (`AI4LifeExtractor.py:88-243`): deeply nested JSON flattened
+  *    to dotted column names first, then the same rule mapping.
+  *
+  * Output is the engine's long-format provenance property table, the same
+  * shape ModelCardPipeline emits — all three platforms converge before the
+  * triple builder.
+  */
+object PlatformPipelines {
+
+  /** Recursively flatten nested struct columns into dotted top-level
+    * columns (`AI4LifeExtractor._flatten_dict` analog, done in the plan —
+    * one projection, no row work). Arrays are left as-is. */
+  def flattenStructs(df: DataFrame): DataFrame = {
+    def fields(schema: StructType, prefix: String): Seq[(String, String)] =
+      schema.fields.flatMap { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case s: StructType => fields(s, path)
+          case _ => Seq(path -> path.replace(".", "_"))
+        }
+      }.toSeq
+    val cols = fields(df.schema, "")
+    df.select(cols.map { case (path, name) =>
+      col(path.split('.').map(p => s"`$p`").mkString(".")).as(name)
+    }: _*)
+  }
+
+  /** Long-format property table from a mapped record set. */
+  def toLongProperties(mapped: DataFrame, idColumn: String,
+                       method: String, confidence: Double): DataFrame = {
+    val props = mapped.columns.filterNot(_ == idColumn)
+    props.map { p =>
+      mapped.select(
+        col(idColumn).cast("string").as("modelId"),
+        lit(p).as("property"),
+        col(s"`$p`").cast("string").as("value"),
+        lit(method).as("method"),
+        lit(confidence).as("confidence"))
+        .filter(col("value").isNotNull && col("value") =!= "")
+    }.reduce(_ unionByName _)
+  }
+
+  /** §3.2 OpenML: rule mapping + J3 status lookup (broadcast dim with
+    * scraped-status priority via coalesce). */
+  def openml(runs: DataFrame, mapping: Seq[(String, Rule)], idColumn: String,
+             datasetStatus: Option[DataFrame] = None): DataFrame = {
+    val mapped = SchemaMapping(runs, mapping, keep = Seq(idColumn))
+    val withStatus = datasetStatus match {
+      case Some(status) => // status: (identifier, api_status, scraped_status)
+        mapped.join(broadcast(status),
+            mapped(idColumn) === status("identifier"), "left")
+          .withColumn("status",
+            coalesce(col("scraped_status"), col("api_status")))
+          .drop("identifier", "api_status", "scraped_status")
+      case None => mapped
+    }
+    toLongProperties(withStatus, idColumn, "openml_python_package", 1.0)
+  }
+
+  /** §3.3 AI4Life: flatten, then rule mapping over dotted columns
+    * (underscored after flattening). */
+  def ai4life(records: DataFrame, mapping: Seq[(String, Rule)],
+              idColumn: String): DataFrame = {
+    val flat = flattenStructs(records)
+    val mapped = SchemaMapping(flat, mapping, keep = Seq(idColumn))
+    toLongProperties(mapped, idColumn, "Parsed_from_AI4Life_API", 1.0)
+  }
+}
