@@ -159,7 +159,62 @@ object Sessions {
       .select("doc1", "doc2", "hamming")
   }
 
+  /** Map-side top-k via the bounded Aggregator (shuffles k rows per group
+    * per partition, not whole groups — see functions.TopKAggregator). Same
+    * result contract as the window formulation. */
+  def topKAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TopHit, TopKAggregator}
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, v, id) => TopHit(v, id) }
+      .agg(new TopKAggregator(3).toColumn.name("hits"))
+      .flatMap { case (prio, hits) =>
+        hits.zipWithIndex.map { case (h, i) => (prio, i + 1, h.id, h.value) }
+      }
+      .toDF("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+  }
+
+  val topKAggSql: String =
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3""".stripMargin
+
+  /** Bucketized point-in-interval range join: purchases located in their
+    * user's activity session (operators.RangeJoin — equi-join on
+    * (key, bucket) + exact refine, never a per-key nested loop). */
+  def rangeJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionize(s, dir)
+      .select(col("user_id"), col("session_id"),
+        col("session_start"), (col("session_end") + 1).as("session_hi"))
+    val purchases = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        epochMs("ts").as("ms"))
+    graft.operators.RangeJoin.pointInInterval(
+        purchases, sessions, key = "user_id", x = "ms",
+        lo = "session_start", hi = "session_hi", bucketWidth = 3600000L)
+      .select("purchase_id", "user_id", "session_id")
+  }
+
+  val rangeJoinSql: String =
+    s"""WITH sess AS (
+       |${sessionizeSql.linesIterator.map("  " + _).mkString("\n")}
+       |), p AS (
+       |  SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS ms
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT p.purchase_id, p.user_id, s.session_id
+       |FROM p JOIN sess s ON p.user_id = s.user_id
+       |  AND s.session_start <= p.ms AND p.ms < s.session_end + 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_agg" -> topKAgg _,
+    "q_range_join" -> rangeJoinQ _,
     "q_sessionize" -> sessionize _,
     "q_ntile" -> ntileBuckets _,
     "q_cube" -> cubeAgg _,
@@ -170,6 +225,8 @@ object Sessions {
   /** q_simhash_neardup intentionally absent: engine-defined hash → the
     * driver records its weaker rows-only check. */
   val oracles: Map[String, String] = Map(
+    "q_topk_agg" -> topKAggSql,
+    "q_range_join" -> rangeJoinSql,
     "q_sessionize" -> sessionizeSql,
     "q_ntile" -> ntileBucketsSql,
     "q_cube" -> cubeAggSql,
