@@ -140,6 +140,19 @@ class TripletStore(spark: SparkSession, path: String) {
     stats
   }
 
+  /** Snapshot GC: drop all but the newest `keep` versions (time travel /
+    * delta queries only reach back that far afterwards). The latest
+    * snapshot is never touched, so readers of `ranges` are unaffected. */
+  def compact(keep: Int = 2): Seq[Int] = {
+    val drop = versions.dropRight(math.max(1, keep))
+    drop.foreach { v =>
+      val d = new java.io.File(s"$path/v=$v")
+      Option(d.listFiles()).foreach(_.foreach(_.delete()))
+      d.delete()
+    }
+    drop
+  }
+
   /** V6 delta: triples in version b but not a (new) / in a but not b
     * (retired). Pure anti-joins over snapshots. */
   def delta(fromV: Int, toV: Int): (DataFrame, DataFrame) = {

@@ -87,4 +87,20 @@ class TripletStoreSpec extends AnyFunSuite {
     assert(store.currentTriples.count() == 1) // same triple, two provenances
     assert(store.ranges.select("infoHash").distinct().count() == 2)
   }
+
+  test("compaction drops old snapshots, keeps latest readable") {
+    val dir = Files.createTempDirectory("store3").toString
+    val store = new TripletStore(spark, dir)
+    (1 to 4).foreach { i =>
+      store.merge(batch(Seq(("m1", "name", s"v$i")), s"2024-0$i-01 00:00:00"),
+        ts(s"2024-0$i-01 00:00:00"))
+    }
+    assert(store.currentVersion == 3)
+    val dropped = store.compact(keep = 2)
+    assert(dropped == Seq(0, 1))
+    assert(store.currentVersion == 3)
+    assert(store.currentTriples.filter(col("obj") === "v4").count() == 1)
+    val (added, _) = store.delta(2, 3)
+    assert(added.count() == 1) // remaining snapshots still delta-queryable
+  }
 }
