@@ -196,6 +196,29 @@ object Analytics {
     """SELECT p_partkey, p_name, p_brand FROM part
       |WHERE lower(p_name) LIKE 'sma%'""".stripMargin
 
+  /** Materialized edge-ngram index search (the index-time half of the
+    * reference's analyzer): explode each name into its 3..6-char
+    * lowercase prefixes, equi-join the query term against the index —
+    * at scale the index table is written once and the search is a hash
+    * probe, never a LIKE scan. */
+  def edgeNgramSearch(s: SparkSession, dir: String): DataFrame = {
+    val index = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        explode(expr(
+          "transform(sequence(3, least(6, length(p_name))), " +
+            "n -> lower(substring(p_name, 1, n)))")).as("gram"))
+    index.filter(col("gram") === "small")
+      .select(col("p_partkey"), col("p_name"))
+  }
+
+  val edgeNgramSearchSql: String =
+    """SELECT p_partkey, p_name FROM (
+      |  SELECT p_partkey, p_name,
+      |    unnest(list_transform(range(3, least(6, length(p_name)) + 1),
+      |      n -> lower(substr(p_name, 1, n)))) AS gram
+      |  FROM part)
+      |WHERE gram = 'small'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rank_lag" -> rankLag _,
     "q_rollup" -> rollupAgg _,
@@ -206,7 +229,8 @@ object Analytics {
     "q_having" -> havingAgg _,
     "q_variance" -> variance2 _,
     "q_median" -> medianPrice _,
-    "q_prefix_search" -> prefixSearch _)
+    "q_prefix_search" -> prefixSearch _,
+    "q_edge_ngram_search" -> edgeNgramSearch _)
 
   val oracles: Map[String, String] = Map(
     "q_rank_lag" -> rankLagSql,
@@ -218,5 +242,6 @@ object Analytics {
     "q_having" -> havingAggSql,
     "q_variance" -> variance2Sql,
     "q_median" -> medianPriceSql,
-    "q_prefix_search" -> prefixSearchSql)
+    "q_prefix_search" -> prefixSearchSql,
+    "q_edge_ngram_search" -> edgeNgramSearchSql)
 }

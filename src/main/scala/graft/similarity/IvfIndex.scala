@@ -74,6 +74,36 @@ object IvfIndex {
     Model(cents)
   }
 
+  /** Sampled fit: Lloyd iterations on a deterministic bounded sample,
+    * entirely driver-side — one Spark job total (the sample collect).
+    * This is the production shape for IVF at scale: centroids come from a
+    * sample (k·1000s of vectors), never a full-corpus iteration; the
+    * corpus only ever sees the one-pass `assign`. */
+  def fitSample(emb: DataFrame, k: Int, iters: Int,
+                sampleSize: Int = 2048): Model = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy("vec_id").limit(sampleSize)
+      .select("embedding").as[Seq[Double]].collect().map(_.toArray)
+    var cents = sample.take(k)
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](cents.head.length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearest(v, cents)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    Model(cents)
+  }
+
   /** Corpus cell assignment (one map stage, broadcast centroids). */
   def assign(emb: DataFrame, model: Model): DataFrame = {
     val spark = emb.sparkSession

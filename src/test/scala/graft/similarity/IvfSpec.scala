@@ -44,4 +44,14 @@ class IvfSpec extends AnyFunSuite {
     val cells = assigned.select("cell").distinct().as[Int].collect().toSet
     assert(cells.subsetOf((0 until 4).toSet))
   }
+
+  test("sampled fit: nprobe = k is still exact brute force") {
+    val model = IvfIndex.fitSample(emb, k = 8, iters = 2)
+    val exact = graft.queries.VectorOps.cosineTopK(spark, TestSpark.sf0001)
+      .filter($"query_id" < 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val full = IvfIndex.topK(corpus, queries, model, k = 5, nprobe = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
 }
