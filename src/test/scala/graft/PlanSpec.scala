@@ -94,4 +94,26 @@ class PlanSpec extends AnyFunSuite {
     // partial + final pair around one exchange
     assert("HashAggregate".r.findAllIn(s).size >= 2, s)
   }
+
+  test("aggregator top-k does map-side partial aggregation") {
+    val df = queries.Sessions.topKAgg(spark, dir)
+    val sPlan = planString(df)
+    // ObjectHashAggregate pairs (partial + final) around one exchange:
+    // the buffer shuffled is k rows per group per partition, not the group
+    assert("ObjectHashAggregate".r.findAllIn(sPlan).size >= 2, sPlan)
+    assert(countShuffles(df) <= 2, sPlan)
+  }
+
+  test("bucketized range join is equi-join shaped (no nested loop)") {
+    val df = queries.Sessions.rangeJoinQ(spark, dir)
+    val sPlan = planString(df)
+    assert(!sPlan.contains("CartesianProduct") &&
+      !sPlan.contains("BroadcastNestedLoopJoin"), sPlan)
+    assert(countShuffles(df) <= 4, sPlan) // sessionize window + join sides
+  }
+
+  test("edge-ngram search reads only the needed columns") {
+    val sPlan = planString(queries.Analytics.edgeNgramSearch(spark, dir))
+    assert(sPlan.contains("ReadSchema: struct<p_partkey:bigint,p_name:string>"), sPlan)
+  }
 }
