@@ -68,6 +68,29 @@ object N3 {
     sb.toString
   }
 
+  /** Inverse of escapeLiteral. Must scan left-to-right: sequential
+    * String.replace is order-sensitive and corrupts inputs like a literal
+    * backslash followed by 'n' (escaped "\\n", which a naive
+    * replace("\\n", "\n") pass turns into backslash-newline). */
+  def unescapeLiteral(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case _ => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def formatIri(uri: String): String = s"<$uri>"
 
   def formatLiteral(value: String, datatype: String): String =

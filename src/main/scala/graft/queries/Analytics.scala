@@ -219,7 +219,44 @@ object Analytics {
       |  FROM part)
       |WHERE gram = 'small'""".stripMargin
 
+  /** RANGE-frame window: per returnflag, sum of quantities of all rows
+    * whose price lies within 100 below the current row's price — a value
+    * frame, not a row frame. */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"))
+      .rangeBetween(-100L, Window.currentRow)
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        sum(dec2(col("l_quantity"))).over(w).cast("double").as("near_qty"))
+  }
+
+  val rangeFrameSql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_returnflag ORDER BY l_extendedprice
+      |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_qty
+      |FROM lineitem WHERE l_orderkey < 200""".stripMargin
+
+  /** Calendar-part aggregation: orders per (year, month). */
+  def dateParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+
+  val datePartsSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_frame" -> rangeFrame _,
+    "q_date_parts" -> dateParts _,
     "q_rank_lag" -> rankLag _,
     "q_rollup" -> rollupAgg _,
     "q_intersect" -> intersectOp _,
@@ -233,6 +270,8 @@ object Analytics {
     "q_edge_ngram_search" -> edgeNgramSearch _)
 
   val oracles: Map[String, String] = Map(
+    "q_range_frame" -> rangeFrameSql,
+    "q_date_parts" -> datePartsSql,
     "q_rank_lag" -> rankLagSql,
     "q_rollup" -> rollupAggSql,
     "q_intersect" -> intersectOpSql,

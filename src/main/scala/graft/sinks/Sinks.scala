@@ -59,7 +59,5 @@ object Sinks {
       .toDF()
   }
 
-  private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\n", "\n").replace("\\r", "\r")
-      .replace("\\t", "\t").replace("\\\\", "\\")
+  private def unescape(s: String): String = N3.unescapeLiteral(s)
 }

@@ -90,4 +90,19 @@ class TextSpec extends AnyFunSuite {
     assert(Hashing.infoHash("parser", 0.923456) == Hashing.infoHash("parser", 0.923458))
     assert(Hashing.infoHash("parser", 0.9) != Hashing.infoHash("parser", 0.8))
   }
+
+  test("N3 escape is injective and roundtrips through the N-Triples parser regexes") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('\n', '\t', '\r', '"', '\\', ' ')))
+      .map(_.mkString)
+    val prop = Prop.forAll(strGen) { v =>
+      val lit = N3.formatLiteral(v, "")
+      val body = lit.substring(1, lit.length - 1)
+      val un = N3.unescapeLiteral(body)
+      un == v && !body.contains('\n') && !body.contains('\r')
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
