@@ -296,7 +296,92 @@ object TextOps {
       |    ('spark','hash','join','merge','sort','scan','window','small','big','fast','slow'))) AS BIGINT) AS n_other
       |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)""".stripMargin
 
+  /** The full corpus-cleaning chain as one dataflow — the canonical
+    * LLM-training-data pipeline: quality floor → exact dedup (content
+    * hash, keep min id) → MinHash-LSH candidate pairs → Jaccard-verified
+    * near-dup removal (drop the greater id of each verified pair) →
+    * surviving docs with token stats. Every stage is the bucket-local
+    * formulation proven by the standalone queries. */
+  def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("n_chars") >= 150)
+    // exact dedup: keep the smallest doc_id per content hash
+    val keepIds = base.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val kept = base.join(keepIds, "doc_id")
+    // checkpoint BEFORE the size filter: filtering first would push the
+    // predicate into the CodegenFallback shingle projection and re-evaluate
+    // it per row (the §spark4-gotchas HOF trap, ~10x)
+    val sh = spread(s, kept)
+      .withColumn("w", words)
+      .select(col("doc_id"), shingles.as("sh"))
+      .localCheckpoint()
+      .filter(size(col("sh")) > 0)
+    val sigCols = col("doc_id") +: (0 until 4).map(j =>
+      array_min(transform(col("sh"), x =>
+        conv(substring(md5(concat(x, lit(s"|$j"))), 1, 8), 16, 10)
+          .cast("long"))).as(s"mh$j"))
+    val sig = sh.select(sigCols: _*).localCheckpoint()
+    def band(c1: String, c2: String) = {
+      val x = sig.select(col("doc_id").as("doc1"),
+        concat_ws("_", col(c1), col(c2)).as("b"))
+      val y = sig.select(col("doc_id").as("doc2"),
+        concat_ws("_", col(c1), col(c2)).as("b"))
+      x.join(y, "b").filter(col("doc1") < col("doc2")).select("doc1", "doc2")
+    }
+    val candidates = band("mh0", "mh1").union(band("mh2", "mh3")).distinct()
+    val verified = candidates
+      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .filter(col("inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")) >= 0.5)
+      .select("doc2").distinct()
+    kept.join(verified, kept("doc_id") === verified("doc2"), "left_anti")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+"))
+        .cast("long").as("n_tokens"), col("lang"))
+  }
+
+  val corpusPipelineSql: String =
+    """WITH base AS (
+      |  SELECT * FROM documents WHERE n_chars >= 150),
+      |keep_ids AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+      |kept AS (
+      |  SELECT b.* FROM base b JOIN keep_ids k ON b.doc_id = k.doc_id),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |      ELSE []::VARCHAR[] END) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM kept)),
+      |shn AS (SELECT * FROM sh WHERE len(sh) > 0),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(list_aggregate(list_transform(sh, x -> ('0x' || substr(md5(x || '|0'), 1, 8))::UBIGINT), 'min') AS BIGINT) AS mh0,
+      |    CAST(list_aggregate(list_transform(sh, x -> ('0x' || substr(md5(x || '|1'), 1, 8))::UBIGINT), 'min') AS BIGINT) AS mh1,
+      |    CAST(list_aggregate(list_transform(sh, x -> ('0x' || substr(md5(x || '|2'), 1, 8))::UBIGINT), 'min') AS BIGINT) AS mh2,
+      |    CAST(list_aggregate(list_transform(sh, x -> ('0x' || substr(md5(x || '|3'), 1, 8))::UBIGINT), 'min') AS BIGINT) AS mh3
+      |  FROM shn),
+      |cand AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+      |  FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id
+      |  FROM sig a JOIN sig b ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT DISTINCT c.doc2
+      |  FROM cand c
+      |  JOIN shn s1 ON c.doc1 = s1.doc_id
+      |  JOIN shn s2 ON c.doc2 = s2.doc_id
+      |  WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+      |        (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) >= 0.5)
+      |SELECT k.doc_id,
+      |  CAST(len(string_split_regex(trim(k.text), '\s+')) AS BIGINT) AS n_tokens,
+      |  k.lang
+      |FROM kept k WHERE k.doc_id NOT IN (SELECT doc2 FROM verified)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_pipeline" -> corpusPipeline _,
     "q_token_count" -> tokenCount _,
     "q_quality_score" -> qualityScore _,
     "q_lang_guess" -> langGuess _,
@@ -309,6 +394,7 @@ object TextOps {
     "q_tag_buckets" -> tagBuckets _)
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_pipeline" -> corpusPipelineSql,
     "q_token_count" -> tokenCountSql,
     "q_quality_score" -> qualityScoreSql,
     "q_lang_guess" -> langGuessSql,

@@ -58,6 +58,88 @@ object PerfProbe {
     time("Q json_extract.count 2")(queries.Relational.jsonExtract(spark, dir).count())
     time("Q levenshtein_pairs")(queries.Sessions.levenshteinPairs(spark, dir).count())
     time("Q simhash_neardup")(queries.Sessions.simhashNearDup(spark, dir).count())
+    // corpus pipeline stage breakdown (mirrors TextOps.corpusPipeline)
+    locally {
+      val base = Tables(spark, dir, "documents").filter(col("n_chars") >= 150)
+      time("cp base")(base.count())
+      val keepIds = base.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val kept = base.join(keepIds, "doc_id").localCheckpoint()
+      time("cp kept")(kept.count())
+      val w2 = kept.repartition(32).withColumn("w", split(trim(col("text")), "\\s+"))
+      val sh2 = w2.select(col("doc_id"), array_distinct(
+        expr("CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))) ELSE array() END")).as("sh"))
+        .filter(size(col("sh")) > 0).localCheckpoint()
+      time("cp shingle+ckpt")(sh2.count())
+      val sigCols = col("doc_id") +: (0 until 4).map(j => array_min(transform(col("sh"),
+        x => conv(substring(md5(concat(x, lit(s"|$j"))), 1, 8), 16, 10).cast("long"))).as(s"mh$j"))
+      val sig2 = sh2.select(sigCols: _*).localCheckpoint()
+      time("cp sig+ckpt")(sig2.count())
+      def band(c1: String, c2: String) = {
+        val x = sig2.select(col("doc_id").as("doc1"), concat_ws("_", col(c1), col(c2)).as("b"))
+        val y = sig2.select(col("doc_id").as("doc2"), concat_ws("_", col(c1), col(c2)).as("b"))
+        x.join(y, "b").filter(col("doc1") < col("doc2")).select("doc1", "doc2")
+      }
+      val cand = band("mh0", "mh1").union(band("mh2", "mh3")).distinct().localCheckpoint()
+      time("cp candidates")(cand.count())
+      val verified = cand
+        .join(sh2.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+        .join(sh2.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+        .filter(col("inter").cast("double") / (size(col("sh1")) + size(col("sh2")) - col("inter")) >= 0.5)
+        .select("doc2").distinct()
+      time("cp verified")(verified.count())
+      val fin = kept.join(verified, kept("doc_id") === verified("doc2"), "left_anti")
+      time("cp final")(fin.count())
+      val finProj = fin.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"), col("lang"))
+      time("cp final+proj count")(finProj.count())
+      time("cp final+proj collectsum")(finProj.agg(sum("n_tokens")).count())
+      val ver2 = verified.localCheckpoint()
+      val fin3 = kept.join(ver2, kept("doc_id") === ver2("doc2"), "left_anti")
+        .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"), col("lang"))
+      time("cp final ckpt-verified")(fin3.count())
+    }
+    // ablation: wall cost of pipeline prefixes (fresh build each)
+    locally {
+      def prefix(stop: String): Long = {
+        val base = Tables(spark, dir, "documents").filter(col("n_chars") >= 150)
+        val keepIds = base.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        val kept = base.join(keepIds, "doc_id")
+        if (stop == "kept") return kept.count()
+        val w2 = kept.repartition(32).withColumn("w", split(trim(col("text")), "\\s+"))
+        val sh2 = w2.select(col("doc_id"), array_distinct(
+          expr("CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))) ELSE array() END")).as("sh"))
+          .filter(size(col("sh")) > 0).localCheckpoint()
+        if (stop == "sh") return sh2.count()
+        val sigCols = col("doc_id") +: (0 until 4).map(j => array_min(transform(col("sh"),
+          x => conv(substring(md5(concat(x, lit(s"|$j"))), 1, 8), 16, 10).cast("long"))).as(s"mh$j"))
+        val sig2 = sh2.select(sigCols: _*).localCheckpoint()
+        if (stop == "sig") return sig2.count()
+        def band(c1: String, c2: String) = {
+          val x = sig2.select(col("doc_id").as("doc1"), concat_ws("_", col(c1), col(c2)).as("b"))
+          val y = sig2.select(col("doc_id").as("doc2"), concat_ws("_", col(c1), col(c2)).as("b"))
+          x.join(y, "b").filter(col("doc1") < col("doc2")).select("doc1", "doc2")
+        }
+        val cand = band("mh0", "mh1").union(band("mh2", "mh3")).distinct()
+        if (stop == "cand") return cand.count()
+        val verified = cand
+          .join(sh2.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+          .join(sh2.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+          .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+          .filter(col("inter").cast("double") / (size(col("sh1")) + size(col("sh2")) - col("inter")) >= 0.5)
+          .select("doc2").distinct()
+        if (stop == "verified") return verified.count()
+        kept.join(verified, kept("doc_id") === verified("doc2"), "left_anti").count()
+      }
+      Seq("kept", "sh", "sig", "cand", "verified", "full").foreach { st =>
+        val t0 = System.nanoTime(); val n = prefix(st)
+        println(f"[abl] ${(System.nanoTime() - t0) / 1e9}%6.2f upto=$st rows=$n")
+      }
+    }
+    time("Q corpus_pipeline 1")(queries.TextOps.corpusPipeline(spark, dir).count())
+    time("Q corpus_pipeline 2")(queries.TextOps.corpusPipeline(spark, dir).count())
     spark.stop()
   }
 }
