@@ -74,6 +74,8 @@ class TripletStore(spark: SparkSession, path: String) {
     * @param now      logical load time used for deprecation stamps
     */
   def merge(incoming: DataFrame, now: Timestamp): MergeStats = {
+    // Checkpointed once: the batch is scanned a single time even though it
+    // feeds both the MERGE join and the touched-subjects semi-join.
     val inc = withIdentity(incoming)
       .groupBy("tripletHash", "infoHash")
       .agg(
@@ -83,14 +85,20 @@ class TripletStore(spark: SparkSession, path: String) {
         first("extractionMethod").as("extractionMethod"),
         first("confidence").as("confidence"),
         max("extractionTime").as("extractionTime"))
+      .localCheckpoint()
 
     val cur = ranges
     val open = cur.filter(!col("deprecated"))
     val closed = cur.filter(col("deprecated"))
 
+    // The MERGE join executes exactly ONCE (eager checkpoint); extended /
+    // fresh / deprecation / stats / snapshot below all read the
+    // materialized result instead of re-running the join lineage — at
+    // 100 TB the previous shape re-scanned the ranges table 4x per batch.
     val j = open.as("o").join(inc.as("i"),
       col("o.tripletHash") === col("i.tripletHash") &&
         col("o.infoHash") === col("i.infoHash"), "full_outer")
+      .localCheckpoint()
 
     val extended = j.filter(col("o.tripletHash").isNotNull && col("i.tripletHash").isNotNull)
       .select(
@@ -131,9 +139,17 @@ class TripletStore(spark: SparkSession, path: String) {
       .unionByName(untouched)
       .unionByName(closed.select(rangeCols: _*))
 
+    // One stats job over the checkpointed join instead of three counts
+    // that each re-ran the full merge lineage.
+    val kinds = fresh.select(lit("new").as("k"))
+      .unionByName(extended.select(lit("extended").as("k")))
+      .unionByName(toDeprecate.select(lit("deprecated").as("k")))
+      .groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val stats = MergeStats(
-      nNew = fresh.count(), nExtended = extended.count(),
-      nDeprecated = toDeprecate.count())
+      nNew = kinds.getOrElse("new", 0L),
+      nExtended = kinds.getOrElse("extended", 0L),
+      nDeprecated = kinds.getOrElse("deprecated", 0L))
 
     val v = currentVersion + 1
     next.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$v")
@@ -183,15 +199,24 @@ object TripletStore {
 
   private val rangeCols = rangeSchema.fieldNames.toSeq.map(col)
 
+  /** Null-safe field form for identity hashing: `concat_ws` SKIPS null
+    * fields, so without coalescing, a null shifts later fields left and
+    * two different triples can concatenate identically. The marker keeps
+    * null distinct from "" and from any real term. */
+  private def idField(c: org.apache.spark.sql.Column) =
+    coalesce(c.cast("string"), lit("\u0001<null>"))
+
   /** Identity hashes computed with codegen'd built-ins: tripletHash =
-    * md5 over the 5 triple fields with a field separator (equivalent
-    * identity to the reference's md5-of-n3, kept in pure column form);
-    * infoHash = md5(method + confidence rounded to 5 dp)
-    * (`GraphHandler.py:479-483,548-633`). */
+    * md5 over the 5 triple fields joined with an explicit `\u0000` field
+    * separator and null-coalesced fields — delimiter-safe like the
+    * reference's md5-of-n3 (`GraphHandler.py:479-483`), kept in pure
+    * column form; infoHash = md5(method + confidence rounded to 5 dp)
+    * (`GraphHandler.py:548-633`). */
   def withIdentity(df: DataFrame): DataFrame =
-    df.withColumn("tripletHash", md5(concat_ws("",
-        col("subject"), col("predicate"), col("obj"), col("objKind"),
-        col("datatype"))))
+    df.withColumn("tripletHash", md5(concat_ws("\u0000",
+        idField(col("subject")), idField(col("predicate")),
+        idField(col("obj")), idField(col("objKind")),
+        idField(col("datatype")))))
       .withColumn("infoHash", md5(concat(col("extractionMethod"),
         format_string("%.5f", col("confidence")))))
 }

@@ -207,7 +207,7 @@ object Relational {
   }
 
   val substringJoinSql: String =
-    """SELECT w.word, COUNT(*) AS n_docs, SUM(d.n_chars) AS sum_chars
+    """SELECT w.word, COUNT(*) AS n_docs, CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
       |FROM documents d
       |JOIN (VALUES ('spark'),('hash'),('join'),('window'),('vector')) w(word)
       |  ON contains(d.text, w.word)
@@ -286,11 +286,11 @@ object Relational {
 
   val pivotCountsSql: String =
     """SELECT user_id,
-      |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-      |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
       |FROM events GROUP BY user_id""".stripMargin
 

@@ -42,8 +42,8 @@ object Sessions {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM (
       |  SELECT user_id, ms, value,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM (
       |    SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
       |      CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (

@@ -72,20 +72,47 @@ object Temporal {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
       |FROM events WHERE user_id < 20""".stripMargin
 
-  /** Chunk packing (A12, `LoadProcessor.py:227-256`): running size in a
-    * total order → floor-div bucket id. */
-  def chunkPack(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("doc_id")
+  /** Partition-local stage of [[chunkPack]], exposed for the plan test:
+    * range-partition by doc_id, then a cumulative sum keyed on the physical
+    * partition id — every exchange is multi-partition. */
+  private[graft] def chunkPackLocal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "documents")
-      .select(col("doc_id"), sum(col("n_chars")).over(w).as("cum"))
+      .select(col("doc_id"), col("n_chars"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_cum", sum(col("n_chars")).over(w))
+  }
+
+  /** Chunk packing (A12, `LoadProcessor.py:227-256`): running size in a
+    * total order → floor-div bucket id.
+    *
+    * Scale-safe two-level formulation (the reference's own semantics are a
+    * driver loop, so the engine picks the distributed plan): partition-local
+    * cumulative sums after a range partition on doc_id, then broadcast
+    * per-partition offsets — prefix sums over one bounded collect of the
+    * ≤numPartitions partition totals (same bounded-collect pattern as the
+    * IVF fit). No global-order window, no single-partition exchange; output
+    * is identical because cum depends only on the global doc_id order. */
+  def chunkPack(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint pins ONE spark_partition_id assignment for both consumers
+    val local = chunkPackLocal(s, dir).localCheckpoint()
+    val totals = local.groupBy("pid").agg(max(col("local_cum")).as("total"))
+      .orderBy("pid").collect()  // bounded: one row per partition
+    var acc = 0L
+    val offsets = totals.map { r =>
+      val off = acc; acc += r.getLong(1); (r.getInt(0), off)
+    }.toSeq
+    local.join(broadcast(s.createDataFrame(offsets).toDF("pid", "offset")), "pid")
+      .select(col("doc_id"), (col("local_cum") + col("offset")).as("cum"))
       .withColumn("chunk", floor((col("cum") - lit(1)) / 20000))
   }
 
   val chunkPackSql: String =
     """SELECT doc_id, cum, CAST(floor((cum - 1) / 20000) AS BIGINT) AS chunk FROM (
-      |  SELECT doc_id, SUM(n_chars) OVER (ORDER BY doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  SELECT doc_id, CAST(SUM(n_chars) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
       |  FROM documents)""".stripMargin
 
   /** SCD-2 validity ranges from an event log (V3 shape: use_start/use_end

@@ -25,9 +25,12 @@ object MetadataReification {
 
   /** StatementMeta table → reified triple rows. */
   def emit(meta: DataFrame): DataFrame = {
-    val node = concat(lit("_:m"), md5(concat_ws("",
-      col("subject"), col("predicate"), col("obj"),
-      col("extractionMethod"), col("extractionTime").cast("string"))))
+    val node = concat(lit("_:m"), md5(concat_ws("\u0000",
+      coalesce(col("subject").cast("string"), lit("\u0001<null>")),
+      coalesce(col("predicate").cast("string"), lit("\u0001<null>")),
+      coalesce(col("obj").cast("string"), lit("\u0001<null>")),
+      coalesce(col("extractionMethod").cast("string"), lit("\u0001<null>")),
+      coalesce(col("extractionTime").cast("string"), lit("\u0001<null>")))))
     val pairs = array(
       struct(lit(MetaNs + "subject").as("p"), col("subject").cast("string").as("o")),
       struct(lit(MetaNs + "predicate").as("p"), col("predicate").cast("string").as("o")),

@@ -112,6 +112,16 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(df) <= 4, sPlan) // sessionize window + join sides
   }
 
+  test("chunk packing has no single-partition exchange (two-level cumsum)") {
+    val sPlan = planString(queries.Temporal.chunkPackLocal(spark, dir))
+    // the old global-order window planned Exchange SinglePartition: every
+    // row through one task — dead at 100x. The two-level plan range
+    // partitions then hashes on pid; all exchanges are multi-partition.
+    assert(!sPlan.contains("SinglePartition"), sPlan)
+    assert(sPlan.contains("REPARTITION_BY_NUM") || sPlan.contains("rangepartitioning")
+      || sPlan.toLowerCase.contains("range"), sPlan)
+  }
+
   test("edge-ngram search reads only the needed columns") {
     val sPlan = planString(queries.Analytics.edgeNgramSearch(spark, dir))
     assert(sPlan.contains("ReadSchema: struct<p_partkey:bigint,p_name:string>"), sPlan)

@@ -88,6 +88,49 @@ class TripletStoreSpec extends AnyFunSuite {
     assert(store.ranges.select("infoHash").distinct().count() == 2)
   }
 
+  test("identity hash is delimiter- and null-safe (no field-shift collisions)") {
+    // shifted field boundaries: ("urn:a","b:c") vs ("urn:ab",":c")
+    // null-vs-value shifts: concat_ws skips nulls, so without per-field
+    // coalescing (obj="k", objKind=null) and (obj=null, objKind="k")
+    // concatenate identically
+    val rows = Seq(
+      ("urn:a", "b:c", "o", "literal", ""),
+      ("urn:ab", ":c", "o", "literal", ""),
+      ("s", "p", "k", null, ""),
+      ("s", "p", null, "k", ""),
+      ("s", "p", "o", "literal", null),
+      ("s", "p", "o", "literal", ""))
+    val df = rows.toDF("subject", "predicate", "obj", "objKind", "datatype")
+      .withColumn("extractionMethod", lit("parser"))
+      .withColumn("confidence", lit(1.0))
+    val hashes = TripletStore.withIdentity(df)
+      .select("tripletHash").as[String].collect()
+    assert(hashes.distinct.length == rows.length,
+      s"expected ${rows.length} distinct hashes, got ${hashes.distinct.length}")
+  }
+
+  test("merge scans the incoming batch exactly once (single-pass MERGE)") {
+    val dir = Files.createTempDirectory("store4").toString
+    val store = new TripletStore(spark, dir)
+    // seed a snapshot so the merge join has both sides
+    store.merge(batch(Seq(("m1", "name", "alpha"), ("m2", "name", "beta")),
+      "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+
+    val acc = spark.sparkContext.longAccumulator("incomingScans")
+    val n = 3
+    val instrumented = batch(Seq(
+      ("m1", "name", "alpha-v2"), ("m2", "name", "beta"), ("m3", "name", "gamma")),
+      "2024-02-01 00:00:00")
+      .as[(String, String, String, String, String, String, Double, Timestamp)]
+      .map { r => acc.add(1); r }
+      .toDF("subject", "predicate", "obj", "objKind", "datatype",
+        "extractionMethod", "confidence", "extractionTime")
+    val s = store.merge(instrumented, ts("2024-02-01 00:00:00"))
+    assert(s.nNew == 2 && s.nExtended == 1 && s.nDeprecated == 1)
+    // pre-fix, the 4x join re-execution re-scanned the batch each time
+    assert(acc.value == n, s"incoming scanned ${acc.value / n}x, want 1x")
+  }
+
   test("compaction drops old snapshots, keeps latest readable") {
     val dir = Files.createTempDirectory("store3").toString
     val store = new TripletStore(spark, dir)
