@@ -113,7 +113,8 @@ object ModelCardPipeline {
           col("modelId")), 256)).as("subject"),
       col("property").as("predicate"),
       col("value").as("obj"),
-      when(col("value").startsWith("http"), "iri").otherwise("literal").as("objKind"),
+      when(col("value").startsWith("http://") || col("value").startsWith("https://"),
+        "iri").otherwise("literal").as("objKind"),
       lit("").as("datatype"),
       col("method").as("extractionMethod"),
       col("confidence"),

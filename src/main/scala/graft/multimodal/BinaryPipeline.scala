@@ -76,7 +76,12 @@ object BinaryPipeline {
         greatest(lit(0),
           floor((octet_length(col("payload")) - frameSize) / stride) + 1)
           .cast("int"))
-      .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1)))
+      // guard: for payloads shorter than frameSize, n_frames = 0 and
+      // sequence(0, -1) would emit a DESCENDING [0, -1] — two bogus frames
+      // instead of none
+      .withColumn("frame_idx", explode(
+        when(col("n_frames") > 0, sequence(lit(0), col("n_frames") - 1))
+          .otherwise(array().cast("array<int>"))))
       .withColumn("frame",
         expr(s"substring(payload, frame_idx * $stride + 1, $frameSize)"))
       .select(col("id"), col("frame_idx"), col("frame"))

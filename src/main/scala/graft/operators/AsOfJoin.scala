@@ -31,24 +31,31 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            payload: Seq[String], inner: Boolean = true): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The payload is carried as ONE struct column: last(ignoreNulls) over a
+    // struct preserves row atomicity (an independent last() per column would
+    // stitch together values from different right rows whenever a payload
+    // field is null), and match-existence is the struct's own null-ness.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)))
     val tagged =
       left.select(Seq(col(key), col(ts), lit(1).as("__is_left")) ++
-          leftCols.filterNot(Set(key, ts)).map(col) ++
-          payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+          leftCols.filterNot(Set(key, ts)).map(col) :+
+          lit(null).cast(payloadType).as("__r"): _*)
         .unionByName(
           right.select(Seq(col(key), col(ts), lit(0).as("__is_left")) ++
-            leftCols.filterNot(Set(key, ts)).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-            payload.map(c => col(c).as(s"__r_$c")): _*))
+            leftCols.filterNot(Set(key, ts)).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+            struct(payload.map(col): _*).as("__r"): _*))
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(tagged) { (df, c) =>
-      df.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = tagged
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
     val matched = carried.filter(col("__is_left") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"__m_$c").as(c)): _*)
-    if (inner) matched.filter(payload.map(c => col(c).isNotNull).reduce(_ || _))
-    else matched
+    val res =
+      if (inner) matched.filter(col("__m").isNotNull)
+      else matched
+    res.select(leftCols.map(col) ++
+      payload.map(c => col("__m").getField(c).as(c)): _*)
   }
 
   /** Convenience overload with distinct left/right column names resolved by

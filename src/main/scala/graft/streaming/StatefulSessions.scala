@@ -63,10 +63,12 @@ object StatefulSessions {
         GroupStateTimeout.ProcessingTimeTimeout)(updateState)
   }
 
-  /** Watermarked exact stream dedup by event id: duplicates within the
-    * watermark horizon are dropped with bounded state. */
+  /** Watermarked exact stream dedup by event id ALONE (a re-extraction of
+    * the same id at a different timestamp is still a duplicate);
+    * `dropDuplicatesWithinWatermark` bounds the id state to the watermark
+    * horizon instead of keeping it forever. */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id", "ts")
+      .dropDuplicatesWithinWatermark("event_id")
 }

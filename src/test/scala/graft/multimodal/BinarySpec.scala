@@ -41,4 +41,14 @@ class BinarySpec extends AnyFunSuite {
       .collect()(0).getAs[Array[Byte]](0)
     assert(last(0) == 64.toByte)
   }
+
+  test("payload shorter than one frame emits zero frames") {
+    // regression: sequence(0, n_frames-1) with n_frames = 0 is a DESCENDING
+    // [0, -1] in Spark — it used to emit two bogus frames
+    val media = Seq((1L, Array.range(0, 10).map(_.toByte)),
+        (2L, Array.empty[Byte]))
+      .toDF("id", "payload")
+    val frames = BinaryPipeline.sampleFrames(media, frameSize = 32, stride = 16)
+    assert(frames.count() == 0)
+  }
 }

@@ -36,4 +36,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(outer.count() == 3)
     assert(outer.filter(col("trade") === "t3").select("quote").head().isNullAt(0))
   }
+
+  test("multi-column payload is carried atomically (no cross-row mixing)") {
+    // q2 has a null in one payload column; the match must still be ALL of
+    // q2's fields, never q1's bid stitched onto q2's ask
+    val trades = Seq((1L, ts("2024-01-01 12:00:00"), "t1"))
+      .toDF("user_id", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(10.0), Some(11.0), "q1"),
+      (1L, ts("2024-01-01 11:00:00"), None: Option[Double], Some(12.0), "q2"))
+      .toDF("user_id", "ts", "bid", "ask", "qid")
+    val row = AsOfJoin.asOf(trades, quotes, "user_id", "ts",
+      Seq("bid", "ask", "qid")).select("bid", "ask", "qid").head()
+    assert(row.isNullAt(0), "bid must be q2's null, not q1's 10.0")
+    assert(row.getDouble(1) == 12.0 && row.getString(2) == "q2")
+
+    // inner filter keys on match existence, not payload non-nullness: a
+    // left row whose only preceding right row is all-null payload matches
+    val quotesAllNull = Seq(
+      (1L, ts("2024-01-01 10:00:00"), None: Option[Double], None: Option[Double]))
+      .toDF("user_id", "ts", "bid", "ask")
+    val matched = AsOfJoin.asOf(trades, quotesAllNull, "user_id", "ts",
+      Seq("bid", "ask"))
+    assert(matched.count() == 1)
+  }
 }
