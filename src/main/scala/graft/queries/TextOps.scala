@@ -146,18 +146,28 @@ object TextOps {
       .select(col("doc_id"), col("source"), shingles.as("sh"))
       .localCheckpoint()
 
-  /** N-gram Jaccard near-dup detection as an inverted-index join: explode
-    * shingles, equi-join on (source, shingle), count matches per pair —
-    * never an all-pairs product, and shingle-level skew is AQE-splittable.
-    * Candidate scope = same source (at scale: any cheap partition key or a
-    * document-frequency cap on hot shingles). */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingleTable(s, dir)
+  /** Document-frequency cap for [[ngramJaccard]]: a shingle shared by df
+    * documents generates df² join rows, so one stop-phrase shingle shared
+    * by 1M docs is a quadratic bucket. Shingles above the cap carry no
+    * near-dup signal and are dropped from intersection counting (the
+    * Jaccard denominator keeps the full shingle counts). */
+  val JaccardDfCap = 1000
+
+  /** Inverted-index Jaccard core over a (doc_id, source, sh) shingle table
+    * — exposed so the hot-shingle cap is unit-testable with a synthetic
+    * corpus. Hot shingles (df > cap) are FEW by definition, so the dropped
+    * set is collected into a broadcast anti-join, not a shuffled one. */
+  private[graft] def ngramJaccardCapped(sh: DataFrame, dfCap: Int): DataFrame = {
+    val ex = sh
       .select(col("doc_id"), col("source"), size(col("sh")).as("n"),
         explode(col("sh")).as("s"))
-    val a = ex.select(col("doc_id").as("doc1"), col("source"),
+    // shingles are distinct per doc, so count == document frequency
+    val hot = ex.groupBy("source", "s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("source", "s")
+    val kept = ex.join(broadcast(hot), Seq("source", "s"), "left_anti")
+    val a = kept.select(col("doc_id").as("doc1"), col("source"),
       col("n").as("n1"), col("s"))
-    val b = ex.select(col("doc_id").as("doc2"), col("source"),
+    val b = kept.select(col("doc_id").as("doc2"), col("source"),
       col("n").as("n2"), col("s"))
     a.join(b, Seq("source", "s"))
       .filter(col("doc1") < col("doc2"))
@@ -169,15 +179,28 @@ object TextOps {
       .select("doc1", "doc2", "jacc")
   }
 
+  /** N-gram Jaccard near-dup detection as an inverted-index join: explode
+    * shingles, equi-join on (source, shingle), count matches per pair —
+    * never an all-pairs product, shingle-level skew is AQE-splittable, and
+    * hot shingles above [[JaccardDfCap]] are excluded so no single bucket
+    * can go quadratic. Candidate scope = same source. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardCapped(shingleTable(s, dir), JaccardDfCap)
+
   val ngramJaccardSql: String = shinglesSqlCte +
-    """
+    s"""
       |, ex AS (
       |  SELECT doc_id, source, len(sh) AS n, unnest(sh) AS s
       |  FROM sh WHERE len(sh) > 0)
+      |, dfreq AS (
+      |  SELECT source, s, COUNT(*) AS df FROM ex GROUP BY source, s)
+      |, kept AS (
+      |  SELECT ex.* FROM ex JOIN dfreq USING (source, s)
+      |  WHERE dfreq.df <= $JaccardDfCap)
       |SELECT doc1, doc2, jacc FROM (
       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
       |    round(CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)), 4) AS jacc
-      |  FROM ex a JOIN ex b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM kept a JOIN kept b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id, a.n, b.n)
       |WHERE jacc >= 0.02""".stripMargin
 

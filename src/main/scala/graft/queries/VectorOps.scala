@@ -132,12 +132,12 @@ object VectorOps {
   /** IVF-probed ANN top-k (oracle-less: centroid fit is engine-defined;
     * correctness vs brute force is pinned by IvfSpec's nprobe=k test). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    // sampled driver-side fit: one collect job; the corpus only pays the
-    // single assign pass (the production IVF shape)
-    val model = graft.similarity.IvfIndex.fitSample(emb, k = 8, iters = 2)
-    graft.similarity.IvfIndex.topK(
-        emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+    // fit-or-load the persisted index: the fit (bounded sample collect) and
+    // the corpus assign pass run once per corpus version, not per query
+    val (model, index) = graft.similarity.IvfStore.indexFor(s, dir, k = 8, iters = 2)
+    graft.similarity.IvfIndex.topKIndexed(
+        index.filter(col("vec_id") >= 10),
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
         model, k = 5, nprobe = 2)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }

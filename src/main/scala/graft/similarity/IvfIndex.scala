@@ -113,20 +113,32 @@ object IvfIndex {
       .withColumn("cell", assignUdf(col("v")))
   }
 
+  /** Precomputed-norm column over an assigned corpus — together with the
+    * cell id this is the searchable IVF index row. */
+  def withNorm(assigned: DataFrame): DataFrame =
+    assigned.withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
+      lit(0.0), (a, x) => a + x)))
+
   /** Top-k cosine search probing the `nprobe` nearest cells per query.
     * Queries and corpus are both (vec_id, embedding) tables; queries are
-    * expected to be the small side (broadcast). */
+    * expected to be the small side (broadcast). Assigns + norms the corpus
+    * inline — use [[topKIndexed]] with a persisted [[IvfStore]] index to
+    * skip that pass per query. */
   def topK(corpus: DataFrame, queries: DataFrame, model: Model,
-           k: Int, nprobe: Int): DataFrame = {
-    val spark = corpus.sparkSession
+           k: Int, nprobe: Int): DataFrame =
+    topKIndexed(withNorm(assign(corpus, model)), queries, model, k, nprobe)
+
+  /** Search over a prebuilt index table (vec_id, v, cell, nrm) — the
+    * corpus pays no per-query work beyond the probed-cell join. */
+  def topKIndexed(index: DataFrame, queries: DataFrame, model: Model,
+                  k: Int, nprobe: Int): DataFrame = {
+    val spark = index.sparkSession
     val bc = spark.sparkContext.broadcast(model.centroids)
     val probeUdf = udf { (v: Seq[Double]) =>
       bc.value.indices
         .map(c => (sqdist(v, bc.value(c)), c)).sorted.take(nprobe).map(_._2)
     }
-    val assignedCorpus = assign(corpus, model)
-      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
-        lit(0.0), (a, x) => a + x)))
+    val assignedCorpus = index
     val q = queries
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qv"))

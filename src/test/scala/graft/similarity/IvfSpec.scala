@@ -54,4 +54,21 @@ class IvfSpec extends AnyFunSuite {
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     assert(full == exact)
   }
+
+  test("persisted index artifact reproduces the fresh-fit search exactly") {
+    val (m1, idx1) = IvfStore.indexFor(spark, TestSpark.sf0001, k = 8, iters = 2)
+    // second call must LOAD (no refit): model identical bit-for-bit
+    val (m2, idx2) = IvfStore.indexFor(spark, TestSpark.sf0001, k = 8, iters = 2)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    assert(idx1.count() == emb.count() && idx2.count() == emb.count())
+
+    // search over the loaded index == search over a freshly assigned corpus
+    val fresh = IvfIndex.fitSample(emb, k = 8, iters = 2)
+    val viaStore = IvfIndex.topKIndexed(idx2.filter($"vec_id" >= 10),
+        queries, m2, k = 5, nprobe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val viaFit = IvfIndex.topK(corpus, queries, fresh, k = 5, nprobe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(viaStore == viaFit)
+  }
 }
