@@ -71,6 +71,28 @@ object PlatformPipelines {
     toLongProperties(withStatus, idColumn, "openml_python_package", 1.0)
   }
 
+  /** T1 nested OpenML child-entity trees (`GraphBuilderFAIR4ML.py:350-415,
+    * 462-484`): a runs frame whose `dataset` column holds the DatasetObject
+    * struct (name, url, estimationProcedure{type, data_splits_url,
+    * parameters}) and whose metric maps hold the EvaluationObject content
+    * expands into the child/grand-child triple table — the piece of T1
+    * that scalar rule mapping cannot express. Union the result with the
+    * flat-property triples from [[openml]] + TripleBuilder. */
+  def openmlNestedTriples(runs: DataFrame, idColumn: String,
+                          datasetCol: String = "dataset",
+                          numericMetricsCol: String = "num_metrics",
+                          textMetricsCol: String = "text_metrics"): DataFrame = {
+    import graft.transform.NestedObjects
+    val subj = concat(lit(NestedObjects.Base),
+      sha2(concat_ws("|", lit("platform=openml"), lit("type=run"),
+        col(idColumn).cast("string")), 256))
+    NestedObjects.datasetObjectTriples(runs, "openml", subj,
+        NestedObjects.Fair4ml + "trainedOn", col(datasetCol))
+      .unionByName(NestedObjects.evaluationObjectTriples(runs, "openml", subj,
+        NestedObjects.Fair4ml + "evaluationResults",
+        col(numericMetricsCol), col(textMetricsCol)))
+  }
+
   /** §3.3 AI4Life: flatten, then rule mapping over dotted columns
     * (underscored after flattening). */
   def ai4life(records: DataFrame, mapping: Seq[(String, Rule)],

@@ -102,13 +102,148 @@ object Graph {
       |SELECT k.subject, COALESCE(n.entityName, k.obj) AS obj
       |FROM knows k LEFT JOIN names n ON k.obj = n.nameSubject""".stripMargin
 
+  /** A10 doc pivot + platform classification: url objects spread across
+    * the three platform branches via the market segment. */
+  def docPivotPlatformQ(s: SparkSession, dir: String): DataFrame = {
+    val key = col("c_custkey").cast("string")
+    val url = when(col("c_mktsegment") === "BUILDING",
+        concat(lit("https://www.openml.org/m/"), key))
+      .when(col("c_mktsegment") === "MACHINERY",
+        concat(lit("https://bioimage.io/m/"), key))
+      .otherwise(concat(lit("https://huggingface.co/m/"), key))
+    val tris = TripleBuilder.triples(
+      t(s, dir, "customer"), concat(lit("urn:cust:"), key),
+      Seq(
+        PropertySpec("schema:name", col("c_name")),
+        PropertySpec("https://schema.org/url", url, objKind = "iri")))
+    TripleBuilder.docPivotPlatform(tris)
+  }
+
+  val docPivotPlatformSql: String =
+    """WITH tri AS (
+      |  SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS subject,
+      |         'schema:name' AS predicate, c_name AS obj FROM customer
+      |  UNION ALL
+      |  SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR),
+      |         'https://schema.org/url',
+      |         CASE WHEN c_mktsegment = 'BUILDING'
+      |                THEN 'https://www.openml.org/m/' || CAST(c_custkey AS VARCHAR)
+      |              WHEN c_mktsegment = 'MACHINERY'
+      |                THEN 'https://bioimage.io/m/' || CAST(c_custkey AS VARCHAR)
+      |              ELSE 'https://huggingface.co/m/' || CAST(c_custkey AS VARCHAR)
+      |         END
+      |  FROM customer),
+      |p AS (
+      |  SELECT subject,
+      |    string_agg(predicate || '=' || obj, ';' ORDER BY predicate || '=' || obj) AS props,
+      |    COUNT(*) AS n_props
+      |  FROM tri GROUP BY subject),
+      |urls AS (
+      |  SELECT subject, MIN(obj) AS first_url FROM tri
+      |  WHERE predicate = 'https://schema.org/url' GROUP BY subject)
+      |SELECT p.subject, p.props, p.n_props,
+      |  CASE WHEN first_url LIKE '%https://www.openml.org%' THEN 'OpenML'
+      |       WHEN first_url LIKE '%https://bioimage.io%' THEN 'AI4Life'
+      |       ELSE 'Hugging Face' END AS platform
+      |FROM p LEFT JOIN urls ON p.subject = urls.subject""".stripMargin
+
+  /** T1 nested child-entity trees (DatasetObject → estimationProcedure,
+    * EvaluationObject → typed metrics) driven through
+    * PlatformPipelines.openmlNestedTriples: each order plays an OpenML run
+    * whose dataset/evaluation values expand into 14 triples across four
+    * subjects (run, dataset object, estimation procedure, evaluation). */
+  def nestedEntities(s: SparkSession, dir: String): DataFrame = {
+    val runs = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      struct(
+        concat(lit("ds-"), col("o_custkey").cast("string")).as("name"),
+        concat(lit("https://www.openml.org/d/"),
+          col("o_custkey").cast("string")).as("url"),
+        struct(
+          col("o_orderpriority").as("type"),
+          concat(lit("https://api.openml.org/splits/"),
+            col("o_orderkey").cast("string")).as("data_splits_url"),
+          map(lit("seed"), (col("o_orderkey") % 100).cast("string"),
+            lit("status"), col("o_orderstatus")).as("parameters"))
+          .as("estimationProcedure")).as("dataset"),
+      // decimal-typed score: DECIMAL(18,2) of a 2-dp source value is exact
+      // in both engines (dividing first created 5-dp values whose 4-dp
+      // rounding tie-broke differently in Spark vs DuckDB)
+      map(lit("score"), col("o_totalprice").cast("decimal(18,2)"))
+        .as("num_metrics"),
+      map(lit("status"), col("o_orderstatus")).as("text_metrics"))
+    graft.extract.PlatformPipelines.openmlNestedTriples(runs, "o_orderkey")
+  }
+
+  val nestedEntitiesSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+      |    CAST(o_orderkey % 100 AS VARCHAR) AS seed_str,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS score_str
+      |  FROM orders),
+      |h1 AS (
+      |  SELECT *,
+      |    'https://w3id.org/mlentory/mlentory_graph/' AS ns,
+      |    sha256('platform=openml|type=run|' || CAST(o_orderkey AS VARCHAR)) AS run_h,
+      |    sha256('platform=openml|type=DatasetObject|ds-' || CAST(o_custkey AS VARCHAR)
+      |      || '|https://www.openml.org/d/' || CAST(o_custkey AS VARCHAR)) AS do_h
+      |  FROM base),
+      |h2 AS (
+      |  SELECT *,
+      |    sha256('platform=openml|type=estimationProcedure' || do_h || '|'
+      |      || o_orderpriority || '|https://api.openml.org/splits/'
+      |      || CAST(o_orderkey AS VARCHAR)) AS ep_h,
+      |    sha256('platform=openml|type=EvaluationObject|score=' || score_str
+      |      || '|status=' || o_orderstatus) AS ev_h
+      |  FROM h1),
+      |u AS (
+      |  SELECT ns || run_h AS run_s, ns || do_h AS do_s, ns || ep_h AS ep_s,
+      |    ns || ev_h AS ev_s, o_orderkey, o_custkey, o_orderstatus,
+      |    o_orderpriority, seed_str, score_str
+      |  FROM h2)
+      |SELECT run_s AS subject, 'https://w3id.org/fair4ml/trainedOn' AS predicate,
+      |  do_s AS obj, 'iri' AS objkind, '' AS datatype FROM u
+      |UNION ALL SELECT do_s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+      |  'https://w3id.org/fair4ml/DatasetObject', 'iri', '' FROM u
+      |UNION ALL SELECT do_s, 'https://schema.org/name',
+      |  'ds-' || CAST(o_custkey AS VARCHAR), 'literal',
+      |  'http://www.w3.org/2001/XMLSchema#string' FROM u
+      |UNION ALL SELECT do_s, 'https://schema.org/url',
+      |  'https://www.openml.org/d/' || CAST(o_custkey AS VARCHAR), 'literal',
+      |  'http://www.w3.org/2001/XMLSchema#string' FROM u
+      |UNION ALL SELECT do_s, 'https://w3id.org/fair4ml/estimationProcedure',
+      |  ep_s, 'iri', '' FROM u
+      |UNION ALL SELECT ep_s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+      |  'https://w3id.org/fair4ml/estimationProcedure', 'iri', '' FROM u
+      |UNION ALL SELECT ep_s, 'https://schema.org/type', o_orderpriority,
+      |  'literal', 'http://www.w3.org/2001/XMLSchema#string' FROM u
+      |UNION ALL SELECT ep_s, 'https://schema.org/url',
+      |  'https://api.openml.org/splits/' || CAST(o_orderkey AS VARCHAR),
+      |  'literal', 'http://www.w3.org/2001/XMLSchema#anyURI' FROM u
+      |UNION ALL SELECT ep_s, 'https://w3id.org/fair4ml/seed', seed_str,
+      |  'literal', 'http://www.w3.org/2001/XMLSchema#string' FROM u
+      |UNION ALL SELECT ep_s, 'https://w3id.org/fair4ml/status', o_orderstatus,
+      |  'literal', 'http://www.w3.org/2001/XMLSchema#string' FROM u
+      |UNION ALL SELECT run_s, 'https://w3id.org/fair4ml/evaluationResults',
+      |  ev_s, 'iri', '' FROM u
+      |UNION ALL SELECT ev_s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+      |  'https://w3id.org/fair4ml/EvaluationObject', 'iri', '' FROM u
+      |UNION ALL SELECT ev_s, 'https://w3id.org/fair4ml/score', score_str,
+      |  'literal', 'http://www.w3.org/2001/XMLSchema#double' FROM u
+      |UNION ALL SELECT ev_s, 'https://w3id.org/fair4ml/status', o_orderstatus,
+      |  'literal', 'http://www.w3.org/2001/XMLSchema#string' FROM u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triple_gen" -> tripleGen _,
     "q_doc_pivot" -> docPivot _,
-    "q_name_resolution" -> nameResolution _)
+    "q_name_resolution" -> nameResolution _,
+    "q_nested_entities" -> nestedEntities _,
+    "q_doc_pivot_platform" -> docPivotPlatformQ _)
 
   val oracles: Map[String, String] = Map(
     "q_triple_gen" -> tripleGenSql,
     "q_doc_pivot" -> docPivotSql,
-    "q_name_resolution" -> nameResolutionSql)
+    "q_name_resolution" -> nameResolutionSql,
+    "q_nested_entities" -> nestedEntitiesSql,
+    "q_doc_pivot_platform" -> docPivotPlatformSql)
 }

@@ -96,6 +96,24 @@ object TripleBuilder {
         concat(col("predicate"), lit("="), col("obj")))), ";").as("props"),
         count(lit(1)).as("n_props"))
 
+  /** A10 doc pivot with the reference's platform classification: every
+    * search doc is tagged OpenML / AI4Life / Hugging Face by substring of
+    * the entity's first `schema:url` object
+    * (`GraphHandlerForKG.py:300-315`; "first" restated deterministically
+    * as min(obj)). Entities without a url triple fall to the else branch
+    * like the reference's default. */
+  def docPivotPlatform(triples: DataFrame,
+                       urlPredicate: String = "https://schema.org/url"): DataFrame = {
+    val urls = triples.filter(col("predicate") === urlPredicate)
+      .groupBy("subject").agg(min(col("obj")).as("first_url"))
+    docPivot(triples).join(urls, Seq("subject"), "left")
+      .withColumn("platform",
+        when(col("first_url").contains("https://www.openml.org"), "OpenML")
+          .when(col("first_url").contains("https://bioimage.io"), "AI4Life")
+          .otherwise("Hugging Face"))
+      .drop("first_url")
+  }
+
   /** J7 URI→name resolution: replace object IRIs with the target entity's
     * name triple when one exists, else keep the IRI
     * (`GraphHandlerForKG.py:217-261`). */

@@ -77,4 +77,60 @@ class Fair4mlRulesSpec extends AnyFunSuite {
     assert(out("MIT") == "literal")
     assert(out("custom terms") == "literal")
   }
+
+  private lazy val oneRun = {
+    import graft.extract.PlatformPipelines
+    val runs = Seq(("run-7", "mnist", "https://www.openml.org/d/554",
+      "crossvalidation", "https://api.openml.org/splits/7"))
+      .toDF("run_id", "ds_name", "ds_url", "ep_type", "ep_url")
+      .select(col("run_id"),
+        struct(col("ds_name").as("name"), col("ds_url").as("url"),
+          struct(col("ep_type").as("type"), col("ep_url").as("data_splits_url"),
+            map(lit("folds"), lit("10"), lit("repeats"), lit("1"))
+              .as("parameters")).as("estimationProcedure")).as("dataset"),
+        map(lit("auc"), lit(0.9912).cast("decimal(18,4)")).as("num_metrics"),
+        map(lit("task"), lit("classification")).as("text_metrics"))
+    PlatformPipelines.openmlNestedTriples(runs, "run_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+  }
+
+  test("T1 DatasetObject tree: child + estimationProcedure grand-child") {
+    val tris = oneRun
+    val byPred = tris.groupBy(_._2)
+    // parent → DatasetObject link, typed child, linked + typed grand-child
+    val doUri = byPred(NestedObjects.Fair4ml + "trainedOn").head._3
+    assert(tris.contains((doUri, NestedObjects.RdfType,
+      NestedObjects.Fair4ml + "DatasetObject", "iri", "")))
+    assert(tris.exists(t => t._1 == doUri &&
+      t._2 == NestedObjects.SchemaNs + "name" && t._3 == "mnist" &&
+      t._5 == NestedObjects.XsdString))
+    val epUri = byPred(NestedObjects.Fair4ml + "estimationProcedure").head._3
+    assert(tris.contains((epUri, NestedObjects.RdfType,
+      NestedObjects.Fair4ml + "estimationProcedure", "iri", "")))
+    assert(tris.exists(t => t._1 == epUri &&
+      t._2 == NestedObjects.SchemaNs + "url" &&
+      t._3 == "https://api.openml.org/splits/7" &&
+      t._5 == NestedObjects.XsdAnyUri))
+    // parameters fan out on the grand-child
+    assert(tris.contains((epUri, NestedObjects.Fair4ml + "folds", "10",
+      "literal", NestedObjects.XsdString)))
+    assert(tris.contains((epUri, NestedObjects.Fair4ml + "repeats", "1",
+      "literal", NestedObjects.XsdString)))
+  }
+
+  test("T1 EvaluationObject tree: metrics typed double vs string") {
+    val tris = oneRun
+    val evUri = tris.collect {
+      case (s, p, o, _, _) if p == NestedObjects.Fair4ml + "evaluationResults" => o
+    }.head
+    assert(tris.contains((evUri, NestedObjects.RdfType,
+      NestedObjects.Fair4ml + "EvaluationObject", "iri", "")))
+    assert(tris.contains((evUri, NestedObjects.Fair4ml + "auc", "0.9912",
+      "literal", NestedObjects.XsdDouble)))
+    assert(tris.contains((evUri, NestedObjects.Fair4ml + "task",
+      "classification", "literal", NestedObjects.XsdString)))
+    // 14 triples per run: 10 dataset-tree + 4 evaluation-tree
+    assert(oneRun.length == 14)
+  }
 }
