@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Live-API connector skeleton (S2-S5/S7/S9 production half): the
+  * reference's manager is a driver-side bounded LIST plus a threaded
+  * per-record FETCH with 429-aware exponential backoff
+  * (`HFDatasetManager.py:36-39` retry parameters, `134-167`
+  * `_call_with_hf_retries`, `248-314` list + threaded card loads).
+  *
+  * Spark restatement: the LIST stays a bounded driver call (it is bounded
+  * in the reference too — `list_models(limit=...)`); the FETCH distributes
+  * ids over executors with `mapPartitions`, ONE client per partition
+  * (connection reuse), per-record retry, and failures recorded as rows
+  * rather than thrown — one dead record must not kill a fleet-wide fetch.
+  * The transport is injectable so the offline build exercises the whole
+  * control flow against a stub; production supplies a real client factory.
+  */
+object LiveSource {
+
+  /** Minimal transport contract: body of a GET. Clients are constructed on
+    * the EXECUTOR via the factory — never serialized from the driver. */
+  trait HttpClient { def get(url: String): String }
+
+  /** Thrown by transports on HTTP 429, carrying the server's Retry-After
+    * hint when present. */
+  final case class RateLimited(retryAfterMs: Option[Long])
+    extends RuntimeException("rate limited")
+
+  /** One fetched record; `ok = false` rows carry the terminal error. */
+  final case class Fetched(id: String, payload: String, ok: Boolean, error: String)
+
+  /** Retry/backoff policy with the reference's defaults (6 retries, 5 s
+    * base, 400 s cap). `sleep` and `jitterMs` are injectable so tests run
+    * the full backoff schedule without wall-clock waits. */
+  final case class RetryPolicy(
+      maxRetries: Int = 6,
+      baseBackoffMs: Long = 5000,
+      maxBackoffMs: Long = 400000,
+      sleep: Long => Unit = Thread.sleep,
+      jitterMs: () => Long = () => 0L) extends Serializable {
+
+    /** `_call_with_hf_retries`: honor Retry-After when present, else
+      * exponential backoff + jitter capped at `maxBackoffMs`; a non-429
+      * failure or retry exhaustion propagates to the caller. */
+    def retry[T](fn: () => T): T = {
+      var attempt = 0
+      while (true) {
+        try return fn()
+        catch {
+          case RateLimited(retryAfter) if attempt < maxRetries =>
+            val delay = retryAfter.getOrElse(math.min(maxBackoffMs,
+              baseBackoffMs * (1L << attempt) + jitterMs()))
+            sleep(delay)
+            attempt += 1
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Driver-side LIST: bounded id enumeration (one line per id in the
+    * transport's response — the reference's `list_models(limit=...)`). */
+  def listIds(client: HttpClient, listUrl: String, limit: Int): Seq[String] =
+    client.get(listUrl).linesIterator.filter(_.nonEmpty).take(limit).toSeq
+
+  /** Executor-side FETCH: ids spread over `partitions` tasks, one client
+    * per partition, per-record retry; errors become `ok = false` rows. */
+  def fetch(spark: SparkSession, ids: Seq[String],
+            clientFactory: () => HttpClient, urlFor: String => String,
+            policy: RetryPolicy = RetryPolicy(),
+            partitions: Int = 0): Dataset[Fetched] = {
+    import spark.implicits._
+    val n = math.max(1, if (partitions > 0) partitions
+      else math.min(ids.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(ids).repartition(n)
+      .mapPartitions { it =>
+        val client = clientFactory()
+        it.map { id =>
+          try Fetched(id, policy.retry(() => client.get(urlFor(id))),
+            ok = true, error = "")
+          catch {
+            case e: Exception =>
+              Fetched(id, null, ok = false, String.valueOf(e.getMessage))
+          }
+        }
+      }
+  }
+}

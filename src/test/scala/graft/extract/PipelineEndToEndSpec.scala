@@ -12,6 +12,33 @@ import graft.load.TripletStore
 import graft.operators.TagCategorizer.Vocabs
 import graft.transform.TripleBuilder
 
+/** In-memory API stub for the live-connector test: object-static state is
+  * shared across Spark's closure serialization in local mode, so executor
+  * calls are observable from the test. Each card URL rate-limits twice
+  * before succeeding; the card body is registered by the test. */
+object StubApi {
+  import graft.sources.LiveSource.{HttpClient, RateLimited}
+  import java.util.concurrent.ConcurrentHashMap
+  import java.util.concurrent.atomic.AtomicInteger
+
+  val cards = new ConcurrentHashMap[String, String]()
+  val urlCalls = new ConcurrentHashMap[String, AtomicInteger]()
+  val sleeps = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+
+  def reset(): Unit = { cards.clear(); urlCalls.clear(); sleeps.clear() }
+
+  def client(): HttpClient = new HttpClient with Serializable {
+    def get(url: String): String = {
+      val n = StubApi.urlCalls
+        .computeIfAbsent(url, _ => new AtomicInteger(0)).incrementAndGet()
+      if (url.endsWith("/models")) StubApi.cards.keySet().toArray
+        .map(_.toString).sorted.mkString("\n")
+      else if (n <= 2) throw RateLimited(retryAfterMs = None)
+      else StubApi.cards.get(url.substring(url.lastIndexOf("=") + 1))
+    }
+  }
+}
+
 /** SURVEY §7.2 minimum end-to-end slice: fixture snapshot → P3 filter →
   * P1 + tags + Y1 + E8 → triples + metadata → A7 disambiguation → V1-V5
   * versioned MERGE → current-graph / distinct-count queries → re-load a
@@ -95,6 +122,60 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     val training = props.filter(col("property") === "fair4ml:trainingDetails")
       .select("value").as[String].head()
     assert(training.contains("curated corpus"))
+  }
+
+  test("live-connector skeleton: driver list + mapPartitions fetch + backoff") {
+    import graft.sources.LiveSource
+    import graft.sources.LiveSource.RetryPolicy
+
+    StubApi.reset()
+    StubApi.cards.put("org/model-one", goodCard)
+    StubApi.cards.put("org/default", defaultCard)
+    StubApi.cards.put("org/untagged", goodCard)
+
+    // driver-side bounded LIST
+    val ids = LiveSource.listIds(StubApi.client(), "https://stub/api/models", 10)
+    assert(ids == Seq("org/default", "org/model-one", "org/untagged"))
+
+    // executor-side fetch: every card URL 429s twice, then succeeds; the
+    // injected sleep records the backoff schedule instead of waiting
+    val policy = RetryPolicy(baseBackoffMs = 10,
+      sleep = ms => { StubApi.sleeps.add(ms); () })
+    val fetched = LiveSource.fetch(spark, ids, () => StubApi.client(),
+      id => s"https://stub/api/card?id=$id", policy, partitions = 2)
+    val rows = fetched.collect()
+    assert(rows.length == 3 && rows.forall(_.ok))
+    assert(rows.map(r => r.id -> r.payload).toMap ==
+      Map("org/model-one" -> goodCard, "org/default" -> defaultCard,
+        "org/untagged" -> goodCard))
+    // exponential backoff per id: 10 ms then 20 ms
+    assert(StubApi.sleeps.toArray.map(_.asInstanceOf[Long]).sorted.toSeq ==
+      Seq(10L, 10L, 10L, 20L, 20L, 20L))
+
+    // a record that stays rate-limited past maxRetries surfaces as a row,
+    // not a job failure
+    StubApi.reset()
+    StubApi.cards.put("org/dead", goodCard)
+    val strict = RetryPolicy(maxRetries = 1, baseBackoffMs = 1,
+      sleep = _ => ())
+    val dead = LiveSource.fetch(spark, Seq("org/dead"), () => StubApi.client(),
+      id => s"https://stub/api/card?id=$id", strict).collect().head
+    assert(!dead.ok && dead.payload == null)
+
+    // fetched payloads flow into the same extraction pipeline as fixtures
+    StubApi.reset()
+    StubApi.cards.put("org/model-one", goodCard)
+    StubApi.cards.put("org/default", defaultCard)
+    StubApi.cards.put("org/untagged", goodCard)
+    val withCards = snapshot(goodCard).drop("card")
+      .join(LiveSource.fetch(spark, ids, () => StubApi.client(),
+          id => s"https://stub/api/card?id=$id", policy)
+        .toDF().select(col("id").as("modelId"), col("payload").as("card")),
+        "modelId")
+    val props = ModelCardPipeline.properties(
+      withCards, vocabs, new TokenOverlapScorer, queries)
+    assert(props.select("modelId").distinct().as[String].collect().toSeq ==
+      Seq("org/model-one"))
   }
 
   test("full slice into versioned store with deprecation on re-load") {
