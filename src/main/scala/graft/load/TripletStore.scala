@@ -36,9 +36,14 @@ class TripletStore(spark: SparkSession, path: String) {
 
   private val fs = new java.io.File(path)
 
+  /** Only COMMITTED snapshots are visible: Spark writes the _SUCCESS
+    * marker as the final act of a parquet job, so a crash mid-write leaves
+    * a marker-less directory that readers (and `currentVersion`) skip —
+    * a torn snapshot can never become the current version. */
   private def versions: Seq[Int] =
     Option(fs.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+        new java.io.File(f, "_SUCCESS").exists())
       .map(_.getName.drop(2).toInt).sorted
 
   def currentVersion: Int = versions.lastOption.getOrElse(-1)

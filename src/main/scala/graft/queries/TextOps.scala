@@ -113,6 +113,84 @@ object TextOps {
       |    CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w) AS ratio
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))""".stripMargin
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, the standard
+    * corpus-quality filters): per-doc duplicate-word fraction (single-pass
+    * HOF, no shuffle) and top-bigram fraction (explode + two-level count —
+    * one shuffle keyed by (doc, bigram), scalable; a per-row HOF mode would
+    * be O(n²) per doc). Bigram array is checkpointed before the explode
+    * (Spark 4 HOF CodegenFallback re-evaluation trap). */
+  def repetitionScore(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = expr("transform(sequence(1, size(w) - 1), i -> " +
+      "concat_ws(' ', element_at(w, i), element_at(w, i+1)))")
+    val base = spread(s, t(s, dir, "documents"))
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+        round(lit(1) - size(array_distinct(col("w"))).cast("double") /
+          size(col("w")), 4).as("dup_word_frac"),
+        bigrams.as("bg"))
+      .localCheckpoint()
+    val maxBigram = base.select(col("doc_id"), explode(col("bg")).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_c"))
+    base.join(maxBigram, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        round(col("max_c").cast("double") / (col("n_words") - 1), 4)
+          .as("top_bigram_frac"))
+  }
+
+  val repetitionScoreSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |    round(1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS dup_word_frac,
+      |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+      |  FROM w WHERE len(w) >= 2),
+      |cnt AS (
+      |  SELECT doc_id, bigram, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(bg) AS bigram FROM base)
+      |  GROUP BY doc_id, bigram),
+      |mx AS (SELECT doc_id, MAX(c) AS max_c FROM cnt GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_words, b.dup_word_frac,
+      |  round(CAST(mx.max_c AS DOUBLE) / (b.n_words - 1), 4) AS top_bigram_frac
+      |FROM base b JOIN mx ON b.doc_id = mx.doc_id""".stripMargin
+
+  /** PII scrubbing (email + URL redaction), the standard pre-training
+    * hygiene pass — pure regexp_replace/extract_all, codegen'd, zero
+    * shuffle. The synthetic corpus carries no PII, so the query plants a
+    * deterministic contact line per doc (identically in the oracle) and
+    * the redaction provably fires on every row. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlRe = "https?://[^ ]+"
+    val injected = concat(lit("contact u"), col("doc_id").cast("string"),
+      lit("@mail.example.org ref http://ex.org/d/"),
+      col("doc_id").cast("string"), lit(" "), col("text"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(regexp_extract_all(injected, lit(emailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(injected, lit(urlRe), lit(0)))
+        .cast("long").as("n_urls"),
+      regexp_replace(regexp_replace(injected, emailRe, "<EMAIL>"),
+        urlRe, "<URL>").as("clean"))
+  }
+
+  val piiRedactSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(injected, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(injected, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+      |  regexp_replace(regexp_replace(injected,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    'https?://[^ ]+', '<URL>', 'g') AS clean
+      |FROM (
+      |  SELECT doc_id, 'contact u' || CAST(doc_id AS VARCHAR)
+      |    || '@mail.example.org ref http://ex.org/d/' || CAST(doc_id AS VARCHAR)
+      |    || ' ' || text AS injected
+      |  FROM documents)""".stripMargin
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -405,6 +483,8 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_pipeline" -> corpusPipeline _,
+    "q_repetition_score" -> repetitionScore _,
+    "q_pii_redact" -> piiRedact _,
     "q_token_count" -> tokenCount _,
     "q_quality_score" -> qualityScore _,
     "q_lang_guess" -> langGuess _,
@@ -418,6 +498,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q_corpus_pipeline" -> corpusPipelineSql,
+    "q_repetition_score" -> repetitionScoreSql,
+    "q_pii_redact" -> piiRedactSql,
     "q_token_count" -> tokenCountSql,
     "q_quality_score" -> qualityScoreSql,
     "q_lang_guess" -> langGuessSql,

@@ -131,6 +131,25 @@ class TripletStoreSpec extends AnyFunSuite {
     assert(acc.value == n, s"incoming scanned ${acc.value / n}x, want 1x")
   }
 
+  test("uncommitted (torn) snapshot directories are invisible to readers") {
+    val dir = Files.createTempDirectory("store5").toString
+    val store = new TripletStore(spark, dir)
+    store.merge(batch(Seq(("m1", "name", "alpha")), "2024-01-01 00:00:00"),
+      ts("2024-01-01 00:00:00"))
+    assert(store.currentVersion == 0)
+    // simulate a crash mid-write: a version dir without the _SUCCESS marker
+    val torn = new java.io.File(dir, "v=1")
+    torn.mkdirs()
+    new java.io.File(torn, "part-00000.parquet").createNewFile()
+    assert(store.currentVersion == 0, "torn snapshot must not become current")
+    assert(store.currentTriples.count() == 1)
+    // the next committed merge supersedes the torn directory
+    store.merge(batch(Seq(("m1", "name", "beta")), "2024-02-01 00:00:00"),
+      ts("2024-02-01 00:00:00"))
+    assert(store.currentVersion >= 1)
+    assert(store.currentTriples.filter(col("obj") === "beta").count() == 1)
+  }
+
   test("compaction drops old snapshots, keeps latest readable") {
     val dir = Files.createTempDirectory("store3").toString
     val store = new TripletStore(spark, dir)
