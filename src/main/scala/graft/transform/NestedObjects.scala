@@ -56,10 +56,29 @@ object NestedObjects {
         col("t.datatype").as("datatype"))
       .filter(col("obj").isNotNull)
 
+  /** Map fan-out as a NATIVE map explode (one triple per entry). An array
+    * HOF (`transform(map_entries(...))`) inside the generator child is
+    * CodegenFallback in Spark 4 and measured ~10x slower per output row;
+    * exploding the map directly stays in codegen. */
+  private def mapTriples(pre: DataFrame, subject: String, m: String,
+                         dt: String): DataFrame =
+    pre.select(col(subject), explode(col(m)))
+      .select(col(subject).as("subject"),
+        concat(lit(Fair4ml), col("key")).as("predicate"),
+        col("value").cast("string").as("obj"),
+        lit("literal").as("objKind"), lit(dt).as("datatype"))
+      .filter(col("obj").isNotNull)
+
   /** DatasetObject + estimationProcedure tree. `dataset` must be a struct
     * column with fields `name`, `url`, and `estimationProcedure`
     * (itself a struct of `type`, `data_splits_url`,
-    * `parameters: map<string,string>`). */
+    * `parameters: map<string,string>`).
+    *
+    * The uris/hashes are projected ONCE and checkpointed before the
+    * explode — inlined, each of the ~8 references to a child uri would
+    * re-run its sha256 chain per array element, and the materialized
+    * projection is tiny (ids + uris + scalars) relative to the 14x larger
+    * triple output it generates. */
   def datasetObjectTriples(df: DataFrame, platform: String,
                            parentSubject: Column, predicate: String,
                            dataset: Column): DataFrame = {
@@ -71,27 +90,34 @@ object NestedObjects {
     val epHash = entityHash(platform, concat(lit("estimationProcedure"), doHash),
       concat_ws("|", ep.getField("type"), ep.getField("data_splits_url")))
     val epUri = concat(lit(Base), epHash)
-    val fixed = array(
-      tri(parentSubject, lit(predicate), doUri, "iri", ""),
-      tri(doUri, lit(RdfType), lit(Fair4ml + "DatasetObject"), "iri", ""),
-      tri(doUri, lit(SchemaNs + "name"), dataset.getField("name"),
+    val pre = df.select(parentSubject.as("parent_s"), doUri.as("do_s"),
+        epUri.as("ep_s"), dataset.getField("name").as("ds_name"),
+        dataset.getField("url").as("ds_url"), ep.getField("type").as("ep_type"),
+        ep.getField("data_splits_url").as("ep_url"),
+        ep.getField("parameters").as("params"))
+      .localCheckpoint()
+    val fixed = explodeTriples(pre, array(
+      tri(col("parent_s"), lit(predicate), col("do_s"), "iri", ""),
+      tri(col("do_s"), lit(RdfType), lit(Fair4ml + "DatasetObject"), "iri", ""),
+      tri(col("do_s"), lit(SchemaNs + "name"), col("ds_name"),
         "literal", XsdString),
-      tri(doUri, lit(SchemaNs + "url"), dataset.getField("url"),
+      tri(col("do_s"), lit(SchemaNs + "url"), col("ds_url"),
         "literal", XsdString),
-      tri(doUri, lit(Fair4ml + "estimationProcedure"), epUri, "iri", ""),
-      tri(epUri, lit(RdfType), lit(Fair4ml + "estimationProcedure"), "iri", ""),
-      tri(epUri, lit(SchemaNs + "type"), ep.getField("type"),
+      tri(col("do_s"), lit(Fair4ml + "estimationProcedure"), col("ep_s"),
+        "iri", ""),
+      tri(col("ep_s"), lit(RdfType), lit(Fair4ml + "estimationProcedure"),
+        "iri", ""),
+      tri(col("ep_s"), lit(SchemaNs + "type"), col("ep_type"),
         "literal", XsdString),
-      tri(epUri, lit(SchemaNs + "url"), ep.getField("data_splits_url"),
-        "literal", XsdAnyUri))
-    val params = transform(map_entries(ep.getField("parameters")),
-      kv => tri(epUri, concat(lit(Fair4ml), kv.getField("key")),
-        kv.getField("value"), "literal", XsdString))
-    explodeTriples(df, concat(fixed, params))
+      tri(col("ep_s"), lit(SchemaNs + "url"), col("ep_url"),
+        "literal", XsdAnyUri)))
+    fixed.unionByName(mapTriples(pre, "ep_s", "params", XsdString))
   }
 
   /** EvaluationObject tree: numeric metrics typed xsd:double, text metrics
-    * xsd:string. Identity = sorted `key=value` entries over both maps. */
+    * xsd:string. Identity = sorted `key=value` entries over both maps
+    * (computed once in the pre-projection; the sort HOF never reaches the
+    * generator). */
   def evaluationObjectTriples(df: DataFrame, platform: String,
                               parentSubject: Column, predicate: String,
                               numericMetrics: Column,
@@ -105,15 +131,14 @@ object NestedObjects {
     val evHash = entityHash(platform, lit("EvaluationObject"),
       array_join(entries, "|"))
     val evUri = concat(lit(Base), evHash)
-    val fixed = array(
-      tri(parentSubject, lit(predicate), evUri, "iri", ""),
-      tri(evUri, lit(RdfType), lit(Fair4ml + "EvaluationObject"), "iri", ""))
-    val numTris = transform(map_entries(numericMetrics),
-      kv => tri(evUri, concat(lit(Fair4ml), kv.getField("key")),
-        kv.getField("value").cast("string"), "literal", XsdDouble))
-    val textTris = transform(map_entries(textMetrics),
-      kv => tri(evUri, concat(lit(Fair4ml), kv.getField("key")),
-        kv.getField("value"), "literal", XsdString))
-    explodeTriples(df, concat(fixed, numTris, textTris))
+    val pre = df.select(parentSubject.as("parent_s"), evUri.as("ev_s"),
+        numericMetrics.as("num_m"), textMetrics.as("text_m"))
+      .localCheckpoint()
+    val fixed = explodeTriples(pre, array(
+      tri(col("parent_s"), lit(predicate), col("ev_s"), "iri", ""),
+      tri(col("ev_s"), lit(RdfType), lit(Fair4ml + "EvaluationObject"),
+        "iri", "")))
+    fixed.unionByName(mapTriples(pre, "ev_s", "num_m", XsdDouble))
+      .unionByName(mapTriples(pre, "ev_s", "text_m", XsdString))
   }
 }

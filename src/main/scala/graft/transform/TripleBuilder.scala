@@ -103,16 +103,21 @@ object TripleBuilder {
     * as min(obj)). Entities without a url triple fall to the else branch
     * like the reference's default. */
   def docPivotPlatform(triples: DataFrame,
-                       urlPredicate: String = "https://schema.org/url"): DataFrame = {
-    val urls = triples.filter(col("predicate") === urlPredicate)
-      .groupBy("subject").agg(min(col("obj")).as("first_url"))
-    docPivot(triples).join(urls, Seq("subject"), "left")
+                       urlPredicate: String = "https://schema.org/url"): DataFrame =
+    // one aggregation carries the url alongside the pivot — a single
+    // shuffle, where a separate url groupBy + join would shuffle twice
+    triples.groupBy("subject")
+      .agg(
+        array_join(array_sort(collect_list(
+          concat(col("predicate"), lit("="), col("obj")))), ";").as("props"),
+        count(lit(1)).as("n_props"),
+        min(when(col("predicate") === urlPredicate, col("obj")))
+          .as("first_url"))
       .withColumn("platform",
         when(col("first_url").contains("https://www.openml.org"), "OpenML")
           .when(col("first_url").contains("https://bioimage.io"), "AI4Life")
           .otherwise("Hugging Face"))
       .drop("first_url")
-  }
 
   /** J7 URI→name resolution: replace object IRIs with the target entity's
     * name triple when one exists, else keep the IRI

@@ -122,6 +122,21 @@ class PlanSpec extends AnyFunSuite {
       || sPlan.toLowerCase.contains("range"), sPlan)
   }
 
+  test("doc pivot with platform classification is a single shuffle") {
+    assert(countShuffles(queries.Graph.docPivotPlatformQ(spark, dir)) == 1)
+  }
+
+  test("nested entity generation is shuffle-free (pure explode)") {
+    assert(countShuffles(queries.Graph.nestedEntities(spark, dir)) == 0)
+  }
+
+  test("pii redaction is shuffle-free and reads only doc_id and text") {
+    val df = queries.TextOps.piiRedact(spark, dir)
+    assert(countShuffles(df) == 0)
+    val s = planString(df)
+    assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s)
+  }
+
   test("edge-ngram search reads only the needed columns") {
     val sPlan = planString(queries.Analytics.edgeNgramSearch(spark, dir))
     assert(sPlan.contains("ReadSchema: struct<p_partkey:bigint,p_name:string>"), sPlan)
