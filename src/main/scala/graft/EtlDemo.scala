@@ -6,17 +6,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.extract.SchemaPropertyExtractor.{PropertyQuery, TokenOverlapScorer}
-import graft.extract.ModelCardPipeline
+import graft.extract.{ModelCardPipeline, PlatformPipelines}
 import graft.load.TripletStore
 import graft.operators.TagCategorizer.Vocabs
 import graft.sinks.Sinks
+import graft.sources.LiveSource
 import graft.transform.{MetadataReification, TripleBuilder}
 
-/** Runnable end-to-end of the reference's HF ETL lifecycle (SURVEY §3.1):
-  * snapshot → quality filter → known fields / tags / YAML / context-match
-  * → triples + reified metadata → disambiguation → versioned MERGE (two
-  * versions, demonstrating deprecation) → current-graph & doc-pivot
-  * queries → N-Triples export.
+/** Runnable end-to-end of the reference's ETL lifecycle (SURVEY §3.1-3.2):
+  * connector fetch (LiveSource through a stub transport) → quality filter
+  * → known fields / tags / YAML / context-match → triples + reified
+  * metadata → OpenML nested child-entity trees → versioned MERGE (two
+  * versions, demonstrating deprecation) → current-graph & platform-tagged
+  * doc-pivot queries → N-Triples export.
   *
   *   sbt "runMain graft.EtlDemo /tmp/etl_demo"
   *
@@ -71,8 +73,21 @@ object EtlDemo {
 
     def load(license: String, time: String): Unit = {
       val t = Timestamp.valueOf(time)
-      val props = ModelCardPipeline.properties(
-        snapshot(spark, card(license)), vocabs, backend, schemaQs)
+      // production fetch shape: driver-side list + distributed mapPartitions
+      // card fetch, here against an in-memory transport
+      val cards = Map("demo/alpha" -> card(license), "demo/short" -> "too short")
+      val client = () => new LiveSource.HttpClient with Serializable {
+        def get(url: String): String =
+          if (url.endsWith("/models")) cards.keys.toSeq.sorted.mkString("\n")
+          else cards(url.substring(url.indexOf("=") + 1))
+      }
+      val ids = LiveSource.listIds(client(), "stub://api/models", limit = 10)
+      val fetched = LiveSource.fetch(spark, ids, client,
+          id => s"stub://api/card?id=$id").toDF()
+        .select(col("id").as("modelId"), col("payload").as("card"))
+      val snap = snapshot(spark, card(license)).drop("card")
+        .join(fetched, "modelId")
+      val props = ModelCardPipeline.properties(snap, vocabs, backend, schemaQs)
       val inc = ModelCardPipeline.toTriples(props, "demo", t)
       val stats = store.merge(inc, t)
       println(s"[etl] merge @$time: new=${stats.nNew} extended=${stats.nExtended} " +
@@ -81,6 +96,28 @@ object EtlDemo {
 
     load("apache-2.0", "2024-01-10 00:00:00")
     load("mit", "2024-02-10 00:00:00") // license change → deprecation
+
+    // OpenML platform: T1 nested DatasetObject/EvaluationObject trees
+    {
+      import spark.implicits._
+      val t = Timestamp.valueOf("2024-02-10 00:00:00")
+      val runs = Seq(("run-1", "mnist", "https://www.openml.org/d/554",
+          "crossvalidation", "https://api.openml.org/splits/1"))
+        .toDF("run_id", "ds_name", "ds_url", "ep_type", "ep_url")
+        .select(col("run_id"),
+          struct(col("ds_name").as("name"), col("ds_url").as("url"),
+            struct(col("ep_type").as("type"), col("ep_url").as("data_splits_url"),
+              map(lit("folds"), lit("10")).as("parameters"))
+              .as("estimationProcedure")).as("dataset"),
+          map(lit("auc"), lit(0.9912).cast("decimal(18,4)")).as("num_metrics"),
+          map(lit("task"), lit("classification")).as("text_metrics"))
+      val nested = PlatformPipelines.openmlNestedTriples(runs, "run_id")
+        .withColumn("extractionMethod", lit("openml_python_package"))
+        .withColumn("confidence", lit(1.0))
+        .withColumn("extractionTime", lit(t))
+      val stats = store.merge(nested, t)
+      println(s"[etl] openml nested trees: new=${stats.nNew}")
+    }
 
     val current = store.currentTriples
     println(s"[etl] current graph: ${current.count()} triples, " +
@@ -98,10 +135,12 @@ object EtlDemo {
     Sinks.writeNTriples(current, s"$out/kg_nt")
     println(s"[etl] exported N-Triples under $out/{kg_nt,metadata_nt}")
 
-    // A10 search documents
-    val docs = TripleBuilder.docPivot(current)
+    // A10 search documents with platform classification
+    val docs = TripleBuilder.docPivotPlatform(current)
     Sinks.writeJsonRecords(docs, s"$out/docs_json")
-    println(s"[etl] doc pivot: ${docs.count()} search documents")
+    val byPlatform = docs.groupBy("platform").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+    println(s"[etl] doc pivot: ${docs.count()} search documents ($byPlatform)")
     spark.stop()
   }
 }
