@@ -233,17 +233,83 @@ object Graph {
       |UNION ALL SELECT ev_s, 'https://w3id.org/fair4ml/status', o_orderstatus,
       |  'literal', 'http://www.w3.org/2001/XMLSchema#string' FROM u""".stripMargin
 
+  /** A11 BFS frontier expansion, oracle-graded: seeds = a customer slice,
+    * edges = customer→order ∪ order→part (disjoint id namespaces, so the
+    * layered SQL reconstruction is exact). First-seen depth per node. */
+  def bfsReach(s: SparkSession, dir: String): DataFrame = {
+    val c2o = t(s, dir, "orders").select(
+      concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+      concat(lit("o"), col("o_orderkey").cast("string")).as("dst"))
+    val o2p = t(s, dir, "lineitem").select(
+      concat(lit("o"), col("l_orderkey").cast("string")).as("src"),
+      concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+    val seeds = t(s, dir, "customer").filter(col("c_custkey") < 50)
+      .select(concat(lit("c"), col("c_custkey").cast("string")).as("id"))
+    graft.operators.Bfs.expand(c2o.unionByName(o2p), seeds, depth = 2)
+  }
+
+  val bfsReachSql: String =
+    """SELECT 'c' || CAST(c_custkey AS VARCHAR) AS id, 0 AS depth
+      |FROM customer WHERE c_custkey < 50
+      |UNION ALL
+      |SELECT DISTINCT 'o' || CAST(o_orderkey AS VARCHAR), 1
+      |FROM orders WHERE o_custkey < 50
+      |UNION ALL
+      |SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR), 2
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_custkey < 50""".stripMargin
+
+  /** V7 reified-metadata emit, oracle-graded: statement-metadata rows over
+    * an event slice → 6 reified triples per statement with the
+    * deterministic node hash. */
+  def reifyEmit(s: SparkSession, dir: String): DataFrame = {
+    val meta = t(s, dir, "events").filter(col("user_id") < 10).select(
+      concat(lit("urn:ev:"), col("event_id").cast("string")).as("subject"),
+      lit("etype").as("predicate"),
+      col("event_type").as("obj"),
+      lit("demo_parser").as("extractionMethod"),
+      round(col("value"), 2).as("confidence"),
+      date_trunc("second", col("ts")).as("extractionTime"))
+    graft.transform.MetadataReification.emit(meta)
+  }
+
+  val reifyEmitSql: String =
+    """WITH m AS (
+      |  SELECT 'urn:ev:' || CAST(event_id AS VARCHAR) AS s, 'etype' AS p,
+      |    event_type AS o, 'demo_parser' AS em, round(value, 2) AS conf,
+      |    date_trunc('second', ts) AS t
+      |  FROM events WHERE user_id < 10),
+      |n AS (
+      |  SELECT '_:m' || md5(concat_ws(chr(0), s, p, o, em,
+      |    CAST(t AS VARCHAR))) AS node, * FROM m)
+      |SELECT node AS subject, 'https://w3id.org/mlentory/meta/subject' AS predicate,
+      |  s AS obj, 'literal' AS objkind, '' AS datatype FROM n
+      |UNION ALL SELECT node, 'https://w3id.org/mlentory/meta/predicate', p,
+      |  'literal', '' FROM n
+      |UNION ALL SELECT node, 'https://w3id.org/mlentory/meta/object', o,
+      |  'literal', '' FROM n
+      |UNION ALL SELECT node, 'https://w3id.org/mlentory/meta/extractionMethod', em,
+      |  'literal', '' FROM n
+      |UNION ALL SELECT node, 'https://w3id.org/mlentory/meta/confidence',
+      |  printf('%.5f', conf), 'literal', '' FROM n
+      |UNION ALL SELECT node, 'https://w3id.org/mlentory/meta/extractionTime',
+      |  strftime(t, '%Y-%m-%d_%H-%M-%S'), 'literal', '' FROM n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triple_gen" -> tripleGen _,
     "q_doc_pivot" -> docPivot _,
     "q_name_resolution" -> nameResolution _,
     "q_nested_entities" -> nestedEntities _,
-    "q_doc_pivot_platform" -> docPivotPlatformQ _)
+    "q_doc_pivot_platform" -> docPivotPlatformQ _,
+    "q_bfs_reach" -> bfsReach _,
+    "q_reify_emit" -> reifyEmit _)
 
   val oracles: Map[String, String] = Map(
     "q_triple_gen" -> tripleGenSql,
     "q_doc_pivot" -> docPivotSql,
     "q_name_resolution" -> nameResolutionSql,
     "q_nested_entities" -> nestedEntitiesSql,
-    "q_doc_pivot_platform" -> docPivotPlatformSql)
+    "q_doc_pivot_platform" -> docPivotPlatformSql,
+    "q_bfs_reach" -> bfsReachSql,
+    "q_reify_emit" -> reifyEmitSql)
 }
