@@ -55,6 +55,39 @@ object Evaluators {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Distinct word n-gram shingles in one pass — the native replacement
+    * for the `split + transform + array_distinct` HOF chain (HOFs are
+    * CodegenFallback in Spark 4). Semantics replicate the column form
+    * EXACTLY: Spark `trim` strips ASCII spaces only, `split` on `\s+`
+    * keeps a leading empty token, `array_distinct` preserves first
+    * occurrence, < n tokens → empty array. */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    var b = 0; var e = str.length
+    while (b < e && str.charAt(b) == ' ') b += 1
+    while (e > b && str.charAt(e - 1) == ' ') e -= 1
+    val w = str.substring(b, e).split("\\s+")
+    if (w.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= w.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(w(i + j)); j += 1
+      }
+      seen.add(sb.toString); i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `n3_escape(string) -> string` as a codegen'd unary expression. */
@@ -85,12 +118,28 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(c)
 }
 
+/** `word_ngrams(string, n) -> array<string>` as a codegen'd expression:
+  * distinct word n-gram shingles in one pass (the shingle tables behind
+  * the MinHash/Jaccard/corpus-pipeline queries). */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Evaluators.wordNgrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Evaluators.wordNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordNgramsExpr =
+    copy(child = c)
+}
+
 object GraftFunctions {
   /** Column-API wrappers. */
   def n3_escape(c: Column): Column =
     ColumnBridge.column(N3EscapeExpr(ColumnBridge.expression(c)))
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c)))
+  def word_ngrams(c: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(c), n))
 
   /** Register for SQL use on an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -98,6 +147,9 @@ object GraftFunctions {
       "n3_escape", exprs => N3EscapeExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams", exprs => WordNgramsExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 }
 
@@ -116,5 +168,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SimHash64Expr].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WordNgramsExpr].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => WordNgramsExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
   }
 }

@@ -31,8 +31,14 @@ object TextOps {
     * with string_split_regex). */
   private val words: Column = split(trim(col("text")), "\\s+")
 
-  /** Word 3-gram shingles, distinct; empty when the doc has < 3 tokens. */
-  private val shingles: Column = {
+  /** Word 3-gram shingles, distinct; empty when the doc has < 3 tokens.
+    * Computed by the native codegen'd `word_ngrams` expression (one pass,
+    * no HOF chain); `shinglesHof` keeps the column-form equivalent that
+    * the oracle CTE mirrors — ExpressionsSpec pins their equality. */
+  private val shingles: Column =
+    graft.functions.GraftFunctions.word_ngrams(col("text"), 3)
+
+  private[graft] val shinglesHof: Column = {
     val mk = expr("transform(sequence(1, size(w) - 2), i -> " +
       "concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")
     array_distinct(when(size(col("w")) >= 3, mk)
@@ -220,7 +226,6 @@ object TextOps {
     * corpus version). */
   private def shingleTable(s: SparkSession, dir: String): DataFrame =
     spread(s, t(s, dir, "documents"))
-      .withColumn("w", words)
       .select(col("doc_id"), col("source"), shingles.as("sh"))
       .localCheckpoint()
 
@@ -413,7 +418,6 @@ object TextOps {
     // predicate into the CodegenFallback shingle projection and re-evaluate
     // it per row (the §spark4-gotchas HOF trap, ~10x)
     val sh = spread(s, kept)
-      .withColumn("w", words)
       .select(col("doc_id"), shingles.as("sh"))
       .localCheckpoint()
       .filter(size(col("sh")) > 0)

@@ -53,6 +53,27 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("word_ngrams matches the HOF column formulation on real documents") {
+    GraftFunctions.register(spark)
+    // real corpus + adversarial edges: blank, 1-2 tokens, repeated grams,
+    // leading/trailing spaces, multi-space runs, leading tab (Spark trim
+    // strips ASCII spaces ONLY — the native expr must replicate that)
+    val docs = graft.Tables(spark, graft.TestSpark.sf0001, "documents")
+      .select($"text").as[String].collect().toSeq ++ Seq(
+      "", " ", "one", "one two", "a b c", "a b c a b c a b c",
+      "  padded   with   runs  ", "\ttab lead x y z")
+    val df = docs.toDF("text").withColumn("w", split(trim($"text"), "\\s+"))
+    val native = df.select(GraftFunctions.word_ngrams($"text", 3).as("sh"))
+      .as[Seq[String]].collect().toSeq
+    val viaHof = df.select(graft.queries.TextOps.shinglesHof.as("sh"))
+      .as[Seq[String]].collect().toSeq
+    assert(native == viaHof)
+    // SQL path agrees too
+    val viaSql = df.selectExpr("word_ngrams(text, 3) AS sh")
+      .as[Seq[String]].collect().toSeq
+    assert(viaSql == native)
+  }
+
   test("GraftExtensions injects functions into a fresh session") {
     val s2 = TestSpark.spark.newSession()
     new GraftExtensions().apply(
