@@ -86,11 +86,16 @@ object PlatformPipelines {
     val subj = concat(lit(NestedObjects.Base),
       sha2(concat_ws("|", lit("platform=openml"), lit("type=run"),
         col(idColumn).cast("string")), 256))
-    NestedObjects.datasetObjectTriples(runs, "openml", subj,
-        NestedObjects.Fair4ml + "trainedOn", col(datasetCol))
-      .unionByName(NestedObjects.evaluationObjectTriples(runs, "openml", subj,
-        NestedObjects.Fair4ml + "evaluationResults",
-        col(numericMetricsCol), col(textMetricsCol)))
+    // both trees share ONE materialized pre-projection: the runs frame is
+    // scanned once, every entity uri is hashed once
+    val pre = runs.select(
+        NestedObjects.datasetPreColumns("openml", subj, col(datasetCol)) ++
+          NestedObjects.evalPreColumns("openml", subj, col(numericMetricsCol),
+            col(textMetricsCol)).drop(1): _*)
+      .localCheckpoint()
+    NestedObjects.datasetTreeFromPre(pre, NestedObjects.Fair4ml + "trainedOn")
+      .unionByName(NestedObjects.evalTreeFromPre(pre,
+        NestedObjects.Fair4ml + "evaluationResults"))
   }
 
   /** §3.3 AI4Life: flatten, then rule mapping over dotted columns

@@ -18,22 +18,31 @@ object Bfs {
   /** @param edges  (src, dst) edge table
     * @param seeds  single-column node table (column `id`)
     * @param depth  number of expansion rounds
+    * @param broadcastFrontierRows  frontiers at or below this row count are
+    *        broadcast, so the edge table is scanned but never SHUFFLED for
+    *        the round (base-model frontiers are tiny vs the edge table);
+    *        larger frontiers fall back to the sort-merge join
     * @return (id, depth) — every reached node with its first-seen depth
     */
-  def expand(edges: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
+  def expand(edges: DataFrame, seeds: DataFrame, depth: Int,
+             broadcastFrontierRows: Long = 4000000L): DataFrame = {
     val src = edges.columns(0)
     val dst = edges.columns(1)
     var visited = seeds.select(col("id"), lit(0).as("depth"))
-    var frontier = seeds.select(col("id"))
+    var frontier = seeds.select(col("id")).localCheckpoint()
+    var frontierRows = frontier.count()
     var d = 0
     while (d < depth) {
       d += 1
+      val fr = if (frontierRows <= broadcastFrontierRows) broadcast(frontier)
+        else frontier
       val next = edges
-        .join(frontier, edges(src) === frontier("id"))
+        .join(fr, edges(src) === fr("id"))
         .select(edges(dst).as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
         .localCheckpoint() // truncate lineage; each round is one join deep
-      if (next.isEmpty) {
+      frontierRows = next.count()
+      if (frontierRows == 0) {
         d = depth
       } else {
         visited = visited.unionByName(next.withColumn("depth", lit(d)))

@@ -79,9 +79,9 @@ object NestedObjects {
     * re-run its sha256 chain per array element, and the materialized
     * projection is tiny (ids + uris + scalars) relative to the 14x larger
     * triple output it generates. */
-  def datasetObjectTriples(df: DataFrame, platform: String,
-                           parentSubject: Column, predicate: String,
-                           dataset: Column): DataFrame = {
+  /** Pre-projection columns for the dataset tree (uris computed once). */
+  private[graft] def datasetPreColumns(platform: String, parentSubject: Column,
+                                       dataset: Column): Seq[Column] = {
     val ep = dataset.getField("estimationProcedure")
     val doHash = entityHash(platform, lit("DatasetObject"),
       concat_ws("|", dataset.getField("name"), dataset.getField("url")))
@@ -90,12 +90,17 @@ object NestedObjects {
     val epHash = entityHash(platform, concat(lit("estimationProcedure"), doHash),
       concat_ws("|", ep.getField("type"), ep.getField("data_splits_url")))
     val epUri = concat(lit(Base), epHash)
-    val pre = df.select(parentSubject.as("parent_s"), doUri.as("do_s"),
-        epUri.as("ep_s"), dataset.getField("name").as("ds_name"),
-        dataset.getField("url").as("ds_url"), ep.getField("type").as("ep_type"),
-        ep.getField("data_splits_url").as("ep_url"),
-        ep.getField("parameters").as("params"))
-      .localCheckpoint()
+    Seq(parentSubject.as("parent_s"), doUri.as("do_s"), epUri.as("ep_s"),
+      dataset.getField("name").as("ds_name"),
+      dataset.getField("url").as("ds_url"),
+      ep.getField("type").as("ep_type"),
+      ep.getField("data_splits_url").as("ep_url"),
+      ep.getField("parameters").as("params"))
+  }
+
+  /** Dataset tree over a prepared (already materialized) projection. */
+  private[graft] def datasetTreeFromPre(pre: DataFrame,
+                                        predicate: String): DataFrame = {
     val fixed = explodeTriples(pre, array(
       tri(col("parent_s"), lit(predicate), col("do_s"), "iri", ""),
       tri(col("do_s"), lit(RdfType), lit(Fair4ml + "DatasetObject"), "iri", ""),
@@ -114,14 +119,22 @@ object NestedObjects {
     fixed.unionByName(mapTriples(pre, "ep_s", "params", XsdString))
   }
 
-  /** EvaluationObject tree: numeric metrics typed xsd:double, text metrics
-    * xsd:string. Identity = sorted `key=value` entries over both maps
-    * (computed once in the pre-projection; the sort HOF never reaches the
-    * generator). */
-  def evaluationObjectTriples(df: DataFrame, platform: String,
-                              parentSubject: Column, predicate: String,
-                              numericMetrics: Column,
-                              textMetrics: Column): DataFrame = {
+  /** DatasetObject + estimationProcedure tree (standalone entry: projects
+    * + checkpoints its own pre; use the `*PreColumns`/`*FromPre` pair with
+    * one shared checkpoint when emitting several trees from one frame). */
+  def datasetObjectTriples(df: DataFrame, platform: String,
+                           parentSubject: Column, predicate: String,
+                           dataset: Column): DataFrame =
+    datasetTreeFromPre(
+      df.select(datasetPreColumns(platform, parentSubject, dataset): _*)
+        .localCheckpoint(), predicate)
+
+  /** Pre-projection columns for the evaluation tree: identity = sorted
+    * `key=value` entries over both maps (the sort HOF is computed once
+    * here and never reaches a generator). */
+  private[graft] def evalPreColumns(platform: String, parentSubject: Column,
+                                    numericMetrics: Column,
+                                    textMetrics: Column): Seq[Column] = {
     val entries = array_sort(concat(
       transform(map_entries(numericMetrics),
         kv => concat(kv.getField("key"), lit("="),
@@ -130,10 +143,14 @@ object NestedObjects {
         kv => concat(kv.getField("key"), lit("="), kv.getField("value")))))
     val evHash = entityHash(platform, lit("EvaluationObject"),
       array_join(entries, "|"))
-    val evUri = concat(lit(Base), evHash)
-    val pre = df.select(parentSubject.as("parent_s"), evUri.as("ev_s"),
-        numericMetrics.as("num_m"), textMetrics.as("text_m"))
-      .localCheckpoint()
+    Seq(parentSubject.as("parent_s"),
+      concat(lit(Base), evHash).as("ev_s"),
+      numericMetrics.as("num_m"), textMetrics.as("text_m"))
+  }
+
+  /** Evaluation tree over a prepared projection. */
+  private[graft] def evalTreeFromPre(pre: DataFrame,
+                                     predicate: String): DataFrame = {
     val fixed = explodeTriples(pre, array(
       tri(col("parent_s"), lit(predicate), col("ev_s"), "iri", ""),
       tri(col("ev_s"), lit(RdfType), lit(Fair4ml + "EvaluationObject"),
@@ -141,4 +158,14 @@ object NestedObjects {
     fixed.unionByName(mapTriples(pre, "ev_s", "num_m", XsdDouble))
       .unionByName(mapTriples(pre, "ev_s", "text_m", XsdString))
   }
+
+  /** EvaluationObject tree: numeric metrics typed xsd:double, text metrics
+    * xsd:string. */
+  def evaluationObjectTriples(df: DataFrame, platform: String,
+                              parentSubject: Column, predicate: String,
+                              numericMetrics: Column,
+                              textMetrics: Column): DataFrame =
+    evalTreeFromPre(
+      df.select(evalPreColumns(platform, parentSubject, numericMetrics,
+        textMetrics): _*).localCheckpoint(), predicate)
 }
