@@ -197,6 +197,24 @@ object TextOps {
       |    || ' ' || text AS injected
       |  FROM documents)""".stripMargin
 
+  /** Corpus-wide vocabulary top-k (tokenizer/vocab building): explode
+    * tokens → hash count (map-side partial) → global top-k via
+    * TakeOrderedAndProject — the frequent-items pass every tokenizer
+    * training run starts with. Deterministic total order (count desc,
+    * token asc). */
+  def vocabTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(words).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(30)
+
+  val vocabTopKSql: String =
+    """SELECT token, COUNT(*) AS freq
+      |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY freq DESC, token LIMIT 30""".stripMargin
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -489,6 +507,7 @@ object TextOps {
     "q_corpus_pipeline" -> corpusPipeline _,
     "q_repetition_score" -> repetitionScore _,
     "q_pii_redact" -> piiRedact _,
+    "q_vocab_topk" -> vocabTopK _,
     "q_token_count" -> tokenCount _,
     "q_quality_score" -> qualityScore _,
     "q_lang_guess" -> langGuess _,
@@ -504,6 +523,7 @@ object TextOps {
     "q_corpus_pipeline" -> corpusPipelineSql,
     "q_repetition_score" -> repetitionScoreSql,
     "q_pii_redact" -> piiRedactSql,
+    "q_vocab_topk" -> vocabTopKSql,
     "q_token_count" -> tokenCountSql,
     "q_quality_score" -> qualityScoreSql,
     "q_lang_guess" -> langGuessSql,

@@ -122,6 +122,13 @@ class PlanSpec extends AnyFunSuite {
       || sPlan.toLowerCase.contains("range"), sPlan)
   }
 
+  test("vocab top-k: partial agg + TakeOrderedAndProject, no global sort") {
+    val df = queries.TextOps.vocabTopK(spark, dir)
+    val s = planString(df)
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s)
+  }
+
   test("doc pivot with platform classification is a single shuffle") {
     assert(countShuffles(queries.Graph.docPivotPlatformQ(spark, dir)) == 1)
   }
