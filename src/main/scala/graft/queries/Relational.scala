@@ -294,6 +294,26 @@ object Relational {
       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Skew-safe salted join, oracle-graded against the plain join: the
+    * fact side gets a deterministic content-hash salt, the dim side
+    * explodes over the salt range, the join key becomes (key, salt) — hot
+    * keys spread over saltFactor reducers with identical results. */
+  def saltedJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val dim = t(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.ScaleJoins.saltedJoin(fact, dim, "l_orderkey", saltFactor = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+  }
+
+  val saltedJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** Deterministic entity hashing (§1.4: sha256 over fixed field order;
     * triplet md5 `GraphHandler.py:479-483`). */
   def hashIds(s: SparkSession, dir: String): DataFrame =
@@ -341,7 +361,8 @@ object Relational {
     "q_union_dedup" -> unionDedup _,
     "q_pivot_counts" -> pivotCounts _,
     "q_hash_ids" -> hashIds _,
-    "q_json_extract" -> jsonExtract _)
+    "q_json_extract" -> jsonExtract _,
+    "q_salted_join" -> saltedJoinQ _)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -360,5 +381,6 @@ object Relational {
     "q_union_dedup" -> unionDedupSql,
     "q_pivot_counts" -> pivotCountsSql,
     "q_hash_ids" -> hashIdsSql,
-    "q_json_extract" -> jsonExtractSql)
+    "q_json_extract" -> jsonExtractSql,
+    "q_salted_join" -> saltedJoinSql)
 }

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming corpus intake (§2.12 × the training-data pipeline): documents
+  * arrive as parquet files; the stream applies the batch corpus pipeline's
+  * front half — quality floor, then exact dedup by content fingerprint —
+  * and aggregates per-language counts. StreamingCorpusSpec proves the
+  * stream equals the batch formulation over the same files, so the two
+  * paths cannot drift.
+  *
+  * Scale: the fingerprint dedup keys state by md5(text) — at production
+  * scale an ingestion-time column would bound it via
+  * `dropDuplicatesWithinWatermark` exactly like StatefulSessions.dedupStream;
+  * the synthetic corpus carries no event time, so the test path keeps
+  * whole-stream state.
+  */
+object StreamingCorpus {
+
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Quality floor + exact content dedup (the batch pipeline's first two
+    * stages, streaming form). Works on both batch and streaming frames. */
+  def clean(docs: DataFrame): DataFrame =
+    docs.filter(col("n_chars") >= 150)
+      .withColumn("fp", md5(col("text")))
+      .dropDuplicates("fp")
+
+  /** Per-language surviving-document counts (update/complete mode agg). */
+  def langCounts(docs: DataFrame): DataFrame =
+    clean(docs).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+}

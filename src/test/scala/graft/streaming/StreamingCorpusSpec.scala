@@ -1,0 +1,39 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Streaming corpus cleaning == batch corpus cleaning over the same files
+  * (the §2.12 twin-proof pattern applied to the training-data pipeline). */
+class StreamingCorpusSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streamed quality+dedup counts equal the batch formulation") {
+    val dir = Files.createTempDirectory("corpus_stream")
+    // the same file twice: every document arrives as a duplicate
+    Files.copy(Paths.get(s"${TestSpark.sf0001}/documents.parquet"),
+      dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"${TestSpark.sf0001}/documents.parquet"),
+      dir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val q = StreamingCorpus.langCounts(
+        StreamingCorpus.readDocuments(spark, dir.toString))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("corpus_counts").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("corpus_counts")
+      .as[(String, Long)].collect().toMap
+    val batch = StreamingCorpus.langCounts(
+        Tables(spark, TestSpark.sf0001, "documents"))
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(batch.values.sum > 0)
+  }
+}
