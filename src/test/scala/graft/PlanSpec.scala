@@ -122,6 +122,10 @@ class PlanSpec extends AnyFunSuite {
       || sPlan.toLowerCase.contains("range"), sPlan)
   }
 
+  test("repetition score: bounded shuffles (bigram count + rejoin)") {
+    assert(countShuffles(queries.TextOps.repetitionScore(spark, dir)) <= 3)
+  }
+
   test("vocab top-k: partial agg + TakeOrderedAndProject, no global sort") {
     val df = queries.TextOps.vocabTopK(spark, dir)
     val s = planString(df)
