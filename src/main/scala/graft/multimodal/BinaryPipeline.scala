@@ -67,6 +67,43 @@ object BinaryPipeline {
     }
   }
 
+  /** Vectorized decoder: whole BATCHES of payloads at once — the shape a
+    * real feature extractor wants (GPU/BLAS inference amortizes per-call
+    * overhead across the batch), mirroring `mapInPandas`' Arrow-batch
+    * contract in typed-Dataset form. */
+  trait BatchDecoder extends Serializable {
+    def open(): Unit = ()
+    def decodeBatch(payloads: Seq[Array[Byte]],
+                    mediaTypes: Seq[String]): Seq[Array[Float]]
+  }
+
+  /** Batched extract: payloads flow to the decoder `batchSize` at a time
+    * within each partition (grouped iterator — nothing is collected, and a
+    * partial tail batch is delivered as-is). A failed BATCH yields ok=false
+    * rows for each of its members. */
+  def extractBatched(media: Dataset[MediaRow], decoder: BatchDecoder,
+                     batchSize: Int = 64): Dataset[Features] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      decoder.open()
+      rows.grouped(batchSize).flatMap { batch =>
+        try {
+          val fs = decoder.decodeBatch(batch.map(_.payload),
+            batch.map(_.mediaType))
+          batch.lazyZip(fs).map { (r, f) =>
+            Features(r.id, r.mediaType,
+              Option(r.payload).map(_.length).getOrElse(0), ok = true, f)
+          }
+        } catch {
+          case _: Exception => batch.map(r =>
+            Features(r.id, r.mediaType,
+              Option(r.payload).map(_.length).getOrElse(0), ok = false,
+              Array.empty[Float]))
+        }
+      }
+    }
+  }
+
   /** Frame sampling stub for video-like payloads: every `stride`-th byte
     * window becomes a "frame" (the partitioning/explode shape of real
     * frame extraction). */

@@ -42,6 +42,30 @@ class BinarySpec extends AnyFunSuite {
     assert(last(0) == 64.toByte)
   }
 
+  test("batched decode sees real batch shapes and matches per-row decode") {
+    val media = Tables(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"),
+        lit("text/plain").as("mediaType"))
+      .as[MediaRow].repartition(2)
+    // batch decoder delegating to the row stub, recording batch sizes
+    val acc = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
+    val batched = new BinaryPipeline.BatchDecoder {
+      private val inner = new StubDecoder(16)
+      def decodeBatch(ps: Seq[Array[Byte]], ms: Seq[String]) = {
+        acc.add(ps.length)
+        ps.lazyZip(ms).map((p, m) => inner.decode(p, m))
+      }
+    }
+    val out = BinaryPipeline.extractBatched(media, batched, batchSize = 7)
+      .collect().map(f => f.id -> f.features.toSeq).toMap
+    val rowWise = BinaryPipeline.extract(media, new StubDecoder(16))
+      .collect().map(f => f.id -> f.features.toSeq).toMap
+    assert(out == rowWise)
+    val sizes = acc.value.toArray.map(_.asInstanceOf[Int])
+    assert(sizes.forall(_ <= 7) && sizes.max == 7, sizes.toSeq)
+    assert(sizes.sum == rowWise.size)
+  }
+
   test("payload shorter than one frame emits zero frames") {
     // regression: sequence(0, n_frames-1) with n_frames = 0 is a DESCENDING
     // [0, -1] in Spark — it used to emit two bogus frames
