@@ -126,6 +126,45 @@ object Analytics {
       |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** GROUPING SETS: the explicit multi-granularity aggregation between
+    * rollup and cube — (priority, status), (priority), (). */
+  def groupingSetsQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"), col("n"))
+
+  val groupingSetsSql: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COALESCE(o_orderstatus, 'ALL') AS status, COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |  (o_orderpriority), ())""".stripMargin
+
+  /** Distribution window functions: percent_rank + cume_dist over a
+    * deterministic per-segment order. */
+  def distributionWindows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .filter(col("c_custkey") < 500)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+  }
+
+  val distributionWindowsSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  round(percent_rank() OVER (PARTITION BY c_mktsegment
+      |    ORDER BY c_acctbal, c_custkey), 4) AS pct_rank,
+      |  round(cume_dist() OVER (PARTITION BY c_mktsegment
+      |    ORDER BY c_acctbal, c_custkey), 4) AS cume
+      |FROM customer WHERE c_custkey < 500""".stripMargin
+
   /** HAVING: brands whose average retail price clears a floor. */
   def havingAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
@@ -263,6 +302,8 @@ object Analytics {
     "q_except" -> exceptOp _,
     "q_topn_per_group" -> topNPerGroup _,
     "q_correlated_exists" -> correlatedExists _,
+    "q_grouping_sets" -> groupingSetsQ _,
+    "q_distribution_windows" -> distributionWindows _,
     "q_having" -> havingAgg _,
     "q_variance" -> variance2 _,
     "q_median" -> medianPrice _,
@@ -278,6 +319,8 @@ object Analytics {
     "q_except" -> exceptOpSql,
     "q_topn_per_group" -> topNPerGroupSql,
     "q_correlated_exists" -> correlatedExistsSql,
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_distribution_windows" -> distributionWindowsSql,
     "q_having" -> havingAggSql,
     "q_variance" -> variance2Sql,
     "q_median" -> medianPriceSql,
