@@ -78,4 +78,39 @@ class JsonLdSpec extends AnyFunSuite {
     assert(out.count() > 0)
     assert(out.filter($"obj" === "quovadis").count() == 1)
   }
+
+  test("expander is total over random nested JSON (fuzz)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val scalarGen: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(s => "\"" + s + "\""),
+      Gen.choose(-1000, 1000).map(_.toString),
+      Gen.oneOf("true", "false", "null"))
+    val keyGen: Gen[String] = Gen.oneOf(
+      Gen.identifier.map(_.take(8)), Gen.const("@id"), Gen.const("@type"),
+      Gen.const("name"), Gen.const("sc:thing"))
+    def objGen(depth: Int): Gen[String] =
+      if (depth <= 0) scalarGen
+      else Gen.frequency(
+        3 -> scalarGen,
+        2 -> (for {
+          n <- Gen.choose(0, 4)
+          ks <- Gen.listOfN(n, keyGen)
+          vs <- Gen.listOfN(n, objGen(depth - 1))
+        } yield ks.zip(vs).map { case (k, v) => "\"" + k + "\": " + v }
+          .mkString("{", ", ", "}")),
+        1 -> (for {
+          n <- Gen.choose(0, 3)
+          vs <- Gen.listOfN(n, objGen(depth - 1))
+        } yield vs.mkString("[", ", ", "]")))
+    val docGen = objGen(4)
+    val prop = Prop.forAll(docGen) { doc =>
+      // total: never throws, and surgery leaves no blank nodes behind
+      val triples = try JsonLd.expand(doc) catch { case _: Exception => Seq.empty }
+      val out = JsonLd.croissantSurgery(triples, "fuzz/ds", CroissantBuilder.Base)
+      !out.exists(t => t.subject.startsWith("_:") ||
+        (t.objKind == ObjKind.Iri && t.obj.startsWith("_:")))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
