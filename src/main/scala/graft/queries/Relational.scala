@@ -302,7 +302,7 @@ object Relational {
     val fact = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
     val dim = t(s, dir, "orders")
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    graft.operators.ScaleJoins.saltedJoin(fact, dim, "l_orderkey", saltFactor = 8)
+    graft.operators.ScaleJoins.saltedJoin(fact, dim, "l_orderkey", saltFactor = 4)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
         sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
