@@ -215,6 +215,72 @@ object TextOps {
       |      FROM documents)
       |GROUP BY token ORDER BY freq DESC, token LIMIT 30""".stripMargin
 
+  /** Incremental dedup (the production path at 100 TB): the corpus splits
+    * into two arrival batches; batch 1 seeds a persisted signature index,
+    * batch 2 dedups against itself AND the index — exact by fingerprint,
+    * near by MinHash band — without recomputing anything for batch 1.
+    * Output = the final surviving signature table. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_idx_q").toString
+    val idx = new graft.similarity.DedupIndex(s, tmp)
+    idx.ingest(docs.filter(col("doc_id") < 250))
+    idx.ingest(docs.filter(col("doc_id") >= 250))
+    idx.signatures.select("doc_id", "fp")
+  }
+
+  val incrementalDedupSql: String = {
+    val mhSqlF = (j: Int) =>
+      s"""COALESCE(CAST(list_aggregate(list_transform(sh, x -> ('0x' || substr(md5(x || '|$j'), 1, 8))::UBIGINT), 'min') AS BIGINT),
+         |      CAST(('0x' || substr(md5(fp || '|$j'), 1, 8))::UBIGINT AS BIGINT))""".stripMargin
+    s"""WITH sh0 AS (
+       |  SELECT doc_id, md5(text) AS fp,
+       |    list_distinct(CASE WHEN len(w) >= 3
+       |      THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |      ELSE []::VARCHAR[] END) AS sh
+       |  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents)),
+       |sigs AS (
+       |  SELECT doc_id, fp, ${mhSqlF(0)} AS mh0, ${mhSqlF(1)} AS mh1,
+       |    ${mhSqlF(2)} AS mh2, ${mhSqlF(3)} AS mh3
+       |  FROM sh0),
+       |b1 AS (SELECT * FROM sigs WHERE doc_id < 250),
+       |b2 AS (SELECT * FROM sigs WHERE doc_id >= 250),
+       |b1_exact AS (
+       |  SELECT s.* FROM b1 s
+       |  JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM b1 GROUP BY fp) k
+       |    ON s.doc_id = k.doc_id),
+       |b1_bands AS (
+       |  SELECT doc_id, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS band FROM b1_exact
+       |  UNION ALL
+       |  SELECT doc_id, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM b1_exact),
+       |b1_within AS (
+       |  SELECT DISTINCT b.doc_id FROM b1_bands a JOIN b1_bands b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |b1_surv AS (
+       |  SELECT * FROM b1_exact WHERE doc_id NOT IN (SELECT doc_id FROM b1_within)),
+       |b2_exact AS (
+       |  SELECT s.* FROM b2 s
+       |  JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM b2 GROUP BY fp) k
+       |    ON s.doc_id = k.doc_id
+       |  WHERE s.fp NOT IN (SELECT fp FROM b1_surv)),
+       |idx_bands AS (
+       |  SELECT DISTINCT CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS band FROM b1_surv
+       |  UNION
+       |  SELECT CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM b1_surv),
+       |b2_bands AS (
+       |  SELECT doc_id, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS band FROM b2_exact
+       |  UNION ALL
+       |  SELECT doc_id, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM b2_exact),
+       |b2_dropped AS (
+       |  SELECT DISTINCT doc_id FROM b2_bands WHERE band IN (SELECT band FROM idx_bands)
+       |  UNION
+       |  SELECT DISTINCT b.doc_id FROM b2_bands a JOIN b2_bands b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT doc_id, fp FROM b1_surv
+       |UNION ALL
+       |SELECT doc_id, fp FROM b2_exact WHERE doc_id NOT IN (SELECT doc_id FROM b2_dropped)""".stripMargin
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -508,6 +574,7 @@ object TextOps {
     "q_repetition_score" -> repetitionScore _,
     "q_pii_redact" -> piiRedact _,
     "q_vocab_topk" -> vocabTopK _,
+    "q_incremental_dedup" -> incrementalDedup _,
     "q_token_count" -> tokenCount _,
     "q_quality_score" -> qualityScore _,
     "q_lang_guess" -> langGuess _,
@@ -524,6 +591,7 @@ object TextOps {
     "q_repetition_score" -> repetitionScoreSql,
     "q_pii_redact" -> piiRedactSql,
     "q_vocab_topk" -> vocabTopKSql,
+    "q_incremental_dedup" -> incrementalDedupSql,
     "q_token_count" -> tokenCountSql,
     "q_quality_score" -> qualityScoreSql,
     "q_lang_guess" -> langGuessSql,

@@ -1,0 +1,114 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus dedup index — the production shape of the dedup
+  * pipeline at 100 TB: the corpus is NOT re-deduplicated per batch;
+  * instead a persisted signature table (one row per surviving document:
+  * content fingerprint + MinHash signature) is the standing index, and
+  * each incoming batch is checked (a) within itself, (b) against the
+  * index, by exact fingerprint and by LSH band match — all equi-joins on
+  * fingerprint/band, never all-pairs, never a rescan of old text.
+  *
+  * Batch acceptance rules (mirroring the batch corpus pipeline's
+  * semantics, `queries.TextOps.corpusPipeline`):
+  *  - exact dup: same md5(text) as the index or a smaller-id batch doc;
+  *  - near dup: shares a full MinHash band ((mh0,mh1) or (mh2,mh3)) with
+  *    the index or with a smaller-id surviving batch doc;
+  *  - survivors' signatures are appended as a new committed batch
+  *    directory (parquet `_SUCCESS` gating, like the triple store).
+  */
+class DedupIndex(spark: SparkSession, path: String) {
+
+  import DedupIndex._
+
+  private val fs = new java.io.File(path)
+
+  private def batches: Seq[Int] =
+    Option(fs.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("b=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.drop(2).toInt).sorted
+
+  /** The standing signature table (empty-schema DF for a fresh index). */
+  def signatures: DataFrame =
+    if (batches.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sigSchema)
+    else spark.read.parquet(batches.map(b => s"$path/b=$b"): _*)
+
+  def size: Long = signatures.count()
+
+  /** Ingest one batch of (doc_id, text); returns survivors + stats.
+    * One signature computation per batch doc, ever. */
+  def ingest(docs: DataFrame): IngestStats = {
+    val batch = signaturesFor(docs).localCheckpoint()
+    val idx = signatures
+
+    // (a) exact: smallest id per fingerprint within the batch...
+    val exactKeep = batch.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    // ...then anti-join the index fingerprints
+    val afterExact = batch.join(exactKeep, "doc_id")
+      .join(idx.select("fp"), Seq("fp"), "left_anti")
+
+    // (b) near: LSH band hit against the index drops the batch doc
+    def bands(df: DataFrame, idCol: String) =
+      df.select(col("doc_id").as(idCol),
+          concat_ws("_", col("mh0"), col("mh1")).as("band"))
+        .unionByName(df.select(col("doc_id").as(idCol),
+          concat_ws("_", col("mh2"), col("mh3")).as("band")))
+    val vsIndex = bands(afterExact, "doc_id")
+      .join(bands(idx, "idx_id").select("band").distinct(), "band")
+      .select("doc_id").distinct()
+    // ...and a band shared with a smaller-id surviving batch doc drops it
+    val b = bands(afterExact, "doc1")
+    val withinBatch = b.join(bands(afterExact, "doc2"), "band")
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc2").as("doc_id")).distinct()
+
+    val survivors = afterExact
+      .join(vsIndex.unionByName(withinBatch).distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+
+    val nIn = batch.count()
+    val nAdded = survivors.count()
+    if (nAdded > 0) {
+      val next = batches.lastOption.getOrElse(-1) + 1
+      survivors.select(sigSchema.fieldNames.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/b=$next")
+    }
+    IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
+  }
+}
+
+object DedupIndex {
+
+  import org.apache.spark.sql.types._
+
+  final case class IngestStats(nIn: Long, nAdded: Long, nDropped: Long)
+
+  val sigSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("fp", StringType),
+    StructField("mh0", LongType), StructField("mh1", LongType),
+    StructField("mh2", LongType), StructField("mh3", LongType)))
+
+  /** Fingerprint + 4-permutation MinHash over word 3-gram shingles (the
+    * native `word_ngrams` expression; shingle-less docs hash on their
+    * fingerprint so empty texts still dedup exactly). */
+  def signaturesFor(docs: DataFrame): DataFrame = {
+    def mh(j: Int) = {
+      val mins = array_min(transform(col("sh"),
+        sh => conv(substring(md5(concat(sh, lit(s"|$j"))), 1, 8), 16, 10)
+          .cast("long")))
+      coalesce(mins, conv(substring(md5(concat(col("fp"), lit(s"|$j"))), 1, 8), 16, 10)
+        .cast("long"))
+    }
+    docs.select(col("doc_id"),
+        md5(col("text")).as("fp"),
+        graft.functions.GraftFunctions.word_ngrams(col("text"), 3).as("sh"))
+      .select(col("doc_id"), col("fp"),
+        mh(0).as("mh0"), mh(1).as("mh1"), mh(2).as("mh2"), mh(3).as("mh3"))
+  }
+}

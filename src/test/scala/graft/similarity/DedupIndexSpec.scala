@@ -1,0 +1,59 @@
+package graft.similarity
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Incremental dedup: batches check themselves and the standing signature
+  * index — exact by fingerprint, near by MinHash band — and only
+  * survivors' signatures are appended. */
+class DedupIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact and near dups drop within-batch and against the index") {
+    val dir = Files.createTempDirectory("dedup_idx").toString
+    val idx = new DedupIndex(spark, dir)
+
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val s1 = idx.ingest(docs(
+      1L -> base,
+      2L -> "a completely different document about spark query planning",
+      3L -> "short"))
+    assert(s1.nIn == 3 && s1.nAdded == 3 && s1.nDropped == 0)
+    assert(idx.size == 3)
+
+    val s2 = idx.ingest(docs(
+      4L -> base,                       // exact dup of doc 1 -> drop
+      // identical shingle SET as doc 1 (text repeated) but different
+      // fingerprint: near-dup via identical MinHash bands -> drop
+      5L -> (base + " " + base),
+      6L -> "entirely new content that matches nothing in the index",
+      7L -> "entirely new content that matches nothing in the index"))
+      // 7 is an exact dup of 6 within the batch -> keep 6, drop 7
+    assert(s2.nIn == 4, s2)
+    assert(s2.nAdded == 1, s2)
+    assert(s2.nDropped == 3, s2)
+    assert(idx.size == 4)
+    assert(idx.signatures.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 6L))
+
+    // idempotent: re-ingesting the same batch adds nothing
+    val s3 = idx.ingest(docs(8L -> base, 9L -> (base + " " + base)))
+    assert(s3.nAdded == 0 && idx.size == 4)
+  }
+
+  test("empty and shingle-less docs still dedup exactly") {
+    val dir = Files.createTempDirectory("dedup_idx2").toString
+    val idx = new DedupIndex(spark, dir)
+    val s1 = idx.ingest(docs(1L -> "", 2L -> "one two", 3L -> ""))
+    assert(s1.nAdded == 2) // the two empties collapse to one
+    val s2 = idx.ingest(docs(4L -> "", 5L -> "one two"))
+    assert(s2.nAdded == 0)
+  }
+}
