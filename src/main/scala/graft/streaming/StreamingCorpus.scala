@@ -37,4 +37,19 @@ object StreamingCorpus {
   /** Per-language surviving-document counts (update/complete mode agg). */
   def langCounts(docs: DataFrame): DataFrame =
     clean(docs).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+
+  /** The production intake loop: every arriving micro-batch is ingested
+    * into the persisted [[graft.similarity.DedupIndex]] — each batch
+    * dedups against itself and everything that survived before it, and
+    * the signature index is the only state (no reprocessing of old text).
+    * Start with `maxFilesPerTrigger` on the reader to bound batch size. */
+  def dedupIntake(docs: DataFrame,
+                  indexPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.select(col("doc_id"), col("text"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        new graft.similarity.DedupIndex(batch.sparkSession, indexPath)
+          .ingest(batch.toDF())
+        ()
+      }
 }
