@@ -67,7 +67,10 @@ object Evaluators {
     var b = 0; var e = str.length
     while (b < e && str.charAt(b) == ' ') b += 1
     while (e > b && str.charAt(e - 1) == ' ') e -= 1
-    val w = str.substring(b, e).split("\\s+")
+    // limit -1: Spark's split KEEPS trailing empty tokens (a text ending
+    // in non-space whitespace yields a trailing ""); Java's default
+    // limit-0 split would drop them and diverge from the column form
+    val w = str.substring(b, e).split("\\s+", -1)
     if (w.length < n)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array.empty[Any])
@@ -132,6 +135,16 @@ case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+object WordNgramsExpr {
+  /** SQL-path arg check: n must be a foldable integer literal. */
+  def literalN(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) => i
+    case org.apache.spark.sql.catalyst.expressions.Literal(l: Long, LongType) => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"word_ngrams(text, n): n must be an integer literal, got $other")
+  }
+}
+
 object GraftFunctions {
   /** Column-API wrappers. */
   def n3_escape(c: Column): Column =
@@ -149,7 +162,7 @@ object GraftFunctions {
       "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", exprs => WordNgramsExpr(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        WordNgramsExpr.literalN(exprs(1))), "scala_udf")
   }
 }
 
@@ -173,6 +186,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WordNgramsExpr].getName, "word_ngrams"),
       (exprs: Seq[Expression]) => WordNgramsExpr(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])))
+        WordNgramsExpr.literalN(exprs(1)))))
   }
 }

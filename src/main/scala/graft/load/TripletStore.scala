@@ -36,15 +36,20 @@ class TripletStore(spark: SparkSession, path: String) {
 
   private val fs = new java.io.File(path)
 
-  /** Only COMMITTED snapshots are visible: Spark writes the _SUCCESS
-    * marker as the final act of a parquet job, so a crash mid-write leaves
-    * a marker-less directory that readers (and `currentVersion`) skip —
-    * a torn snapshot can never become the current version. */
-  private def versions: Seq[Int] =
-    Option(fs.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.drop(2).toInt).sorted
+  /** Only COMMITTED snapshots are visible (shared `_SUCCESS` gating —
+    * see CommittedDirs); additionally, a non-empty store must carry the
+    * current identity-format marker: the tripletHash formula changed once
+    * (NUL-separated, null-coalesced fields), and silently merging into a
+    * store keyed by the old formula would mis-extend/deprecate every
+    * pre-existing range. Fail loudly instead. */
+  private def versions: Seq[Int] = {
+    val vs = CommittedDirs.list(fs, "v=")
+    if (vs.nonEmpty && !new java.io.File(fs, FormatMarker).exists())
+      throw new IllegalStateException(
+        s"TripletStore at $path was written with an older identity-hash " +
+          "format; replay its batches into a fresh store to re-key it")
+    vs
+  }
 
   def currentVersion: Int = versions.lastOption.getOrElse(-1)
 
@@ -158,6 +163,8 @@ class TripletStore(spark: SparkSession, path: String) {
 
     val v = currentVersion + 1
     next.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$v")
+    java.nio.file.Files.writeString(
+      new java.io.File(fs, FormatMarker).toPath, IdentityFormat.toString)
     stats
   }
 
@@ -191,6 +198,10 @@ object TripletStore {
   import org.apache.spark.sql.types._
 
   final case class MergeStats(nNew: Long, nExtended: Long, nDeprecated: Long)
+
+  /** Identity-hash format generation (bumped when withIdentity changes). */
+  val IdentityFormat = 2
+  val FormatMarker = "_FORMAT"
 
   val rangeSchema: StructType = StructType(Seq(
     StructField("tripletHash", StringType), StructField("subject", StringType),

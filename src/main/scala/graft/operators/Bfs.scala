@@ -21,11 +21,15 @@ object Bfs {
     * @param broadcastFrontierRows  frontiers at or below this row count are
     *        broadcast, so the edge table is scanned but never SHUFFLED for
     *        the round (base-model frontiers are tiny vs the edge table);
-    *        larger frontiers fall back to the sort-merge join
+    *        larger frontiers fall back to the sort-merge join. The default
+    *        is conservative — ~100k URI strings is a few MB — because a
+    *        broadcast is built on the driver and resident on every
+    *        executor; a rows cap in the millions would risk driver OOM at
+    *        exactly the scale the fast path serves
     * @return (id, depth) — every reached node with its first-seen depth
     */
   def expand(edges: DataFrame, seeds: DataFrame, depth: Int,
-             broadcastFrontierRows: Long = 4000000L): DataFrame = {
+             broadcastFrontierRows: Long = 100000L): DataFrame = {
     val src = edges.columns(0)
     val dst = edges.columns(1)
     var visited = seeds.select(col("id"), lit(0).as("depth"))

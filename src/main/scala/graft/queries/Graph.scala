@@ -186,15 +186,15 @@ object Graph {
       |    'https://w3id.org/mlentory/mlentory_graph/' AS ns,
       |    sha256('platform=openml|type=run|' || CAST(o_orderkey AS VARCHAR)) AS run_h,
       |    sha256('platform=openml|type=DatasetObject|ds-' || CAST(o_custkey AS VARCHAR)
-      |      || '|https://www.openml.org/d/' || CAST(o_custkey AS VARCHAR)) AS do_h
+      |      || chr(0) || 'https://www.openml.org/d/' || CAST(o_custkey AS VARCHAR)) AS do_h
       |  FROM base),
       |h2 AS (
       |  SELECT *,
       |    sha256('platform=openml|type=estimationProcedure' || do_h || '|'
-      |      || o_orderpriority || '|https://api.openml.org/splits/'
+      |      || o_orderpriority || chr(0) || 'https://api.openml.org/splits/'
       |      || CAST(o_orderkey AS VARCHAR)) AS ep_h,
-      |    sha256('platform=openml|type=EvaluationObject|score=' || score_str
-      |      || '|status=' || o_orderstatus) AS ev_h
+      |    sha256('platform=openml|type=EvaluationObject|score' || chr(1)
+      |      || score_str || chr(0) || 'status' || chr(1) || o_orderstatus) AS ev_h
       |  FROM h1),
       |u AS (
       |  SELECT ns || run_h AS run_s, ns || do_h AS do_s, ns || ep_h AS ep_s,

@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   * semantics, `queries.TextOps.corpusPipeline`):
   *  - exact dup: same md5(text) as the index or a smaller-id batch doc;
   *  - near dup: shares a full MinHash band ((mh0,mh1) or (mh2,mh3)) with
-  *    the index or with a smaller-id surviving batch doc;
+  *    the index or with ANY smaller-id batch doc that passed the exact
+  *    stage (non-cascading: the smaller doc counts even if it is itself
+  *    dropped by a band match — same one-pass rule as the batch corpus
+  *    pipeline and the q_incremental_dedup oracle);
   *  - survivors' signatures are appended as a new committed batch
   *    directory (parquet `_SUCCESS` gating, like the triple store).
   */
@@ -25,11 +28,7 @@ class DedupIndex(spark: SparkSession, path: String) {
 
   private val fs = new java.io.File(path)
 
-  private def batches: Seq[Int] =
-    Option(fs.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("b=") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.drop(2).toInt).sorted
+  private def batches: Seq[Int] = graft.load.CommittedDirs.list(fs, "b=")
 
   /** The standing signature table (empty-schema DF for a fresh index). */
   def signatures: DataFrame =
@@ -53,7 +52,9 @@ class DedupIndex(spark: SparkSession, path: String) {
     val afterExact = batch.join(exactKeep, "doc_id")
       .join(idx.select("fp"), Seq("fp"), "left_anti")
 
-    // (b) near: LSH band hit against the index drops the batch doc
+    // (b) near: LSH band hit against the index drops the batch doc; a
+    // band shared with a smaller-id post-exact batch doc drops the larger
+    // (non-cascading — see class doc)
     def bands(df: DataFrame, idCol: String) =
       df.select(col("doc_id").as(idCol),
           concat_ws("_", col("mh0"), col("mh1")).as("band"))
@@ -62,7 +63,6 @@ class DedupIndex(spark: SparkSession, path: String) {
     val vsIndex = bands(afterExact, "doc_id")
       .join(bands(idx, "idx_id").select("band").distinct(), "band")
       .select("doc_id").distinct()
-    // ...and a band shared with a smaller-id surviving batch doc drops it
     val b = bands(afterExact, "doc1")
     val withinBatch = b.join(bands(afterExact, "doc2"), "band")
       .filter(col("doc1") < col("doc2"))

@@ -48,22 +48,37 @@ object IvfStore {
 
   /** Fit-or-load for `dir`'s embeddings table. First call per corpus
     * version fits (one bounded sample collect) and writes the artifact;
-    * every later call just reads the model file and the index parquet. */
+    * every later call just reads the model file and the index parquet.
+    *
+    * Concurrency: the artifact is built in a process-unique staging
+    * directory and published with one atomic rename — concurrent first
+    * callers race benignly (the loser's identical artifact is discarded),
+    * and a reader can never observe a half-written index. Version-key
+    * caveat: (mtime, length) of the embeddings file — an in-place rewrite
+    * within the filesystem's mtime resolution AND with identical byte
+    * length would serve the previous index. */
   def indexFor(s: SparkSession, dir: String, k: Int, iters: Int,
                sampleSize: Int = 2048): (Model, DataFrame) = {
     val d = new File(storeRoot, corpusKey(dir, k, iters, sampleSize))
-    val centFile = new File(d, "centroids.txt")
-    val idxPath = new File(d, "index.parquet")
-    val done = new File(d, "_ARTIFACT_OK") // written last: completeness marker
-    if (!done.exists()) {
-      d.mkdirs()
+    if (!new File(d, "centroids.txt").exists()) {
+      val staging = new File(d.getParentFile,
+        s"${d.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      staging.mkdirs()
       val emb = Tables(s, dir, "embeddings")
       val model = IvfIndex.fitSample(emb, k, iters, sampleSize)
       IvfIndex.withNorm(IvfIndex.assign(emb, model))
-        .write.mode("overwrite").parquet(idxPath.getAbsolutePath)
-      saveModel(model, centFile)
-      done.createNewFile()
+        .write.mode("overwrite")
+        .parquet(new File(staging, "index.parquet").getAbsolutePath)
+      saveModel(model, new File(staging, "centroids.txt"))
+      // atomic publish; a concurrent winner's artifact is equivalent
+      if (!staging.renameTo(d)) {
+        def rm(f: File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(staging)
+      }
     }
-    (loadModel(centFile), s.read.parquet(idxPath.getAbsolutePath))
+    (loadModel(new File(d, "centroids.txt")),
+      s.read.parquet(new File(d, "index.parquet").getAbsolutePath))
   }
 }

@@ -50,8 +50,10 @@ object ChunkUploader {
         }
     }
     // the finalize (and any ETL trigger) is one driver-side call per batch
-    transportFactory().post(
-      s"${baseUrl.stripSuffix("/")}/upload/batch/$batchId/finalize", "")
+    // — with the same retry policy as the chunks: a 429 here would
+    // otherwise strand a fully-transmitted batch unfinalized
+    policy.retry(() => transportFactory().post(
+      s"${baseUrl.stripSuffix("/")}/upload/batch/$batchId/finalize", ""))
     UploadReport(batchId, numChunks, sent.value)
   }
 }

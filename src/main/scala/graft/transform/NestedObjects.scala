@@ -43,6 +43,11 @@ object NestedObjects {
     sha2(concat_ws("|", lit(s"platform=$platform"),
       concat(lit("type="), tpe), id), 256)
 
+  /** Composite-id field join: NUL separator, so shifted field boundaries
+    * (a name containing '|') can never collide two distinct entities —
+    * the same delimiter-safety rule as TripletStore.withIdentity. */
+  private def idJoin(fields: Column*): Column = concat_ws("\u0000", fields: _*)
+
   /** One triple struct; subject and predicate are per-row expressions. */
   private def tri(s: Column, p: Column, o: Column, kind: String,
                   dt: String): Column =
@@ -84,11 +89,11 @@ object NestedObjects {
                                        dataset: Column): Seq[Column] = {
     val ep = dataset.getField("estimationProcedure")
     val doHash = entityHash(platform, lit("DatasetObject"),
-      concat_ws("|", dataset.getField("name"), dataset.getField("url")))
+      idJoin(dataset.getField("name"), dataset.getField("url")))
     val doUri = concat(lit(Base), doHash)
     // the reference keys the child on "estimationProcedure" + parent hash
     val epHash = entityHash(platform, concat(lit("estimationProcedure"), doHash),
-      concat_ws("|", ep.getField("type"), ep.getField("data_splits_url")))
+      idJoin(ep.getField("type"), ep.getField("data_splits_url")))
     val epUri = concat(lit(Base), epHash)
     Seq(parentSubject.as("parent_s"), doUri.as("do_s"), epUri.as("ep_s"),
       dataset.getField("name").as("ds_name"),
@@ -135,14 +140,16 @@ object NestedObjects {
   private[graft] def evalPreColumns(platform: String, parentSubject: Column,
                                     numericMetrics: Column,
                                     textMetrics: Column): Seq[Column] = {
+    // SOH between key and value, NUL between entries: a metric key
+    // containing '=' or '|' cannot shift entry boundaries
     val entries = array_sort(concat(
       transform(map_entries(numericMetrics),
-        kv => concat(kv.getField("key"), lit("="),
+        kv => concat(kv.getField("key"), lit("\u0001"),
           kv.getField("value").cast("string"))),
       transform(map_entries(textMetrics),
-        kv => concat(kv.getField("key"), lit("="), kv.getField("value")))))
+        kv => concat(kv.getField("key"), lit("\u0001"), kv.getField("value")))))
     val evHash = entityHash(platform, lit("EvaluationObject"),
-      array_join(entries, "|"))
+      array_join(entries, "\u0000"))
     Seq(parentSubject.as("parent_s"),
       concat(lit(Base), evHash).as("ev_s"),
       numericMetrics.as("num_m"), textMetrics.as("text_m"))

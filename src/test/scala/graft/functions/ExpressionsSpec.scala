@@ -61,7 +61,11 @@ class ExpressionsSpec extends AnyFunSuite {
     val docs = graft.Tables(spark, graft.TestSpark.sf0001, "documents")
       .select($"text").as[String].collect().toSeq ++ Seq(
       "", " ", "one", "one two", "a b c", "a b c a b c a b c",
-      "  padded   with   runs  ", "\ttab lead x y z")
+      "  padded   with   runs  ", "\ttab lead x y z",
+      // trailing non-space whitespace: Spark split KEEPS the trailing
+      // empty token (limit -1) — regression for the Java split(limit 0)
+      // divergence
+      "x y z\t", "a b c\n", "one two\t")
     val df = docs.toDF("text").withColumn("w", split(trim($"text"), "\\s+"))
     val native = df.select(GraftFunctions.word_ngrams($"text", 3).as("sh"))
       .as[Seq[String]].collect().toSeq

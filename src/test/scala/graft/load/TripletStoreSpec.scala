@@ -150,6 +150,17 @@ class TripletStoreSpec extends AnyFunSuite {
     assert(store.currentTriples.filter(col("obj") === "beta").count() == 1)
   }
 
+  test("a store without the identity-format marker is refused, not re-keyed") {
+    val dir = Files.createTempDirectory("store6").toString
+    val store = new TripletStore(spark, dir)
+    store.merge(batch(Seq(("m1", "name", "alpha")), "2024-01-01 00:00:00"),
+      ts("2024-01-01 00:00:00"))
+    // simulate a pre-upgrade store: snapshots exist, marker absent
+    new java.io.File(dir, TripletStore.FormatMarker).delete()
+    val e = intercept[IllegalStateException](store.currentVersion)
+    assert(e.getMessage.contains("identity-hash"))
+  }
+
   test("compaction drops old snapshots, keeps latest readable") {
     val dir = Files.createTempDirectory("store3").toString
     val store = new TripletStore(spark, dir)

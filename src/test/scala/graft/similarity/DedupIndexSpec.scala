@@ -30,9 +30,10 @@ class DedupIndexSpec extends AnyFunSuite {
 
     val s2 = idx.ingest(docs(
       4L -> base,                       // exact dup of doc 1 -> drop
-      // identical shingle SET as doc 1 (text repeated) but different
-      // fingerprint: near-dup via identical MinHash bands -> drop
-      5L -> (base + " " + base),
+      // IDENTICAL token sequence as doc 1 (runs of spaces collapse under
+      // \s+ tokenization) -> identical shingle set -> identical MinHash
+      // bands, but a different fingerprint: near-dup -> drop
+      5L -> base.replace(" ", "  "),
       6L -> "entirely new content that matches nothing in the index",
       7L -> "entirely new content that matches nothing in the index"))
       // 7 is an exact dup of 6 within the batch -> keep 6, drop 7
