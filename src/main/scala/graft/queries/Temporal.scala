@@ -75,15 +75,18 @@ object Temporal {
   /** Partition-local stage of [[chunkPack]], exposed for the plan test:
     * range-partition by doc_id, then a cumulative sum keyed on the physical
     * partition id — every exchange is multi-partition. */
-  private[graft] def chunkPackLocal(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def chunkPackLocalOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "documents")
+    docs
       .select(col("doc_id"), col("n_chars"))
       .repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .withColumn("local_cum", sum(col("n_chars")).over(w))
   }
+
+  private[graft] def chunkPackLocal(s: SparkSession, dir: String): DataFrame =
+    chunkPackLocalOf(t(s, dir, "documents"))
 
   /** Chunk packing (A12, `LoadProcessor.py:227-256`): running size in a
     * total order → floor-div bucket id.
@@ -95,9 +98,15 @@ object Temporal {
     * ≤numPartitions partition totals (same bounded-collect pattern as the
     * IVF fit). No global-order window, no single-partition exchange; output
     * is identical because cum depends only on the global doc_id order. */
-  def chunkPack(s: SparkSession, dir: String): DataFrame = {
+  def chunkPack(s: SparkSession, dir: String): DataFrame =
+    chunkPackOf(s, t(s, dir, "documents"))
+
+  /** Input-parameterized body of [[chunkPack]] — the equivalence law
+    * against the naive global-order window is property-tested over random
+    * inputs (ChunkPackLawSpec). */
+  private[graft] def chunkPackOf(s: SparkSession, docs: DataFrame): DataFrame = {
     // checkpoint pins ONE spark_partition_id assignment for both consumers
-    val local = chunkPackLocal(s, dir).localCheckpoint()
+    val local = chunkPackLocalOf(docs).localCheckpoint()
     val totals = local.groupBy("pid").agg(max(col("local_cum")).as("total"))
       .orderBy("pid").collect()  // bounded: one row per partition
     var acc = 0L

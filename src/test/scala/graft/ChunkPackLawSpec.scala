@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Temporal
+
+/** Law: the two-level chunk packing (range partition → partition-local
+  * cumsum → broadcast prefix offsets) equals the naive global-order window
+  * on ANY input — including empty, single-row, duplicate sizes, and sizes
+  * spanning many chunks. */
+class ChunkPackLawSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("two-level cumsum == global-order window on random inputs") {
+    val rowsGen = for {
+      n <- Gen.choose(0, 120)
+      sizes <- Gen.listOfN(n, Gen.choose(0L, 30000L))
+    } yield sizes.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+
+    val prop = Prop.forAll(rowsGen) { rows =>
+      val docs = rows.toDF("doc_id", "n_chars")
+      val twoLevel = Temporal.chunkPackOf(spark, docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = docs
+        .select(col("doc_id"), sum(col("n_chars")).over(w).as("cum"))
+        .withColumn("chunk", floor((col("cum") - lit(1)) / 20000))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      twoLevel == naive
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

@@ -70,5 +70,9 @@ class IoSpec extends AnyFunSuite {
     // depth 3 reaches node 4; disconnected 9/10 never reached
     val out3 = Bfs.expand(edges, seeds, depth = 3).as[(Long, Int)].collect().toMap
     assert(out3(4L) == 3 && !out3.contains(10L))
+    // the sort-merge fallback (huge-frontier path) produces the same result
+    val smj = Bfs.expand(edges, seeds, depth = 3, broadcastFrontierRows = 0L)
+      .as[(Long, Int)].collect().toMap
+    assert(smj == out3)
   }
 }
