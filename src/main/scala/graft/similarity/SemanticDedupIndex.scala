@@ -1,0 +1,96 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental SEMANTIC dedup — the embedding-space sibling of
+  * [[DedupIndex]]: a persisted table of (vec_id, sign-bit bucket,
+  * embedding, norm) is the standing index; an incoming batch drops any
+  * vector whose cosine against an already-accepted vector (index or
+  * smaller-id batch member) meets the threshold. Candidate pairs come
+  * ONLY from sign-bit LSH buckets (the first `SignBits` dimensions'
+  * signs), so the pair space is bucket-local — never all-pairs — and old
+  * vectors are never re-scored against each other.
+  *
+  * Same non-cascading one-pass rule as [[DedupIndex]]: a smaller-id batch
+  * vector counts as an acceptor even if it is itself dropped.
+  */
+class SemanticDedupIndex(spark: SparkSession, path: String,
+                         threshold: Double = 0.95) {
+
+  import SemanticDedupIndex._
+
+  private val fs = new java.io.File(path)
+
+  private def batches: Seq[Int] = graft.load.CommittedDirs.list(fs, "b=")
+
+  def vectors: DataFrame =
+    if (batches.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vecSchema)
+    else spark.read.parquet(batches.map(b => s"$path/b=$b"): _*)
+
+  def size: Long = vectors.count()
+
+  /** Ingest one batch of (vec_id, embedding: array<float|double>). */
+  def ingest(emb: DataFrame): DedupIndex.IngestStats = {
+    val batch = withSketch(emb).localCheckpoint()
+    val idx = vectors
+
+    def sides(df: DataFrame, suffix: String) =
+      df.select(col("vec_id").as(s"vec$suffix"), col("v").as(s"v$suffix"),
+        col("nrm").as(s"n$suffix"), col("bucket"))
+
+    // vs index: any accepted vector in the same bucket at/over threshold
+    val vsIndex = sides(batch, "1").join(sides(idx, "2"), "bucket")
+      .filter(cosine >= threshold)
+      .select(col("vec1").as("vec_id")).distinct()
+    // within batch: a smaller-id batch vector (non-cascading)
+    val within = sides(batch, "1").join(sides(batch, "2"), "bucket")
+      .filter(col("vec2") < col("vec1") && cosine >= threshold)
+      .select(col("vec1").as("vec_id")).distinct()
+
+    val survivors = batch
+      .join(vsIndex.unionByName(within).distinct(), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+
+    val nIn = batch.count()
+    val nAdded = survivors.count()
+    if (nAdded > 0) {
+      val next = batches.lastOption.getOrElse(-1) + 1
+      survivors.select(vecSchema.fieldNames.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/b=$next")
+    }
+    DedupIndex.IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
+  }
+}
+
+object SemanticDedupIndex {
+
+  import org.apache.spark.sql.types._
+
+  /** Sign bits used for the LSH bucket (first dims' signs). */
+  val SignBits = 8
+
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(DoubleType)),
+    StructField("nrm", DoubleType),
+    StructField("bucket", IntegerType)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private val cosine: Column =
+    dot(col("v1"), col("v2")) / (col("n1") * col("n2"))
+
+  def withSketch(emb: DataFrame): DataFrame = {
+    val bucket = (1 to SignBits)
+      .map(i => when(element_at(col("v"), i) > 0, 1 << (i - 1)).otherwise(0))
+      .reduce(_ + _)
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("bucket", bucket)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.similarity
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class SemanticDedupIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  test("near-identical vectors drop; re-ingest is idempotent") {
+    val dir = Files.createTempDirectory("sem_idx").toString
+    val idx = new SemanticDedupIndex(spark, dir, threshold = 0.999)
+    val v = Seq.tabulate(16)(i => (i + 1).toDouble)
+    val scaled = v.map(_ * 2.0)      // same direction: cosine == 1
+    val other = v.reverse            // different direction
+    val s1 = idx.ingest(Seq((1L, v), (2L, scaled), (3L, other))
+      .toDF("vec_id", "embedding"))
+    assert(s1.nIn == 3 && s1.nAdded == 2, s1) // 2 is a scalar multiple of 1
+    val s2 = idx.ingest(Seq((4L, v.map(_ * 0.5)), (5L, other.map(_ * 3.0)))
+      .toDF("vec_id", "embedding"))
+    assert(s2.nAdded == 0, s2) // both collapse onto accepted directions
+    assert(idx.size == 2)
+  }
+
+  test("incremental ingest equals one-shot ingest over the real corpus") {
+    val incPath = Files.createTempDirectory("sem_inc").toString
+    val oncePath = Files.createTempDirectory("sem_once").toString
+    val inc = new SemanticDedupIndex(spark, incPath, threshold = 0.9)
+    inc.ingest(emb.filter(col("vec_id") < 30))
+    inc.ingest(emb.filter(col("vec_id") >= 30))
+    val once = new SemanticDedupIndex(spark, oncePath, threshold = 0.9)
+    once.ingest(emb)
+    // theorem: incremental survivors ⊇ one-shot survivors. (Equality can
+    // break on chains: a batch-1 vector dropped there is no acceptor for
+    // batch 2, while the one-shot non-cascading rule still counts it.)
+    val a = inc.vectors.select("vec_id").as[Long].collect().toSet
+    val b = once.vectors.select("vec_id").as[Long].collect().toSet
+    assert(b.subsetOf(a), s"once-only survivors should not exist: ${b -- a}")
+    assert(b.nonEmpty && a.nonEmpty)
+  }
+}
