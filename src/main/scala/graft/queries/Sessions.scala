@@ -143,8 +143,7 @@ object Sessions {
     * distance; LSH-banded by the fingerprint's top 16 bits so candidate
     * pairs stay bucket-local. Oracle-less: engine-defined hash. */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val fp = t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    val fp = TextOps.spread(s, t(s, dir, "documents"))
       .select(col("doc_id"),
         GraftFunctions.simhash64(split(trim(col("text")), "\\s+")).as("fp"))
       .withColumn("band", shiftright(col("fp"), 48))

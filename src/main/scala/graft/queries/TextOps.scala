@@ -20,12 +20,16 @@ object TextOps {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  /** Spread CPU-heavy per-row work (md5 shingling) across all cores: the
-    * small test files arrive as one split, which serializes the map work —
-    * at production scale the source is many splits and this is a no-op
-    * cost-wise (one extra round-robin exchange before heavy compute). */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism)
+  /** Spread CPU-heavy per-row work (md5 shingling) across all cores when
+    * the source arrives under-split (the small test files are one split,
+    * which would serialize the map work). At production scale parquet
+    * yields thousands of splits, so the round-robin exchange is SKIPPED —
+    * a full-corpus shuffle purely for core utilization would be real
+    * money at 100 TB. */
+  private[graft] def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 
   /** Whitespace tokenization shared by every operator (oracle mirrors it
     * with string_split_regex). */
