@@ -162,9 +162,13 @@ class TripletStore(spark: SparkSession, path: String) {
       nDeprecated = kinds.getOrElse("deprecated", 0L))
 
     val v = currentVersion + 1
-    next.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$v")
+    // marker BEFORE the snapshot commit: written after, a crash between
+    // the two would brick a correctly-keyed store (the format check only
+    // fires once a committed snapshot exists, so the early write is safe)
+    fs.mkdirs()
     java.nio.file.Files.writeString(
       new java.io.File(fs, FormatMarker).toPath, IdentityFormat.toString)
+    next.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$v")
     stats
   }
 

@@ -48,8 +48,11 @@ class DedupIndex(spark: SparkSession, path: String) {
     // (a) exact: smallest id per fingerprint within the batch...
     val exactKeep = batch.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    // ...then anti-join the index fingerprints
+    // ...then anti-join the index fingerprints. dropDuplicates collapses
+    // fully identical batch rows (same doc_id AND text), which the
+    // min-id-per-fingerprint keep alone would let through twice.
     val afterExact = batch.join(exactKeep, "doc_id")
+      .dropDuplicates("fp")
       .join(idx.select("fp"), Seq("fp"), "left_anti")
 
     // (b) near: LSH band hit against the index drops the batch doc; a

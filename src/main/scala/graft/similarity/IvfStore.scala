@@ -70,12 +70,24 @@ object IvfStore {
         .write.mode("overwrite")
         .parquet(new File(staging, "index.parquet").getAbsolutePath)
       saveModel(model, new File(staging, "centroids.txt"))
-      // atomic publish; a concurrent winner's artifact is equivalent
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      // atomic publish. A rename blocked by a COMPLETE destination means a
+      // concurrent winner published an equivalent artifact — discard ours.
+      // A rename blocked by an INCOMPLETE destination (torn leftover from
+      // an older layout/crash) must not discard the good build: clear the
+      // wreck and retry.
       if (!staging.renameTo(d)) {
-        def rm(f: File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        if (new File(d, "centroids.txt").exists()) rm(staging)
+        else {
+          rm(d)
+          if (!staging.renameTo(d)) {
+            rm(staging)
+            throw new IllegalStateException(
+              s"could not publish IVF artifact at $d")
+          }
         }
-        rm(staging)
       }
     }
     (loadModel(new File(d, "centroids.txt")),

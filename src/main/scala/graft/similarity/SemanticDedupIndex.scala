@@ -37,20 +37,30 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     val batch = withSketch(emb).localCheckpoint()
     val idx = vectors
 
+    // exact stage first (bit-identical vectors, keyed on the content
+    // hash): collapses replayed/duplicate rows AND zero-norm vectors,
+    // whose cosine is NaN and can never clear the threshold — without
+    // this, re-ingesting a zero vector would grow the index every time
+    val exactKeep = batch.groupBy("vhash").agg(min(col("vec_id")).as("vec_id"))
+      .select("vec_id")
+    val afterExact = batch.join(exactKeep, "vec_id")
+      .dropDuplicates("vhash") // fully identical rows (same id too) collapse
+      .join(idx.select("vhash"), Seq("vhash"), "left_anti")
+
     def sides(df: DataFrame, suffix: String) =
       df.select(col("vec_id").as(s"vec$suffix"), col("v").as(s"v$suffix"),
         col("nrm").as(s"n$suffix"), col("bucket"))
 
     // vs index: any accepted vector in the same bucket at/over threshold
-    val vsIndex = sides(batch, "1").join(sides(idx, "2"), "bucket")
+    val vsIndex = sides(afterExact, "1").join(sides(idx, "2"), "bucket")
       .filter(cosine >= threshold)
       .select(col("vec1").as("vec_id")).distinct()
-    // within batch: a smaller-id batch vector (non-cascading)
-    val within = sides(batch, "1").join(sides(batch, "2"), "bucket")
+    // within batch: a smaller-id post-exact batch vector (non-cascading)
+    val within = sides(afterExact, "1").join(sides(afterExact, "2"), "bucket")
       .filter(col("vec2") < col("vec1") && cosine >= threshold)
       .select(col("vec1").as("vec_id")).distinct()
 
-    val survivors = batch
+    val survivors = afterExact
       .join(vsIndex.unionByName(within).distinct(), Seq("vec_id"), "left_anti")
       .localCheckpoint()
 
@@ -76,7 +86,8 @@ object SemanticDedupIndex {
     StructField("vec_id", LongType),
     StructField("v", ArrayType(DoubleType)),
     StructField("nrm", DoubleType),
-    StructField("bucket", IntegerType)))
+    StructField("bucket", IntegerType),
+    StructField("vhash", StringType)))
 
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -85,12 +96,17 @@ object SemanticDedupIndex {
     dot(col("v1"), col("v2")) / (col("n1") * col("n2"))
 
   def withSketch(emb: DataFrame): DataFrame = {
+    // size guard: element_at past the end THROWS under Spark 4's default
+    // ANSI mode — a malformed short embedding gets bucket bits 0 instead
+    // of failing the whole batch job
     val bucket = (1 to SignBits)
-      .map(i => when(element_at(col("v"), i) > 0, 1 << (i - 1)).otherwise(0))
+      .map(i => when(size(col("v")) >= i && element_at(col("v"), i) > 0,
+        1 << (i - 1)).otherwise(0))
       .reduce(_ + _)
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm",
         sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
       .withColumn("bucket", bucket)
+      .withColumn("vhash", md5(to_json(col("v"))))
   }
 }

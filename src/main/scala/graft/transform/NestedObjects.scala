@@ -43,10 +43,13 @@ object NestedObjects {
     sha2(concat_ws("|", lit(s"platform=$platform"),
       concat(lit("type="), tpe), id), 256)
 
-  /** Composite-id field join: NUL separator, so shifted field boundaries
-    * (a name containing '|') can never collide two distinct entities —
-    * the same delimiter-safety rule as TripletStore.withIdentity. */
-  private def idJoin(fields: Column*): Column = concat_ws("\u0000", fields: _*)
+  /** Composite-id field join: NUL separator AND per-field null coalescing
+    * (concat_ws SKIPS nulls, which would shift field boundaries), so
+    * neither embedded separators nor null/value swaps can collide two
+    * distinct entities — the full TripletStore.withIdentity rule. */
+  private def idJoin(fields: Column*): Column =
+    concat_ws("\u0000",
+      fields.map(f => coalesce(f.cast("string"), lit("\u0001<null>"))): _*)
 
   /** One triple struct; subject and predicate are per-row expressions. */
   private def tri(s: Column, p: Column, o: Column, kind: String,
@@ -142,12 +145,12 @@ object NestedObjects {
                                     textMetrics: Column): Seq[Column] = {
     // SOH between key and value, NUL between entries: a metric key
     // containing '=' or '|' cannot shift entry boundaries
+    def entry(kv: Column) =
+      concat(kv.getField("key"), lit("\u0001"),
+        coalesce(kv.getField("value").cast("string"), lit("\u0001<null>")))
     val entries = array_sort(concat(
-      transform(map_entries(numericMetrics),
-        kv => concat(kv.getField("key"), lit("\u0001"),
-          kv.getField("value").cast("string"))),
-      transform(map_entries(textMetrics),
-        kv => concat(kv.getField("key"), lit("\u0001"), kv.getField("value")))))
+      transform(map_entries(numericMetrics), kv => entry(kv)),
+      transform(map_entries(textMetrics), kv => entry(kv))))
     val evHash = entityHash(platform, lit("EvaluationObject"),
       array_join(entries, "\u0000"))
     Seq(parentSubject.as("parent_s"),

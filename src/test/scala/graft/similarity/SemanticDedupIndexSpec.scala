@@ -30,6 +30,23 @@ class SemanticDedupIndexSpec extends AnyFunSuite {
     assert(idx.size == 2)
   }
 
+  test("zero vectors, duplicate rows and short embeddings are handled") {
+    val dir = Files.createTempDirectory("sem_edge").toString
+    val idx = new SemanticDedupIndex(spark, dir, threshold = 0.9)
+    val zero = Seq.fill(16)(0.0)
+    val v = Seq.tabulate(16)(i => (i + 1).toDouble)
+    val short = Seq(1.0, -2.0) // fewer dims than SignBits: must not throw
+    val s1 = idx.ingest(Seq((1L, zero), (1L, zero), (2L, v), (3L, short))
+      .toDF("vec_id", "embedding"))
+    // duplicate zero rows collapse in the exact stage; all three distinct
+    // vectors accepted (zero has no direction, short buckets on its bits)
+    assert(s1.nIn == 4 && s1.nAdded == 3, s1)
+    // replaying the zero vector is idempotent despite its NaN cosine
+    val s2 = idx.ingest(Seq((4L, zero), (5L, short)).toDF("vec_id", "embedding"))
+    assert(s2.nAdded == 0, s2)
+    assert(idx.size == 3)
+  }
+
   test("incremental ingest equals one-shot ingest over the real corpus") {
     val incPath = Files.createTempDirectory("sem_inc").toString
     val oncePath = Files.createTempDirectory("sem_once").toString
