@@ -84,6 +84,26 @@ class DedupIndex(spark: SparkSession, path: String) {
     }
     IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
   }
+
+  /** Rewrite all committed batches into one directory — after many small
+    * ingests the per-batch layout pays a directory listing and file-open
+    * per batch on every read. Crash-safe: the consolidated batch commits
+    * (via _SUCCESS) before old directories are removed, and transiently
+    * duplicated signatures can only re-drop incoming dups, never admit a
+    * document that should have been dropped. */
+  def compact(): Int = {
+    val bs = batches
+    if (bs.length > 1) {
+      val next = bs.last + 1
+      signatures.select(sigSchema.fieldNames.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/b=$next")
+      bs.foreach { b =>
+        val d = new java.io.File(s"$path/b=$b")
+        Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+      }
+    }
+    batches.length
+  }
 }
 
 object DedupIndex {

@@ -73,6 +73,22 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     }
     DedupIndex.IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
   }
+
+  /** Rewrite all committed batches into one directory (see
+    * [[DedupIndex.compact]] for the crash-safety argument). */
+  def compact(): Int = {
+    val bs = batches
+    if (bs.length > 1) {
+      val next = bs.last + 1
+      vectors.select(vecSchema.fieldNames.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/b=$next")
+      bs.foreach { b =>
+        val d = new java.io.File(s"$path/b=$b")
+        Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+      }
+    }
+    batches.length
+  }
 }
 
 object SemanticDedupIndex {

@@ -49,6 +49,20 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(s3.nAdded == 0 && idx.size == 4)
   }
 
+  test("compaction folds batches into one; dedup behavior unchanged") {
+    val dir = Files.createTempDirectory("dedup_idx3").toString
+    val idx = new DedupIndex(spark, dir)
+    idx.ingest(docs(1L -> "alpha beta gamma delta"))
+    idx.ingest(docs(2L -> "epsilon zeta eta theta"))
+    idx.ingest(docs(3L -> "iota kappa lambda mu"))
+    assert(idx.size == 3)
+    assert(idx.compact() == 1)
+    assert(idx.size == 3)
+    // post-compaction dedup still sees the whole index
+    val s = idx.ingest(docs(4L -> "alpha beta gamma delta"))
+    assert(s.nAdded == 0)
+  }
+
   test("empty and shingle-less docs still dedup exactly") {
     val dir = Files.createTempDirectory("dedup_idx2").toString
     val idx = new DedupIndex(spark, dir)
