@@ -27,17 +27,25 @@ object Bench {
     // machine is doing (the round-1 committed bench was contention-skewed
     // 3.3x); the min of two runs is robust to transient load while still
     // charging all real work (both runs execute the full query).
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query must not masquerade as a fast one: its slot gets a
+    // loud sentinel (and a stderr line), never its time-to-failure.
+    val FailSentinel = 9999.0
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop checkpoint/cache blocks the finished query left behind so
       // accumulated storage doesn't tax later queries' timings
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      dt
+      if (ok) dt else FailSentinel
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -136,12 +136,25 @@ case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object WordNgramsExpr {
-  /** SQL-path arg check: n must be a foldable integer literal. */
-  def literalN(e: Expression): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) => i
-    case org.apache.spark.sql.catalyst.expressions.Literal(l: Long, LongType) => l.toInt
-    case other => throw new IllegalArgumentException(
-      s"word_ngrams(text, n): n must be an integer literal, got $other")
+  /** SQL-path arg check: exactly (text, n) with n a positive integer
+    * literal — n <= 0 would emit a nonsense single-empty-shingle array. */
+  def build(exprs: Seq[Expression]): WordNgramsExpr = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"word_ngrams(text, n) takes 2 arguments, got ${exprs.length}")
+    WordNgramsExpr(exprs.head, literalN(exprs(1)))
+  }
+
+  def literalN(e: Expression): Int = {
+    val n = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) => i
+      case org.apache.spark.sql.catalyst.expressions.Literal(l: Long, LongType) => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"word_ngrams(text, n): n must be an integer literal, got $other")
+    }
+    if (n < 1) throw new IllegalArgumentException(
+      s"word_ngrams(text, n): n must be >= 1, got $n")
+    n
   }
 }
 
@@ -161,8 +174,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_ngrams", exprs => WordNgramsExpr(exprs.head,
-        WordNgramsExpr.literalN(exprs(1))), "scala_udf")
+      "word_ngrams", exprs => WordNgramsExpr.build(exprs), "scala_udf")
   }
 }
 
@@ -185,7 +197,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WordNgramsExpr].getName, "word_ngrams"),
-      (exprs: Seq[Expression]) => WordNgramsExpr(exprs.head,
-        WordNgramsExpr.literalN(exprs(1)))))
+      (exprs: Seq[Expression]) => WordNgramsExpr.build(exprs)))
   }
 }

@@ -44,10 +44,20 @@ class TripletStore(spark: SparkSession, path: String) {
     * pre-existing range. Fail loudly instead. */
   private def versions: Seq[Int] = {
     val vs = CommittedDirs.list(fs, "v=")
-    if (vs.nonEmpty && !new java.io.File(fs, FormatMarker).exists())
-      throw new IllegalStateException(
-        s"TripletStore at $path was written with an older identity-hash " +
-          "format; replay its batches into a fresh store to re-key it")
+    if (vs.nonEmpty) {
+      val marker = new java.io.File(fs, FormatMarker)
+      // compare the CONTENT, not mere existence — a future format bump
+      // must also refuse stores carrying today's marker
+      val recorded =
+        if (marker.exists())
+          java.nio.file.Files.readString(marker.toPath).trim
+        else ""
+      if (recorded != IdentityFormat.toString)
+        throw new IllegalStateException(
+          s"TripletStore at $path was written with identity-hash format " +
+            s"'$recorded' (current: $IdentityFormat); replay its batches " +
+            "into a fresh store to re-key it")
+    }
     vs
   }
 

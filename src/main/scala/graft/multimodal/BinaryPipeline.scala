@@ -90,6 +90,11 @@ object BinaryPipeline {
         try {
           val fs = decoder.decodeBatch(batch.map(_.payload),
             batch.map(_.mediaType))
+          // a decoder returning the wrong count would silently lose rows
+          // through a zip — treat it as a failed batch instead
+          if (fs.length != batch.length)
+            throw new IllegalStateException(
+              s"decodeBatch returned ${fs.length} features for ${batch.length} payloads")
           batch.lazyZip(fs).map { (r, f) =>
             Features(r.id, r.mediaType,
               Option(r.payload).map(_.length).getOrElse(0), ok = true, f)

@@ -226,8 +226,16 @@ object TextOps {
     * Output = the final surviving signature table. */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val tmp = java.nio.file.Files.createTempDirectory("dedup_idx_q").toString
-    val idx = new graft.similarity.DedupIndex(s, tmp)
+    // deterministic per-corpus scratch path, cleared on entry: repeated
+    // bench/verify runs reuse ONE directory instead of leaking a fresh
+    // temp dir per invocation
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_dedup_q_" + java.lang.Integer.toHexString(dir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(tmp)
+    val idx = new graft.similarity.DedupIndex(s, tmp.getAbsolutePath)
     idx.ingest(docs.filter(col("doc_id") < 250))
     idx.ingest(docs.filter(col("doc_id") >= 250))
     idx.signatures.select("doc_id", "fp")

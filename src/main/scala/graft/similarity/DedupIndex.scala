@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental corpus dedup index — the production shape of the dedup
@@ -22,22 +22,15 @@ import org.apache.spark.sql.functions._
   *  - survivors' signatures are appended as a new committed batch
   *    directory (parquet `_SUCCESS` gating, like the triple store).
   */
-class DedupIndex(spark: SparkSession, path: String) {
+class DedupIndex(spark: SparkSession, path: String)
+    extends BatchedSignatureStore(spark, path) {
 
   import DedupIndex._
 
-  private val fs = new java.io.File(path)
-
-  private def batches: Seq[Int] = graft.load.CommittedDirs.list(fs, "b=")
+  override protected def schema: org.apache.spark.sql.types.StructType = sigSchema
 
   /** The standing signature table (empty-schema DF for a fresh index). */
-  def signatures: DataFrame =
-    if (batches.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sigSchema)
-    else spark.read.parquet(batches.map(b => s"$path/b=$b"): _*)
-
-  def size: Long = signatures.count()
+  def signatures: DataFrame = table
 
   /** Ingest one batch of (doc_id, text); returns survivors + stats.
     * One signature computation per batch doc, ever. */
@@ -77,32 +70,8 @@ class DedupIndex(spark: SparkSession, path: String) {
 
     val nIn = batch.count()
     val nAdded = survivors.count()
-    if (nAdded > 0) {
-      val next = batches.lastOption.getOrElse(-1) + 1
-      survivors.select(sigSchema.fieldNames.map(col): _*)
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/b=$next")
-    }
+    append(survivors, nAdded)
     IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
-  }
-
-  /** Rewrite all committed batches into one directory — after many small
-    * ingests the per-batch layout pays a directory listing and file-open
-    * per batch on every read. Crash-safe: the consolidated batch commits
-    * (via _SUCCESS) before old directories are removed, and transiently
-    * duplicated signatures can only re-drop incoming dups, never admit a
-    * document that should have been dropped. */
-  def compact(): Int = {
-    val bs = batches
-    if (bs.length > 1) {
-      val next = bs.last + 1
-      signatures.select(sigSchema.fieldNames.map(col): _*)
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/b=$next")
-      bs.foreach { b =>
-        val d = new java.io.File(s"$path/b=$b")
-        Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
-      }
-    }
-    batches.length
   }
 }
 

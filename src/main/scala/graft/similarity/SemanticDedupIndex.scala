@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental SEMANTIC dedup — the embedding-space sibling of
@@ -16,21 +16,14 @@ import org.apache.spark.sql.functions._
   * vector counts as an acceptor even if it is itself dropped.
   */
 class SemanticDedupIndex(spark: SparkSession, path: String,
-                         threshold: Double = 0.95) {
+                         threshold: Double = 0.95)
+    extends BatchedSignatureStore(spark, path) {
 
   import SemanticDedupIndex._
 
-  private val fs = new java.io.File(path)
+  override protected def schema: org.apache.spark.sql.types.StructType = vecSchema
 
-  private def batches: Seq[Int] = graft.load.CommittedDirs.list(fs, "b=")
-
-  def vectors: DataFrame =
-    if (batches.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vecSchema)
-    else spark.read.parquet(batches.map(b => s"$path/b=$b"): _*)
-
-  def size: Long = vectors.count()
+  def vectors: DataFrame = table
 
   /** Ingest one batch of (vec_id, embedding: array<float|double>). */
   def ingest(emb: DataFrame): DedupIndex.IngestStats = {
@@ -39,8 +32,8 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
 
     // exact stage first (bit-identical vectors, keyed on the content
     // hash): collapses replayed/duplicate rows AND zero-norm vectors,
-    // whose cosine is NaN and can never clear the threshold — without
-    // this, re-ingesting a zero vector would grow the index every time
+    // which the null-safe cosine below never scores — without this,
+    // re-ingesting a zero vector would grow the index every time
     val exactKeep = batch.groupBy("vhash").agg(min(col("vec_id")).as("vec_id"))
       .select("vec_id")
     val afterExact = batch.join(exactKeep, "vec_id")
@@ -66,28 +59,8 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
 
     val nIn = batch.count()
     val nAdded = survivors.count()
-    if (nAdded > 0) {
-      val next = batches.lastOption.getOrElse(-1) + 1
-      survivors.select(vecSchema.fieldNames.map(col): _*)
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/b=$next")
-    }
+    append(survivors, nAdded)
     DedupIndex.IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
-  }
-
-  /** Rewrite all committed batches into one directory (see
-    * [[DedupIndex.compact]] for the crash-safety argument). */
-  def compact(): Int = {
-    val bs = batches
-    if (bs.length > 1) {
-      val next = bs.last + 1
-      vectors.select(vecSchema.fieldNames.map(col): _*)
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/b=$next")
-      bs.foreach { b =>
-        val d = new java.io.File(s"$path/b=$b")
-        Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
-      }
-    }
-    batches.length
   }
 }
 
@@ -108,8 +81,13 @@ object SemanticDedupIndex {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Null-safe cosine: a zero norm yields NULL (nullif), not a
+    * DIVIDE_BY_ZERO — under Spark 4's default ANSI mode a plain division
+    * would THROW when an accepted zero vector shares a bucket with any
+    * candidate, killing the whole ingest job. NULL never clears the
+    * threshold filter, so zero vectors simply never near-dup. */
   private val cosine: Column =
-    dot(col("v1"), col("v2")) / (col("n1") * col("n2"))
+    dot(col("v1"), col("v2")) / nullif(col("n1") * col("n2"), lit(0.0))
 
   def withSketch(emb: DataFrame): DataFrame = {
     // size guard: element_at past the end THROWS under Spark 4's default

@@ -15,9 +15,12 @@ import graft.sources.LiveSource.RetryPolicy
   * and uploads its own partition (`foreachPartition`, one transport per
   * partition, per-chunk retry with the shared LiveSource backoff policy);
   * only the batch finalize runs on the driver, once, exactly like the
-  * reference. Nothing is ever collected — at 100 TB each chunk streams
-  * from the executor that holds it. The transport is injectable; the
-  * offline build exercises the full protocol against a stub.
+  * reference. Nothing reaches the driver, but each chunk DOES materialize
+  * as one request body on its executor (the transport contract is one
+  * POST per chunk, like the reference's one file per chunk) — size
+  * `numChunks` so corpus/numChunks fits comfortably in executor memory.
+  * The transport is injectable; the offline build exercises the full
+  * protocol against a stub.
   */
 object ChunkUploader {
 
@@ -42,11 +45,18 @@ object ChunkUploader {
     val url = s"${baseUrl.stripSuffix("/")}/upload/batch/$batchId/chunk"
     lines.repartition(numChunks).foreachPartition {
       (it: Iterator[String]) =>
-        val body = it.mkString("\n")
-        if (body.nonEmpty) {
+        // single pass: build the body and count rows together
+        val sb = new java.lang.StringBuilder()
+        var n = 0L
+        it.foreach { line =>
+          if (n > 0) sb.append('\n')
+          sb.append(line); n += 1
+        }
+        if (n > 0) {
           val t = transportFactory()
+          val body = sb.toString
           policy.retry(() => t.post(url, body))
-          sent.add(body.linesIterator.size)
+          sent.add(n)
         }
     }
     // the finalize (and any ETL trigger) is one driver-side call per batch

@@ -41,15 +41,17 @@ object LiveSource {
       jitterMs: () => Long = () => 0L) extends Serializable {
 
     /** `_call_with_hf_retries`: honor Retry-After when present, else
-      * exponential backoff + jitter capped at `maxBackoffMs`; a non-429
-      * failure or retry exhaustion propagates to the caller. */
+      * exponential backoff + jitter; EVERY delay is capped at
+      * `maxBackoffMs` — a server-supplied Retry-After of hours must not
+      * park an executor task thread past the policy's own bound. A
+      * non-429 failure or retry exhaustion propagates to the caller. */
     def retry[T](fn: () => T): T = {
       var attempt = 0
       while (true) {
         try return fn()
         catch {
           case RateLimited(retryAfter) if attempt < maxRetries =>
-            val delay = retryAfter.getOrElse(math.min(maxBackoffMs,
+            val delay = math.min(maxBackoffMs, retryAfter.getOrElse(
               baseBackoffMs * (1L << attempt) + jitterMs()))
             sleep(delay)
             attempt += 1
