@@ -146,11 +146,12 @@ object WordNgramsExpr {
   }
 
   def literalN(e: Expression): Int = {
-    val n = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) => i
-      case org.apache.spark.sql.catalyst.expressions.Literal(l: Long, LongType) => l.toInt
-      case other => throw new IllegalArgumentException(
-        s"word_ngrams(text, n): n must be an integer literal, got $other")
+    val n = (if (e.foldable) e.eval() else null) match {
+      case i: java.lang.Integer => i.toInt
+      case l: java.lang.Long => l.toInt
+      case s: java.lang.Short => s.toInt
+      case _ => throw new IllegalArgumentException(
+        s"word_ngrams(text, n): n must be a constant integer, got $e")
     }
     if (n < 1) throw new IllegalArgumentException(
       s"word_ngrams(text, n): n must be >= 1, got $n")

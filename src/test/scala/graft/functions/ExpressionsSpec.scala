@@ -78,6 +78,19 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaSql == native)
   }
 
+  test("word_ngrams rejects bad arity and non-positive n with clear errors") {
+    GraftFunctions.register(spark)
+    val e1 = intercept[Exception](spark.sql("SELECT word_ngrams('a b c')").collect())
+    assert(e1.getMessage.contains("takes 2 arguments") ||
+      Option(e1.getCause).exists(_.getMessage.contains("takes 2 arguments")), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql("SELECT word_ngrams('a b c', 0)").collect())
+    assert(e2.getMessage.contains("n must be >= 1") ||
+      Option(e2.getCause).exists(_.getMessage.contains("n must be >= 1")), e2.getMessage)
+    // BIGINT literal n works (the blind-cast used to ClassCastException)
+    assert(spark.sql("SELECT word_ngrams('a b c d', CAST(3 AS BIGINT)) AS sh")
+      .collect()(0).getSeq[String](0) == Seq("a b c", "b c d"))
+  }
+
   test("GraftExtensions injects functions into a fresh session") {
     val s2 = TestSpark.spark.newSession()
     new GraftExtensions().apply(
