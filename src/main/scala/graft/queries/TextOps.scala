@@ -226,19 +226,25 @@ object TextOps {
     * Output = the final surviving signature table. */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    // deterministic per-corpus scratch path, cleared on entry: repeated
-    // bench/verify runs reuse ONE directory instead of leaking a fresh
-    // temp dir per invocation
+    // process-unique scratch: md5 of the corpus dir (collision-proof,
+    // unlike hashCode) + a UUID suffix so concurrent invocations (Verify
+    // and Bench overlapping) can never clear each other's index
+    // mid-ingest. The result is checkpointed off the scratch parquet so
+    // the directory can be removed before returning — no leak per run.
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_dedup_q_" + java.lang.Integer.toHexString(dir.hashCode))
+      "graft_dedup_q_" + key + "_" +
+        java.util.UUID.randomUUID().toString.take(8))
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
-    rm(tmp)
     val idx = new graft.similarity.DedupIndex(s, tmp.getAbsolutePath)
     idx.ingest(docs.filter(col("doc_id") < 250))
     idx.ingest(docs.filter(col("doc_id") >= 250))
-    idx.signatures.select("doc_id", "fp")
+    val out = idx.signatures.select("doc_id", "fp").localCheckpoint()
+    rm(tmp)
+    out
   }
 
   val incrementalDedupSql: String = {
@@ -334,8 +340,10 @@ object TextOps {
 
   /** Inverted-index Jaccard core over a (doc_id, source, sh) shingle table
     * — exposed so the hot-shingle cap is unit-testable with a synthetic
-    * corpus. Hot shingles (df > cap) are FEW by definition, so the dropped
-    * set is collected into a broadcast anti-join, not a shuffled one. */
+    * corpus. The hot set is NOT broadcast-hinted: on a web corpus millions
+    * of distinct phrases can exceed the cap, and an explicit hint bypasses
+    * Spark's size threshold and can OOM the driver — AQE picks broadcast
+    * when the set really is small, shuffled anti-join when it isn't. */
   private[graft] def ngramJaccardCapped(sh: DataFrame, dfCap: Int): DataFrame = {
     val ex = sh
       .select(col("doc_id"), col("source"), size(col("sh")).as("n"),
@@ -343,7 +351,7 @@ object TextOps {
     // shingles are distinct per doc, so count == document frequency
     val hot = ex.groupBy("source", "s").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("source", "s")
-    val kept = ex.join(broadcast(hot), Seq("source", "s"), "left_anti")
+    val kept = ex.join(hot, Seq("source", "s"), "left_anti")
     val a = kept.select(col("doc_id").as("doc1"), col("source"),
       col("n").as("n1"), col("s"))
     val b = kept.select(col("doc_id").as("doc2"), col("source"),

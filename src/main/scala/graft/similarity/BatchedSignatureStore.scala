@@ -16,8 +16,36 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
   protected def schema: StructType
 
   private val fs = new java.io.File(path)
+  private val pendingMarker = new java.io.File(fs, "_COMPACT_PENDING")
+  recoverCompaction()
 
   protected def batches: Seq[Int] = graft.load.CommittedDirs.list(fs, "b=")
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** All `b=N` dirs (committed or torn) with id < `next`. */
+  private def dirsBelow(next: Int): Seq[java.io.File] =
+    Option(fs.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("b=") &&
+        f.getName.drop(2).toIntOption.exists(_ < next))
+
+  /** Finish or roll back a compaction interrupted by a crash: the marker
+    * (written before the consolidated batch) names the target id. If that
+    * batch committed, the old dirs are permanent duplicates — finish the
+    * cleanup; if it did not, remove the torn write and let the old batches
+    * stand. Runs once, at construction (single-writer store). */
+  private def recoverCompaction(): Unit =
+    if (pendingMarker.exists()) {
+      new String(java.nio.file.Files.readAllBytes(pendingMarker.toPath),
+        "UTF-8").trim.toIntOption.foreach { next =>
+        if (new java.io.File(new java.io.File(fs, s"b=$next"), "_SUCCESS").exists())
+          dirsBelow(next).foreach(rmTree)
+        else rmTree(new java.io.File(fs, s"b=$next"))
+      }
+      pendingMarker.delete()
+    }
 
   /** The standing signature table (empty-schema DF for a fresh index). */
   def table: DataFrame =
@@ -38,20 +66,24 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
 
   /** Rewrite all committed batches into one directory — after many small
     * ingests the per-batch layout pays a directory listing and file-open
-    * per batch on every read. Crash-safe: the consolidated batch commits
-    * (via _SUCCESS) before old directories are removed, and transiently
-    * duplicated signatures can only re-drop incoming dups, never admit a
-    * row that should have been dropped. */
+    * per batch on every read. Crash-safe in both directions: the pending
+    * marker is written FIRST, so a crash after the consolidated commit but
+    * before old-dir removal is finished by [[recoverCompaction]] (without
+    * it, every signature row would stay duplicated forever — acceptance
+    * still correct, but size() and later compactions wrong); a crash
+    * before the commit is rolled back. dropDuplicates heals any
+    * duplication a pre-recovery reader-instance crash left behind. */
   def compact(): Int = {
     val bs = batches
     if (bs.length > 1) {
       val next = bs.last + 1
-      table.select(schema.fieldNames.map(col): _*)
+      java.nio.file.Files.write(pendingMarker.toPath,
+        String.valueOf(next).getBytes("UTF-8"))
+      table.dropDuplicates(schema.fieldNames.toIndexedSeq)
+        .select(schema.fieldNames.map(col): _*)
         .write.mode(SaveMode.Overwrite).parquet(s"$path/b=$next")
-      bs.foreach { b =>
-        val d = new java.io.File(s"$path/b=$b")
-        Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
-      }
+      bs.foreach(b => rmTree(new java.io.File(s"$path/b=$b")))
+      pendingMarker.delete()
     }
     batches.length
   }

@@ -15,9 +15,11 @@ import IvfIndex.Model
   * sampled fit and the full assign pass (it was the slowest query in the
   * round-1 bench).
   *
-  * The version key covers the embeddings file identity (path, mtime,
-  * length) and the fit parameters, so a corpus rewrite or parameter change
-  * transparently produces a fresh artifact. Centroids roundtrip through
+  * The version key covers the embeddings corpus identity — the sorted
+  * LEAF part-file statuses (name, size, mtime), not the top-level file's —
+  * and the fit parameters, so a corpus rewrite or parameter change
+  * transparently produces a fresh artifact even when the rewrite keeps
+  * part-file names. Centroids roundtrip through
   * `Double.toString`/`parseDouble` (exact), so a loaded model reproduces
   * the fit model's search results bit-for-bit.
   */
@@ -31,10 +33,26 @@ object IvfStore {
     sys.env.getOrElse("GRAFT_STORE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_store"), "ivf")
 
+  /** Leaf-file statuses under `f` (relative path, size, mtime), sorted —
+    * the corpus identity. Keying on the TOP-LEVEL File alone is wrong for
+    * the production shape (a Spark-written parquet DIRECTORY): a directory's
+    * length is filesystem-constant and its mtime only changes when direct
+    * entries are added/removed, so a corpus rewrite that keeps part-file
+    * names would silently serve a stale index. Part-file mtimes always
+    * change on rewrite. */
+  private def leafStats(root: File): Seq[String] = {
+    def walk(f: File, rel: String): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .sortBy(_.getName).flatMap(c => walk(c, s"$rel/${c.getName}"))
+      else Seq(s"$rel:${f.length}:${f.lastModified}")
+    walk(root, "")
+  }
+
   private def corpusKey(dir: String, k: Int, iters: Int, sampleSize: Int): String = {
     val f = new File(dir, "embeddings.parquet")
-    md5hex(Seq(f.getAbsolutePath, f.lastModified, f.length,
-      k, iters, sampleSize).mkString("|"))
+    md5hex((f.getAbsolutePath +: leafStats(f) :+ Seq(k, iters, sampleSize)
+      .mkString("|")).mkString("|"))
   }
 
   private def saveModel(m: Model, f: File): Unit =
@@ -54,9 +72,11 @@ object IvfStore {
     * directory and published with one atomic rename — concurrent first
     * callers race benignly (the loser's identical artifact is discarded),
     * and a reader can never observe a half-written index. Version-key
-    * caveat: (mtime, length) of the embeddings file — an in-place rewrite
-    * within the filesystem's mtime resolution AND with identical byte
-    * length would serve the previous index. */
+    * caveat: leaf (size, mtime) stats — an in-place rewrite of the SAME
+    * leaf files within the filesystem's mtime resolution AND with
+    * identical byte lengths would serve the previous index; pass an
+    * explicit corpus commit id through the path for stores that need
+    * stronger guarantees. */
   def indexFor(s: SparkSession, dir: String, k: Int, iters: Int,
                sampleSize: Int = 2048): (Model, DataFrame) = {
     val d = new File(storeRoot, corpusKey(dir, k, iters, sampleSize))

@@ -42,7 +42,7 @@ object ChunkUploader {
       .select("subject", "predicate", "obj", "objKind", "datatype")
       .as[Triple].map(N3.formatTriple)
     val sent = spark.sparkContext.longAccumulator("uploadedTriples")
-    val url = s"${baseUrl.stripSuffix("/")}/upload/batch/$batchId/chunk"
+    val chunkBase = s"${baseUrl.stripSuffix("/")}/upload/batch/$batchId/chunk"
     lines.repartition(numChunks).foreachPartition {
       (it: Iterator[String]) =>
         // single pass: build the body and count rows together
@@ -55,6 +55,11 @@ object ChunkUploader {
         if (n > 0) {
           val t = transportFactory()
           val body = sb.toString
+          // chunk id in the URL: foreachPartition is at-least-once under
+          // task retry/speculation, so a re-sent chunk must be idempotent
+          // server-side — same key, same body, like the reference's
+          // one-file-per-chunk naming (`LoadProcessor.py:123-150`)
+          val url = s"$chunkBase/${org.apache.spark.TaskContext.getPartitionId()}"
           policy.retry(() => t.post(url, body))
           sent.add(n)
         }

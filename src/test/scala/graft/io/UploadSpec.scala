@@ -21,7 +21,7 @@ object StubUpload {
     new ChunkUploader.Transport with Serializable {
       def post(url: String, body: String): String = {
         // the very first chunk POST rate-limits once: exercises the retry
-        if (url.endsWith("/chunk") && StubUpload.calls.incrementAndGet() == 1)
+        if (url.contains("/chunk/") && StubUpload.calls.incrementAndGet() == 1)
           throw LiveSource.RateLimited(retryAfterMs = None)
         StubUpload.posts.add((url, body)); "ok"
       }
@@ -41,9 +41,12 @@ class UploadSpec extends AnyFunSuite {
       numChunks = 4, () => StubUpload.transport(), policy)
 
     val posts = StubUpload.posts.toArray.map(_.asInstanceOf[(String, String)])
-    val chunkPosts = posts.filter(_._1.endsWith("/chunk"))
+    val chunkPosts = posts.filter(_._1.contains("/chunk/"))
     val finalizes = posts.filter(_._1.endsWith("/finalize"))
     assert(chunkPosts.length == 4 && finalizes.length == 1)
+    // each chunk POSTs to its own idempotency key (partition id in the URL)
+    assert(chunkPosts.map(_._1).distinct.length == 4,
+      s"chunk URLs must be distinct per partition: ${chunkPosts.map(_._1).toSeq}")
     assert(finalizes.head._1 == "https://stub/api/upload/batch/b1/finalize")
     // every triple arrives exactly once across the chunk bodies
     val totalLines = chunkPosts.map(_._2.linesIterator.size).sum

@@ -63,6 +63,41 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(s.nAdded == 0)
   }
 
+  test("crash after consolidated commit, before cleanup: recovery finishes it") {
+    val dir = Files.createTempDirectory("dedup_crash1").toString
+    val idx = new DedupIndex(spark, dir)
+    idx.ingest(docs(1L -> "alpha beta gamma delta"))
+    idx.ingest(docs(2L -> "epsilon zeta eta theta"))
+    // simulate compact() dying between the b=2 commit and old-dir removal:
+    // consolidated batch + pending marker present, b=0/b=1 still on disk
+    idx.signatures.write.parquet(s"$dir/b=2")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_COMPACT_PENDING"), "2".getBytes("UTF-8"))
+    val reopened = new DedupIndex(spark, dir)
+    assert(reopened.size == 2, "old batches must not double-count")
+    assert(!new java.io.File(dir, "b=0").exists())
+    assert(!new java.io.File(dir, "_COMPACT_PENDING").exists())
+  }
+
+  test("crash before consolidated commit: torn write is rolled back") {
+    val dir = Files.createTempDirectory("dedup_crash2").toString
+    val idx = new DedupIndex(spark, dir)
+    idx.ingest(docs(1L -> "alpha beta gamma delta"))
+    idx.ingest(docs(2L -> "epsilon zeta eta theta"))
+    // marker written, consolidated dir torn (no _SUCCESS)
+    new java.io.File(dir, "b=2").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "b=2/part-junk"), "x".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_COMPACT_PENDING"), "2".getBytes("UTF-8"))
+    val reopened = new DedupIndex(spark, dir)
+    assert(reopened.size == 2, "old batches must survive a rolled-back compact")
+    assert(!new java.io.File(dir, "b=2").exists())
+    // and a rerun compaction completes normally
+    assert(reopened.compact() == 1)
+    assert(reopened.size == 2)
+  }
+
   test("empty and shingle-less docs still dedup exactly") {
     val dir = Files.createTempDirectory("dedup_idx2").toString
     val idx = new DedupIndex(spark, dir)
