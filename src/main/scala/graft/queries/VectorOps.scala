@@ -129,6 +129,103 @@ object VectorOps {
       |  source
       |FROM documents""".stripMargin
 
+  /** Incremental SEMANTIC dedup, oracle-graded: the embeddings table
+    * arrives in two batches through [[graft.similarity.SemanticDedupIndex]]
+    * (multi-band random-hyperplane sketch, default 3 bands x 8 bits, md5
+    * hyperplanes both engines can derive); the DuckDB oracle replays the
+    * full drop rules — exact-vector collapse, band-bucket candidates,
+    * non-cascading smaller-id acceptance, cosine >= 0.2 drop. Output =
+    * surviving vec_ids with their arrival batch. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // process-unique scratch (same pattern as TextOps.incrementalDedup):
+    // concurrent harness runs can never clear each other's index
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_semdedup_q_" + key + "_" +
+        java.util.UUID.randomUUID().toString.take(8))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    val idx = new graft.similarity.SemanticDedupIndex(
+      s, tmp.getAbsolutePath, threshold = 0.2)
+    idx.ingest(emb.filter(col("vec_id") < 250))
+    idx.ingest(emb.filter(col("vec_id") >= 250))
+    val out = idx.vectors.select(col("vec_id"),
+      when(col("vec_id") < 250, 1L).otherwise(2L).as("arrival_batch"))
+      .localCheckpoint()
+    rm(tmp)
+    out
+  }
+
+  /** DuckDB replay of the semantic-dedup drop rules. The hyperplane
+    * components are md5-derived (`SemanticSketch.component`), so the
+    * bucket CTE reconstructs the exact Spark buckets; dot products use the
+    * proven list_reduce left-fold form (bit-identical to Spark's
+    * aggregate/zip_with fold). */
+  val semanticDedupSql: String = {
+    val cosine =
+      """list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * c.v[i]), (x, y) -> x + y)
+        |        / nullif(a.nrm * c.nrm, 0) >= 0.2""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |projs AS (
+       |  SELECT vec_id, tb.b AS b, tj.j AS j,
+       |    list_reduce(list_transform(range(1, len(v) + 1),
+       |      d -> v[d] * (CASE WHEN ('0x' || substr(md5('hp|' || CAST(tb.b AS VARCHAR) || '|' || CAST(tj.j AS VARCHAR) || '|' || CAST(d - 1 AS VARCHAR)), 1, 8))::UBIGINT % 2 = 1 THEN 1.0 ELSE -1.0 END)),
+       |      (a, b) -> a + b) AS proj
+       |  FROM e, range(0, 3) tb(b), range(0, 8) tj(j)),
+       |buckets AS (
+       |  SELECT vec_id, b,
+       |    CAST(SUM(CASE WHEN proj > 0 THEN (1 << j) ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM projs GROUP BY vec_id, b),
+       |b1 AS (SELECT * FROM e WHERE vec_id < 250),
+       |b2 AS (SELECT * FROM e WHERE vec_id >= 250),
+       |b1x AS (
+       |  SELECT e1.* FROM b1 e1
+       |  JOIN (SELECT v, MIN(vec_id) AS vec_id FROM b1 GROUP BY v) k
+       |    ON e1.vec_id = k.vec_id),
+       |b1cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec1, c.vec_id AS vec2
+       |  FROM b1x a
+       |  JOIN buckets ba ON ba.vec_id = a.vec_id
+       |  JOIN buckets bc ON bc.b = ba.b AND bc.bucket = ba.bucket
+       |  JOIN b1x c ON c.vec_id = bc.vec_id AND c.vec_id < a.vec_id),
+       |b1drop AS (
+       |  SELECT DISTINCT p.vec1 FROM b1cand p
+       |  JOIN e a ON a.vec_id = p.vec1
+       |  JOIN e c ON c.vec_id = p.vec2
+       |  WHERE $cosine),
+       |b1surv AS (
+       |  SELECT * FROM b1x WHERE vec_id NOT IN (SELECT vec1 FROM b1drop)),
+       |b2x AS (
+       |  SELECT e2.* FROM b2 e2
+       |  JOIN (SELECT v, MIN(vec_id) AS vec_id FROM b2 GROUP BY v) k
+       |    ON e2.vec_id = k.vec_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM b1surv s WHERE s.v = e2.v)),
+       |acc AS (
+       |  SELECT vec_id, TRUE AS from_index FROM b1surv
+       |  UNION ALL SELECT vec_id, FALSE FROM b2x),
+       |b2cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec1, c.vec_id AS vec2
+       |  FROM b2x a
+       |  JOIN buckets ba ON ba.vec_id = a.vec_id
+       |  JOIN buckets bc ON bc.b = ba.b AND bc.bucket = ba.bucket
+       |  JOIN acc c ON c.vec_id = bc.vec_id AND (c.from_index OR c.vec_id < a.vec_id)),
+       |b2drop AS (
+       |  SELECT DISTINCT p.vec1 FROM b2cand p
+       |  JOIN e a ON a.vec_id = p.vec1
+       |  JOIN e c ON c.vec_id = p.vec2
+       |  WHERE $cosine)
+       |SELECT vec_id, CAST(1 AS BIGINT) AS arrival_batch FROM b1surv
+       |UNION ALL
+       |SELECT vec_id, CAST(2 AS BIGINT) AS arrival_batch FROM b2x
+       |WHERE vec_id NOT IN (SELECT vec1 FROM b2drop)""".stripMargin
+  }
+
   /** IVF-probed ANN top-k (oracle-less: centroid fit is engine-defined;
     * correctness vs brute force is pinned by IvfSpec's nprobe=k test). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
@@ -145,11 +242,13 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> cosineTopK _,
     "q_embed_neardup" -> embedNearDup _,
+    "q_semantic_dedup" -> semanticDedup _,
     "q_multimodal_meta" -> multimodalMeta _,
     "q_ann_ivf" -> annIvf _)
 
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> cosineTopKSql,
     "q_embed_neardup" -> embedNearDupSql,
+    "q_semantic_dedup" -> semanticDedupSql,
     "q_multimodal_meta" -> multimodalMetaSql)
 }

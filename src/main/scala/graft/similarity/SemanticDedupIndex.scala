@@ -1,22 +1,70 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Multi-band random-hyperplane sketch for semantic (embedding-space)
+  * dedup. Each band hashes a vector to a `bitsPerBand`-bit bucket: bit j
+  * is the sign of the vector's dot product with a deterministic ±1
+  * hyperplane (derived from md5, so ANY engine — the DuckDB oracle
+  * included — can reproduce the exact bucket ids). Bands are
+  * OR-amplified: two vectors are candidates when they collide in ANY
+  * band, the same band design [[DedupIndex]] uses for MinHash.
+  *
+  * Collision probability per band for vectors at angle θ is
+  * (1 − θ/π)^bitsPerBand, so `bitsPerBand` sets bucket granularity
+  * (expected candidates per probe ≈ |index| / 2^bitsPerBand per band) and
+  * `nBands` buys recall back for near-duplicate angles. The fixed 8-bit
+  * single-band sign sketch this replaces pinned pruning at 1/256 of the
+  * index per candidate forever; here granularity is a dial.
+  *
+  * @param maxCandidatesPerVector hard per-probe candidate bound (see
+  *   [[SemanticDedupIndex.ingest]]) — the backstop that keeps one dense
+  *   semantic cluster from going quadratic at 100 TB.
+  */
+final case class SemanticSketch(
+    nBands: Int = 3,
+    bitsPerBand: Int = 8,
+    dim: Int = 64,
+    seed: String = "hp",
+    maxCandidatesPerVector: Int = 10000) {
+  require(nBands >= 1, "nBands must be >= 1")
+  require(bitsPerBand >= 1 && bitsPerBand <= 30, "bitsPerBand in [1,30]")
+  require(dim >= 1, "dim must be >= 1")
+  require(maxCandidatesPerVector >= 1, "maxCandidatesPerVector must be >= 1")
+
+  /** Deterministic ±1 hyperplane component for (band, bit, dim): the low
+    * bit of the first 4 md5 bytes of "seed|band|bit|dim" — in SQL,
+    * `('0x' || substr(md5(s), 1, 8))::UBIGINT % 2`. */
+  def component(b: Int, j: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed|$b|$j|$d".getBytes("UTF-8"))
+    val first8hex = java.lang.Long.parseLong(
+      md.take(4).map("%02x".format(_)).mkString, 16)
+    if (first8hex % 2 == 1) 1.0 else -1.0
+  }
+
+  def hyperplane(b: Int, j: Int): Array[Double] =
+    Array.tabulate(dim)(d => component(b, j, d))
+}
+
 /** Incremental SEMANTIC dedup — the embedding-space sibling of
-  * [[DedupIndex]]: a persisted table of (vec_id, sign-bit bucket,
-  * embedding, norm) is the standing index; an incoming batch drops any
-  * vector whose cosine against an already-accepted vector (index or
-  * smaller-id batch member) meets the threshold. Candidate pairs come
-  * ONLY from sign-bit LSH buckets (the first `SignBits` dimensions'
-  * signs), so the pair space is bucket-local — never all-pairs — and old
-  * vectors are never re-scored against each other.
+  * [[DedupIndex]]: a persisted table of (vec_id, embedding, norm, band
+  * buckets) is the standing index; an incoming batch drops any vector
+  * whose cosine against an already-accepted vector (index or smaller-id
+  * batch member) meets the threshold. Candidate pairs come ONLY from
+  * [[SemanticSketch]] band-bucket collisions — bucket-local, never
+  * all-pairs — and are additionally capped per probe vector, so old
+  * vectors are never re-scored against each other and no probe can fan
+  * out unboundedly.
   *
   * Same non-cascading one-pass rule as [[DedupIndex]]: a smaller-id batch
   * vector counts as an acceptor even if it is itself dropped.
   */
 class SemanticDedupIndex(spark: SparkSession, path: String,
-                         threshold: Double = 0.95)
+                         threshold: Double = 0.95,
+                         sketch: SemanticSketch = SemanticSketch())
     extends BatchedSignatureStore(spark, path) {
 
   import SemanticDedupIndex._
@@ -25,9 +73,16 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
 
   def vectors: DataFrame = table
 
+  /** Candidate-pair count of the latest [[ingest]] (pre-cap), and how many
+    * of those the per-vector cap truncated. A nonzero truncation count
+    * means recall loss on some dense cluster — it is logged loudly and
+    * surfaced here so callers can alert on it. */
+  @volatile var lastCandidates: Long = 0L
+  @volatile var lastTruncated: Long = 0L
+
   /** Ingest one batch of (vec_id, embedding: array<float|double>). */
   def ingest(emb: DataFrame): DedupIndex.IngestStats = {
-    val batch = withSketch(emb).localCheckpoint()
+    val batch = withSketch(emb, sketch).localCheckpoint()
     val idx = vectors
 
     // exact stage first (bit-identical vectors, keyed on the content
@@ -39,22 +94,48 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     val afterExact = batch.join(exactKeep, "vec_id")
       .dropDuplicates("vhash") // fully identical rows (same id too) collapse
       .join(idx.select("vhash"), Seq("vhash"), "left_anti")
+      .localCheckpoint() // consumed 3x: probe bands, acceptor bands, anti-join
 
-    def sides(df: DataFrame, suffix: String) =
+    // one (band, bucket) row per band per vector — OR-amplification is
+    // the union of per-band collisions, deduped at the pair level below
+    def bands(df: DataFrame, suffix: String) =
       df.select(col("vec_id").as(s"vec$suffix"), col("v").as(s"v$suffix"),
-        col("nrm").as(s"n$suffix"), col("bucket"))
+          col("nrm").as(s"n$suffix"), posexplode(col("buckets")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    // vs index: any accepted vector in the same bucket at/over threshold
-    val vsIndex = sides(afterExact, "1").join(sides(idx, "2"), "bucket")
+    // acceptors: every accepted index vector, plus post-exact batch
+    // vectors restricted to smaller ids (the non-cascading one-pass rule)
+    val acceptors = bands(idx, "2").withColumn("from_index", lit(true))
+      .unionByName(bands(afterExact, "2").withColumn("from_index", lit(false)))
+    val candidates = bands(afterExact, "1")
+      .join(acceptors, Seq("band", "bucket"))
+      .filter(col("from_index") || col("vec2") < col("vec1"))
+      .dropDuplicates("vec1", "vec2")
+
+    // per-probe candidate cap: a dense semantic cluster (one bucket with
+    // k accepted vectors) would otherwise cost every new probe k cosines.
+    // Deterministic truncation order (neighbor id); the count is the loud
+    // metric — truncation trades bounded work for possible missed drops.
+    val cap = sketch.maxCandidatesPerVector
+    val ranked = candidates
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("vec1").orderBy("vec2")))
+      .localCheckpoint()
+    val capStats = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("rn") > cap, 1L).otherwise(0L)).as("trunc")).head()
+    lastCandidates = capStats.getLong(0)
+    lastTruncated = if (capStats.isNullAt(1)) 0L else capStats.getLong(1)
+    if (lastTruncated > 0)
+      System.err.println(s"[semantic-dedup] per-vector candidate cap $cap " +
+        s"truncated $lastTruncated of $lastCandidates candidate pairs at " +
+        s"$path — possible missed near-dups in a dense cluster")
+
+    val dropped = ranked.filter(col("rn") <= cap)
       .filter(cosine >= threshold)
       .select(col("vec1").as("vec_id")).distinct()
-    // within batch: a smaller-id post-exact batch vector (non-cascading)
-    val within = sides(afterExact, "1").join(sides(afterExact, "2"), "bucket")
-      .filter(col("vec2") < col("vec1") && cosine >= threshold)
-      .select(col("vec1").as("vec_id")).distinct()
-
     val survivors = afterExact
-      .join(vsIndex.unionByName(within).distinct(), Seq("vec_id"), "left_anti")
+      .join(dropped, Seq("vec_id"), "left_anti")
       .localCheckpoint()
 
     val nIn = batch.count()
@@ -68,14 +149,11 @@ object SemanticDedupIndex {
 
   import org.apache.spark.sql.types._
 
-  /** Sign bits used for the LSH bucket (first dims' signs). */
-  val SignBits = 8
-
   val vecSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("v", ArrayType(DoubleType)),
     StructField("nrm", DoubleType),
-    StructField("bucket", IntegerType),
+    StructField("buckets", ArrayType(IntegerType)),
     StructField("vhash", StringType)))
 
   private def dot(a: Column, b: Column): Column =
@@ -89,18 +167,25 @@ object SemanticDedupIndex {
   private val cosine: Column =
     dot(col("v1"), col("v2")) / nullif(col("n1") * col("n2"), lit(0.0))
 
-  def withSketch(emb: DataFrame): DataFrame = {
-    // size guard: element_at past the end THROWS under Spark 4's default
-    // ANSI mode — a malformed short embedding gets bucket bits 0 instead
-    // of failing the whole batch job
-    val bucket = (1 to SignBits)
-      .map(i => when(size(col("v")) >= i && element_at(col("v"), i) > 0,
-        1 << (i - 1)).otherwise(0))
-      .reduce(_ + _)
+  def withSketch(emb: DataFrame, sk: SemanticSketch): DataFrame = {
+    // projection of v onto hyperplane (b, j): a zip_with/aggregate left
+    // fold, bit-reproducible by DuckDB's list_reduce form. zip_with pads
+    // the SHORTER side with nulls, so coalesce→0 makes malformed short
+    // (or over-long) embeddings contribute zero instead of nulling the
+    // whole projection (and is ANSI-safe — no throw, no NULL bucket).
+    def proj(b: Int, j: Int): Column =
+      aggregate(
+        zip_with(col("v"), lit(sk.hyperplane(b, j)),
+          (x, h) => coalesce(x * h, lit(0.0))),
+        lit(0.0), (acc, x) => acc + x)
+    def bucket(b: Int): Column =
+      (0 until sk.bitsPerBand)
+        .map(j => when(proj(b, j) > 0, 1 << j).otherwise(0))
+        .reduce(_ + _)
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm",
         sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
-      .withColumn("bucket", bucket)
+      .withColumn("buckets", array((0 until sk.nBands).map(bucket): _*))
       .withColumn("vhash", md5(to_json(col("v"))))
   }
 }

@@ -47,6 +47,43 @@ class SemanticDedupIndexSpec extends AnyFunSuite {
     assert(idx.size == 3)
   }
 
+  test("per-vector candidate cap stays bounded as the index grows") {
+    val dir = Files.createTempDirectory("sem_cap").toString
+    // adversarial dense-bucket shape: 1 band x 1 bit puts ~half the corpus
+    // in each bucket, so uncapped work per probe would grow linearly with
+    // the index; threshold > 1 means nothing ever drops (cosine <= 1) and
+    // the index keeps growing
+    val sk = SemanticSketch(nBands = 1, bitsPerBand = 1, dim = 8,
+      maxCandidatesPerVector = 5)
+    val idx = new SemanticDedupIndex(spark, dir, threshold = 1.1, sketch = sk)
+    def vecs(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.tabulate(8)(d => math.sin(i * 8.0 + d).abs + 0.1)))
+      .toDF("vec_id", "embedding")
+    idx.ingest(vecs(0 until 60))
+    assert(idx.size == 60)
+    val s2 = idx.ingest(vecs(60 until 80))
+    // with ~60 same-bucket acceptors, each of the 20 probes would score
+    // ~30 candidates uncapped; the cap bounds scored pairs at 5 per probe
+    assert(idx.lastTruncated > 0, "cap must have triggered")
+    assert(idx.lastCandidates - idx.lastTruncated <= 5L * 20,
+      s"scored=${idx.lastCandidates - idx.lastTruncated}")
+    assert(s2.nAdded == 20 && idx.size == 80,
+      "capping bounds work; it never drops vectors by itself")
+  }
+
+  test("bands OR-amplify: a pair colliding in ANY band is a candidate") {
+    val dir = Files.createTempDirectory("sem_bands").toString
+    // two bands, many bits: near-identical vectors agree in every band;
+    // the sketch must catch them regardless of which band collides first
+    val sk = SemanticSketch(nBands = 2, bitsPerBand = 12, dim = 16)
+    val idx = new SemanticDedupIndex(spark, dir, threshold = 0.999, sketch = sk)
+    val v = Seq.tabulate(16)(i => (i + 1).toDouble)
+    val s1 = idx.ingest(Seq((1L, v), (2L, v.map(_ * 3.0)), (3L, v.reverse))
+      .toDF("vec_id", "embedding"))
+    assert(s1.nAdded == 2, s1) // the scalar multiple collides + drops
+    assert(idx.size == 2)
+  }
+
   test("incremental ingest equals one-shot ingest over the real corpus") {
     val incPath = Files.createTempDirectory("sem_inc").toString
     val oncePath = Files.createTempDirectory("sem_once").toString
