@@ -11,14 +11,16 @@ import graft.load.TripletStore
 import graft.operators.TagCategorizer.Vocabs
 import graft.sinks.Sinks
 import graft.sources.LiveSource
-import graft.transform.{MetadataReification, TripleBuilder}
+import graft.transform.{EntityBuilders, MetadataReification, TripleBuilder}
 
 /** Runnable end-to-end of the reference's ETL lifecycle (SURVEY §3.1-3.2):
   * connector fetch (LiveSource through a stub transport) → quality filter
-  * → known fields / tags / YAML / context-match → triples + reified
-  * metadata → OpenML nested child-entity trees → versioned MERGE (two
-  * versions, demonstrating deprecation) → current-graph & platform-tagged
-  * doc-pivot queries → N-Triples export.
+  * → known fields / tags / YAML / context-match → document dedup intake
+  * (incremental MinHash index) + semantic dedup (embedding index) →
+  * triples + reified metadata → OpenML nested child-entity trees → arXiv
+  * batched fetch → versioned MERGE (two versions, demonstrating
+  * deprecation) → current-graph & platform-tagged doc-pivot queries →
+  * N-Triples export + chunked remote upload.
   *
   *   sbt "runMain graft.EtlDemo /tmp/etl_demo"
   *
@@ -26,6 +28,13 @@ import graft.transform.{MetadataReification, TripleBuilder}
   * tables back the graded query surface instead; see SparkEntry.
   */
 object EtlDemo {
+
+  /** Object-static receipt tally for the demo upload: executor-side
+    * transport calls must write somewhere the driver can read back, and
+    * in local mode only JVM-static state survives closure serialization. */
+  private[graft] object DemoUploadSink {
+    val received = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  }
 
   private def snapshot(spark: SparkSession, card: String): DataFrame = {
     import spark.implicits._
@@ -119,6 +128,70 @@ object EtlDemo {
       println(s"[etl] openml nested trees: new=${stats.nNew}")
     }
 
+    // S5 production half: arXiv ids from the tags, fetched in BATCHES (one
+    // API call per id group, per-batch retry, pacing) through a stub
+    // transport; payload rows become T3 article triples
+    {
+      import spark.implicits._
+      val t = Timestamp.valueOf("2024-02-10 00:00:00")
+      val arxivIds = Seq("1000.1", "cs/1000.2v3")
+      val client = () => new LiveSource.HttpClient with Serializable {
+        def get(url: String): String = {
+          val ids = url.substring(url.indexOf("=") + 1).split(",")
+          ids.map(id => s"$id\tPaper $id\tAbstract of $id\t2024-01-15\t10.5/x$id")
+            .mkString("\n")
+        }
+      }
+      val fetched = LiveSource.fetchBatched(spark, arxivIds, client,
+        ids => s"stub://arxiv/batch?ids=${ids.mkString(",")}",
+        batchSize = 200, pacingMs = 0)
+      val articles = fetched.filter(_.ok)
+        .flatMap(_.payload.linesIterator.map { line =>
+          val f = line.split("\t")
+          (f(0), f(1), f(2), f(3), f(4), Seq("cs.LG"))
+        })
+        .toDF("arxiv_id", "title", "summary", "published", "doi", "categories")
+      val arxivStats = store.merge(
+        EntityBuilders.arxivTriples(articles)
+          .withColumn("extractionMethod", lit("arXiv_API"))
+          .withColumn("confidence", lit(1.0))
+          .withColumn("extractionTime", lit(t)), t)
+      println(s"[etl] arXiv batched fetch: ${arxivStats.nNew} article triples")
+      require(arxivStats.nNew > 0, "arXiv leg produced no triples")
+    }
+
+    // Corpus intake dedup: the model cards run through the incremental
+    // MinHash index (exact + near dups dropped batch-over-batch) and a
+    // deterministic embedding per card through the semantic index —
+    // the harvest→clean→dedup production path in miniature
+    {
+      import spark.implicits._
+      val cards = Seq(
+        (1L, card("apache-2.0")), (2L, card("apache-2.0")), // exact dup pair
+        (3L, card("apache-2.0").replace(" ", "  ")),         // near dup of 1
+        (4L, "a genuinely different short note about evaluation"))
+        .toDF("doc_id", "text")
+      val dedup = new similarity.DedupIndex(spark, s"$out/dedup_index")
+      val d1 = dedup.ingest(cards.filter(col("doc_id") <= 2))
+      val d2 = dedup.ingest(cards.filter(col("doc_id") > 2))
+      println(s"[etl] dedup intake: batch1 added=${d1.nAdded} dropped=${d1.nDropped}; " +
+        s"batch2 added=${d2.nAdded} dropped=${d2.nDropped}; index=${dedup.size}")
+      require(d1.nDropped == 1 && d2.nDropped == 1 && dedup.size == 2,
+        s"dedup intake drop counts wrong: $d1 / $d2 / ${dedup.size}")
+
+      val emb = Seq(
+        (1L, Seq.tabulate(16)(i => (i + 1).toDouble)),
+        (2L, Seq.tabulate(16)(i => (i + 1) * 2.0)), // same direction → dup
+        (3L, Seq.tabulate(16)(i => (16 - i).toDouble)))
+        .toDF("vec_id", "embedding")
+      val sem = new similarity.SemanticDedupIndex(
+        spark, s"$out/semantic_index", threshold = 0.999)
+      val s1 = sem.ingest(emb)
+      println(s"[etl] semantic dedup: added=${s1.nAdded} dropped=${s1.nDropped}")
+      require(s1.nDropped == 1 && s1.nAdded == 2,
+        s"semantic dedup drop counts wrong: $s1")
+    }
+
     val current = store.currentTriples
     println(s"[etl] current graph: ${current.count()} triples, " +
       s"${store.distinctSubjectCount} subjects, store v${store.currentVersion}")
@@ -141,6 +214,31 @@ object EtlDemo {
     val byPlatform = docs.groupBy("platform").count().collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
     println(s"[etl] doc pivot: ${docs.count()} search documents ($byPlatform)")
+
+    // K8 production half: the current graph ships as chunked N-Triples
+    // POSTs (chunks = partitions, idempotent per-chunk URLs) + one
+    // finalize — here against an in-memory transport that tallies chunks
+    {
+      val received = DemoUploadSink.received
+      received.clear()
+      val transport = () => new graft.sinks.ChunkUploader.Transport with Serializable {
+        def post(url: String, body: String): String = {
+          DemoUploadSink.received.put(url,
+            Integer.valueOf(body.linesIterator.count(_.nonEmpty)))
+          "ok"
+        }
+      }
+      val report = graft.sinks.ChunkUploader.upload(
+        current, "https://demo/api", "demo-batch", numChunks = 3, transport)
+      val chunkLines = received.entrySet().toArray
+        .map(_.asInstanceOf[java.util.Map.Entry[String, Integer]])
+        .filter(_.getKey.contains("/chunk/")).map(_.getValue.intValue()).sum
+      println(s"[etl] upload: ${report.nTriples} triples in ${report.numChunks} " +
+        s"chunks (${chunkLines} lines received, finalize=" +
+        s"${received.containsKey("https://demo/api/upload/batch/demo-batch/finalize")})")
+      require(report.nTriples == current.count() && chunkLines == report.nTriples,
+        s"upload lost triples: $report vs ${current.count()} ($chunkLines received)")
+    }
     spark.stop()
   }
 }

@@ -47,13 +47,20 @@ object ModelCardPipeline {
 
   /** @param snapshot raw HF snapshot schema (FIXTURES.md §1)
     * @param vocabs   tag vocabularies
-    * @param backend  section scorer for E8 context matching
-    * @param schemaQueries properties to context-match
+    * @param backend  section scorer for E8 extraction
+    * @param schemaQueries properties to extract
+    * @param strategy  E8 extraction strategy (context_matching / grouped /
+    *                  individual — `SchemaPropertyExtractor.py:122-148`)
+    * @param inference QA backend for the grouped/individual strategies
     * @return long-format property table with provenance columns
     */
   def properties(snapshot: DataFrame, vocabs: Vocabs,
                  backend: ScoringBackend,
-                 schemaQueries: Seq[PropertyQuery]): DataFrame = {
+                 schemaQueries: Seq[PropertyQuery],
+                 strategy: SchemaPropertyExtractor.Strategy =
+                   SchemaPropertyExtractor.Strategy.ContextMatching,
+                 inference: QaEngine.InferenceBackend =
+                   new QaEngine.EchoBackend): DataFrame = {
     val filtered = QualityFilter(snapshot)
     val known = KnownFields(filtered)
     val tagged = TagCategorizer.categorize(known, vocabs)
@@ -95,10 +102,10 @@ object ModelCardPipeline {
           fmGated(col("card")), yamlMethod, 1.0))
 
     val matched = SchemaPropertyExtractor
-      .contextMatch(filtered, schemaQueries, backend)
+      .extract(filtered, schemaQueries, backend, strategy, inference)
       .toDF()
       .select(col("modelId"), col("property"), col("value").as("value"),
-        lit("context_matching").as("method"), col("confidence"))
+        col("method"), col("confidence"))
 
     knownRows.unionByName(tagRows).unionByName(yamlRows).unionByName(matched)
   }

@@ -66,6 +66,59 @@ object LiveSource {
   def listIds(client: HttpClient, listUrl: String, limit: Int): Seq[String] =
     client.get(listUrl).linesIterator.filter(_.nonEmpty).take(limit).toSeq
 
+  /** One batched fetch: the id group sent in a single API call, the
+    * response body, or the terminal error. `batchId` preserves the
+    * driver-side grouping order. */
+  final case class FetchedBatch(batchId: Long, ids: Seq[String],
+                                payload: String, ok: Boolean, error: String)
+
+  /** Executor-side BATCHED fetch (S5 production half,
+    * `HFDatasetManager.py:564-715`): the reference fetches arXiv ids in
+    * groups of `batchSize` — ONE API call per group (`:607-620` passes the
+    * whole id_list to one search) — with inter-batch pacing (`:707-709`,
+    * sleep between batches, never after the last).
+    *
+    * Spark restatement: ids are grouped into ordered batches on the
+    * driver, batches distribute over executors (`mapPartitions`, one
+    * client per partition), each batch is one `urlForBatch(ids)` call with
+    * per-batch retry, and pacing runs between consecutive batches WITHIN a
+    * partition (the reference's global sequential pacing becomes
+    * per-executor — size `pacingMs` x parallelism to the API's budget). A
+    * failed batch becomes an `ok = false` row carrying its ids, never a
+    * job failure. `policy.sleep` injects the pacing clock, so tests replay
+    * the schedule without wall-clock waits. */
+  def fetchBatched(spark: SparkSession, ids: Seq[String],
+                   clientFactory: () => HttpClient,
+                   urlForBatch: Seq[String] => String,
+                   batchSize: Int = 200,
+                   pacingMs: Long = 6000,
+                   policy: RetryPolicy = RetryPolicy(),
+                   partitions: Int = 0): Dataset[FetchedBatch] = {
+    import spark.implicits._
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val batches = ids.grouped(batchSize).zipWithIndex
+      .map { case (g, i) => (i.toLong, g) }.toSeq
+    val n = math.max(1, if (partitions > 0) partitions
+      else math.min(batches.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(batches).repartition(n)
+      .mapPartitions { it =>
+        val client = clientFactory()
+        var first = true
+        it.map { case (batchId, group) =>
+          if (!first && pacingMs > 0) policy.sleep(pacingMs)
+          first = false
+          try FetchedBatch(batchId, group,
+            policy.retry(() => client.get(urlForBatch(group))),
+            ok = true, error = "")
+          catch {
+            case e: Exception =>
+              FetchedBatch(batchId, group, null, ok = false,
+                String.valueOf(e.getMessage))
+          }
+        }
+      }
+  }
+
   /** Executor-side FETCH: ids spread over `partitions` tasks, one client
     * per partition, per-record retry; errors become `ok = false` rows. */
   def fetch(spark: SparkSession, ids: Seq[String],

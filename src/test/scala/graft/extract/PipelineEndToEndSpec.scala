@@ -39,6 +39,31 @@ object StubApi {
   }
 }
 
+/** Stub transport for the BATCHED connector test: records every URL and
+  * every sleep; the "c,d" batch rate-limits once (retry path), any batch
+  * whose ids contain "f" always fails (failure-as-row path). */
+object StubBatchApi {
+  import graft.sources.LiveSource.{HttpClient, RateLimited}
+  import java.util.concurrent.ConcurrentLinkedQueue
+  import java.util.concurrent.atomic.AtomicInteger
+
+  val calls = new ConcurrentLinkedQueue[String]()
+  val sleeps = new ConcurrentLinkedQueue[Long]()
+  private val limited = new AtomicInteger(0)
+
+  def reset(): Unit = { calls.clear(); sleeps.clear(); limited.set(0) }
+
+  def client(): HttpClient = new HttpClient with Serializable {
+    def get(url: String): String = {
+      StubBatchApi.calls.add(url)
+      if (url.contains("ids=f")) throw new RuntimeException("boom")
+      if (url.contains("c,d") && StubBatchApi.limited.incrementAndGet() == 1)
+        throw RateLimited(retryAfterMs = None)
+      "payload:" + url
+    }
+  }
+}
+
 /** SURVEY §7.2 minimum end-to-end slice: fixture snapshot → P3 filter →
   * P1 + tags + Y1 + E8 → triples + metadata → A7 disambiguation → V1-V5
   * versioned MERGE → current-graph / distinct-count queries → re-load a
@@ -124,6 +149,59 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     assert(training.contains("curated corpus"))
   }
 
+  test("E8 dispatch: all three strategies, identical provenance wrapping") {
+    import graft.extract.SchemaPropertyExtractor.Strategy
+    val scorer = new TokenOverlapScorer
+    val inference = new QaEngine.EchoBackend
+    val models = snapshot(goodCard).filter(col("modelId") === "org/model-one")
+
+    val byStrategy = Seq(
+      Strategy.ContextMatching -> "DirectContextMatch_SectionContent",
+      Strategy.Grouped -> "GroupedQA",
+      Strategy.Individual -> "IndividualQA").map { case (st, expectMethod) =>
+      val out = SchemaPropertyExtractor
+        .extract(models, queries, scorer, st, inference).collect()
+      // identical wrapping: every strategy emits one row per property with
+      // the same shape and its own method tag
+      assert(out.map(_.property).toSet ==
+        Set("fair4ml:intendedUse", "fair4ml:trainingDetails"), s"$st: $out")
+      assert(out.forall(_.method == expectMethod), s"$st methods: ${out.toSeq}")
+      assert(out.forall(e => e.modelId == "org/model-one" && e.confidence >= 0.0))
+      st -> out.map(e => e.property -> e.value).toMap
+    }.toMap
+
+    // context matching returns the section content verbatim
+    assert(byStrategy(Strategy.ContextMatching)("fair4ml:intendedUse")
+      .contains("classifying short english text"))
+    // the QA strategies answer THROUGH the inference backend: the echo
+    // stub returns the best-overlapping context sentence per question
+    assert(byStrategy(Strategy.Grouped)("fair4ml:intendedUse")
+      .contains("classifying short english text"))
+    assert(byStrategy(Strategy.Individual)("fair4ml:trainingDetails")
+      .contains("curated corpus"))
+
+    // config-string dispatch mirrors the reference: unknown → individual
+    assert(Strategy.parse("grouped") == Strategy.Grouped)
+    assert(Strategy.parse("context_matching") == Strategy.ContextMatching)
+    assert(Strategy.parse("whatever") == Strategy.Individual)
+
+    // headerless card: the unstructured text still becomes the context
+    // (one untitled section) and every property gets a wrapped answer
+    val bare = Seq(("org/bare", "just one unstructured line about training data"))
+      .toDF("modelId", "card")
+    val bareOut = SchemaPropertyExtractor
+      .extract(bare, queries, scorer, Strategy.Individual, inference).collect()
+    assert(bareOut.length == 2 && bareOut.forall(_.method == "IndividualQA"))
+    assert(bareOut.exists(_.value.contains("unstructured line about training")))
+
+    // grouped strategy under a small maxPerGroup still covers every property
+    val many = (1 to 7).map(i => PropertyQuery(s"p:prop$i", s"property $i about training"))
+    val grouped = SchemaPropertyExtractor
+      .extract(models, many, scorer, Strategy.Grouped, inference, maxPerGroup = 3)
+      .collect()
+    assert(grouped.map(_.property).toSet == many.map(_.property).toSet)
+  }
+
   test("live-connector skeleton: driver list + mapPartitions fetch + backoff") {
     import graft.sources.LiveSource
     import graft.sources.LiveSource.RetryPolicy
@@ -176,6 +254,39 @@ class PipelineEndToEndSpec extends AnyFunSuite {
       withCards, vocabs, new TokenOverlapScorer, queries)
     assert(props.select("modelId").distinct().as[String].collect().toSeq ==
       Seq("org/model-one"))
+  }
+
+  test("batched fetch: one call per id group, pacing, retry, failures as rows") {
+    import graft.sources.LiveSource
+    import graft.sources.LiveSource.RetryPolicy
+
+    StubBatchApi.reset()
+    val policy = RetryPolicy(baseBackoffMs = 10,
+      sleep = ms => { StubBatchApi.sleeps.add(ms); () })
+    val out = LiveSource.fetchBatched(spark, Seq("a", "b", "c", "d", "e"),
+        () => StubBatchApi.client(), ids => s"stub://batch?ids=${ids.mkString(",")}",
+        batchSize = 2, pacingMs = 7, policy = policy, partitions = 1)
+      .collect().sortBy(_.batchId)
+
+    // driver-side grouping: 2 + 2 + 1 in input order
+    assert(out.map(_.ids.toSeq).toSeq == Seq(Seq("a", "b"), Seq("c", "d"), Seq("e")))
+    assert(out.forall(_.ok))
+    assert(out.head.payload == "payload:stub://batch?ids=a,b")
+    // ONE transport call per batch (plus exactly one 429 retry on c,d)
+    val calls = StubBatchApi.calls.toArray.map(_.toString)
+    assert(calls.length == 4 && calls.count(_.contains("c,d")) == 2)
+    // pacing BETWEEN batches in the partition (2 gaps of 7 ms), never
+    // before the first; plus the one 10 ms backoff sleep
+    assert(StubBatchApi.sleeps.toArray.map(_.asInstanceOf[Long]).sorted.toSeq ==
+      Seq(7L, 7L, 10L))
+
+    // a batch that keeps failing surfaces as a row carrying its ids
+    StubBatchApi.reset()
+    val dead = LiveSource.fetchBatched(spark, Seq("f1", "f2", "g"),
+        () => StubBatchApi.client(), ids => s"stub://batch?ids=${ids.mkString(",")}",
+        batchSize = 2, pacingMs = 0, policy = policy).collect().sortBy(_.batchId)
+    assert(!dead(0).ok && dead(0).error == "boom" && dead(0).ids == Seq("f1", "f2"))
+    assert(dead(1).ok && dead(1).ids == Seq("g"))
   }
 
   test("full slice into versioned store with deprecation on re-load") {
