@@ -44,13 +44,25 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       if (ok) dt else FailSentinel
     }
+    // 1-minute system load before/after the run: a contention-skewed
+    // timing (two judge reruns disagreed with committed numbers on a
+    // loaded builder box) is self-identifying in the artifact
+    def loadavg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+      catch { case _: Exception =>
+        java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+      }
+    val loadBefore = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
     }
+    val loadAfter = loadavg()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter}""")
     spark.stop()
   }
 }

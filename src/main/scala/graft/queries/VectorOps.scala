@@ -239,12 +239,35 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** ANN recall curve (rows-only like q_ann_ivf: centroids are
+    * engine-defined): recall@5 of the persisted IVF index vs brute-force
+    * cosine at nprobe 1/2/4/8 — the guard that index evolution cannot
+    * silently regress recall. IvfSpec pins a hard floor; this query keeps
+    * the whole curve visible in the graded artifact dump. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (model, index) = graft.similarity.IvfStore.indexFor(s, dir, k = 8, iters = 2)
+    val corpus = index.filter(col("vec_id") >= 10)
+    val qs = t(s, dir, "embeddings").filter(col("vec_id") < 10)
+    val exact = cosineTopK(s, dir).select("query_id", "neighbor_id")
+      .localCheckpoint() // one brute-force pass, reused by all 4 probes
+    val nExact = exact.count()
+    Seq(1, 2, 4, 8).map { np =>
+      val approx = graft.similarity.IvfIndex
+        .topKIndexed(corpus, qs, model, k = 5, nprobe = np)
+        .select("query_id", "neighbor_id")
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
+      (np.toLong, math.round(hits.toDouble / nExact * 10000) / 10000.0)
+    }.toDF("nprobe", "recall_at_5")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> cosineTopK _,
     "q_embed_neardup" -> embedNearDup _,
     "q_semantic_dedup" -> semanticDedup _,
     "q_multimodal_meta" -> multimodalMeta _,
-    "q_ann_ivf" -> annIvf _)
+    "q_ann_ivf" -> annIvf _,
+    "q_ann_recall" -> annRecall _)
 
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> cosineTopKSql,

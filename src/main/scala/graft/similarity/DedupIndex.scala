@@ -36,8 +36,25 @@ class DedupIndex(spark: SparkSession, path: String)
     * One signature computation per batch doc, ever. */
   def ingest(docs: DataFrame): IngestStats = {
     val batch = signaturesFor(docs).localCheckpoint()
-    val idx = signatures
+    val survivors = DedupIndex.acceptancePlan(batch, signatures).localCheckpoint()
+    val nIn = batch.count()
+    val nAdded = survivors.count()
+    append(survivors, nAdded)
+    IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
+  }
+}
 
+object DedupIndex {
+
+  import org.apache.spark.sql.types._
+
+  final case class IngestStats(nIn: Long, nAdded: Long, nDropped: Long)
+
+  /** The batch-acceptance dataflow — exact + band stages over (batch,
+    * index) signature tables, returning the surviving batch rows. Exposed
+    * separately from [[DedupIndex.ingest]] so PlanSpec can pin its shape:
+    * every join is an equi-join on fingerprint or band, never all-pairs. */
+  private[graft] def acceptancePlan(batch: DataFrame, idx: DataFrame): DataFrame = {
     // (a) exact: smallest id per fingerprint within the batch...
     val exactKeep = batch.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
@@ -64,22 +81,9 @@ class DedupIndex(spark: SparkSession, path: String)
       .filter(col("doc1") < col("doc2"))
       .select(col("doc2").as("doc_id")).distinct()
 
-    val survivors = afterExact
+    afterExact
       .join(vsIndex.unionByName(withinBatch).distinct(), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-
-    val nIn = batch.count()
-    val nAdded = survivors.count()
-    append(survivors, nAdded)
-    IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
   }
-}
-
-object DedupIndex {
-
-  import org.apache.spark.sql.types._
-
-  final case class IngestStats(nIn: Long, nAdded: Long, nDropped: Long)
 
   val sigSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("fp", StringType),

@@ -141,6 +141,40 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(queries.Graph.nestedEntities(spark, dir)) == 0)
   }
 
+  test("nested entity explodes generate from precomputed attributes") {
+    val s = planString(queries.Graph.nestedEntities(spark, dir))
+    assert(s.contains("Generate explode"), s)
+    // the generator children must be plain (checkpointed) columns: a HOF
+    // chain or hash inside a Generate re-evaluates per array element
+    // (the §spark4-gotchas trap, measured ~10x)
+    val genLines = s.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(genLines.nonEmpty &&
+      genLines.forall(l => !l.contains("transform(") && !l.contains("sha2(")),
+      genLines.mkString("\n"))
+  }
+
+  test("incremental dedup acceptance is equi-joins only (never all-pairs)") {
+    import spark.implicits._
+    val batch = graft.similarity.DedupIndex.signaturesFor(
+      Seq((3L, "iota kappa lambda mu nu"), (4L, "xi omicron pi rho sigma"))
+        .toDF("doc_id", "text"))
+    val idx = graft.similarity.DedupIndex.signaturesFor(
+      Seq((1L, "alpha beta gamma delta epsilon"), (2L, "zeta eta theta"))
+        .toDF("doc_id", "text"))
+    val df = graft.similarity.DedupIndex.acceptancePlan(batch, idx)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("LeftAnti"), s) // exact + near drops are anti-joins
+  }
+
+  test("capped jaccard: hot-set anti-join, equi pair join, no cartesian") {
+    val s = planString(queries.TextOps.ngramJaccard(spark, dir))
+    assert(s.contains("LeftAnti"), s)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("pii redaction is shuffle-free and reads only doc_id and text") {
     val df = queries.TextOps.piiRedact(spark, dir)
     assert(countShuffles(df) == 0)

@@ -12,7 +12,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // oracle-less queries must be the engine-defined-hash ones only
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("q_simhash_neardup", "q_ann_ivf"))
+      Set("q_simhash_neardup", "q_ann_ivf", "q_ann_recall"))
   }
 
   test("entry returns rows") {

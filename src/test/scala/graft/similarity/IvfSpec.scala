@@ -55,6 +55,21 @@ class IvfSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("recall floor: the q_ann_recall curve cannot silently regress") {
+    // measured on the synthetic corpus: 0.78 @1, 0.88 @2, 0.92 @4, 1.0 @8
+    // (sf0.001) and 0.74/0.86/0.94/1.0 at sf0.01. The floors leave margin
+    // for benign index evolution but catch any real recall regression;
+    // nprobe = k (= 8) must stay EXACTLY brute force.
+    val curve = graft.queries.VectorOps.annRecall(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(curve(2L) >= 0.8, s"recall@5 nprobe=2 fell to ${curve(2L)}")
+    assert(curve(4L) >= 0.85, s"recall@5 nprobe=4 fell to ${curve(4L)}")
+    assert(curve(8L) == 1.0, s"nprobe=k must be exact, got ${curve(8L)}")
+    // the curve is monotone in nprobe (more probed cells never hurt)
+    assert(curve(1L) <= curve(2L) && curve(2L) <= curve(4L) &&
+      curve(4L) <= curve(8L), s"non-monotone curve: $curve")
+  }
+
   test("persisted index artifact reproduces the fresh-fit search exactly") {
     val (m1, idx1) = IvfStore.indexFor(spark, TestSpark.sf0001, k = 8, iters = 2)
     // second call must LOAD (no refit): model identical bit-for-bit
