@@ -63,6 +63,11 @@ object EtlDemo {
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/etl_demo")
+    // the demo is re-runnable: the versioned store, dedup indexes and
+    // sinks under `out` are THIS run's artifacts — a second invocation
+    // must start from the same empty state (the lifecycle asserts below
+    // check first-run merge/drop counts)
+    graft.load.Scratch.rm(new java.io.File(out))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",

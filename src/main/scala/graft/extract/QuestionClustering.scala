@@ -26,10 +26,12 @@ object QuestionClustering {
     d
   }
 
-  /** Average-linkage agglomerative clustering into `nClusters`, then split
-    * oversized clusters into `maxPerGroup` chunks in stable index order. */
-  def cluster(questions: Seq[String], backend: ScoringBackend,
-              nClusters: Int, maxPerGroup: Int): Seq[Seq[String]] = {
+  /** Average-linkage agglomerative clustering into `nClusters` INDEX
+    * groups, then split oversized clusters into `maxPerGroup` chunks in
+    * stable index order. Index-based so duplicate question texts keep
+    * their identity (two properties can humanize to the same query). */
+  def clusterIndices(questions: Seq[String], backend: ScoringBackend,
+                     nClusters: Int, maxPerGroup: Int): Seq[Seq[Int]] = {
     if (questions.isEmpty) return Seq.empty
     val d = distances(questions, backend)
     var clusters: Vector[Vector[Int]] = questions.indices.map(Vector(_)).toVector
@@ -52,7 +54,14 @@ object QuestionClustering {
     }
     clusters
       .flatMap(_.grouped(maxPerGroup))
-      .map(_.map(questions))
-      .sortBy(g => questions.indexOf(g.head))
+      .map(_.toSeq)
+      .sortBy(_.head)
   }
+
+  /** Text view of [[clusterIndices]] (kept for callers that only need the
+    * grouped question strings). */
+  def cluster(questions: Seq[String], backend: ScoringBackend,
+              nClusters: Int, maxPerGroup: Int): Seq[Seq[String]] =
+    clusterIndices(questions, backend, nClusters, maxPerGroup)
+      .map(_.map(questions))
 }

@@ -147,12 +147,13 @@ object SchemaPropertyExtractor {
     val method = if (grouped) "GroupedQA" else "IndividualQA"
     val groups: Seq[Seq[PropertyQuery]] =
       if (!grouped) queries.map(Seq(_))
-      else {
-        val byText = queries.map(q => q.queryText -> q).toMap
-        QuestionClustering.cluster(queries.map(_.queryText), scorer,
+      else
+        // index-based grouping: two properties can humanize to the SAME
+        // query text (e.g. fair4ml:license / schema.org:license), and a
+        // text-keyed lookup would extract one twice and drop the other
+        QuestionClustering.clusterIndices(queries.map(_.queryText), scorer,
             nClusters = math.max(1, queries.size / maxPerGroup), maxPerGroup)
-          .map(_.map(byText))
-      }
+          .map(_.map(queries))
 
     models.select(col("modelId"), col("card")).as[(String, String)]
       .flatMap { case (id, rawCard) =>

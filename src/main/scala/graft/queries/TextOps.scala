@@ -226,25 +226,16 @@ object TextOps {
     * Output = the final surviving signature table. */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    // process-unique scratch: md5 of the corpus dir (collision-proof,
-    // unlike hashCode) + a UUID suffix so concurrent invocations (Verify
-    // and Bench overlapping) can never clear each other's index
-    // mid-ingest. The result is checkpointed off the scratch parquet so
-    // the directory can be removed before returning — no leak per run.
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_dedup_q_" + key + "_" +
-        java.util.UUID.randomUUID().toString.take(8))
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    // process-unique scratch (Scratch.withScratch): concurrent invocations
+    // (Verify and Bench overlapping) can never clear each other's index
+    // mid-ingest, and the dir is removed even when an ingest fails. The
+    // result is checkpointed off the scratch parquet before cleanup.
+    graft.load.Scratch.withScratch("graft_dedup_q", dir) { tmp =>
+      val idx = new graft.similarity.DedupIndex(s, tmp.getAbsolutePath)
+      idx.ingest(docs.filter(col("doc_id") < 250))
+      idx.ingest(docs.filter(col("doc_id") >= 250))
+      idx.signatures.select("doc_id", "fp").localCheckpoint()
     }
-    val idx = new graft.similarity.DedupIndex(s, tmp.getAbsolutePath)
-    idx.ingest(docs.filter(col("doc_id") < 250))
-    idx.ingest(docs.filter(col("doc_id") >= 250))
-    val out = idx.signatures.select("doc_id", "fp").localCheckpoint()
-    rm(tmp)
-    out
   }
 
   val incrementalDedupSql: String = {

@@ -138,32 +138,33 @@ object VectorOps {
     * surviving vec_ids with their arrival batch. */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    // process-unique scratch (same pattern as TextOps.incrementalDedup):
-    // concurrent harness runs can never clear each other's index
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_semdedup_q_" + key + "_" +
-        java.util.UUID.randomUUID().toString.take(8))
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    // process-unique scratch, removed even on failure (Scratch.withScratch);
+    // the candidate cap is pinned effectively-off for the graded run — the
+    // oracle replays UNCAPPED drop rules, so the Spark side must never
+    // truncate here regardless of what the production default becomes
+    graft.load.Scratch.withScratch("graft_semdedup_q", dir) { tmp =>
+      val idx = new graft.similarity.SemanticDedupIndex(
+        s, tmp.getAbsolutePath, threshold = 0.2,
+        sketch = graft.similarity.SemanticSketch(
+          maxCandidatesPerVector = Int.MaxValue))
+      idx.ingest(emb.filter(col("vec_id") < 250))
+      idx.ingest(emb.filter(col("vec_id") >= 250))
+      idx.vectors.select(col("vec_id"),
+        when(col("vec_id") < 250, 1L).otherwise(2L).as("arrival_batch"))
+        .localCheckpoint()
     }
-    val idx = new graft.similarity.SemanticDedupIndex(
-      s, tmp.getAbsolutePath, threshold = 0.2)
-    idx.ingest(emb.filter(col("vec_id") < 250))
-    idx.ingest(emb.filter(col("vec_id") >= 250))
-    val out = idx.vectors.select(col("vec_id"),
-      when(col("vec_id") < 250, 1L).otherwise(2L).as("arrival_batch"))
-      .localCheckpoint()
-    rm(tmp)
-    out
   }
 
   /** DuckDB replay of the semantic-dedup drop rules. The hyperplane
     * components are md5-derived (`SemanticSketch.component`), so the
     * bucket CTE reconstructs the exact Spark buckets; dot products use the
     * proven list_reduce left-fold form (bit-identical to Spark's
-    * aggregate/zip_with fold). */
+    * aggregate/zip_with fold). Two invariants this SQL depends on:
+    * (1) the Spark side runs with maxCandidatesPerVector = MaxValue (the
+    * oracle scores ALL bucket-collision pairs — a triggered cap would
+    * legitimately diverge); (2) the sketch dim (64) equals the embedding
+    * dim — the oracle derives hyperplanes over len(v), the Spark side over
+    * sketch.dim, and ingest() rejects wider vectors loudly. */
   val semanticDedupSql: String = {
     val cosine =
       """list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * c.v[i]), (x, y) -> x + y)

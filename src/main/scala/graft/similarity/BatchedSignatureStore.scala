@@ -21,9 +21,7 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
 
   protected def batches: Seq[Int] = graft.load.CommittedDirs.list(fs, "b=")
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
-  }
+  private def rmTree(f: java.io.File): Unit = graft.load.Scratch.rm(f)
 
   /** All `b=N` dirs (committed or torn) with id < `next`. */
   private def dirsBelow(next: Int): Seq[java.io.File] =

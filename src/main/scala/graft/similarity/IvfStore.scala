@@ -90,9 +90,7 @@ object IvfStore {
         .write.mode("overwrite")
         .parquet(new File(staging, "index.parquet").getAbsolutePath)
       saveModel(model, new File(staging, "centroids.txt"))
-      def rm(f: File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
+      def rm(f: File): Unit = graft.load.Scratch.rm(f)
       // atomic publish. A rename blocked by a COMPLETE destination means a
       // concurrent winner published an equivalent artifact — discard ours.
       // A rename blocked by an INCOMPLETE destination (torn leftover from

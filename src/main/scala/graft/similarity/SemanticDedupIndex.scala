@@ -83,6 +83,16 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
   /** Ingest one batch of (vec_id, embedding: array<float|double>). */
   def ingest(emb: DataFrame): DedupIndex.IngestStats = {
     val batch = withSketch(emb, sketch).localCheckpoint()
+    // loud dim guard: a vector WIDER than the sketch would silently lose
+    // its tail dimensions from every projection (the sketch pads the
+    // short side with zeros, so narrower vectors are fine)
+    // (functions.size is shadowed by the store's size() member here)
+    val widest = batch.agg(max(
+      org.apache.spark.sql.functions.size(col("v")))).head()
+    if (!widest.isNullAt(0) && widest.getInt(0) > sketch.dim)
+      throw new IllegalArgumentException(
+        s"embedding dim ${widest.getInt(0)} exceeds sketch dim ${sketch.dim}" +
+          " — configure SemanticSketch(dim = ...) to the corpus dimension")
     val idx = vectors
 
     // exact stage first (bit-identical vectors, keyed on the content
@@ -94,13 +104,14 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     val afterExact = batch.join(exactKeep, "vec_id")
       .dropDuplicates("vhash") // fully identical rows (same id too) collapse
       .join(idx.select("vhash"), Seq("vhash"), "left_anti")
-      .localCheckpoint() // consumed 3x: probe bands, acceptor bands, anti-join
+      .localCheckpoint() // consumed 4x: bands, two cosine joins, anti-join
 
-    // one (band, bucket) row per band per vector — OR-amplification is
-    // the union of per-band collisions, deduped at the pair level below
+    // one ID-ONLY (band, bucket) row per band per vector: the candidate
+    // blowup (pre-cap, potentially quadratic in a dense bucket) shuffles
+    // bare id pairs — the ~KB vector payloads join in only for the <= cap
+    // survivors below. OR-amplification = union of per-band collisions.
     def bands(df: DataFrame, suffix: String) =
-      df.select(col("vec_id").as(s"vec$suffix"), col("v").as(s"v$suffix"),
-          col("nrm").as(s"n$suffix"), posexplode(col("buckets")))
+      df.select(col("vec_id").as(s"vec$suffix"), posexplode(col("buckets")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
     // acceptors: every accepted index vector, plus post-exact batch
@@ -110,7 +121,7 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     val candidates = bands(afterExact, "1")
       .join(acceptors, Seq("band", "bucket"))
       .filter(col("from_index") || col("vec2") < col("vec1"))
-      .dropDuplicates("vec1", "vec2")
+      .dropDuplicates("vec1", "vec2", "from_index")
 
     // per-probe candidate cap: a dense semantic cluster (one bucket with
     // k accepted vectors) would otherwise cost every new probe k cosines.
@@ -118,8 +129,8 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     // metric — truncation trades bounded work for possible missed drops.
     val cap = sketch.maxCandidatesPerVector
     val ranked = candidates
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("vec1").orderBy("vec2")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec1").orderBy(col("vec2"), col("from_index"))))
       .localCheckpoint()
     val capStats = ranked.agg(
       count(lit(1)).as("n"),
@@ -131,9 +142,20 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
         s"truncated $lastTruncated of $lastCandidates candidate pairs at " +
         s"$path — possible missed near-dups in a dense cluster")
 
-    val dropped = ranked.filter(col("rn") <= cap)
+    // cosine scoring on the capped pairs only: probe vectors from the
+    // batch, acceptor vectors from the side the pair came from
+    def sides(df: DataFrame, suffix: String) =
+      df.select(col("vec_id").as(s"vec$suffix"), col("v").as(s"v$suffix"),
+        col("nrm").as(s"n$suffix"))
+    val capped = ranked.filter(col("rn") <= cap)
+    def drops(pairs: DataFrame, acceptorVecs: DataFrame) = pairs
+      .join(sides(afterExact, "1"), "vec1")
+      .join(acceptorVecs, "vec2")
       .filter(cosine >= threshold)
-      .select(col("vec1").as("vec_id")).distinct()
+      .select(col("vec1").as("vec_id"))
+    val dropped = drops(capped.filter(col("from_index")), sides(idx, "2"))
+      .unionByName(drops(capped.filter(!col("from_index")), sides(afterExact, "2")))
+      .distinct()
     val survivors = afterExact
       .join(dropped, Seq("vec_id"), "left_anti")
       .localCheckpoint()

@@ -111,6 +111,9 @@ object LiveSource {
             policy.retry(() => client.get(urlForBatch(group))),
             ok = true, error = "")
           catch {
+            // a task kill interrupting a backoff/pacing sleep must abort
+            // the task, not be misrecorded as a fetch-failure row
+            case e: InterruptedException => throw e
             case e: Exception =>
               FetchedBatch(batchId, group, null, ok = false,
                 String.valueOf(e.getMessage))
@@ -135,6 +138,8 @@ object LiveSource {
           try Fetched(id, policy.retry(() => client.get(urlFor(id))),
             ok = true, error = "")
           catch {
+            // see fetchBatched: interrupts abort the task, not become rows
+            case e: InterruptedException => throw e
             case e: Exception =>
               Fetched(id, null, ok = false, String.valueOf(e.getMessage))
           }

@@ -200,6 +200,18 @@ class PipelineEndToEndSpec extends AnyFunSuite {
       .extract(models, many, scorer, Strategy.Grouped, inference, maxPerGroup = 3)
       .collect()
     assert(grouped.map(_.property).toSet == many.map(_.property).toSet)
+
+    // duplicate queryText: fair4ml:license and schema.org:license both
+    // humanize to "License. <same description>" — index-based grouping
+    // must keep BOTH properties (a text-keyed lookup extracted one twice)
+    val dupText = Seq(
+      PropertyQuery("fair4ml:license", "license of the model"),
+      PropertyQuery("schema.org:license", "license of the model"))
+    assert(dupText.map(_.queryText).distinct.size == 1, "precondition")
+    val dupOut = SchemaPropertyExtractor
+      .extract(models, dupText, scorer, Strategy.Grouped, inference).collect()
+    assert(dupOut.map(_.property).sorted.toSeq ==
+      Seq("fair4ml:license", "schema.org:license"), dupOut.toSeq)
   }
 
   test("live-connector skeleton: driver list + mapPartitions fetch + backoff") {
