@@ -250,14 +250,24 @@ object VectorOps {
     val (model, index) = graft.similarity.IvfStore.indexFor(s, dir, k = 8, iters = 2)
     val corpus = index.filter(col("vec_id") >= 10)
     val qs = t(s, dir, "embeddings").filter(col("vec_id") < 10)
-    val exact = cosineTopK(s, dir).select("query_id", "neighbor_id")
-      .localCheckpoint() // one brute-force pass, reused by all 4 probes
+    // ONE corpus join scores every (query, neighbor) pair with its probe
+    // rank (nprobe = k lists all cells); the whole curve then reads off
+    // the checkpointed base — a row is visible at nprobe n iff
+    // cell_rank < n, and nprobe = k IS brute force (IvfSpec-pinned)
+    val qcells = graft.similarity.IvfIndex.probedCells(qs, model, nprobe = 8)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val base = corpus.join(broadcast(qcells), "cell")
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .select(col("query_id"), col("vec_id"), col("cell_rank"), col("cos"))
+      .localCheckpoint()
+    val exact = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("query_id", "vec_id").localCheckpoint()
     val nExact = exact.count()
     Seq(1, 2, 4, 8).map { np =>
-      val approx = graft.similarity.IvfIndex
-        .topKIndexed(corpus, qs, model, k = 5, nprobe = np)
-        .select("query_id", "neighbor_id")
-      val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
+      val hits = base.filter(col("cell_rank") < np)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .join(exact, Seq("query_id", "vec_id")).count()
       (np.toLong, math.round(hits.toDouble / nExact * 10000) / 10000.0)
     }.toDF("nprobe", "recall_at_5")
   }

@@ -128,28 +128,36 @@ object IvfIndex {
            k: Int, nprobe: Int): DataFrame =
     topKIndexed(withNorm(assign(corpus, model)), queries, model, k, nprobe)
 
-  /** Search over a prebuilt index table (vec_id, v, cell, nrm) — the
-    * corpus pays no per-query work beyond the probed-cell join. */
-  def topKIndexed(index: DataFrame, queries: DataFrame, model: Model,
-                  k: Int, nprobe: Int): DataFrame = {
-    val spark = index.sparkSession
+  /** Per-query probed-cell ranking: one row per (query, probed cell) with
+    * the probe order (`cell_rank` 0 = nearest centroid) plus the query
+    * vector and norm. With nprobe = k every cell is listed — useful for
+    * computing a whole recall curve from ONE corpus join (a row visible
+    * at nprobe n is exactly one with cell_rank < n). */
+  def probedCells(queries: DataFrame, model: Model, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
     val bc = spark.sparkContext.broadcast(model.centroids)
     val probeUdf = udf { (v: Seq[Double]) =>
       bc.value.indices
         .map(c => (sqdist(v, bc.value(c)), c)).sorted.take(nprobe).map(_._2)
     }
-    val assignedCorpus = index
-    val q = queries
+    queries
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qv"))
       .withColumn("cells", probeUdf(col("qv")))
       .withColumn("qn", sqrt(aggregate(transform(col("qv"), x => x * x),
         lit(0.0), (a, x) => a + x)))
       .select(col("query_id"), col("qv"), col("qn"),
-        explode(col("cells")).as("cell"))
+        posexplode(col("cells")).as(Seq("cell_rank", "cell")))
+  }
+
+  /** Search over a prebuilt index table (vec_id, v, cell, nrm) — the
+    * corpus pays no per-query work beyond the probed-cell join. */
+  def topKIndexed(index: DataFrame, queries: DataFrame, model: Model,
+                  k: Int, nprobe: Int): DataFrame = {
+    val q = probedCells(queries, model, nprobe).drop("cell_rank")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
-    assignedCorpus.join(broadcast(q), "cell")
+    index.join(broadcast(q), "cell")
       .withColumn("dot", aggregate(zip_with(col("qv"), col("v"),
         (x, y) => x * y), lit(0.0), (a, x) => a + x))
       .withColumn("cos", col("dot") / (col("qn") * col("nrm")))

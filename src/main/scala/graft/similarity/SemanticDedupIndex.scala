@@ -73,25 +73,27 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
 
   def vectors: DataFrame = table
 
-  /** Candidate-pair count of the latest [[ingest]] (pre-cap), and how many
-    * of those the per-vector cap truncated. A nonzero truncation count
-    * means recall loss on some dense cluster — it is logged loudly and
-    * surfaced here so callers can alert on it. */
+  /** Candidate-pair count of the latest [[ingest]] (pre-cap; -1 when the
+    * cap is pinned off and the counting pass is skipped), and how many of
+    * those the per-vector cap truncated. A nonzero truncation count means
+    * recall loss on some dense cluster — it is logged loudly and surfaced
+    * here so callers can alert on it. */
   @volatile var lastCandidates: Long = 0L
   @volatile var lastTruncated: Long = 0L
 
   /** Ingest one batch of (vec_id, embedding: array<float|double>). */
   def ingest(emb: DataFrame): DedupIndex.IngestStats = {
     val batch = withSketch(emb, sketch).localCheckpoint()
-    // loud dim guard: a vector WIDER than the sketch would silently lose
-    // its tail dimensions from every projection (the sketch pads the
-    // short side with zeros, so narrower vectors are fine)
-    // (functions.size is shadowed by the store's size() member here)
-    val widest = batch.agg(max(
-      org.apache.spark.sql.functions.size(col("v")))).head()
-    if (!widest.isNullAt(0) && widest.getInt(0) > sketch.dim)
+    // one stats job: batch size + loud dim guard — a vector WIDER than
+    // the sketch would silently lose its tail dimensions from every
+    // projection (the sketch pads the short side with zeros, so narrower
+    // vectors are fine). functions.size is shadowed by the store member.
+    val batchStats = batch.agg(count(lit(1)),
+      max(org.apache.spark.sql.functions.size(col("v")))).head()
+    val nIn = batchStats.getLong(0)
+    if (!batchStats.isNullAt(1) && batchStats.getInt(1) > sketch.dim)
       throw new IllegalArgumentException(
-        s"embedding dim ${widest.getInt(0)} exceeds sketch dim ${sketch.dim}" +
+        s"embedding dim ${batchStats.getInt(1)} exceeds sketch dim ${sketch.dim}" +
           " — configure SemanticSketch(dim = ...) to the corpus dimension")
     val idx = vectors
 
@@ -127,27 +129,33 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     // k accepted vectors) would otherwise cost every new probe k cosines.
     // Deterministic truncation order (neighbor id); the count is the loud
     // metric — truncation trades bounded work for possible missed drops.
+    // With the cap pinned off (MaxValue) the ranking window, its shuffle
+    // and the stats job are pure overhead and are skipped entirely.
     val cap = sketch.maxCandidatesPerVector
-    val ranked = candidates
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec1").orderBy(col("vec2"), col("from_index"))))
-      .localCheckpoint()
-    val capStats = ranked.agg(
-      count(lit(1)).as("n"),
-      sum(when(col("rn") > cap, 1L).otherwise(0L)).as("trunc")).head()
-    lastCandidates = capStats.getLong(0)
-    lastTruncated = if (capStats.isNullAt(1)) 0L else capStats.getLong(1)
-    if (lastTruncated > 0)
-      System.err.println(s"[semantic-dedup] per-vector candidate cap $cap " +
-        s"truncated $lastTruncated of $lastCandidates candidate pairs at " +
-        s"$path — possible missed near-dups in a dense cluster")
+    val capped =
+      if (cap == Int.MaxValue) { lastCandidates = -1L; lastTruncated = 0L; candidates }
+      else {
+        val ranked = candidates
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec1").orderBy(col("vec2"), col("from_index"))))
+          .localCheckpoint()
+        val capStats = ranked.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("rn") > cap, 1L).otherwise(0L)).as("trunc")).head()
+        lastCandidates = capStats.getLong(0)
+        lastTruncated = if (capStats.isNullAt(1)) 0L else capStats.getLong(1)
+        if (lastTruncated > 0)
+          System.err.println(s"[semantic-dedup] per-vector candidate cap $cap " +
+            s"truncated $lastTruncated of $lastCandidates candidate pairs at " +
+            s"$path — possible missed near-dups in a dense cluster")
+        ranked.filter(col("rn") <= cap)
+      }
 
     // cosine scoring on the capped pairs only: probe vectors from the
     // batch, acceptor vectors from the side the pair came from
     def sides(df: DataFrame, suffix: String) =
       df.select(col("vec_id").as(s"vec$suffix"), col("v").as(s"v$suffix"),
         col("nrm").as(s"n$suffix"))
-    val capped = ranked.filter(col("rn") <= cap)
     def drops(pairs: DataFrame, acceptorVecs: DataFrame) = pairs
       .join(sides(afterExact, "1"), "vec1")
       .join(acceptorVecs, "vec2")
@@ -160,7 +168,6 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
       .join(dropped, Seq("vec_id"), "left_anti")
       .localCheckpoint()
 
-    val nIn = batch.count()
     val nAdded = survivors.count()
     append(survivors, nAdded)
     DedupIndex.IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
