@@ -52,4 +52,24 @@ object StreamingCorpus {
           .ingest(batch.toDF())
         ()
       }
+
+  /** The semantic twin of [[dedupIntake]]: arriving embedding micro-batches
+    * ingest into the persisted
+    * [[graft.similarity.SemanticDedupIndex]] — near-duplicate vectors
+    * (cosine over the configured threshold against anything already
+    * accepted) drop batch-over-batch, with the standing vector table as
+    * the only state. */
+  def semanticIntake(emb: DataFrame, indexPath: String,
+                     threshold: Double = 0.95,
+                     sketch: graft.similarity.SemanticSketch =
+                       graft.similarity.SemanticSketch())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    emb.select(col("vec_id"), col("embedding"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        new graft.similarity.SemanticDedupIndex(
+          batch.sparkSession, indexPath, threshold, sketch)
+          .ingest(batch.toDF())
+        ()
+      }
 }

@@ -60,4 +60,36 @@ class StreamingCorpusSpec extends AnyFunSuite {
       .selectExpr("doc_id", "text"))
     assert(idx.size == once.size, s"stream=${idx.size} once=${once.size}")
   }
+
+  test("streaming semantic intake drops replayed vectors batch-over-batch") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("sem_stream")
+    val idxPath = Files.createTempDirectory("sem_stream_idx").toString
+    // the same embeddings file twice in separate micro-batches: batch 2 is
+    // an exact replay and must add NOTHING to the standing index
+    Files.copy(Paths.get(s"${TestSpark.sf0001}/embeddings.parquet"),
+      dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"${TestSpark.sf0001}/embeddings.parquet"),
+      dir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = StreamingCorpus.semanticIntake(stream, idxPath, threshold = 0.2)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val idx = new graft.similarity.SemanticDedupIndex(spark, idxPath,
+      threshold = 0.2)
+    val oncePath = Files.createTempDirectory("sem_stream_once").toString
+    val once = new graft.similarity.SemanticDedupIndex(spark, oncePath,
+      threshold = 0.2)
+    once.ingest(Tables(spark, TestSpark.sf0001, "embeddings")
+      .selectExpr("vec_id", "embedding"))
+    assert(idx.size == once.size, s"stream=${idx.size} once=${once.size}")
+    assert(idx.size > 0)
+  }
 }
