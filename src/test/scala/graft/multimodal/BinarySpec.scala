@@ -66,6 +66,32 @@ class BinarySpec extends AnyFunSuite {
     assert(sizes.sum == rowWise.size)
   }
 
+  test("decoded media features flow into the semantic dedup index") {
+    // the full multimodal dedup path: opaque payloads → partition-batched
+    // feature extraction → incremental semantic index. Duplicate media
+    // (identical bytes → identical features) drop against the index; the
+    // near-dup payload (same byte HISTOGRAM under the stub decoder after
+    // a shuffle of byte order) drops semantically at cosine 1.
+    val bytes = Array.range(0, 64).map(_.toByte)
+    val media = Seq(
+      MediaRow(1L, bytes, "image/png"),
+      MediaRow(2L, bytes.clone(), "image/png"),          // exact dup
+      MediaRow(3L, bytes.reverse, "image/png"),          // same histogram
+      MediaRow(4L, Array.fill(64)(7.toByte), "image/png")) // different
+      .toDS()
+    val features = BinaryPipeline.extract(media, new StubDecoder(16))
+      .filter(_.ok)
+      .select(col("id").as("vec_id"),
+        col("features").cast("array<double>").as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("mm_sem").toString
+    val idx = new graft.similarity.SemanticDedupIndex(spark, dir,
+      threshold = 0.999,
+      sketch = graft.similarity.SemanticSketch(dim = 16))
+    val stats = idx.ingest(features)
+    assert(stats.nIn == 4 && stats.nAdded == 2, stats)
+    assert(idx.vectors.select("vec_id").as[Long].collect().toSet == Set(1L, 4L))
+  }
+
   test("payload shorter than one frame emits zero frames") {
     // regression: sequence(0, n_frames-1) with n_frames = 0 is a DESCENDING
     // [0, -1] in Spark — it used to emit two bogus frames
