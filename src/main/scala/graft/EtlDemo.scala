@@ -66,8 +66,21 @@ object EtlDemo {
     // the demo is re-runnable: the versioned store, dedup indexes and
     // sinks under `out` are THIS run's artifacts — a second invocation
     // must start from the same empty state (the lifecycle asserts below
-    // check first-run merge/drop counts)
-    graft.load.Scratch.rm(new java.io.File(out))
+    // check first-run merge/drop counts). Deleting is GUARDED by the
+    // marker a previous run left: a mistyped path to a real directory
+    // must abort, never be silently recursively removed.
+    val outDir = new java.io.File(out)
+    val marker = new java.io.File(outDir, ".graft_etl_demo")
+    if (outDir.exists()) {
+      val empty = Option(outDir.listFiles()).forall(_.isEmpty)
+      require(empty || marker.exists(),
+        s"refusing to clear '$out': it exists, is non-empty and was not " +
+          "written by a previous EtlDemo run (no .graft_etl_demo marker). " +
+          "Pass an empty or fresh directory.")
+      graft.load.Scratch.rm(outDir)
+    }
+    outDir.mkdirs()
+    java.nio.file.Files.writeString(marker.toPath, "etl demo artifacts\n")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",

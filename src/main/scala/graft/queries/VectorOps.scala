@@ -251,20 +251,25 @@ object VectorOps {
     val corpus = index.filter(col("vec_id") >= 10)
     val qs = t(s, dir, "embeddings").filter(col("vec_id") < 10)
     // ONE corpus join scores every (query, neighbor) pair with its probe
-    // rank (nprobe = k lists all cells); the whole curve then reads off
-    // the checkpointed base — a row is visible at nprobe n iff
-    // cell_rank < n, and nprobe = k IS brute force (IvfSpec-pinned)
-    val qcells = graft.similarity.IvfIndex.probedCells(qs, model, nprobe = 8)
+    // rank (nprobe = k lists all cells); the approx side of the whole
+    // curve then reads off the checkpointed base — a row is visible at
+    // nprobe n iff cell_rank < n. The EXACT baseline deliberately does
+    // NOT come from the index: it is the brute-force pass over the raw
+    // embeddings table, so a stale/truncated index artifact degrades the
+    // curve instead of degrading the baseline in lockstep with it.
+    val qcells = graft.similarity.IvfIndex.probedCells(qs, model,
+      nprobe = model.k)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
     val base = corpus.join(broadcast(qcells), "cell")
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .select(col("query_id"), col("vec_id"), col("cell_rank"), col("cos"))
       .localCheckpoint()
-    val exact = base.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5).select("query_id", "vec_id").localCheckpoint()
+    val exact = cosineTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+      .localCheckpoint()
     val nExact = exact.count()
-    Seq(1, 2, 4, 8).map { np =>
+    (Seq(1, 2, 4) :+ model.k).distinct.map { np =>
       val hits = base.filter(col("cell_rank") < np)
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
         .join(exact, Seq("query_id", "vec_id")).count()

@@ -68,15 +68,17 @@ class BinarySpec extends AnyFunSuite {
 
   test("decoded media features flow into the semantic dedup index") {
     // the full multimodal dedup path: opaque payloads → partition-batched
-    // feature extraction → incremental semantic index. Duplicate media
-    // (identical bytes → identical features) drop against the index; the
-    // near-dup payload (same byte HISTOGRAM under the stub decoder after
-    // a shuffle of byte order) drops semantically at cosine 1.
+    // feature extraction → incremental semantic index. id 2 is a
+    // bit-identical payload (identical features → EXACT vhash drop); id 3
+    // differs in one byte, so its histogram is near-but-not-identical —
+    // it must drop through the SEMANTIC path (band collision + cosine),
+    // which a histogram-equal payload would never exercise.
     val bytes = Array.range(0, 64).map(_.toByte)
+    val nearDup = bytes.clone(); nearDup(0) = 1.toByte
     val media = Seq(
       MediaRow(1L, bytes, "image/png"),
       MediaRow(2L, bytes.clone(), "image/png"),          // exact dup
-      MediaRow(3L, bytes.reverse, "image/png"),          // same histogram
+      MediaRow(3L, nearDup, "image/png"),                // near dup
       MediaRow(4L, Array.fill(64)(7.toByte), "image/png")) // different
       .toDS()
     val features = BinaryPipeline.extract(media, new StubDecoder(16))
@@ -85,11 +87,16 @@ class BinarySpec extends AnyFunSuite {
         col("features").cast("array<double>").as("embedding"))
     val dir = java.nio.file.Files.createTempDirectory("mm_sem").toString
     val idx = new graft.similarity.SemanticDedupIndex(spark, dir,
-      threshold = 0.999,
+      threshold = 0.9,
       sketch = graft.similarity.SemanticSketch(dim = 16))
     val stats = idx.ingest(features)
     assert(stats.nIn == 4 && stats.nAdded == 2, stats)
     assert(idx.vectors.select("vec_id").as[Long].collect().toSet == Set(1L, 4L))
+    // precondition of the semantic claim: 3's features are NOT identical
+    // to 1's (an equal histogram would have collapsed in the exact stage)
+    val f = BinaryPipeline.extract(media, new StubDecoder(16))
+      .collect().map(x => x.id -> x.features.toSeq).toMap
+    assert(f(1L) != f(3L) && f(1L) == f(2L))
   }
 
   test("payload shorter than one frame emits zero frames") {
