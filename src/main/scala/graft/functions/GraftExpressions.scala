@@ -56,6 +56,74 @@ object Evaluators {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Deterministic ±1 hyperplane component for (band, bit, dim): the low
+    * bit of the first 4 md5 bytes of "seed|band|bit|dim" — reproducible
+    * by any engine as `('0x' || substr(md5(s), 1, 8))::UBIGINT % 2`.
+    * Shared by the sketch config (oracle parity) and the native
+    * expression below. */
+  def hyperplaneSign(seed: String, b: Int, j: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed|$b|$j|$d".getBytes("UTF-8"))
+    val first8hex = java.lang.Long.parseLong(
+      md.take(4).map("%02x".format(_)).mkString, 16)
+    if (first8hex % 2 == 1) 1.0 else -1.0
+  }
+
+  /** Flattened (nBands * bitsPerBand * dim) sign table, row-major by
+    * (band, bit). */
+  def hyperplaneSigns(seed: String, nBands: Int, bits: Int, dim: Int): Array[Double] = {
+    val out = new Array[Double](nBands * bits * dim)
+    var b = 0
+    while (b < nBands) {
+      var j = 0
+      while (j < bits) {
+        var d = 0
+        while (d < dim) {
+          out((b * bits + j) * dim + d) = hyperplaneSign(seed, b, j, d)
+          d += 1
+        }
+        j += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** All band buckets of the multi-band random-hyperplane sketch in ONE
+    * pass over the vector — the native replacement for nBands*bitsPerBand
+    * interpreted `aggregate(zip_with(...))` folds (HOFs are
+    * CodegenFallback in Spark 4). IEEE parity with the column form:
+    * products accumulate in dimension order with null / out-of-range
+    * elements contributing exactly 0 (the column form's coalesce(x*h, 0)
+    * adds literal 0.0, which never changes the running sum's magnitude),
+    * so the sign of every projection — all that reaches the bucket — is
+    * identical bit-for-bit. */
+  def hyperplaneBuckets(v: ArrayData, signs: Array[Double],
+                        nBands: Int, bits: Int, dim: Int): ArrayData = {
+    val out = new Array[Any](nBands)
+    val n = v.numElements()
+    val lim = math.min(dim, n)
+    var b = 0
+    while (b < nBands) {
+      var bucket = 0
+      var j = 0
+      while (j < bits) {
+        val base = (b * bits + j) * dim
+        var proj = 0.0
+        var d = 0
+        while (d < lim) {
+          if (!v.isNullAt(d)) proj += v.getDouble(d) * signs(base + d)
+          d += 1
+        }
+        if (proj > 0) bucket |= (1 << j)
+        j += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Distinct word n-gram shingles in one pass — the native replacement
     * for the `split + transform + array_distinct` HOF chain (HOFs are
     * CodegenFallback in Spark 4). Semantics replicate the column form
@@ -159,6 +227,50 @@ object WordNgramsExpr {
   }
 }
 
+/** `hyperplane_buckets(array<double>) -> array<int>`: every band bucket
+  * of the multi-band hyperplane sketch, one codegen'd pass per vector.
+  * The ±1 sign table is precomputed at plan time and shipped as a codegen
+  * reference object — no per-row md5. */
+case class HyperplaneBucketsExpr(child: Expression, nBands: Int,
+                                 bitsPerBand: Int, dim: Int, seed: String)
+    extends UnaryExpression {
+  require(nBands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 30 && dim >= 1,
+    s"hyperplane_buckets: bad config ($nBands, $bitsPerBand, $dim)")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val signs: Array[Double] =
+    Evaluators.hyperplaneSigns(seed, nBands, bitsPerBand, dim)
+
+  override protected def nullSafeEval(v: Any): Any =
+    Evaluators.hyperplaneBuckets(v.asInstanceOf[ArrayData], signs,
+      nBands, bitsPerBand, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("hpSigns", signs, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Evaluators.hyperplaneBuckets($c, $signsRef, " +
+        s"$nBands, $bitsPerBand, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucketsExpr =
+    copy(child = c)
+}
+
+object HyperplaneBucketsExpr {
+  /** SQL-path arg check: (vec, nBands, bitsPerBand, dim, seed), the four
+    * config args constant. */
+  def build(exprs: Seq[Expression]): HyperplaneBucketsExpr = {
+    if (exprs.length != 5)
+      throw new IllegalArgumentException("hyperplane_buckets(vec, nBands, " +
+        s"bitsPerBand, dim, seed) takes 5 arguments, got ${exprs.length}")
+    val seed = (if (exprs(4).foldable) exprs(4).eval() else null) match {
+      case s: UTF8String => s.toString
+      case _ => throw new IllegalArgumentException(
+        "hyperplane_buckets: seed must be a constant string")
+    }
+    HyperplaneBucketsExpr(exprs.head, WordNgramsExpr.literalN(exprs(1)),
+      WordNgramsExpr.literalN(exprs(2)), WordNgramsExpr.literalN(exprs(3)), seed)
+  }
+}
+
 object GraftFunctions {
   /** Column-API wrappers. */
   def n3_escape(c: Column): Column =
@@ -167,6 +279,10 @@ object GraftFunctions {
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c)))
   def word_ngrams(c: Column, n: Int): Column =
     ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(c), n))
+  def hyperplane_buckets(c: Column, nBands: Int, bitsPerBand: Int,
+                         dim: Int, seed: String): Column =
+    ColumnBridge.column(HyperplaneBucketsExpr(ColumnBridge.expression(c),
+      nBands, bitsPerBand, dim, seed))
 
   /** Register for SQL use on an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -176,6 +292,9 @@ object GraftFunctions {
       "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", exprs => WordNgramsExpr.build(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_buckets", exprs => HyperplaneBucketsExpr.build(exprs),
+      "scala_udf")
   }
 }
 
@@ -199,5 +318,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WordNgramsExpr].getName, "word_ngrams"),
       (exprs: Seq[Expression]) => WordNgramsExpr.build(exprs)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_buckets"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HyperplaneBucketsExpr].getName, "hyperplane_buckets"),
+      (exprs: Seq[Expression]) => HyperplaneBucketsExpr.build(exprs)))
   }
 }

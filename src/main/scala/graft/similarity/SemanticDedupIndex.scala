@@ -36,14 +36,10 @@ final case class SemanticSketch(
 
   /** Deterministic ±1 hyperplane component for (band, bit, dim): the low
     * bit of the first 4 md5 bytes of "seed|band|bit|dim" — in SQL,
-    * `('0x' || substr(md5(s), 1, 8))::UBIGINT % 2`. */
-  def component(b: Int, j: Int, d: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$seed|$b|$j|$d".getBytes("UTF-8"))
-    val first8hex = java.lang.Long.parseLong(
-      md.take(4).map("%02x".format(_)).mkString, 16)
-    if (first8hex % 2 == 1) 1.0 else -1.0
-  }
+    * `('0x' || substr(md5(s), 1, 8))::UBIGINT % 2`. One definition,
+    * shared with the native expression. */
+  def component(b: Int, j: Int, d: Int): Double =
+    graft.functions.Evaluators.hyperplaneSign(seed, b, j, d)
 
   def hyperplane(b: Int, j: Int): Array[Double] =
     Array.tabulate(dim)(d => component(b, j, d))
@@ -196,12 +192,23 @@ object SemanticDedupIndex {
   private val cosine: Column =
     dot(col("v1"), col("v2")) / nullif(col("n1") * col("n2"), lit(0.0))
 
-  def withSketch(emb: DataFrame, sk: SemanticSketch): DataFrame = {
-    // projection of v onto hyperplane (b, j): a zip_with/aggregate left
-    // fold, bit-reproducible by DuckDB's list_reduce form. zip_with pads
-    // the SHORTER side with nulls, so coalesce→0 makes malformed short
-    // (or over-long) embeddings contribute zero instead of nulling the
-    // whole projection (and is ANSI-safe — no throw, no NULL bucket).
+  def withSketch(emb: DataFrame, sk: SemanticSketch): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      // all band buckets in ONE codegen'd pass (the column-HOF form below
+      // pays nBands*bitsPerBand interpreted folds per row); equality of
+      // the two forms is pinned by ExpressionsSpec
+      .withColumn("buckets", graft.functions.GraftFunctions
+        .hyperplane_buckets(col("v"), sk.nBands, sk.bitsPerBand, sk.dim, sk.seed))
+      .withColumn("vhash", md5(to_json(col("v"))))
+
+  /** The declarative column formulation of the sketch buckets — the form
+    * the DuckDB oracle mirrors and the parity reference for the native
+    * expression. zip_with pads the SHORTER side with nulls, so coalesce→0
+    * makes malformed short (or over-long) embeddings contribute zero
+    * instead of nulling the whole projection (ANSI-safe — no throw). */
+  private[graft] def bucketsHof(sk: SemanticSketch): Column = {
     def proj(b: Int, j: Int): Column =
       aggregate(
         zip_with(col("v"), lit(sk.hyperplane(b, j)),
@@ -211,10 +218,6 @@ object SemanticDedupIndex {
       (0 until sk.bitsPerBand)
         .map(j => when(proj(b, j) > 0, 1 << j).otherwise(0))
         .reduce(_ + _)
-    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
-      .withColumn("buckets", array((0 until sk.nBands).map(bucket): _*))
-      .withColumn("vhash", md5(to_json(col("v"))))
+    array((0 until sk.nBands).map(bucket): _*)
   }
 }

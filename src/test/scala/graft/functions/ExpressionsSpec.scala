@@ -78,6 +78,41 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaSql == native)
   }
 
+  test("hyperplane_buckets matches the HOF sketch formulation exactly") {
+    GraftFunctions.register(spark)
+    import graft.similarity.{SemanticDedupIndex, SemanticSketch}
+    // real embeddings + adversarial edges: short vector, zero vector,
+    // null elements, over-long vector (tail must be ignored identically)
+    val sk = SemanticSketch(nBands = 3, bitsPerBand = 8, dim = 64)
+    val edges = Seq(
+      Seq(1.0, -2.0),                       // shorter than dim
+      Seq.fill(64)(0.0),                    // zero vector
+      Seq.tabulate(70)(i => i - 35.0),      // longer than dim
+      Seq.tabulate(64)(i => math.sin(i.toDouble)))
+    val base = graft.Tables(spark, graft.TestSpark.sf0001, "embeddings")
+      .select($"embedding".cast("array<double>").as("v"))
+      .union(edges.toDF("v"))
+    val native = base.select(GraftFunctions
+        .hyperplane_buckets($"v", sk.nBands, sk.bitsPerBand, sk.dim, sk.seed)
+        .as("b"))
+      .as[Seq[Int]].collect().toSeq
+    val viaHof = base.select(SemanticDedupIndex.bucketsHof(sk).as("b"))
+      .as[Seq[Int]].collect().toSeq
+    assert(native == viaHof)
+    // SQL path agrees; null vector row yields null (nullSafeEval)
+    val viaSql = base.selectExpr(
+        s"hyperplane_buckets(v, ${sk.nBands}, ${sk.bitsPerBand}, ${sk.dim}, '${sk.seed}') AS b")
+      .as[Seq[Int]].collect().toSeq
+    assert(viaSql == native)
+    // stays inside whole-stage codegen over a real scan
+    val df = graft.Tables(spark, graft.TestSpark.sf0001, "embeddings")
+      .select(GraftFunctions.hyperplane_buckets(
+        $"embedding".cast("array<double>"), 3, 8, 64, "hp").as("b"))
+    assert(df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("word_ngrams rejects bad arity and non-positive n with clear errors") {
     GraftFunctions.register(spark)
     val e1 = intercept[Exception](spark.sql("SELECT word_ngrams('a b c')").collect())
