@@ -178,6 +178,50 @@ object EtlDemo {
       require(arxivStats.nNew > 0, "arXiv leg produced no triples")
     }
 
+    // S4 production half: croissant JSON-LD fetched per dataset id via
+    // the connector, expanded + surgically re-identified into T2 triples
+    {
+      val t = Timestamp.valueOf("2024-02-10 00:00:00")
+      val croissant = (name: String) =>
+        s"""{"@context": {"name": "https://schema.org/name",
+           |  "url": "https://schema.org/url"},
+           | "@type": "sc:Dataset", "name": "$name",
+           | "url": "https://huggingface.co/datasets/demo/$name",
+           | "distribution": [{"@type": "http://mlcommons.org/croissant/FileObject",
+           |   "name": "$name.parquet"}]}""".stripMargin
+      val client = () => new LiveSource.HttpClient with Serializable {
+        def get(url: String): String =
+          croissant(url.substring(url.lastIndexOf("=") + 1))
+      }
+      val fetched = LiveSource.fetch(spark, Seq("squad", "imdb"), client,
+          id => s"stub://croissant?id=$id").toDF()
+        .select(col("id").as("datasetId"), col("payload").as("croissant_json"))
+      val triples = graft.transform.CroissantBuilder.build(fetched)
+        .withColumn("extractionMethod", lit("croissant_endpoint"))
+        .withColumn("confidence", lit(1.0))
+        .withColumn("extractionTime", lit(t))
+      val stats = store.merge(triples, t)
+      println(s"[etl] croissant fetch: ${stats.nNew} dataset triples")
+      require(stats.nNew > 0, "croissant leg produced no triples")
+    }
+
+    // E8 strategy dispatch: the same card answers through all three
+    // extraction strategies (matching / grouped QA / individual QA) with
+    // identical provenance wrapping — the reference's config switch
+    {
+      import graft.extract.SchemaPropertyExtractor
+      import graft.extract.SchemaPropertyExtractor.Strategy
+      val models = snapshot(spark, card("mit"))
+        .filter(col("modelId") === "demo/alpha").select("modelId", "card")
+      val perStrategy = Seq(Strategy.ContextMatching, Strategy.Grouped,
+        Strategy.Individual).map { st =>
+        val n = SchemaPropertyExtractor
+          .extract(models, schemaQs, backend, st).count()
+        s"${st.name}=$n"
+      }
+      println(s"[etl] E8 strategies: ${perStrategy.mkString(", ")}")
+    }
+
     // Corpus intake dedup: the model cards run through the incremental
     // MinHash index (exact + near dups dropped batch-over-batch) and a
     // deterministic embedding per card through the semantic index —
