@@ -195,6 +195,7 @@ object EtlDemo {
       }
       val fetched = LiveSource.fetch(spark, Seq("squad", "imdb"), client,
           id => s"stub://croissant?id=$id").toDF()
+        .filter(col("ok")) // a failed fetch must not feed null payloads in
         .select(col("id").as("datasetId"), col("payload").as("croissant_json"))
       val triples = graft.transform.CroissantBuilder.build(fetched)
         .withColumn("extractionMethod", lit("croissant_endpoint"))
@@ -217,6 +218,8 @@ object EtlDemo {
         Strategy.Individual).map { st =>
         val n = SchemaPropertyExtractor
           .extract(models, schemaQs, backend, st).count()
+        require(n == schemaQs.size,
+          s"strategy ${st.name} extracted $n of ${schemaQs.size} properties")
         s"${st.name}=$n"
       }
       println(s"[etl] E8 strategies: ${perStrategy.mkString(", ")}")

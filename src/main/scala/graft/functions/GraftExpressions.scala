@@ -115,7 +115,10 @@ object Evaluators {
           if (!v.isNullAt(d)) proj += v.getDouble(d) * signs(base + d)
           d += 1
         }
-        if (proj > 0) bucket |= (1 << j)
+        // !(proj <= 0), NOT proj > 0: Spark's GreaterThan and DuckDB both
+        // order NaN ABOVE every value, so a NaN projection (NaN element,
+        // or +Inf and -Inf summing) sets the bit there and must here too
+        if (!(proj <= 0)) bucket |= (1 << j)
         j += 1
       }
       out(b) = bucket
@@ -213,16 +216,16 @@ object WordNgramsExpr {
     WordNgramsExpr(exprs.head, literalN(exprs(1)))
   }
 
-  def literalN(e: Expression): Int = {
+  def literalN(e: Expression, label: String = "word_ngrams(text, n): n"): Int = {
     val n = (if (e.foldable) e.eval() else null) match {
       case i: java.lang.Integer => i.toInt
       case l: java.lang.Long => l.toInt
       case s: java.lang.Short => s.toInt
       case _ => throw new IllegalArgumentException(
-        s"word_ngrams(text, n): n must be a constant integer, got $e")
+        s"$label must be a constant integer, got $e")
     }
     if (n < 1) throw new IllegalArgumentException(
-      s"word_ngrams(text, n): n must be >= 1, got $n")
+      s"$label must be >= 1, got $n")
     n
   }
 }
@@ -233,9 +236,16 @@ object WordNgramsExpr {
   * reference object — no per-row md5. */
 case class HyperplaneBucketsExpr(child: Expression, nBands: Int,
                                  bitsPerBand: Int, dim: Int, seed: String)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   require(nBands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 30 && dim >= 1,
     s"hyperplane_buckets: bad config ($nBands, $bitsPerBand, $dim)")
+  // array<float> (the common ingest type) implicit-casts to array<double>
+  // at analysis; anything non-castable is an analysis error, never a
+  // getDouble misread over 4-byte-packed floats at runtime. (No explicit
+  // result type: AbstractDataType is private[sql]; the inferred
+  // Seq[ArrayType] conforms.)
+  override def inputTypes = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   @transient private lazy val signs: Array[Double] =
@@ -266,8 +276,10 @@ object HyperplaneBucketsExpr {
       case _ => throw new IllegalArgumentException(
         "hyperplane_buckets: seed must be a constant string")
     }
-    HyperplaneBucketsExpr(exprs.head, WordNgramsExpr.literalN(exprs(1)),
-      WordNgramsExpr.literalN(exprs(2)), WordNgramsExpr.literalN(exprs(3)), seed)
+    HyperplaneBucketsExpr(exprs.head,
+      WordNgramsExpr.literalN(exprs(1), "hyperplane_buckets: nBands"),
+      WordNgramsExpr.literalN(exprs(2), "hyperplane_buckets: bitsPerBand"),
+      WordNgramsExpr.literalN(exprs(3), "hyperplane_buckets: dim"), seed)
   }
 }
 

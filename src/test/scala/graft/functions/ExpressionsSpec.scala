@@ -89,9 +89,16 @@ class ExpressionsSpec extends AnyFunSuite {
       Seq.fill(64)(0.0),                    // zero vector
       Seq.tabulate(70)(i => i - 35.0),      // longer than dim
       Seq.tabulate(64)(i => math.sin(i.toDouble)))
+    // null ELEMENTS and a NaN element: the native isNullAt-skip must equal
+    // the HOF coalesce→0, and a NaN projection must set the bit in BOTH
+    // forms (Spark orders NaN above everything — Java's `> 0` does not)
+    val nullish = spark.sql(
+      """SELECT array(1.0d, CAST(NULL AS DOUBLE), -3.0d) AS v
+        |UNION ALL SELECT array(CAST('NaN' AS DOUBLE), 2.0d) AS v""".stripMargin)
     val base = graft.Tables(spark, graft.TestSpark.sf0001, "embeddings")
       .select($"embedding".cast("array<double>").as("v"))
       .union(edges.toDF("v"))
+      .union(nullish)
     val native = base.select(GraftFunctions
         .hyperplane_buckets($"v", sk.nBands, sk.bitsPerBand, sk.dim, sk.seed)
         .as("b"))
@@ -99,11 +106,28 @@ class ExpressionsSpec extends AnyFunSuite {
     val viaHof = base.select(SemanticDedupIndex.bucketsHof(sk).as("b"))
       .as[Seq[Int]].collect().toSeq
     assert(native == viaHof)
-    // SQL path agrees; null vector row yields null (nullSafeEval)
+    // the NaN row's projections are all NaN → every bit set in every band
+    assert(native.last == Seq.fill(sk.nBands)((1 << sk.bitsPerBand) - 1),
+      s"NaN vector must set all bits: ${native.last}")
+    // SQL path agrees, and array<float> implicit-casts (no getDouble
+    // misread); a NULL vector row yields NULL (nullSafeEval)
     val viaSql = base.selectExpr(
         s"hyperplane_buckets(v, ${sk.nBands}, ${sk.bitsPerBand}, ${sk.dim}, '${sk.seed}') AS b")
       .as[Seq[Int]].collect().toSeq
     assert(viaSql == native)
+    val asFloat = graft.Tables(spark, graft.TestSpark.sf0001, "embeddings")
+      .selectExpr(s"hyperplane_buckets(embedding, ${sk.nBands}, " +
+        s"${sk.bitsPerBand}, ${sk.dim}, '${sk.seed}') AS b")
+      .as[Seq[Int]].collect().toSeq
+    val asDouble = graft.Tables(spark, graft.TestSpark.sf0001, "embeddings")
+      .select(GraftFunctions.hyperplane_buckets(
+        $"embedding".cast("array<double>"), sk.nBands, sk.bitsPerBand,
+        sk.dim, sk.seed).as("b"))
+      .as[Seq[Int]].collect().toSeq
+    assert(asFloat == asDouble)
+    val nullRow = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS v")
+      .selectExpr(s"hyperplane_buckets(v, 3, 8, 64, 'hp') AS b").collect()
+    assert(nullRow(0).isNullAt(0))
     // stays inside whole-stage codegen over a real scan
     val df = graft.Tables(spark, graft.TestSpark.sf0001, "embeddings")
       .select(GraftFunctions.hyperplane_buckets(
