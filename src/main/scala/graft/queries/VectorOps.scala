@@ -277,10 +277,37 @@ object VectorOps {
     }.toDF("nprobe", "recall_at_5")
   }
 
+  /** The multi-band hyperplane sketch itself, oracle-graded per (vector,
+    * band): the NATIVE `hyperplane_buckets` expression's output must
+    * hash-match DuckDB's from-scratch md5-hyperplane reconstruction —
+    * the tightest pin on the codegen'd evaluator (q_semantic_dedup only
+    * validates buckets transitively through the drop rules). */
+  def sketchBuckets(s: SparkSession, dir: String): DataFrame = {
+    val sk = graft.similarity.SemanticSketch()
+    graft.similarity.SemanticDedupIndex
+      .withSketch(t(s, dir, "embeddings").select(col("vec_id"), col("embedding")), sk)
+      .select(col("vec_id"), posexplode(col("buckets")))
+      .select(col("vec_id"), col("pos").cast("long").as("band"),
+        col("col").cast("long").as("bucket"))
+  }
+
+  val sketchBucketsSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |projs AS (
+      |  SELECT vec_id, tb.b AS b, tj.j AS j,
+      |    list_reduce(list_transform(range(1, len(v) + 1),
+      |      d -> v[d] * (CASE WHEN ('0x' || substr(md5('hp|' || CAST(tb.b AS VARCHAR) || '|' || CAST(tj.j AS VARCHAR) || '|' || CAST(d - 1 AS VARCHAR)), 1, 8))::UBIGINT % 2 = 1 THEN 1.0 ELSE -1.0 END)),
+      |      (a, b) -> a + b) AS proj
+      |  FROM e, range(0, 3) tb(b), range(0, 8) tj(j))
+      |SELECT vec_id, CAST(b AS BIGINT) AS band,
+      |  CAST(SUM(CASE WHEN proj > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+      |FROM projs GROUP BY vec_id, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> cosineTopK _,
     "q_embed_neardup" -> embedNearDup _,
     "q_semantic_dedup" -> semanticDedup _,
+    "q_sketch_buckets" -> sketchBuckets _,
     "q_multimodal_meta" -> multimodalMeta _,
     "q_ann_ivf" -> annIvf _,
     "q_ann_recall" -> annRecall _)
@@ -289,5 +316,6 @@ object VectorOps {
     "q_cosine_topk" -> cosineTopKSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_semantic_dedup" -> semanticDedupSql,
+    "q_sketch_buckets" -> sketchBucketsSql,
     "q_multimodal_meta" -> multimodalMetaSql)
 }
