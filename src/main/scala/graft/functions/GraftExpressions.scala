@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -125,6 +125,31 @@ object Evaluators {
       b += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Left-fold dot product over two double arrays — the native
+    * replacement for `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)`
+    * (HOFs are CodegenFallback in Spark 4 AND get duplicated per
+    * consuming expression by optimizer collapse). IEEE parity with the
+    * HOF form: products accumulate in element order via the identical
+    * `acc + (a(i) * b(i))` sequence, so results are bit-for-bit equal —
+    * including NaN/Inf propagation — and the same fold with a == b is
+    * bit-equal to the `aggregate(transform(a, x => x * x), ...)` norm
+    * form. Null parity: `zip_with` pads a length mismatch with nulls and
+    * a null product poisons the whole fold, so the HOF yields NULL iff
+    * the lengths differ or any element is null — replicated here by the
+    * boxed-null return. */
+  def dotDouble(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
   }
 
   /** Distinct word n-gram shingles in one pass — the native replacement
@@ -264,6 +289,45 @@ case class HyperplaneBucketsExpr(child: Expression, nBands: Int,
     copy(child = c)
 }
 
+/** `dot_double(array<double>, array<double>) -> double`: codegen'd
+  * left-fold dot product — the hot inner loop of every cosine query
+  * (top-k, near-dup, ANN probe, semantic dedup) and of the norm column
+  * (`sqrt(dot_double(v, v))`). Bit-identical to the HOF fold it
+  * replaces; equality is pinned by ExpressionsSpec. */
+case class DotDoubleExpr(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  // array<float> implicit-casts to array<double> at analysis time
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  // NULL even for non-null inputs: length mismatch or a null element
+  // (matching zip_with's null-padded fold) — so never trust child
+  // nullability alone
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Evaluators.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("dotBoxed")
+      s"""
+         |java.lang.Double $boxed = graft.functions.Evaluators.dotDouble($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotDoubleExpr = copy(left = l, right = r)
+}
+
+object DotDoubleExpr {
+  def build(exprs: Seq[Expression]): DotDoubleExpr = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"dot_double(a, b) takes 2 arguments, got ${exprs.length}")
+    DotDoubleExpr(exprs.head, exprs(1))
+  }
+}
+
 object HyperplaneBucketsExpr {
   /** SQL-path arg check: (vec, nBands, bitsPerBand, dim, seed), the four
     * config args constant. */
@@ -295,6 +359,9 @@ object GraftFunctions {
                          dim: Int, seed: String): Column =
     ColumnBridge.column(HyperplaneBucketsExpr(ColumnBridge.expression(c),
       nBands, bitsPerBand, dim, seed))
+  def dot_double(a: Column, b: Column): Column =
+    ColumnBridge.column(DotDoubleExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Register for SQL use on an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -307,6 +374,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_buckets", exprs => HyperplaneBucketsExpr.build(exprs),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_double", exprs => DotDoubleExpr.build(exprs), "scala_udf")
   }
 }
 
@@ -335,5 +404,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[HyperplaneBucketsExpr].getName, "hyperplane_buckets"),
       (exprs: Seq[Expression]) => HyperplaneBucketsExpr.build(exprs)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_double"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotDoubleExpr].getName, "dot_double"),
+      (exprs: Seq[Expression]) => DotDoubleExpr.build(exprs)))
   }
 }

@@ -11,9 +11,11 @@ import graft.Tables
   * sign-bit LSH bucketed near-dup (the scale path), and opaque-binary
   * multimodal plumbing.
   *
-  * Dot products and norms use `zip_with`/`aggregate` HOFs over
-  * `array<double>` — sequential left-folds, so the arithmetic is
-  * reproducible and oracle-matchable. The top-k query broadcasts the small
+  * Dot products and norms use the native codegen'd `dot_double`
+  * expression — a sequential left-fold bit-identical to the
+  * `aggregate`/`zip_with` column form (pinned by ExpressionsSpec), so
+  * the arithmetic is reproducible and oracle-matchable while staying
+  * inside whole-stage codegen. The top-k query broadcasts the small
   * query side (never shuffles the corpus); the near-dup query only joins
   * within LSH buckets (never all-pairs).
   */
@@ -22,10 +24,9 @@ object VectorOps {
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot_double(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def embWithNorm(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")

@@ -116,8 +116,8 @@ object IvfIndex {
   /** Precomputed-norm column over an assigned corpus — together with the
     * cell id this is the searchable IVF index row. */
   def withNorm(assigned: DataFrame): DataFrame =
-    assigned.withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
-      lit(0.0), (a, x) => a + x)))
+    assigned.withColumn("nrm",
+      sqrt(graft.functions.GraftFunctions.dot_double(col("v"), col("v"))))
 
   /** Top-k cosine search probing the `nprobe` nearest cells per query.
     * Queries and corpus are both (vec_id, embedding) tables; queries are
@@ -144,8 +144,8 @@ object IvfIndex {
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qv"))
       .withColumn("cells", probeUdf(col("qv")))
-      .withColumn("qn", sqrt(aggregate(transform(col("qv"), x => x * x),
-        lit(0.0), (a, x) => a + x)))
+      .withColumn("qn",
+        sqrt(graft.functions.GraftFunctions.dot_double(col("qv"), col("qv"))))
       .select(col("query_id"), col("qv"), col("qn"),
         posexplode(col("cells")).as(Seq("cell_rank", "cell")))
   }
@@ -158,8 +158,8 @@ object IvfIndex {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
     index.join(broadcast(q), "cell")
-      .withColumn("dot", aggregate(zip_with(col("qv"), col("v"),
-        (x, y) => x * y), lit(0.0), (a, x) => a + x))
+      .withColumn("dot",
+        graft.functions.GraftFunctions.dot_double(col("qv"), col("v")))
       .withColumn("cos", col("dot") / (col("qn") * col("nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

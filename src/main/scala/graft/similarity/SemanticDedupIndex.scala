@@ -182,7 +182,7 @@ object SemanticDedupIndex {
     StructField("vhash", StringType)))
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot_double(a, b)
 
   /** Null-safe cosine: a zero norm yields NULL (nullif), not a
     * DIVIDE_BY_ZERO — under Spark 4's default ANSI mode a plain division
@@ -194,8 +194,7 @@ object SemanticDedupIndex {
 
   def withSketch(emb: DataFrame, sk: SemanticSketch): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       // all band buckets in ONE codegen'd pass (the column-HOF form below
       // pays nBands*bitsPerBand interpreted folds per row); equality of
       // the two forms is pinned by ExpressionsSpec

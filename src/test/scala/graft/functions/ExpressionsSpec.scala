@@ -137,6 +137,64 @@ class ExpressionsSpec extends AnyFunSuite {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("dot_double matches the aggregate/zip_with fold bit-for-bit") {
+    GraftFunctions.register(spark)
+    // real embedding pairs + adversarial edges: empty arrays (fold's zero
+    // element → 0.0), length mismatch (zip_with null-pads → NULL), null
+    // element (poisons the fold → NULL), NaN / ±Inf propagation (must be
+    // bit-identical, incl. Inf + -Inf = NaN mid-fold)
+    val emb = graft.Tables(spark, graft.TestSpark.sf0001, "embeddings")
+      .select($"embedding".cast("array<double>").as("a"))
+      .withColumn("b", reverse($"a"))
+    val edges = spark.sql(
+      """SELECT array() AS a, array() AS b
+        |UNION ALL SELECT array(1.0d, 2.0d), array(3.0d)
+        |UNION ALL SELECT array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)
+        |UNION ALL SELECT array(CAST('NaN' AS DOUBLE), 2.0d), array(1.0d, 1.0d)
+        |UNION ALL SELECT array(CAST('Infinity' AS DOUBLE), 1.0d),
+        |  array(1.0d, CAST('-Infinity' AS DOUBLE))
+        |UNION ALL SELECT array(1e308d, 1e308d, -1e308d), array(2.0d, 1.0d, 2.0d)
+        |""".stripMargin)
+    val base = emb.select($"a".cast("array<double>"), $"b".cast("array<double>"))
+      .union(edges)
+    // doubleToLongBits, not Raw: NaN PAYLOADS may differ between the two
+    // paths (UnsafeRowWriter canonicalizes NaN to 0x7ff8... on write, but
+    // constant-folded literal plans skip that writer — x86's Inf + -Inf
+    // hardware QNaN keeps its sign bit there); canonicalized bits are
+    // still exact for every non-NaN value including -0.0 and ±Inf
+    def bits(df: org.apache.spark.sql.DataFrame): Seq[Option[Long]] =
+      df.as[Option[Double]].collect().toSeq
+        .map(_.map(java.lang.Double.doubleToLongBits))
+    val hofDot = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    assert(bits(base.select(GraftFunctions.dot_double($"a", $"b"))) ==
+      bits(base.select(hofDot)))
+    // norm form: dot(a, a) ≡ aggregate(transform(a, x*x)) bit-for-bit
+    val hofNorm = aggregate(transform($"a", x => x * x),
+      lit(0.0), (acc, x) => acc + x)
+    assert(bits(base.select(GraftFunctions.dot_double($"a", $"a"))) ==
+      bits(base.select(hofNorm)))
+    // SQL path + array<float> implicit cast agree with the Column path
+    val viaSql = graft.Tables(spark, graft.TestSpark.sf0001, "embeddings")
+      .selectExpr("dot_double(embedding, embedding) AS d")
+    val viaCol = graft.Tables(spark, graft.TestSpark.sf0001, "embeddings")
+      .select(GraftFunctions.dot_double(
+        $"embedding".cast("array<double>"), $"embedding".cast("array<double>")))
+    assert(bits(viaSql) == bits(viaCol))
+    // a NULL array input yields NULL (nullSafeEval)
+    val nullRow = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS v")
+      .selectExpr("dot_double(v, array(1.0d)) AS d").collect()
+    assert(nullRow(0).isNullAt(0))
+    // stays inside whole-stage codegen over a real scan
+    val df = graft.Tables(spark, graft.TestSpark.sf0001, "embeddings")
+      .select(GraftFunctions.dot_double(
+        $"embedding".cast("array<double>"),
+        $"embedding".cast("array<double>")).as("d"))
+    assert(df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("word_ngrams rejects bad arity and non-positive n with clear errors") {
     GraftFunctions.register(spark)
     val e1 = intercept[Exception](spark.sql("SELECT word_ngrams('a b c')").collect())
