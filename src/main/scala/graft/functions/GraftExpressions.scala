@@ -152,6 +152,54 @@ object Evaluators {
     java.lang.Double.valueOf(acc)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue: java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** All n MinHash signatures in ONE pass over the shingle array — the
+    * native replacement for n interpreted `array_min(transform(sh,
+    * md5-hash))` folds. Parity with the column form
+    * `conv(substring(md5(concat(sh, '|j')), 1, 8), 16, 10).cast("long")`:
+    * the value is the first 4 md5 bytes of (shingle UTF-8 ++ "|j") read
+    * as an unsigned 32-bit big-endian int — computed here from the raw
+    * digest, no hex-string roundtrip. Null parity: `transform` maps a
+    * null shingle to a null hash and `array_min` skips nulls (returning
+    * NULL for empty/all-null arrays), replicated by the null-element
+    * skip + per-slot found flag. */
+  def minhashSigs(arr: ArrayData, suffixes: Array[Array[Byte]]): ArrayData = {
+    val n = suffixes.length
+    val mins = new Array[Long](n)
+    val found = new Array[Boolean](n)
+    val md = md5Local.get()
+    val m = arr.numElements()
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val sb = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < n) {
+          md.reset()
+          md.update(sb)
+          md.update(suffixes(j))
+          val d = md.digest()
+          val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          if (!found(j) || v < mins(j)) { mins(j) = v; found(j) = true }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      out(j) = if (found(j)) java.lang.Long.valueOf(mins(j)) else null
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Distinct word n-gram shingles in one pass — the native replacement
     * for the `split + transform + array_distinct` HOF chain (HOFs are
     * CodegenFallback in Spark 4). Semantics replicate the column form
@@ -289,6 +337,45 @@ case class HyperplaneBucketsExpr(child: Expression, nBands: Int,
     copy(child = c)
 }
 
+/** `minhash_sigs(array<string>, n) -> array<long>`: all n MinHash
+  * signatures of a shingle array in one codegen'd pass (element j = min
+  * over shingles of the md5-derived hash for permutation j). The "|j"
+  * suffix bytes are precomputed at plan time and shipped as a codegen
+  * reference object. Deterministic + codegen'd, so projections selecting
+  * several elements of one call are subexpression-eliminated to a single
+  * evaluation per row. */
+case class MinhashSigsExpr(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  require(n >= 1 && n <= 1024, s"minhash_sigs: bad n ($n)")
+  override def inputTypes = Seq(ArrayType(StringType))
+  // elements ARE nullable: an empty/all-null shingle array yields null
+  // slots (array_min-over-empty parity)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  @transient private lazy val suffixes: Array[Array[Byte]] =
+    Array.tabulate(n)(j => s"|$j".getBytes("UTF-8"))
+
+  override protected def nullSafeEval(v: Any): Any =
+    Evaluators.minhashSigs(v.asInstanceOf[ArrayData], suffixes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sufRef = ctx.addReferenceObj("mhSuffixes", suffixes, "byte[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Evaluators.minhashSigs($c, $sufRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): MinhashSigsExpr =
+    copy(child = c)
+}
+
+object MinhashSigsExpr {
+  def build(exprs: Seq[Expression]): MinhashSigsExpr = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"minhash_sigs(shingles, n) takes 2 arguments, got ${exprs.length}")
+    MinhashSigsExpr(exprs.head,
+      WordNgramsExpr.literalN(exprs(1), "minhash_sigs(shingles, n): n"))
+  }
+}
+
 /** `dot_double(array<double>, array<double>) -> double`: codegen'd
   * left-fold dot product — the hot inner loop of every cosine query
   * (top-k, near-dup, ANN probe, semantic dedup) and of the norm column
@@ -362,6 +449,8 @@ object GraftFunctions {
   def dot_double(a: Column, b: Column): Column =
     ColumnBridge.column(DotDoubleExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def minhash_sigs(c: Column, n: Int): Column =
+    ColumnBridge.column(MinhashSigsExpr(ColumnBridge.expression(c), n))
 
   /** Register for SQL use on an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -376,6 +465,8 @@ object GraftFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_double", exprs => DotDoubleExpr.build(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs", exprs => MinhashSigsExpr.build(exprs), "scala_udf")
   }
 }
 
@@ -409,5 +500,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotDoubleExpr].getName, "dot_double"),
       (exprs: Seq[Expression]) => DotDoubleExpr.build(exprs)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sigs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinhashSigsExpr].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => MinhashSigsExpr.build(exprs)))
   }
 }

@@ -382,12 +382,22 @@ object TextOps {
       |  GROUP BY a.doc_id, b.doc_id, a.n, b.n)
       |WHERE jacc >= 0.02""".stripMargin
 
-  /** MinHash hash function j over a shingle: first 8 hex digits of
-    * md5(shingle + "|" + j) as a 32-bit value in a BIGINT. */
-  private def mh(j: Int): Column =
+  /** MinHash hash function j over a shingle — the HOF column form (first
+    * 8 hex digits of md5(shingle + "|" + j) as a 32-bit value in a
+    * BIGINT), kept as the ExpressionsSpec parity reference for the native
+    * `minhash_sigs` the production paths use. */
+  private[graft] def mhHof(j: Int): Column =
     array_min(transform(col("sh"),
       sh => conv(substring(md5(concat(sh, lit(s"|$j"))), 1, 8), 16, 10)
         .cast("long")))
+
+  /** All 4 signature columns from ONE native `minhash_sigs` pass (the
+    * duplicated element_at projections collapse to a single evaluation
+    * per row via codegen subexpression elimination). */
+  private[graft] def mhCols: Seq[Column] = {
+    val sigs = graft.functions.GraftFunctions.minhash_sigs(col("sh"), 4)
+    (0 until 4).map(j => element_at(sigs, j + 1).as(s"mh$j"))
+  }
 
   private def mhSql(j: Int): String =
     s"CAST(list_aggregate(list_transform(sh, x -> ('0x' || substr(md5(x || '|$j'), 1, 8))::UBIGINT), 'min') AS BIGINT)"
@@ -396,8 +406,7 @@ object TextOps {
   def minhashSignature(s: SparkSession, dir: String): DataFrame =
     shingleTable(s, dir)
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), mh(0).as("mh0"), mh(1).as("mh1"),
-        mh(2).as("mh2"), mh(3).as("mh3"))
+      .select(col("doc_id") +: mhCols: _*)
 
   val minhashSignatureSql: String = shinglesSqlCte +
     s"""
@@ -516,11 +525,7 @@ object TextOps {
       .select(col("doc_id"), shingles.as("sh"))
       .localCheckpoint()
       .filter(size(col("sh")) > 0)
-    val sigCols = col("doc_id") +: (0 until 4).map(j =>
-      array_min(transform(col("sh"), x =>
-        conv(substring(md5(concat(x, lit(s"|$j"))), 1, 8), 16, 10)
-          .cast("long"))).as(s"mh$j"))
-    val sig = sh.select(sigCols: _*).localCheckpoint()
+    val sig = sh.select(col("doc_id") +: mhCols: _*).localCheckpoint()
     def band(c1: String, c2: String) = {
       val x = sig.select(col("doc_id").as("doc1"),
         concat_ws("_", col(c1), col(c2)).as("b"))

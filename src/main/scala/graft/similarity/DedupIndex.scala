@@ -94,13 +94,14 @@ object DedupIndex {
     * native `word_ngrams` expression; shingle-less docs hash on their
     * fingerprint so empty texts still dedup exactly). */
   def signaturesFor(docs: DataFrame): DataFrame = {
-    def mh(j: Int) = {
-      val mins = array_min(transform(col("sh"),
-        sh => conv(substring(md5(concat(sh, lit(s"|$j"))), 1, 8), 16, 10)
-          .cast("long")))
-      coalesce(mins, conv(substring(md5(concat(col("fp"), lit(s"|$j"))), 1, 8), 16, 10)
-        .cast("long"))
-    }
+    // all 4 signatures in one native minhash_sigs pass (codegen
+    // subexpression elimination collapses the element_at projections);
+    // shingle-less docs yield null slots → fall back to the fp hash
+    val sigs = graft.functions.GraftFunctions.minhash_sigs(col("sh"), 4)
+    def mh(j: Int) =
+      coalesce(element_at(sigs, j + 1),
+        conv(substring(md5(concat(col("fp"), lit(s"|$j"))), 1, 8), 16, 10)
+          .cast("long"))
     docs.select(col("doc_id"),
         md5(col("text")).as("fp"),
         graft.functions.GraftFunctions.word_ngrams(col("text"), 3).as("sh"))

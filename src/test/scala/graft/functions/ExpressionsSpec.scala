@@ -195,6 +195,52 @@ class ExpressionsSpec extends AnyFunSuite {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("minhash_sigs matches the array_min/transform md5 column form") {
+    GraftFunctions.register(spark)
+    // real shingle tables + edges: empty array (→ all-null slots, like
+    // array_min over empty), single shingle, null ELEMENT (transform maps
+    // it to a null hash; array_min skips nulls), duplicate shingles
+    val real = graft.Tables(spark, graft.TestSpark.sf0001, "documents")
+      .select(GraftFunctions.word_ngrams($"text", 3).as("sh"))
+    val edges = spark.sql(
+      """SELECT array()::ARRAY<STRING> AS sh
+        |UNION ALL SELECT array('only one')
+        |UNION ALL SELECT array('a b c', CAST(NULL AS STRING), 'a b c')
+        |UNION ALL SELECT array(CAST(NULL AS STRING))""".stripMargin)
+    val base = real.union(edges)
+    val native = base.select((0 until 4).map(j =>
+        element_at(GraftFunctions.minhash_sigs($"sh", 4), j + 1).as(s"mh$j")): _*)
+      .as[(Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    val viaHof = base.select((0 until 4).map(j =>
+        graft.queries.TextOps.mhHof(j).as(s"mh$j")): _*)
+      .as[(Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(native == viaHof)
+    // SQL path agrees; values are unsigned 32-bit
+    val viaSql = base.selectExpr(
+        "element_at(minhash_sigs(sh, 4), 1) AS mh0",
+        "element_at(minhash_sigs(sh, 4), 2) AS mh1",
+        "element_at(minhash_sigs(sh, 4), 3) AS mh2",
+        "element_at(minhash_sigs(sh, 4), 4) AS mh3")
+      .as[(Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(viaSql == native)
+    assert(native.flatMap(t => Seq(t._1, t._2, t._3, t._4).flatten)
+      .forall(v => v >= 0L && v <= 0xffffffffL))
+    // a NULL shingle-array input yields NULL (nullSafeEval)
+    val nullRow = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS sh")
+      .selectExpr("minhash_sigs(sh, 4) AS m").collect()
+    assert(nullRow(0).isNullAt(0))
+    // stays inside whole-stage codegen over a real scan
+    val df = graft.Tables(spark, graft.TestSpark.sf0001, "documents")
+      .select(GraftFunctions.minhash_sigs(
+        GraftFunctions.word_ngrams($"text", 3), 4).as("m"))
+    assert(df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("word_ngrams rejects bad arity and non-positive n with clear errors") {
     GraftFunctions.register(spark)
     val e1 = intercept[Exception](spark.sql("SELECT word_ngrams('a b c')").collect())
