@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges undirected edge list; first two columns are the
-    *              endpoints (LONG-castable). Self-loops are ignored.
+    *              endpoints (LONG-castable). Self-loops carry no
+    *              connectivity but their node still appears in the output
+    *              (as its own singleton component).
     * @param maxIter safety bound on large+small rounds (the algorithm
     *                converges in O(log² n); 50 covers any real graph)
     * @return (node, component) for every node appearing in `edges`,
@@ -33,19 +35,24 @@ object ConnectedComponents {
   def apply(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val u = edges.columns(0)
     val v = edges.columns(1)
-    // Canonical start: (hi, lo) directed pairs, self-loops dropped.
-    var e = edges
+    val cast = edges
       .select(col(u).cast("long").as("a"), col(v).cast("long").as("b"))
+    // Every endpoint — including self-loop-only nodes — gets an output row.
+    val nodes = cast.select(col("a").as("node"))
+      .union(cast.select(col("b").as("node"))).distinct().localCheckpoint()
+    // Canonical start: (hi, lo) directed pairs, self-loops dropped.
+    var e = cast
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint()
-    val nodes = e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node"))).distinct().localCheckpoint()
 
+    // Order-independent edge-set fingerprint. bit_xor (not sum): the edge
+    // set is distinct, XOR is overflow-free under ANSI mode where summing
+    // full-range 64-bit hashes would throw ARITHMETIC_OVERFLOW.
     def signature(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 

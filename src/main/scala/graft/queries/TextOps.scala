@@ -443,6 +443,48 @@ object TextOps {
        |SELECT a.doc_id AS doc1, b.doc_id AS doc2
        |FROM sig a JOIN sig b ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id""".stripMargin
 
+  /** End of the dedup pipeline: LSH candidate PAIRS resolved into duplicate
+    * GROUPS (alternating large/small-star connected components) with one
+    * surviving representative (min doc_id) per group — the scale-out
+    * restatement of the reference's same-entity collapse during load
+    * (`/root/reference/code/load/mlentory_load/core/GraphHandler.py:455-546`).
+    * Docs that paired with nothing are their own singleton group. */
+  def dedupGroups(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashBandPairs(s, dir)
+    val comp = graft.operators.ConnectedComponents(pairs)
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    docs.join(comp, docs("doc_id") === comp("node"), "left")
+      .select(docs("doc_id"),
+        coalesce(col("component"), docs("doc_id")).as("group_id"))
+      .withColumn("is_survivor", col("doc_id") === col("group_id"))
+  }
+
+  /** DuckDB replays the pairs, then resolves components by recursive
+    * min-propagation (component = min id over the reachable set). */
+  val dedupGroupsSql: String =
+    "WITH RECURSIVE " + shinglesSqlCte.stripPrefix("WITH ") +
+      s"""
+         |, sig AS (
+         |  SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
+         |    ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
+         |  FROM sh WHERE len(sh) > 0)
+         |, pairs AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id
+         |  FROM sig a JOIN sig b ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id)
+         |, edges AS (SELECT doc1 AS ea, doc2 AS eb FROM pairs
+         |            UNION SELECT doc2, doc1 FROM pairs)
+         |, reach(node, r) AS (
+         |    SELECT ea, ea FROM (SELECT DISTINCT ea FROM edges)
+         |  UNION
+         |    SELECT reach.node, e.eb FROM reach JOIN edges e ON reach.r = e.ea)
+         |, comp AS (SELECT node, MIN(r) AS grp FROM reach GROUP BY node)
+         |SELECT d.doc_id, COALESCE(c.grp, d.doc_id) AS group_id,
+         |  (COALESCE(c.grp, d.doc_id) = d.doc_id) AS is_survivor
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin
+
   /** 16-bit SimHash over distinct words: per-bit majority vote of word
     * hashes, reassembled into a fingerprint. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
@@ -599,6 +641,7 @@ object TextOps {
     "q_ngram_jaccard" -> ngramJaccard _,
     "q_minhash_signature" -> minhashSignature _,
     "q_minhash_band_pairs" -> minhashBandPairs _,
+    "q_dedup_groups" -> dedupGroups _,
     "q_simhash" -> simhash _,
     "q_tag_buckets" -> tagBuckets _)
 
@@ -616,6 +659,7 @@ object TextOps {
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_minhash_signature" -> minhashSignatureSql,
     "q_minhash_band_pairs" -> minhashBandPairsSql,
+    "q_dedup_groups" -> dedupGroupsSql,
     "q_simhash" -> simhashSql,
     "q_tag_buckets" -> tagBucketsSql)
 }
