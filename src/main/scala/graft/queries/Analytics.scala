@@ -89,8 +89,11 @@ object Analytics {
 
   /** Top-3 orders per customer segment by price (top-n per group). */
   def topNPerGroup(s: SparkSession, dir: String): DataFrame = {
+    // No broadcast hint on customer: it grows with scale factor, so a hint
+    // would bypass Spark's size threshold and build a multi-GB driver
+    // broadcast at 100×. AQE picks broadcast when it actually fits.
     val joined = t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")),
+      .join(t(s, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
     val w = Window.partitionBy("c_mktsegment")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))

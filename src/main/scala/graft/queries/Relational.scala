@@ -117,11 +117,14 @@ object Relational {
   val limitOffsetSql: String =
     "SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 100 OFFSET 50"
 
-  /** Fact-to-dim broadcast join (J3 shape): part is small → broadcast hash
-    * join, no shuffle of lineitem. */
+  /** Fact-to-dim broadcast join (J3 shape): no explicit hint — part grows
+    * linearly with scale factor, so a hard hint would force a multi-GB
+    * driver broadcast at 100×. AQE/size-threshold picks broadcast-hash
+    * whenever part actually fits (it does at test scale — PlanSpec pins
+    * the BroadcastHashJoin). */
   def joinBroadcast(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(
         sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
@@ -136,13 +139,14 @@ object Relational {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand""".stripMargin
 
-  /** TPC-H Q5-shaped star join: one shuffled fact join (orders), the rest
-    * broadcast; region filter prunes before the join. */
+  /** TPC-H Q5-shaped star join: one shuffled fact join (orders); nation and
+    * region keep explicit broadcast hints (fixed 25/5 rows at ANY scale
+    * factor), customer does NOT (it grows with SF — AQE decides). */
   def joinStar(s: SparkSession, dir: String): DataFrame = {
     val one = lit(1).cast(DecimalType(18, 2))
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
@@ -214,10 +218,11 @@ object Relational {
       |GROUP BY w.word""".stripMargin
 
   /** URI→name resolution shape (J7): left join to the name dim, coalesce to
-    * a fallback derived from the key (`GraphHandlerForKG.py:217-261`). */
+    * a fallback derived from the key (`GraphHandlerForKG.py:217-261`).
+    * No hint on customer (scale-growing dim) — AQE broadcasts when it fits. */
   def coalesceLookup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")),
+      .join(t(s, dir, "customer"),
         col("o_custkey") === col("c_custkey"), "left")
       .select(
         col("o_orderkey"),
