@@ -165,7 +165,13 @@ object VectorOps {
     * oracle scores ALL bucket-collision pairs — a triggered cap would
     * legitimately diverge); (2) the sketch dim (64) equals the embedding
     * dim — the oracle derives hyperplanes over len(v), the Spark side over
-    * sketch.dim, and ingest() rejects wider vectors loudly. */
+    * sketch.dim, and ingest() rejects wider vectors loudly. The exact-dup
+    * stages key differently by construction — this SQL on list equality
+    * (GROUP BY v / s.v = e2.v), Spark on md5 of a canonical JSON rendering
+    * (-0.0 normalized to +0.0, matching SQL's -0.0 = 0.0) — so they agree
+    * under one corpus precondition: no NaN vector components (SQL grouping
+    * treats NaN = NaN as equal; JSON renders NaN payloads distinct). The
+    * generated embeddings table contains no NaN. */
   val semanticDedupSql: String = {
     val cosine =
       """list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * c.v[i]), (x, y) -> x + y)

@@ -37,48 +37,15 @@ object IvfIndex {
     best
   }
 
-  /** Lloyd's k-means with deterministic seeding (first k vectors in vec_id
-    * order). Centroid recomputation is a groupBy-average DataFrame job;
-    * only the k centroid vectors ever reach the driver. */
-  def fit(emb: DataFrame, k: Int, iters: Int): Model = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    var cents: Array[Array[Double]] = vecs.orderBy("vec_id").limit(k)
-      .select("v").as[Seq[Double]].collect().map(_.toArray)
-
-    val dim = cents.head.length
-    (0 until iters).foreach { _ =>
-      val bc = spark.sparkContext.broadcast(cents)
-      val assignUdf = udf((v: Seq[Double]) => nearest(v, bc.value))
-      val assigned = vecs.withColumn("cell", assignUdf(col("v")))
-      val sums = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
-        .collect()
-      val byCell = sums.groupBy(_.getInt(0))
-      cents = cents.indices.map { c =>
-        byCell.get(c) match {
-          case Some(rows) =>
-            val arr = new Array[Double](dim)
-            rows.foreach(r => arr(r.getInt(1)) = r.getAs[Long]("n") match {
-              case 0 => 0.0
-              case n => r.getAs[Double]("sx") / n
-            })
-            arr
-          case None => cents(c) // empty cell keeps its centroid
-        }
-      }.toArray
-    }
-    Model(cents)
-  }
-
-  /** Sampled fit: Lloyd iterations on a deterministic bounded sample,
-    * entirely driver-side — one Spark job total (the sample collect).
-    * This is the production shape for IVF at scale: centroids come from a
-    * sample (k·1000s of vectors), never a full-corpus iteration; the
-    * corpus only ever sees the one-pass `assign`. */
+  /** Sampled fit — the ONLY fit entry point: Lloyd iterations on a
+    * deterministic bounded sample, entirely driver-side — one Spark job
+    * total (the sample collect). This is the production shape for IVF at
+    * scale: centroids come from a sample (k·1000s of vectors), never a
+    * full-corpus iteration; the corpus only ever sees the one-pass
+    * `assign`. (A full-corpus Lloyd variant used to live here; it ran an
+    * interpreted per-row UDF plus a posexplode/groupBy over the whole
+    * corpus per iteration and had no quality advantage — removed so no
+    * caller can pick the trap.) */
   def fitSample(emb: DataFrame, k: Int, iters: Int,
                 sampleSize: Int = 2048): Model = {
     val spark = emb.sparkSession

@@ -200,7 +200,13 @@ object SemanticDedupIndex {
       // the two forms is pinned by ExpressionsSpec
       .withColumn("buckets", graft.functions.GraftFunctions
         .hyperplane_buckets(col("v"), sk.nBands, sk.bitsPerBand, sk.dim, sk.seed))
-      .withColumn("vhash", md5(to_json(col("v"))))
+      // Exact-dup content key. `x + 0.0` canonicalizes -0.0 to +0.0 before
+      // the JSON rendering, so the grouping agrees with SQL list equality
+      // (where -0.0 = 0.0) — the DuckDB oracle keys on `GROUP BY v`.
+      // Remaining precondition (documented at the oracle SQL): no NaN
+      // payloads, which JSON would render distinct while SQL groups equal.
+      .withColumn("vhash",
+        md5(to_json(transform(col("v"), x => x + lit(0.0)))))
 
   /** The declarative column formulation of the sketch buckets — the form
     * the DuckDB oracle mirrors and the parity reference for the native

@@ -65,7 +65,7 @@ object LibrarySmoke {
 
     // IVF search on real embeddings
     val embS = Tables(spark, TestSpark.sf0001, "embeddings")
-    val model = similarity.IvfIndex.fit(embS, k = 8, iters = 2)
+    val model = similarity.IvfIndex.fitSample(embS, k = 8, iters = 2)
     val hits = similarity.IvfIndex.topK(embS.filter(col("vec_id") >= 10),
       embS.filter(col("vec_id") < 3), model, k = 3, nprobe = 2)
     println(s"IVF_HITS=${hits.count()}")

@@ -15,7 +15,7 @@ class IvfSpec extends AnyFunSuite {
   private lazy val queries = emb.filter($"vec_id" < 5)
 
   test("nprobe = k reproduces exact brute-force top-k") {
-    val model = IvfIndex.fit(emb, k = 8, iters = 2)
+    val model = IvfIndex.fitSample(emb, k = 8, iters = 2)
     val exact = graft.queries.VectorOps.cosineTopK(spark, TestSpark.sf0001)
       .filter($"query_id" < 5)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
@@ -25,7 +25,7 @@ class IvfSpec extends AnyFunSuite {
   }
 
   test("small nprobe trades recall for touched vectors") {
-    val model = IvfIndex.fit(emb, k = 8, iters = 2)
+    val model = IvfIndex.fitSample(emb, k = 8, iters = 2)
     val exact = IvfIndex.topK(corpus, queries, model, k = 5, nprobe = 8)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     val approx = IvfIndex.topK(corpus, queries, model, k = 5, nprobe = 2)
@@ -38,7 +38,7 @@ class IvfSpec extends AnyFunSuite {
   }
 
   test("assignment covers the corpus and respects k") {
-    val model = IvfIndex.fit(emb, k = 4, iters = 1)
+    val model = IvfIndex.fitSample(emb, k = 4, iters = 1)
     val assigned = IvfIndex.assign(emb, model)
     assert(assigned.count() == emb.count())
     val cells = assigned.select("cell").distinct().as[Int].collect().toSet
