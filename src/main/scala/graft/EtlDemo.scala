@@ -178,9 +178,13 @@ object EtlDemo {
       require(arxivStats.nNew > 0, "arXiv leg produced no triples")
     }
 
-    // S4 production half: croissant JSON-LD fetched per dataset id via
-    // the connector, expanded + surgically re-identified into T2 triples
+    // S4 production half: croissant JSON-LD fetched per dataset id through
+    // the CroissantSource connector (GET {base}/api/datasets/{id}/croissant,
+    // 429-aware retry honoring Retry-After), expanded + surgically
+    // re-identified into T2 triples. The stub transport 429s each id once
+    // (with a Retry-After hint) before answering — the retry path runs live.
     {
+      import graft.sources.CroissantSource
       val t = Timestamp.valueOf("2024-02-10 00:00:00")
       val croissant = (name: String) =>
         s"""{"@context": {"name": "https://schema.org/name",
@@ -190,14 +194,18 @@ object EtlDemo {
            | "distribution": [{"@type": "http://mlcommons.org/croissant/FileObject",
            |   "name": "$name.parquet"}]}""".stripMargin
       val client = () => new LiveSource.HttpClient with Serializable {
-        def get(url: String): String =
-          croissant(url.substring(url.lastIndexOf("=") + 1))
+        private val seen = scala.collection.mutable.Set.empty[String]
+        def get(url: String): String = {
+          if (seen.add(url)) throw LiveSource.RateLimited(Some(5L))
+          val id = url.stripSuffix("/croissant")
+          croissant(id.substring(id.lastIndexOf("/") + 1))
+        }
       }
-      val fetched = LiveSource.fetch(spark, Seq("squad", "imdb"), client,
-          id => s"stub://croissant?id=$id").toDF()
-        .filter(col("ok")) // a failed fetch must not feed null payloads in
-        .select(col("id").as("datasetId"), col("payload").as("croissant_json"))
-      val triples = graft.transform.CroissantBuilder.build(fetched)
+      val fetched = CroissantSource.fetchRaw(spark, Seq("squad", "imdb"),
+        client, base = "stub://hub",
+        policy = LiveSource.RetryPolicy(baseBackoffMs = 1, sleep = _ => ()))
+      val triples = graft.transform.CroissantBuilder.build(
+        CroissantSource.croissantInput(fetched))
         .withColumn("extractionMethod", lit("croissant_endpoint"))
         .withColumn("confidence", lit(1.0))
         .withColumn("extractionTime", lit(t))
@@ -255,6 +263,38 @@ object EtlDemo {
       println(s"[etl] semantic dedup: added=${s1.nAdded} dropped=${s1.nDropped}")
       require(s1.nDropped == 1 && s1.nAdded == 2,
         s"semantic dedup drop counts wrong: $s1")
+
+      // Dedup GROUP formation — the end of the dedup pipeline: the LSH
+      // band-pair stage emits PAIRS; connected components resolves the
+      // duplicate chains into groups with one min-id survivor each (the
+      // reference's same-entity collapse, `GraphHandler.py:455-546`).
+      // Cards 1/2 (exact) and 3 (near) chain into one group; 4 stands alone.
+      val sigs = cards
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.minhash_sigs(
+            graft.functions.GraftFunctions.word_ngrams(col("text"), 3), 4)
+            .as("sig"))
+      val banded = sigs.select(col("doc_id"),
+        concat_ws("_", element_at(col("sig"), 1), element_at(col("sig"), 2)).as("b1"),
+        concat_ws("_", element_at(col("sig"), 3), element_at(col("sig"), 4)).as("b2"))
+      def pairsOn(c: String) = banded.as("x")
+        .join(banded.as("y"), col(s"x.$c") === col(s"y.$c"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      val pairs = pairsOn("b1").union(pairsOn("b2")).distinct()
+      val comp = graft.operators.ConnectedComponents(pairs)
+      val groups = cards.select(col("doc_id"))
+        .join(comp, cards("doc_id") === comp("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("group_id"))
+        .cache()
+      val nGroups = groups.select("group_id").distinct().count()
+      val survivors = groups.filter(col("doc_id") === col("group_id"))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      println(s"[etl] dedup groups: $nGroups groups, survivors=${survivors.mkString(",")}")
+      require(nGroups == 2 && survivors == Seq(1L, 4L),
+        s"dedup group formation wrong: $nGroups groups, survivors $survivors")
+      groups.unpersist()
     }
 
     val current = store.currentTriples
