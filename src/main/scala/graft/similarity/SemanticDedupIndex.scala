@@ -104,22 +104,7 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
       .join(idx.select("vhash"), Seq("vhash"), "left_anti")
       .localCheckpoint() // consumed 4x: bands, two cosine joins, anti-join
 
-    // one ID-ONLY (band, bucket) row per band per vector: the candidate
-    // blowup (pre-cap, potentially quadratic in a dense bucket) shuffles
-    // bare id pairs — the ~KB vector payloads join in only for the <= cap
-    // survivors below. OR-amplification = union of per-band collisions.
-    def bands(df: DataFrame, suffix: String) =
-      df.select(col("vec_id").as(s"vec$suffix"), posexplode(col("buckets")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-
-    // acceptors: every accepted index vector, plus post-exact batch
-    // vectors restricted to smaller ids (the non-cascading one-pass rule)
-    val acceptors = bands(idx, "2").withColumn("from_index", lit(true))
-      .unionByName(bands(afterExact, "2").withColumn("from_index", lit(false)))
-    val candidates = bands(afterExact, "1")
-      .join(acceptors, Seq("band", "bucket"))
-      .filter(col("from_index") || col("vec2") < col("vec1"))
-      .dropDuplicates("vec1", "vec2", "from_index")
+    val candidates = candidatePairs(afterExact, idx)
 
     // per-probe candidate cap: a dense semantic cluster (one bucket with
     // k accepted vectors) would otherwise cost every new probe k cosines.
@@ -147,8 +132,42 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
         ranked.filter(col("rn") <= cap)
       }
 
-    // cosine scoring on the capped pairs only: probe vectors from the
-    // batch, acceptor vectors from the side the pair came from
+    val dropped = cosineDrops(capped, afterExact, idx)
+    val survivors = afterExact
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+
+    val nAdded = survivors.count()
+    append(survivors, nAdded)
+    DedupIndex.IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
+  }
+
+  /** Candidate-pair formation (package-private so PlanSpec can pin its
+    * physical plan): one ID-ONLY (band, bucket) row per band per vector —
+    * the candidate blowup (pre-cap, potentially quadratic in a dense
+    * bucket) shuffles bare id pairs; the ~KB vector payloads join in only
+    * for the <= cap survivors in [[cosineDrops]]. OR-amplification =
+    * union of per-band collisions. Acceptors: every accepted index
+    * vector, plus post-exact batch vectors restricted to smaller ids (the
+    * non-cascading one-pass rule). Equi-joins only — never all-pairs. */
+  private[graft] def candidatePairs(afterExact: DataFrame, idx: DataFrame): DataFrame = {
+    def bands(df: DataFrame, suffix: String) =
+      df.select(col("vec_id").as(s"vec$suffix"), posexplode(col("buckets")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val acceptors = bands(idx, "2").withColumn("from_index", lit(true))
+      .unionByName(bands(afterExact, "2").withColumn("from_index", lit(false)))
+    bands(afterExact, "1")
+      .join(acceptors, Seq("band", "bucket"))
+      .filter(col("from_index") || col("vec2") < col("vec1"))
+      .dropDuplicates("vec1", "vec2", "from_index")
+  }
+
+  /** Cosine scoring on the capped pairs only (package-private for the
+    * PlanSpec pin): probe vectors join in from the batch, acceptor
+    * vectors from the side the pair came from — two equi-joins per
+    * branch, no broadcast-nested-loop, no cartesian. */
+  private[graft] def cosineDrops(capped: DataFrame, afterExact: DataFrame,
+                                 idx: DataFrame): DataFrame = {
     def sides(df: DataFrame, suffix: String) =
       df.select(col("vec_id").as(s"vec$suffix"), col("v").as(s"v$suffix"),
         col("nrm").as(s"n$suffix"))
@@ -157,16 +176,9 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
       .join(acceptorVecs, "vec2")
       .filter(cosine >= threshold)
       .select(col("vec1").as("vec_id"))
-    val dropped = drops(capped.filter(col("from_index")), sides(idx, "2"))
+    drops(capped.filter(col("from_index")), sides(idx, "2"))
       .unionByName(drops(capped.filter(!col("from_index")), sides(afterExact, "2")))
       .distinct()
-    val survivors = afterExact
-      .join(dropped, Seq("vec_id"), "left_anti")
-      .localCheckpoint()
-
-    val nAdded = survivors.count()
-    append(survivors, nAdded)
-    DedupIndex.IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
   }
 }
 

@@ -168,6 +168,50 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("LeftAnti"), s) // exact + near drops are anti-joins
   }
 
+  test("semantic ingest: id-only candidate shuffle, equi-joins, no cartesian") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import spark.implicits._
+    graft.load.Scratch.withScratch("graft_plan_sem", "planspec") { tmp =>
+      val sem = new graft.similarity.SemanticDedupIndex(
+        spark, tmp.getAbsolutePath, threshold = 0.9)
+      val sk = graft.similarity.SemanticSketch()
+      val mk = (ids: Seq[Long]) => graft.similarity.SemanticDedupIndex.withSketch(
+        ids.map(i => (i, Seq.tabulate(16)(d => (i + d).toDouble)))
+          .toDF("vec_id", "embedding"), sk)
+      val batch = mk(Seq(10L, 11L, 12L))
+      val idx = mk(Seq(1L, 2L))
+
+      // candidate stage: equi-joins only, and every exchange ships bare
+      // ids + band/bucket — the ~KB vector payload columns must never
+      // ride the (potentially quadratic, pre-cap) candidate shuffle
+      val cands = sem.candidatePairs(batch, idx)
+      val cs = planString(cands)
+      assert(!cs.contains("CartesianProduct") &&
+        !cs.contains("BroadcastNestedLoopJoin"), cs)
+      cands.count() // let AQE finalize before walking exchanges
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case other =>
+          Seq(other) ++ other.children.flatMap(walk) ++ other.subqueries.flatMap(walk)
+      }
+      val exchanges = walk(executed(cands)).collect { case e: Exchange => e }
+      assert(exchanges.nonEmpty, planString(cands))
+      val leaked = exchanges.filter(_.output.exists(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }))
+      assert(leaked.isEmpty,
+        s"vector payload rides the candidate shuffle: ${leaked.map(_.output).mkString(";")}")
+
+      // cosine stage on the capped pairs: still equi-joins, no cartesian
+      val ds = planString(sem.cosineDrops(cands, batch, idx))
+      assert(!ds.contains("CartesianProduct") &&
+        !ds.contains("BroadcastNestedLoopJoin"), ds)
+    }
+  }
+
   test("capped jaccard: hot-set anti-join, equi pair join, no cartesian") {
     val s = planString(queries.TextOps.ngramJaccard(spark, dir))
     assert(s.contains("LeftAnti"), s)
