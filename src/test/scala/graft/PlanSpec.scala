@@ -212,6 +212,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sampling: split is map-only, mixture one agg shuffle, sample one window shuffle") {
+    // split assignment is a pure projection — the 100 TB property is that
+    // assigning splits costs zero data movement
+    assert(countShuffles(queries.Sampling.splitAssign(spark, dir)) == 0)
+    // mixture = map-side filter + one aggregation shuffle
+    assert(countShuffles(queries.Sampling.sourceMixture(spark, dir)) <= 1)
+    // stratified sample pays exactly its per-stratum window shuffle
+    assert(countShuffles(queries.Sampling.stratifiedSample(spark, dir)) == 1)
+  }
+
   test("capped jaccard: hot-set anti-join, equi pair join, no cartesian") {
     val s = planString(queries.TextOps.ngramJaccard(spark, dir))
     assert(s.contains("LeftAnti"), s)
