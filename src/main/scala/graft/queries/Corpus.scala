@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Corpus-assembly audit operators for a training-data pipeline:
+  * benchmark decontamination, BM25 retrieval audit, and exact length
+  * quantiles. These extend the reference's harvest/clean surface with the
+  * stages a 100 TB pretraining-corpus build needs between cleaning and
+  * packing (the builder prompt's training-data extensions; the reference
+  * pipeline itself stops at quality filtering —
+  * /root/reference/code/transform per SURVEY §2.3).
+  */
+object Corpus {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Decontamination n-gram width. 5 keeps the probe discriminative on
+    * the synthetic corpus (3-grams collide on ~90% of docs, 5-grams only
+    * on planted near-duplicates); real pipelines use 8-13 (GPT-3 used 13)
+    * — the plan shape is identical for any n. */
+  private val DecontamN = 5
+
+  /** Benchmark decontamination: drop from the train split every doc that
+    * shares at least one word [[DecontamN]]-gram with the held-out test
+    * split (the standard exact-overlap decontamination of pretraining
+    * corpora against eval benchmarks). The test split stands in for the
+    * benchmark suite; membership comes from the same salted-md5 percent
+    * bucket [[Sampling.splitAssign]] uses, so the stage audits exactly
+    * the split the pipeline ships.
+    *
+    * Emits one row per TRAIN doc with its contaminated-n-gram count and
+    * the keep verdict — the auditable artifact (a bare filtered corpus
+    * hides what was dropped and why).
+    *
+    * Scale: one pass computes buckets + distinct n-grams per doc
+    * (codegen'd `word_ngrams`, no HOF chain); the n-gram equi-join is the
+    * only data-sized shuffle. In production the benchmark side is a fixed
+    * eval suite (KBs, broadcastable); here it is the 5% test split, which
+    * GROWS with the corpus, so no broadcast hint — AQE picks the strategy
+    * that fits the actual sizes (same size-contract reasoning as
+    * TextOps' hot-shingle join).
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val b = Sampling.pctBucket("split", col("doc_id"))
+    val g = TextOps.spread(s, t(s, dir, "documents"))
+      .select(col("doc_id"), b.as("b"),
+        GraftFunctions.word_ngrams(col("text"), DecontamN).as("gs"))
+    val bench = g.filter(col("b") >= 95)
+      .select(explode(col("gs")).as("ng")).distinct()
+    val train = g.filter(col("b") < 90)
+      .select(col("doc_id"), explode(col("gs")).as("ng"))
+    val hits = train.join(bench, "ng")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    g.filter(col("b") < 90).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated_ngrams"),
+        (coalesce(col("n_hits"), lit(0L)) === 0).as("kept"))
+  }
+
+  val decontaminateSql: String = {
+    val b = Sampling.pctBucketSql("split", "doc_id")
+    s"""WITH g AS (
+       |  SELECT doc_id, $b AS b,
+       |    CASE WHEN len(w) >= $DecontamN
+       |      THEN list_distinct(list_transform(range(1, len(w) - ${DecontamN - 2}),
+       |             i -> array_to_string(w[i:i+${DecontamN - 1}], ' ')))
+       |      ELSE []::VARCHAR[] END AS gs
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)),
+       |bench AS (SELECT DISTINCT unnest(gs) AS ng FROM g WHERE b >= 95),
+       |train AS (SELECT doc_id, unnest(gs) AS ng FROM g WHERE b < 90),
+       |hits AS (SELECT t.doc_id, count(*) AS n_hits
+       |         FROM train t JOIN bench USING (ng) GROUP BY t.doc_id)
+       |SELECT g.doc_id,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated_ngrams,
+       |  COALESCE(h.n_hits, 0) = 0 AS kept
+       |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+       |WHERE g.b < 90""".stripMargin
+  }
+
+  /** BM25 query terms + constants (Robertson k1=1.2, b=0.75). */
+  private val Bm25Terms = Seq("vector", "hash", "merge")
+  private val Bm25K = 20
+
+  /** BM25 top-k retrieval over the corpus for a fixed conjunctive query —
+    * the ranking leg of a quality-audit / search-over-corpus stage.
+    *
+    * Shape chosen for 100 TB, not for brevity:
+    *  - per-doc term frequencies come from single-pass array HOF counts
+    *    (no posting-list explode, so no |docs|x|terms| row blow-up and NO
+    *    doc-keyed shuffle to reassemble scores);
+    *  - the corpus-level stats (N, avgdl, per-term df) are ONE tiny
+    *    aggregate row, broadcast back — the only other scan;
+    *  - global ranking is top-k (TakeOrderedAndProject), never a full
+    *    sort; the rank window runs over k rows, not the corpus.
+    *
+    * Per-term scores are rounded to 4dp and summed as DECIMAL so the
+    * cross-term sum is order-independent (bit-stable across engines and
+    * re-runs); the oracle mirrors the same rounding.
+    */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    val tfCols = Bm25Terms.map(tm =>
+      size(filter(col("w"), x => x === tm)).cast("long").as(s"tf_$tm"))
+    val perDoc = toks.select(
+      col("doc_id") +: size(col("w")).cast("long").as("dl") +: tfCols: _*)
+    val statAggs = Bm25Terms.map(tm =>
+      sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm")) ++
+      Seq(count(lit(1)).cast("long").as("n"), avg(col("dl")).as("avgdl"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val termScore: String => Column = tm => {
+      val tf = col(s"tf_$tm").cast("double")
+      val df = col(s"df_$tm").cast("double")
+      val idf = log((col("n") - df + 0.5) / (df + 0.5) + 1.0)
+      val tfPart = (tf * 2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      round(idf * tfPart, 4).cast("decimal(18,4)")
+    }
+    val scored = perDoc
+      .filter(Bm25Terms.map(tm => col(s"tf_$tm")).reduce(_ + _) > 0)
+      .crossJoin(broadcast(stats)) // stats is ONE row by construction
+      .select(col("doc_id"),
+        Bm25Terms.map(termScore).reduce(_ + _).as("score_d"))
+    val topk = scored.orderBy(col("score_d").desc, col("doc_id")).limit(Bm25K)
+    val w = Window.orderBy(col("score_d").desc, col("doc_id"))
+    topk.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("score_d").cast("double").as("score"),
+        col("rank"))
+  }
+
+  val bm25TopKSql: String = {
+    val inList = Bm25Terms.map(tm => s"'$tm'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+       |       WHERE t IN ($inList) GROUP BY doc_id, t),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(
+       |      ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+       |    4) AS DECIMAL(18,4)) AS s
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+       |SELECT doc_id, CAST(score AS DOUBLE) AS score, CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT doc_id, sum(s) AS score,
+       |        row_number() OVER (ORDER BY sum(s) DESC, doc_id) AS rn
+       |      FROM scored GROUP BY doc_id)
+       |WHERE rn <= $Bm25K""".stripMargin
+  }
+
+  private val QuantilePs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+  /** Exact per-language length quantiles (linear interpolation, the
+    * `quantile_cont` definition) computed from a VALUE HISTOGRAM rather
+    * than a per-group value buffer. `percentile()` / sort-based exact
+    * quantiles buffer every value of a group on one machine — a scale
+    * trap for corpus-sized groups. Discrete-valued columns (lengths,
+    * counts, scores x 10^k) have bounded distinct values, so
+    * groupBy(value)+count is a tiny map-side-combined shuffle, the
+    * cumulative walk runs over the histogram (not the corpus), and the
+    * result is still EXACT — same numbers `percentile` would give. For
+    * genuinely continuous columns at scale, `approx_percentile` is the
+    * path; this operator is the exact histogram route.
+    */
+  def lengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "documents")
+      .groupBy(col("lang"), col("n_chars").cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("lang").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("ntot", sum(col("c")).over(Window.partitionBy("lang")))
+    // value_at(k) = min v with cum > k (0-based rank k); quantile p sits
+    // at pos = (n-1)*p between value_at(floor(pos)) and value_at(ceil(pos))
+    val loHi = QuantilePs.flatMap { case (nm, p) =>
+      val pos = (col("ntot") - 1) * p
+      Seq(min(when(col("cum") > floor(pos), col("v"))).as(s"lo_$nm"),
+        min(when(col("cum") > ceil(pos), col("v"))).as(s"hi_$nm"))
+    }
+    val aggd = withCum.groupBy("lang")
+      .agg(max(col("ntot")).as("n0"), loHi: _*)
+    val outCols = QuantilePs.map { case (nm, p) =>
+      val pos = (col("n0") - 1) * p
+      val frac = pos - floor(pos)
+      round(col(s"lo_$nm") + (col(s"hi_$nm") - col(s"lo_$nm")) * frac, 4)
+        .as(nm)
+    }
+    aggd.select(col("lang") +: col("n0").cast("long").as("n") +: outCols: _*)
+  }
+
+  /** Oracle uses DuckDB's native `quantile_cont` — an INDEPENDENT exact
+    * implementation; agreement (after 4dp rounding) is evidence the
+    * histogram walk computes the textbook quantile, not just a
+    * self-consistent one. */
+  val lengthQuantilesSql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+      |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+      |  round(quantile_cont(n_chars, 0.99), 4) AS p99
+      |FROM documents GROUP BY lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> decontaminate _,
+    "q_bm25_topk" -> bm25TopK _,
+    "q_quantiles" -> lengthQuantiles _)
+
+  val oracles: Map[String, String] = Map(
+    "q_decontaminate" -> decontaminateSql,
+    "q_bm25_topk" -> bm25TopKSql,
+    "q_quantiles" -> lengthQuantilesSql)
+}

@@ -34,12 +34,14 @@ object Sampling {
 
   /** Percent bucket in [0, 100): first 8 md5 hex digits of "salt|id".
     * SQL twin: `('0x' || substr(md5('salt|' || CAST(id AS VARCHAR)), 1,
-    * 8))::UBIGINT % 100`. */
-  private def pctBucket(salt: String, id: Column): Column =
+    * 8))::UBIGINT % 100`. Shared with [[Corpus.decontaminate]] so the
+    * decontamination stage sees the exact same train/test membership the
+    * split stage assigned. */
+  private[queries] def pctBucket(salt: String, id: Column): Column =
     conv(substring(md5(concat(lit(salt + "|"), id.cast("string"))), 1, 8),
       16, 10).cast("long") % 100
 
-  private def pctBucketSql(salt: String, id: String): String =
+  private[queries] def pctBucketSql(salt: String, id: String): String =
     s"('0x' || substr(md5('$salt|' || CAST($id AS VARCHAR)), 1, 8))::UBIGINT % 100"
 
   /** 90/5/5 train/val/test assignment, content-stable per doc. A pure

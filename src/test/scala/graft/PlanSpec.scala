@@ -222,6 +222,26 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(queries.Sampling.stratifiedSample(spark, dir)) == 1)
   }
 
+  test("corpus ops: decontamination equi-joins only, bm25 top-k no full sort") {
+    // decontamination: the n-gram overlap and the verdict join are all
+    // equi-joins — no cartesian/BNLJ anywhere (the 100 TB property)
+    val d = queries.Corpus.decontaminate(spark, dir)
+    val ds = planString(d)
+    assert(!ds.contains("CartesianProduct") &&
+      !ds.contains("BroadcastNestedLoopJoin"), ds)
+    // bm25: corpus stats come back as a ONE-ROW broadcast (the only
+    // nested-loop join in the plan), scoring is a projection, and the
+    // global ranking is top-k (TakeOrderedAndProject), never a full sort
+    val b = queries.Corpus.bm25TopK(spark, dir)
+    val bs = planString(b)
+    assert(bs.contains("TakeOrderedAndProject"), bs)
+    assert(!bs.contains("CartesianProduct"), bs)
+    assert(bs.contains("BroadcastNestedLoopJoin"), bs) // the 1-row stats join
+    // quantiles run over the value histogram: bounded shuffles regardless
+    // of corpus size (hist agg + per-lang window + final agg)
+    assert(countShuffles(queries.Corpus.lengthQuantiles(spark, dir)) <= 3)
+  }
+
   test("capped jaccard: hot-set anti-join, equi pair join, no cartesian") {
     val s = planString(queries.TextOps.ngramJaccard(spark, dir))
     assert(s.contains("LeftAnti"), s)
