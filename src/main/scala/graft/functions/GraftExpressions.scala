@@ -167,6 +167,13 @@ object Evaluators {
     * null shingle to a null hash and `array_min` skips nulls (returning
     * NULL for empty/all-null arrays), replicated by the null-element
     * skip + per-slot found flag. */
+  /** Bloom membership probe (see BloomContainsExpr). getBytes copies, but
+    * the sketch API is byte[]-based; the copy is one small allocation per
+    * probe, still far inside codegen span. */
+  def bloomContains(bf: org.apache.spark.util.sketch.BloomFilter,
+                    s: UTF8String): Boolean =
+    bf.mightContainBinary(s.getBytes)
+
   def minhashSigs(arr: ArrayData, suffixes: Array[Array[Byte]]): ArrayData = {
     val n = suffixes.length
     val mins = new Array[Long](n)
@@ -415,6 +422,55 @@ object DotDoubleExpr {
   }
 }
 
+/** `bloom_might_contain(string, <filter bytes>) -> boolean`: membership
+  * probe against a pre-built Bloom filter (`org.apache.spark.util.sketch
+  * .BloomFilter`, the public `df.stat.bloomFilter` sketch — Spark keeps
+  * its own `bloom_filter_agg`/`might_contain` pair off the public
+  * registry, so the engine owns the expression). The serialized filter
+  * rides the plan as bytes; each executor deserializes it once (transient
+  * lazy + codegen reference object), so the probe is a per-row hash with
+  * NO join, NO shuffle, and no state — which is what makes Bloom-side
+  * decontamination of a 100 TB stream a stateless map (Corpus
+  * .decontaminateBloom). One-sided error: false positives over-drop
+  * (safe direction for decontamination), never false negatives. */
+case class BloomContainsExpr(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override protected def nullSafeEval(v: Any): Any =
+    Evaluators.bloomContains(bloom, v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Evaluators.bloomContains($ref, $c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomContainsExpr =
+    copy(child = c)
+}
+
+object BloomContainsExpr {
+  /** SQL-path arg check: (value, filter) with the filter a constant
+    * binary (e.g. a hex literal of the serialized sketch). */
+  def build(exprs: Seq[Expression]): BloomContainsExpr = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"bloom_might_contain(value, filter) takes 2 arguments, got ${exprs.length}")
+    val bytes = (if (exprs(1).foldable) exprs(1).eval() else null) match {
+      case b: Array[Byte] => b
+      case _ => throw new IllegalArgumentException(
+        "bloom_might_contain: filter must be a constant binary")
+    }
+    BloomContainsExpr(exprs.head, bytes)
+  }
+}
+
 object HyperplaneBucketsExpr {
   /** SQL-path arg check: (vec, nBands, bitsPerBand, dim, seed), the four
     * config args constant. */
@@ -451,6 +507,8 @@ object GraftFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def minhash_sigs(c: Column, n: Int): Column =
     ColumnBridge.column(MinhashSigsExpr(ColumnBridge.expression(c), n))
+  def bloom_might_contain(c: Column, filter: Array[Byte]): Column =
+    ColumnBridge.column(BloomContainsExpr(ColumnBridge.expression(c), filter))
 
   /** Register for SQL use on an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -467,6 +525,9 @@ object GraftFunctions {
       "dot_double", exprs => DotDoubleExpr.build(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs", exprs => MinhashSigsExpr.build(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", exprs => BloomContainsExpr.build(exprs),
+      "scala_udf")
   }
 }
 
@@ -505,5 +566,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinhashSigsExpr].getName, "minhash_sigs"),
       (exprs: Seq[Expression]) => MinhashSigsExpr.build(exprs)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BloomContainsExpr].getName, "bloom_might_contain"),
+      (exprs: Seq[Expression]) => BloomContainsExpr.build(exprs)))
   }
 }

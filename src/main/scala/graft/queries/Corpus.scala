@@ -83,6 +83,40 @@ object Corpus {
        |WHERE g.b < 90""".stripMargin
   }
 
+  /** Serialized Bloom filter over the benchmark (test-split) n-grams —
+    * the broadcastable form of the decontamination list. Built with the
+    * public `df.stat.bloomFilter` sketch (distributed aggregate, driver
+    * holds only the filter bytes: ~1.2 MB at fpp 1e-3 per million
+    * n-grams, size independent of corpus text volume). */
+  def benchNgramBloom(s: SparkSession, dir: String,
+                      expectedItems: Long = 1000000L,
+                      fpp: Double = 0.001): Array[Byte] = {
+    val b = Sampling.pctBucket("split", col("doc_id"))
+    val bench = t(s, dir, "documents")
+      .select(b.as("b"), GraftFunctions.word_ngrams(col("text"), DecontamN).as("gs"))
+      .filter(col("b") >= 95)
+      .select(explode(col("gs")).as("ng"))
+    val bf = bench.stat.bloomFilter("ng", expectedItems, fpp)
+    val os = new java.io.ByteArrayOutputStream()
+    bf.writeTo(os)
+    os.toByteArray
+  }
+
+  /** Stateless Bloom-side decontamination: the [[decontaminate]] verdict
+    * as a pure per-row projection — n-grams probe the broadcast filter
+    * inline (codegen'd `bloom_might_contain`), no join, no shuffle, no
+    * state. This is the form that decontaminates an unbounded STREAM of
+    * arriving crawl shards (StreamingCorpus wires it); error is one-sided
+    * (Bloom false positives can only over-drop — the safe direction).
+    * Works identically on batch and streaming frames. */
+  def decontaminateBloom(docs: DataFrame, filter: Array[Byte]): DataFrame = {
+    val gs = GraftFunctions.word_ngrams(col("text"), DecontamN)
+    val nHits = size(org.apache.spark.sql.functions.filter(gs,
+      g => GraftFunctions.bloom_might_contain(g, filter))).cast("long")
+    docs.select(col("doc_id"), nHits.as("n_contaminated_ngrams"))
+      .withColumn("kept", col("n_contaminated_ngrams") === 0)
+  }
+
   /** BM25 query terms + constants (Robertson k1=1.2, b=0.75). */
   private val Bm25Terms = Seq("vector", "hash", "merge")
   private val Bm25K = 20

@@ -38,6 +38,18 @@ object StreamingCorpus {
   def langCounts(docs: DataFrame): DataFrame =
     clean(docs).groupBy("lang").agg(count(lit(1)).as("n_docs"))
 
+  /** Streaming benchmark decontamination: every arriving doc is checked
+    * against the broadcast Bloom filter of benchmark n-grams
+    * ([[graft.queries.Corpus.benchNgramBloom]]) as a pure per-row
+    * projection — no stream-static join, no shuffle, no state store, so
+    * the stage adds zero streaming state at any corpus rate. Emits the
+    * same (doc_id, n_contaminated_ngrams, kept) verdict as the batch
+    * operator; StreamingCorpusSpec proves stream == batch over the same
+    * files, with the Bloom side never passing a doc the exact batch
+    * operator would drop (one-sided error). */
+  def decontaminateStream(docs: DataFrame, filter: Array[Byte]): DataFrame =
+    graft.queries.Corpus.decontaminateBloom(docs, filter)
+
   /** The production intake loop: every arriving micro-batch is ingested
     * into the persisted [[graft.similarity.DedupIndex]] — each batch
     * dedups against itself and everything that survived before it, and

@@ -53,6 +53,37 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("bloom_might_contain: no false negatives, SQL form, codegen span") {
+    GraftFunctions.register(spark)
+    val items = graft.Tables(spark, graft.TestSpark.sf0001, "part")
+      .select($"p_name".as("s"))
+    val bf = items.stat.bloomFilter("s", 10000, 0.001)
+    val os = new java.io.ByteArrayOutputStream(); bf.writeTo(os)
+    val bytes = os.toByteArray
+
+    // every inserted item answers true (the Bloom guarantee the
+    // decontaminator leans on: contaminated docs can never slip through)
+    val probed = items.select(
+      GraftFunctions.bloom_might_contain($"s", bytes).as("hit"))
+    assert(probed.filter(!$"hit").count() == 0)
+    // absent items are overwhelmingly rejected at this fpp
+    val miss = items.select(GraftFunctions.bloom_might_contain(
+      concat($"s", lit("|NOT-A-PART")), bytes).as("hit"))
+    assert(miss.filter($"hit").count() == 0)
+    // null in, null out
+    assert(items.select(GraftFunctions.bloom_might_contain(
+      lit(null).cast("string"), bytes).as("hit"))
+      .filter($"hit".isNotNull).count() == 0)
+    // the probe runs inside a whole-stage codegen span
+    assert(probed.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      probed.queryExecution.executedPlan.toString)
+    // SQL registry path: constant binary literal form
+    val hex = bytes.map("%02x".format(_)).mkString
+    val viaSql = items.selectExpr(s"bloom_might_contain(s, X'$hex') AS hit")
+    assert(viaSql.filter(!$"hit").count() == 0)
+  }
+
   test("word_ngrams matches the HOF column formulation on real documents") {
     GraftFunctions.register(spark)
     // real corpus + adversarial edges: blank, 1-2 tokens, repeated grams,

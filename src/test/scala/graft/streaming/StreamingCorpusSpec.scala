@@ -92,4 +92,35 @@ class StreamingCorpusSpec extends AnyFunSuite {
     assert(idx.size == once.size, s"stream=${idx.size} once=${once.size}")
     assert(idx.size > 0)
   }
+
+  test("streaming Bloom decontamination equals the exact batch verdicts") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: the corpus with planted cross-split near-duplicates (sf0.001
+    // happens to have zero 5-gram collisions, which would make this vacuous)
+    val sf = "/root/testdata/sf0.01"
+    val bloom = graft.queries.Corpus.benchNgramBloom(spark, sf)
+
+    val dir = Files.createTempDirectory("decon_stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamingCorpus.decontaminateStream(
+        StreamingCorpus.readDocuments(spark, dir.toString), bloom)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("decon_stream").start()
+    q.processAllAvailable()
+    // stateless stage: the plan must carry no stateful operators at all
+    assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    q.stop()
+
+    val exact = graft.queries.Corpus.decontaminate(spark, sf) // train only
+    val streamed = spark.table("decon_stream")
+    // over-drop is allowed in principle (Bloom false positives), a pass-
+    // through never is; at these sizes (about 2k benchmark n-grams in a
+    // 1M-item filter) the verdicts agree EXACTLY, and deterministically so
+    val diff = exact.join(streamed, "doc_id")
+      .filter(exact("kept") =!= streamed("kept") ||
+        exact("n_contaminated_ngrams") =!= streamed("n_contaminated_ngrams"))
+    assert(diff.count() == 0)
+    assert(exact.filter(!col("kept")).count() > 0) // the stage really fires
+  }
 }
