@@ -191,6 +191,92 @@ object Corpus {
        |WHERE rn <= $Bm25K""".stripMargin
   }
 
+  /** Fuzzy (near-duplicate) decontamination: exact n-gram overlap
+    * ([[decontaminate]]) misses PARAPHRASED benchmark leakage, so this
+    * stage runs the MinHash-LSH near-dup detector ACROSS the split
+    * boundary — train docs whose signatures band-collide with a test doc,
+    * verified at exact Jaccard >= [[FuzzyJaccard]] over 3-gram shingles.
+    * Emits the contaminated train docs with match count + max verified
+    * similarity (the audit artifact).
+    *
+    * Scale shape (same discipline as SemanticDedupIndex): band collisions
+    * shuffle id-only candidate pairs; shingle arrays join back in ONLY
+    * for the |candidates| survivors, never riding the LSH shuffle. Cost
+    * is bucket-local — all-pairs never materializes.
+    */
+  /** Signature table for [[fuzzyDecontaminate]]: split bucket + MinHash
+    * sigs + shingles per doc, checkpointed once (reused by both band
+    * branches and the verify join). */
+  private[graft] def fuzzySig(s: SparkSession, dir: String): DataFrame = {
+    val b = Sampling.pctBucket("split", col("doc_id"))
+    TextOps.shingleTable(s, dir)
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id") +: col("sh") +: b.as("b") +: TextOps.mhCols: _*)
+      .localCheckpoint()
+  }
+
+  /** Cross-split band collisions as BARE ID PAIRS — the shingle arrays
+    * must never ride the (pre-verification, potentially fan-out) LSH
+    * shuffle; PlanSpec pins that no exchange here carries an array
+    * column. */
+  private[graft] def fuzzyCandidates(sig: DataFrame): DataFrame = {
+    def bandCand(c1: String, c2: String): DataFrame =
+      sig.filter(col("b") < 90)
+        .select(col("doc_id").as("train_id"), col(c1), col(c2))
+        .join(sig.filter(col("b") >= 95)
+          .select(col("doc_id").as("bench_id"), col(c1), col(c2)),
+          Seq(c1, c2))
+        .select("train_id", "bench_id")
+    bandCand("mh0", "mh1").union(bandCand("mh2", "mh3")).distinct()
+  }
+
+  def fuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sig = fuzzySig(s, dir)
+    val cand = fuzzyCandidates(sig)
+    val tsh = sig.select(col("doc_id").as("train_id"), col("sh").as("tsh"))
+    val esh = sig.select(col("doc_id").as("bench_id"), col("sh").as("esh"))
+    val inter = size(array_intersect(col("tsh"), col("esh"))).cast("double")
+    cand.join(tsh, "train_id").join(esh, "bench_id")
+      .select(col("train_id"),
+        round(inter / (size(col("tsh")) + size(col("esh")) - inter), 4)
+          .as("jacc"))
+      .filter(col("jacc") >= FuzzyJaccard)
+      .groupBy(col("train_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_bench_matches"), max(col("jacc")).as("max_jaccard"))
+  }
+
+  private val FuzzyJaccard = 0.5
+
+  val fuzzyDecontaminateSql: String = {
+    val b = Sampling.pctBucketSql("split", "doc_id")
+    def mh(j: Int) =
+      s"CAST(list_aggregate(list_transform(sh, x -> ('0x' || substr(md5(x || '|$j'), 1, 8))::UBIGINT), 'min') AS BIGINT) AS mh$j"
+    s"""WITH sh AS (
+       |  SELECT doc_id, $b AS b,
+       |    list_distinct(CASE WHEN len(w) >= 3
+       |      THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |      ELSE []::VARCHAR[] END) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)),
+       |sig AS (
+       |  SELECT doc_id, b, sh, ${mh(0)}, ${mh(1)}, ${mh(2)}, ${mh(3)}
+       |  FROM sh WHERE len(sh) > 0),
+       |cand AS (
+       |  SELECT t.doc_id AS train_id, e.doc_id AS bench_id, t.sh AS tsh, e.sh AS esh
+       |  FROM sig t JOIN sig e ON (t.mh0 = e.mh0 AND t.mh1 = e.mh1) AND t.b < 90 AND e.b >= 95
+       |  UNION
+       |  SELECT t.doc_id, e.doc_id, t.sh, e.sh
+       |  FROM sig t JOIN sig e ON (t.mh2 = e.mh2 AND t.mh3 = e.mh3) AND t.b < 90 AND e.b >= 95),
+       |verified AS (
+       |  SELECT train_id, bench_id,
+       |    round(CAST(len(list_intersect(tsh, esh)) AS DOUBLE)
+       |      / (len(tsh) + len(esh) - len(list_intersect(tsh, esh))), 4) AS jacc
+       |  FROM cand)
+       |SELECT train_id AS doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+       |  max(jacc) AS max_jaccard
+       |FROM verified WHERE jacc >= $FuzzyJaccard
+       |GROUP BY train_id""".stripMargin
+  }
+
   private val QuantilePs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
 
   /** Exact per-language length quantiles (linear interpolation, the
@@ -245,11 +331,13 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> decontaminate _,
+    "q_fuzzy_decontaminate" -> fuzzyDecontaminate _,
     "q_bm25_topk" -> bm25TopK _,
     "q_quantiles" -> lengthQuantiles _)
 
   val oracles: Map[String, String] = Map(
     "q_decontaminate" -> decontaminateSql,
+    "q_fuzzy_decontaminate" -> fuzzyDecontaminateSql,
     "q_bm25_topk" -> bm25TopKSql,
     "q_quantiles" -> lengthQuantilesSql)
 }

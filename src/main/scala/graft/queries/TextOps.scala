@@ -317,7 +317,7 @@ object TextOps {
     * the shingle expression per consuming expression — measured ~10x. At
     * production scale this is a persisted signatures table written once per
     * corpus version). */
-  private def shingleTable(s: SparkSession, dir: String): DataFrame =
+  private[queries] def shingleTable(s: SparkSession, dir: String): DataFrame =
     spread(s, t(s, dir, "documents"))
       .select(col("doc_id"), col("source"), shingles.as("sh"))
       .localCheckpoint()

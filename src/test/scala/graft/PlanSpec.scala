@@ -242,6 +242,31 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(queries.Corpus.lengthQuantiles(spark, dir)) <= 3)
   }
 
+  test("fuzzy decontamination: id-only LSH candidate shuffle, equi-joins only") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.ArrayType
+    val sig = queries.Corpus.fuzzySig(spark, dir)
+    val cand = queries.Corpus.fuzzyCandidates(sig)
+    val cs = planString(cand)
+    assert(!cs.contains("CartesianProduct") &&
+      !cs.contains("BroadcastNestedLoopJoin"), cs)
+    cand.count() // let AQE finalize before walking exchanges
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other =>
+        Seq(other) ++ other.children.flatMap(walk) ++ other.subqueries.flatMap(walk)
+    }
+    val exchanges = walk(executed(cand)).collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty, cs)
+    val leaked = exchanges.filter(_.output.exists(_.dataType.isInstanceOf[ArrayType]))
+    assert(leaked.isEmpty,
+      s"shingle payload rides the candidate shuffle: ${leaked.map(_.output).mkString(";")}")
+    // full query (verify join + per-doc agg): still no cartesian anywhere
+    val fs = planString(queries.Corpus.fuzzyDecontaminate(spark, dir))
+    assert(!fs.contains("CartesianProduct") &&
+      !fs.contains("BroadcastNestedLoopJoin"), fs)
+  }
+
   test("capped jaccard: hot-set anti-join, equi pair join, no cartesian") {
     val s = planString(queries.TextOps.ngramJaccard(spark, dir))
     assert(s.contains("LeftAnti"), s)
