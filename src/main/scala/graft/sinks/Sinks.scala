@@ -23,6 +23,34 @@ object Sinks {
   def writeJsonRecords(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Layout-aware parquet writer — the shape every TB-scale table in this
+    * engine should land in:
+    *
+    *  - `repartitionByRange(sortCols)` clusters rows so each output file
+    *    covers a narrow key range → min/max footer stats make downstream
+    *    range/point predicates prune whole files (the poor man's z-order
+    *    for a single key family);
+    *  - `sortWithinPartitions` makes rows inside each file ordered →
+    *    page-level predicate pushdown and better encodings (RLE/delta on
+    *    sorted columns routinely halve file size);
+    *  - `maxRecordsPerFile` bounds file size independently of partition
+    *    count, so one skewed range cannot emit a 50 GB file that a single
+    *    downstream task then has to read (AQE rebalances the write-side
+    *    partitions; this caps the files themselves).
+    *
+    * `nFiles` sizes the range partitioning (at scale: total bytes /
+    * target file size); ordering columns double as the cluster key.
+    */
+  def writeClustered(df: DataFrame, path: String, nFiles: Int,
+                     maxRecordsPerFile: Long, sortCols: String*): Unit = {
+    val cols = sortCols.map(col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+
   /** K3 N-Triples serialization (`MlentoryTransform.py:145-155`): each
     * triple row formatted via the pure N3 layer. */
   def writeNTriples(triples: DataFrame, path: String): Unit = {

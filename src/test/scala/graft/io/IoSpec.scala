@@ -51,6 +51,40 @@ class IoSpec extends AnyFunSuite {
     assert(typed.select("datatype").as[String].head().endsWith("#date"))
   }
 
+  test("clustered writer: bounded files, sorted inside, disjoint key ranges") {
+    val dir = Files.createTempDirectory("clustered").toString + "/li"
+    val li = graft.Tables(spark, TestSpark.sf0001, "lineitem")
+      .select("l_orderkey", "l_shipdate", "l_quantity")
+    val total = li.count()
+    Sinks.writeClustered(li, dir, nFiles = 4, maxRecordsPerFile = 1000L,
+      "l_shipdate")
+
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    // maxRecordsPerFile bounds every file regardless of range skew
+    assert(files.length >= (total / 1000).toInt, files.length.toString)
+    val perFile = files.map { f =>
+      val rows = spark.read.parquet(f).select("l_shipdate")
+        .collect() // timestamp_ntz surfaces as LocalDateTime
+        .map(_.getAs[java.time.LocalDateTime](0)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      assert(rows.length <= 1000, s"$f has ${rows.length} rows")
+      // sorted inside the file (page-level stats + encodings depend on it)
+      assert(rows.zip(rows.tail).forall { case (a, b) => a <= b }, f)
+      (rows.min, rows.max)
+    }
+    assert(perFile.map(_._1).length.toLong > 0 &&
+      files.length.toLong * 1000 >= total)
+    // files cover disjoint key ranges (footer min/max prunes whole files):
+    // sorted by min, each file ends before-or-where the next begins
+    val byMin = perFile.sortBy(_._1)
+    byMin.zip(byMin.tail).foreach { case ((_, aMax), (bMin, _)) =>
+      assert(aMax <= bMin, s"overlapping file ranges: $aMax > $bMin")
+    }
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(dir).count() == total)
+  }
+
   test("dotted-path projection (S7/S9)") {
     val df = spark.read.json(Seq(
       """{"run": {"id": 7, "flow": {"name": "f1"}}, "score": 0.9}""").toDS())
