@@ -329,15 +329,80 @@ object Corpus {
       |  round(quantile_cont(n_chars, 0.99), 4) AS p99
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** Token budget per packed training sequence (est_bpe_tokens units —
+    * the same chars/4 estimate tokenCount reports). */
+  private val SeqBudget = 1024L
+
+  /** Sequence packing (the concat-then-chunk corpus→training-batches
+    * stage): docs are concatenated per source in doc_id order and split
+    * into fixed [[SeqBudget]]-token sequences; a doc belongs to the
+    * sequence where it STARTS (tokens-before ÷ budget). Emits per-sequence
+    * packing stats (docs, token sum) — the artifact batch planners read.
+    *
+    * Scale: the keyed generalization of chunkPack's two-level cumsum.
+    * A per-source window would put one source = one partition (the
+    * single-partition trap chunkPack's scaladoc documents); instead:
+    * range-partition on (source, doc_id), partition-local cumsum keyed on
+    * (pid, source), then ONE bounded collect of per-(pid, source) totals
+    * (≤ partitions × |sources| rows; sources are config-scale) builds the
+    * broadcast offset table. PackLawSpec proves equality with the naive
+    * per-source window on random inputs.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    packSequencesOf(s, t(s, dir, "documents"))
+
+  private[graft] def packSequencesOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"), col("doc_id"),
+      ceil(col("n_chars") / 4.0).cast("long").as("tok"))
+    val w = Window.partitionBy("pid", "source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // checkpoint pins ONE spark_partition_id assignment for both consumers
+    val local = toks
+      .repartitionByRange(col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_cum", sum(col("tok")).over(w))
+      .localCheckpoint()
+    val totals = local.groupBy("pid", "source")
+      .agg(max(col("local_cum")).as("total"))
+      .orderBy("source", "pid").collect() // bounded: partitions x sources
+    var curSrc: String = null
+    var acc = 0L
+    val offsets = totals.map { r =>
+      if (r.getString(1) != curSrc) { curSrc = r.getString(1); acc = 0L }
+      val off = acc; acc += r.getLong(2)
+      (r.getInt(0), r.getString(1), off)
+    }.toSeq
+    val offDf = s.createDataFrame(offsets).toDF("pid", "source", "offset")
+    local.join(broadcast(offDf), Seq("pid", "source"))
+      .select(col("source"), col("tok"),
+        (col("local_cum") + col("offset")).as("cum"))
+      .withColumn("seq", floor((col("cum") - col("tok")) / SeqBudget))
+      .groupBy("source", "seq")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("seq_tokens"))
+  }
+
+  val packSequencesSql: String =
+    s"""SELECT source, CAST(floor((cum - tok) / $SeqBudget) AS BIGINT) AS seq,
+       |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS seq_tokens
+       |FROM (
+       |  SELECT source, tok,
+       |    CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM (SELECT source, doc_id,
+       |          CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok FROM documents))
+       |GROUP BY source, seq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> decontaminate _,
     "q_fuzzy_decontaminate" -> fuzzyDecontaminate _,
     "q_bm25_topk" -> bm25TopK _,
-    "q_quantiles" -> lengthQuantiles _)
+    "q_quantiles" -> lengthQuantiles _,
+    "q_pack_sequences" -> packSequences _)
 
   val oracles: Map[String, String] = Map(
     "q_decontaminate" -> decontaminateSql,
     "q_fuzzy_decontaminate" -> fuzzyDecontaminateSql,
     "q_bm25_topk" -> bm25TopKSql,
-    "q_quantiles" -> lengthQuantilesSql)
+    "q_quantiles" -> lengthQuantilesSql,
+    "q_pack_sequences" -> packSequencesSql)
 }

@@ -37,4 +37,33 @@ class ChunkPackLawSpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("keyed two-level packing == naive per-source window on random inputs") {
+    val rowsGen = for {
+      n <- Gen.choose(0, 120)
+      rows <- Gen.listOfN(n, for {
+        src <- Gen.oneOf("s0", "s1", "s2")
+        chars <- Gen.choose(0L, 30000L)
+      } yield (src, chars))
+    } yield rows.zipWithIndex.map { case ((s, c), i) => (i.toLong, s, c) }
+
+    val prop = Prop.forAll(rowsGen) { rows =>
+      val docs = rows.toDF("doc_id", "source", "n_chars")
+      val twoLevel = graft.queries.Corpus.packSequencesOf(spark, docs)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = docs
+        .select(col("source"), col("doc_id"),
+          ceil(col("n_chars") / 4.0).cast("long").as("tok"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .withColumn("seq", floor((col("cum") - col("tok")) / 1024))
+        .groupBy("source", "seq")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("seq_tokens"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      twoLevel == naive
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
