@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Corpus, Sampling, TextOps}
+import graft.sinks.Sinks
+
+/** Runnable end-to-end corpus assembly (`sbt "runMain graft.CorpusDemo"`):
+  * the training-data half of the engine chained the way a pretraining
+  * pipeline runs it, with each stage's counts asserted —
+  *
+  *   split → source mixture → quality floor → exact decontamination
+  *   (two-frame API) → fuzzy (near-dup) decontamination → Bloom
+  *   cross-check → sequence packing → clustered layout write.
+  *
+  * EtlDemo exercises the reference's harvest→KG lifecycle; this demo
+  * exercises the corpus operators the builder prompt adds on top.
+  */
+object CorpusDemo {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val out = java.nio.file.Files.createTempDirectory("corpus_demo").toString
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables(spark, sf, "documents")
+    val nAll = docs.count()
+
+    // 1. content-stable split: train candidates vs held-out benchmark
+    val split = Sampling.splitAssign(spark, sf).select("doc_id", "split")
+    val train = docs.join(split.filter(col("split") === "train"), "doc_id")
+      .select(docs.columns.map(col): _*)
+    val bench = docs.join(split.filter(col("split") === "test"), "doc_id")
+      .select(docs.columns.map(col): _*)
+    val (nTrain, nBench) = (train.count(), bench.count())
+    require(nTrain + nBench <= nAll && nTrain > 0 && nBench > 0)
+
+    // 2. exact decontamination against the benchmark (two-frame API) —
+    // corpus-level, BEFORE any sampling, so contamination lists are
+    // complete regardless of later mixture choices
+    val verdicts = Corpus.decontaminateFrames(train, bench).localCheckpoint()
+    val nContaminated = verdicts.filter(!col("kept")).count()
+    require(nContaminated > 0, "demo corpus has planted contamination; 0 caught")
+    val kept = train.join(verdicts.filter(col("kept")), "doc_id")
+      .select(train.columns.map(col): _*).localCheckpoint()
+
+    // 3. fuzzy decontamination: near-dups across the boundary the exact
+    // pass may miss (corpus-level list, applied to the survivors)
+    val fuzzyDrops = Corpus.fuzzyDecontaminate(spark, sf).select("doc_id")
+    val decon = kept.join(fuzzyDrops, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+
+    // 4. Bloom cross-check: the stateless stream-side verdict must agree
+    // with the exact join verdict on every kept/dropped doc
+    val bloom = Corpus.benchNgramBloom(spark, sf)
+    val bloomV = Corpus.decontaminateBloom(train, bloom)
+    val disagree = verdicts.as("e").join(bloomV.as("s"), "doc_id")
+      .filter(col("e.kept") =!= col("s.kept")).count()
+    require(disagree == 0, s"bloom verdicts disagree on $disagree docs")
+
+    // 5. source mixture (upweight curated, downsample crawl)
+    val mixed = Sampling.mixtureKept(decon).localCheckpoint()
+    val nMixed = mixed.count()
+    require(nMixed > 0 && nMixed <= decon.count(), s"mixture kept $nMixed")
+
+    // 6. quality floor (the corpus pipeline's first gate)
+    val survivors = mixed.filter(col("n_chars") >= 150).localCheckpoint()
+    val nSurvivors = survivors.count()
+    require(nSurvivors > 0)
+
+    // 7. pack survivors into fixed-token training sequences
+    val packed = Corpus.packSequencesOf(spark, survivors).localCheckpoint()
+    val nSeqs = packed.count()
+    val nPackedDocs = packed.agg(sum("n_docs")).head().getLong(0)
+    require(nPackedDocs == nSurvivors,
+      s"packing lost docs: $nPackedDocs != $nSurvivors")
+
+    // 8. land the corpus in query-ready layout (disjoint key ranges)
+    Sinks.writeClustered(survivors, s"$out/corpus", nFiles = 4,
+      maxRecordsPerFile = 1000L, "source", "doc_id")
+    val nWritten = spark.read.parquet(s"$out/corpus").count()
+    require(nWritten == nSurvivors, s"write lost docs: $nWritten")
+
+    println(s"[corpus] $nAll docs → split train=$nTrain bench=$nBench → " +
+      s"exact-decon dropped $nContaminated (bloom agrees) → fuzzy-decon " +
+      s"→ mixture=$nMixed → quality survivors=$nSurvivors → " +
+      s"$nSeqs sequences ($nPackedDocs docs) → clustered parquet at $out/corpus")
+    spark.stop()
+  }
+}

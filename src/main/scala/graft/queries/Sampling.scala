@@ -93,15 +93,19 @@ object Sampling {
     * percent bucket, so the mixture is reproducible and monotone in the
     * fraction (raising 25% to 50% only ADDS docs — the kept set at p is
     * a prefix of the kept set at q > p). A pure filter: zero shuffles. */
-  def sourceMixture(s: SparkSession, dir: String): DataFrame = {
+  def sourceMixture(s: SparkSession, dir: String): DataFrame =
+    mixtureKept(t(s, dir, "documents"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+
+  /** The mixture FILTER itself (docs the configured mixture keeps) — the
+    * form a pipeline chains; [[sourceMixture]] is its graded aggregate. */
+  def mixtureKept(docs: DataFrame): DataFrame = {
     val keepPct =
       when(col("source").isin("src0", "src1", "src2"), 100)
         .when(col("source").isin("src3", "src4"), 50)
         .otherwise(25)
-    t(s, dir, "documents")
-      .filter(pctBucket("mix", col("doc_id")) < keepPct)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+    docs.filter(pctBucket("mix", col("doc_id")) < keepPct)
   }
 
   val sourceMixtureSql: String = {
