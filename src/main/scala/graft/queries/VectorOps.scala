@@ -310,7 +310,42 @@ object VectorOps {
       |  CAST(SUM(CASE WHEN proj > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
       |FROM projs GROUP BY vec_id, b""".stripMargin
 
+  /** Model-scored filtering: a frozen linear classifier head (the shape
+    * of fasttext-style quality / toxicity / language filters over
+    * embeddings) applied as a STATELESS MAP — one codegen'd dot product
+    * per row against a plan-constant weight vector, no join, no shuffle;
+    * the filter prunes below-threshold docs right at the scan. Weights
+    * are md5-derived (the hyperplane-sign convention the sketch oracle
+    * already replays), standing in for trained parameters the engine
+    * would load from a model artifact. */
+  def classifierFilter(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val w = typedLit(Seq.tabulate(dim)(d =>
+      graft.functions.Evaluators.hyperplaneSign("clf", 0, 0, d)))
+    t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("score_raw", dot(col("v"), w))
+      .filter(col("score_raw") > 0)
+      .select(col("vec_id"), col("label"),
+        round(col("score_raw"), 4).as("score"))
+  }
+
+  val classifierFilterSql: String =
+    """WITH w AS (SELECT list_transform(range(0, 64), d ->
+      |    CASE WHEN ('0x' || substr(md5('clf|0|0|' || CAST(d AS VARCHAR)), 1, 8))::UBIGINT % 2 = 1
+      |      THEN 1.0 ELSE -1.0 END) AS wv)
+      |SELECT vec_id, CAST(label AS BIGINT) AS label, round(score_raw, 4) AS score FROM (
+      |  SELECT vec_id, label,
+      |    list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * w.wv[i]),
+      |      (a, b) -> a + b) AS score_raw
+      |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      |  CROSS JOIN w)
+      |WHERE score_raw > 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_classifier_filter" -> classifierFilter _,
     "q_cosine_topk" -> cosineTopK _,
     "q_embed_neardup" -> embedNearDup _,
     "q_semantic_dedup" -> semanticDedup _,
@@ -320,6 +355,7 @@ object VectorOps {
     "q_ann_recall" -> annRecall _)
 
   val oracles: Map[String, String] = Map(
+    "q_classifier_filter" -> classifierFilterSql,
     "q_cosine_topk" -> cosineTopKSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_semantic_dedup" -> semanticDedupSql,
