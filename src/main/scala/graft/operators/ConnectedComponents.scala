@@ -32,7 +32,13 @@ object ConnectedComponents {
     *         where component = the smallest node id in its component —
     *         i.e. the canonical dedup survivor.
     */
-  def apply(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def apply(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    applyWithRounds(edges, maxIter)._1
+
+  /** [[apply]] plus the number of large+small rounds it took — the probe
+    * surface for the O(log² n) convergence claim (CcScaleProbe records
+    * measured rounds on chains/cliques/random graphs in SCALE.md). */
+  def applyWithRounds(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     val u = edges.columns(0)
     val v = edges.columns(1)
     val cast = edges
@@ -89,7 +95,8 @@ object ConnectedComponents {
     require(converged, s"connected components did not converge in $maxIter rounds")
     // At the fixpoint e is a star forest: (node → component min). Roots
     // appear only on the parent side; they label themselves.
-    nodes.join(e, nodes("node") === e("u"), "left")
+    val out = nodes.join(e, nodes("node") === e("u"), "left")
       .select(col("node"), coalesce(col("v"), col("node")).as("component"))
+    (out, it)
   }
 }
