@@ -174,6 +174,21 @@ object Evaluators {
                     s: UTF8String): Boolean =
     bf.mightContainBinary(s.getBytes)
 
+  /** Count of array elements the filter might contain (see BloomHitsExpr);
+    * null elements skipped. */
+  def bloomHits(bf: org.apache.spark.util.sketch.BloomFilter,
+                arr: ArrayData): Int = {
+    var hits = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) &&
+        bf.mightContainBinary(arr.getUTF8String(i).getBytes)) hits += 1
+      i += 1
+    }
+    hits
+  }
+
   def minhashSigs(arr: ArrayData, suffixes: Array[Array[Byte]]): ArrayData = {
     val n = suffixes.length
     val mins = new Array[Long](n)
@@ -422,34 +437,49 @@ object DotDoubleExpr {
   }
 }
 
+/** Serialized-Bloom-filter holder with VALUE equality (an `Array[Byte]`
+  * field would compare by reference, so two probes built from equal bytes
+  * would never `semanticEquals` — defeating subexpression elimination and
+  * plan canonicalization). Deserialization is lazy and happens once per
+  * JVM copy of the holder; both the interpreted and codegen paths go
+  * through it. Filters here are ~MB (benchmark n-gram sets); a filter in
+  * the tens-of-MB range should instead ship via a broadcast variable and
+  * a mapPartitions seam, not a plan constant. */
+final class BloomHolder(val bytes: Array[Byte]) extends Serializable {
+  @transient lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomHolder => java.util.Arrays.equals(bytes, b.bytes)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Arrays.hashCode(bytes)
+}
+
 /** `bloom_might_contain(string, <filter bytes>) -> boolean`: membership
   * probe against a pre-built Bloom filter (`org.apache.spark.util.sketch
   * .BloomFilter`, the public `df.stat.bloomFilter` sketch — Spark keeps
   * its own `bloom_filter_agg`/`might_contain` pair off the public
   * registry, so the engine owns the expression). The serialized filter
-  * rides the plan as bytes; each executor deserializes it once (transient
-  * lazy + codegen reference object), so the probe is a per-row hash with
-  * NO join, NO shuffle, and no state — which is what makes Bloom-side
+  * rides the plan as a value-equal [[BloomHolder]]; each executor
+  * deserializes it once, so the probe is a per-row hash with NO join,
+  * NO shuffle, and no state — which is what makes Bloom-side
   * decontamination of a 100 TB stream a stateless map (Corpus
   * .decontaminateBloom). One-sided error: false positives over-drop
   * (safe direction for decontamination), never false negatives. */
-case class BloomContainsExpr(child: Expression, filterBytes: Array[Byte])
+case class BloomContainsExpr(child: Expression, holder: BloomHolder)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = BooleanType
 
-  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(filterBytes))
-
   override protected def nullSafeEval(v: Any): Any =
-    Evaluators.bloomContains(bloom, v.asInstanceOf[UTF8String])
+    Evaluators.bloomContains(holder.filter, v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bloom", bloom,
-      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    val ref = ctx.addReferenceObj("bloomHolder", holder,
+      classOf[BloomHolder].getName)
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.Evaluators.bloomContains($ref, $c)")
+      c => s"graft.functions.Evaluators.bloomContains($ref.filter(), $c)")
   }
   override protected def withNewChildInternal(c: Expression): BloomContainsExpr =
     copy(child = c)
@@ -462,12 +492,49 @@ object BloomContainsExpr {
     if (exprs.length != 2)
       throw new IllegalArgumentException(
         s"bloom_might_contain(value, filter) takes 2 arguments, got ${exprs.length}")
-    val bytes = (if (exprs(1).foldable) exprs(1).eval() else null) match {
+    BloomContainsExpr(exprs.head, new BloomHolder(constBinary(
+      exprs(1), "bloom_might_contain")))
+  }
+
+  private[functions] def constBinary(e: Expression, fn: String): Array[Byte] =
+    (if (e.foldable) e.eval() else null) match {
       case b: Array[Byte] => b
       case _ => throw new IllegalArgumentException(
-        "bloom_might_contain: filter must be a constant binary")
+        s"$fn: filter must be a constant binary")
     }
-    BloomContainsExpr(exprs.head, bytes)
+}
+
+/** `bloom_hits(array<string>, <filter bytes>) -> int`: number of array
+  * elements the Bloom filter might contain, in ONE codegen'd pass. This
+  * exists because Spark's `filter()` HOF is CodegenFallback — nesting the
+  * probe in a lambda would run it interpreted per element (the same trap
+  * `word_ngrams` documents). Null array → null; null elements are
+  * skipped. */
+case class BloomHitsExpr(child: Expression, holder: BloomHolder)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(v: Any): Any =
+    Evaluators.bloomHits(holder.filter, v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomHolder", holder,
+      classOf[BloomHolder].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Evaluators.bloomHits($ref.filter(), $c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomHitsExpr =
+    copy(child = c)
+}
+
+object BloomHitsExpr {
+  def build(exprs: Seq[Expression]): BloomHitsExpr = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"bloom_hits(values, filter) takes 2 arguments, got ${exprs.length}")
+    BloomHitsExpr(exprs.head, new BloomHolder(BloomContainsExpr.constBinary(
+      exprs(1), "bloom_hits")))
   }
 }
 
@@ -508,7 +575,11 @@ object GraftFunctions {
   def minhash_sigs(c: Column, n: Int): Column =
     ColumnBridge.column(MinhashSigsExpr(ColumnBridge.expression(c), n))
   def bloom_might_contain(c: Column, filter: Array[Byte]): Column =
-    ColumnBridge.column(BloomContainsExpr(ColumnBridge.expression(c), filter))
+    ColumnBridge.column(BloomContainsExpr(ColumnBridge.expression(c),
+      new BloomHolder(filter)))
+  def bloom_hits(c: Column, filter: Array[Byte]): Column =
+    ColumnBridge.column(BloomHitsExpr(ColumnBridge.expression(c),
+      new BloomHolder(filter)))
 
   /** Register for SQL use on an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -528,6 +599,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain", exprs => BloomContainsExpr.build(exprs),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_hits", exprs => BloomHitsExpr.build(exprs), "scala_udf")
   }
 }
 
@@ -571,5 +644,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[BloomContainsExpr].getName, "bloom_might_contain"),
       (exprs: Seq[Expression]) => BloomContainsExpr.build(exprs)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_hits"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BloomHitsExpr].getName, "bloom_hits"),
+      (exprs: Seq[Expression]) => BloomHitsExpr.build(exprs)))
   }
 }

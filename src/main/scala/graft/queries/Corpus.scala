@@ -111,16 +111,18 @@ object Corpus {
   }
 
   /** Stateless Bloom-side decontamination: the [[decontaminate]] verdict
-    * as a pure per-row projection — n-grams probe the broadcast filter
-    * inline (codegen'd `bloom_might_contain`), no join, no shuffle, no
-    * state. This is the form that decontaminates an unbounded STREAM of
-    * arriving crawl shards (StreamingCorpus wires it); error is one-sided
-    * (Bloom false positives can only over-drop — the safe direction).
-    * Works identically on batch and streaming frames. */
+    * as a pure per-row projection — the doc's n-grams probe the
+    * plan-constant filter in ONE codegen'd pass (`bloom_hits`; nesting
+    * the probe in Spark's `filter()` HOF would fall back to interpreted
+    * per-element eval), no join, no shuffle, no state. This is the form
+    * that decontaminates an unbounded STREAM of arriving crawl shards
+    * (StreamingCorpus wires it); error is one-sided (Bloom false
+    * positives can only over-drop — the safe direction). Null text
+    * matches the exact operator: zero n-grams, kept. */
   def decontaminateBloom(docs: DataFrame, filter: Array[Byte]): DataFrame = {
-    val gs = GraftFunctions.word_ngrams(col("text"), DecontamN)
-    val nHits = size(org.apache.spark.sql.functions.filter(gs,
-      g => GraftFunctions.bloom_might_contain(g, filter))).cast("long")
+    val nHits = coalesce(GraftFunctions.bloom_hits(
+      GraftFunctions.word_ngrams(col("text"), DecontamN), filter)
+      .cast("long"), lit(0L))
     docs.select(col("doc_id"), nHits.as("n_contaminated_ngrams"))
       .withColumn("kept", col("n_contaminated_ngrams") === 0)
   }
@@ -301,6 +303,9 @@ object Corpus {
     */
   def lengthQuantiles(s: SparkSession, dir: String): DataFrame = {
     val hist = t(s, dir, "documents")
+      // percentile()/quantile_cont skip NULL values; the histogram must
+      // too, or a NULL row would shift every rank
+      .filter(col("n_chars").isNotNull)
       .groupBy(col("lang"), col("n_chars").cast("double").as("v"))
       .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy("lang").orderBy("v")
@@ -331,7 +336,7 @@ object Corpus {
     * histogram walk computes the textbook quantile, not just a
     * self-consistent one. */
   val lengthQuantilesSql: String =
-    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+    """SELECT lang, CAST(count(n_chars) AS BIGINT) AS n,
       |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
       |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
       |  round(quantile_cont(n_chars, 0.99), 4) AS p99

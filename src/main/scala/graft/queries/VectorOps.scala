@@ -322,8 +322,11 @@ object VectorOps {
     val dim = 64
     val w = typedLit(Seq.tabulate(dim)(d =>
       graft.functions.Evaluators.hyperplaneSign("clf", 0, 0, d)))
+    // no repartition: unlike the O(dim²)-ish cosine joins, one dot per
+    // row is cheap enough that a shuffle purely for core utilization
+    // would cost more than it buys — the filter prunes AT THE SCAN
+    // (PlanSpec pins zero shuffles)
     t(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("score_raw", dot(col("v"), w))

@@ -240,6 +240,8 @@ class PlanSpec extends AnyFunSuite {
     // quantiles run over the value histogram: bounded shuffles regardless
     // of corpus size (hist agg + per-lang window + final agg)
     assert(countShuffles(queries.Corpus.lengthQuantiles(spark, dir)) <= 3)
+    // classifier filter is a stateless map: score + prune AT THE SCAN
+    assert(countShuffles(queries.VectorOps.classifierFilter(spark, dir)) == 0)
   }
 
   test("fuzzy decontamination: id-only LSH candidate shuffle, equi-joins only") {

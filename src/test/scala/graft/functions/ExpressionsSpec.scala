@@ -82,6 +82,31 @@ class ExpressionsSpec extends AnyFunSuite {
     val hex = bytes.map("%02x".format(_)).mkString
     val viaSql = items.selectExpr(s"bloom_might_contain(s, X'$hex') AS hit")
     assert(viaSql.filter(!$"hit").count() == 0)
+
+    // bloom_hits (the one-pass array form the decontaminator uses, since
+    // filter() HOFs are CodegenFallback): equals the per-element probe
+    val docs = graft.Tables(spark, graft.TestSpark.sf0001, "documents")
+      .select(GraftFunctions.word_ngrams($"text", 5).as("gs"))
+    val parity = docs.select(
+      GraftFunctions.bloom_hits($"gs", bytes).as("fast"),
+      size(filter($"gs",
+        g => GraftFunctions.bloom_might_contain(g, bytes))).as("hof"))
+    assert(parity.filter(!($"fast" <=> $"hof")).count() == 0)
+    // null array -> null; stays in a codegen span
+    assert(docs.limit(1).select(GraftFunctions.bloom_hits(
+      lit(null).cast("array<string>"), bytes).as("h"))
+      .head().isNullAt(0))
+    assert(parity.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      parity.queryExecution.executedPlan.toString)
+    // value-equal holders: two probes from equal bytes canonicalize
+    // together (Array[Byte] fields would compare by reference)
+    val probeChild = org.apache.spark.sql.catalyst.expressions.Literal("x")
+    val e1 = graft.functions.BloomContainsExpr(probeChild,
+      new graft.functions.BloomHolder(bytes.clone()))
+    val e2 = graft.functions.BloomContainsExpr(probeChild,
+      new graft.functions.BloomHolder(bytes.clone()))
+    assert(e1 == e2 && e1.semanticEquals(e2))
   }
 
   test("word_ngrams matches the HOF column formulation on real documents") {

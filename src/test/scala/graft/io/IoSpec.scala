@@ -68,13 +68,12 @@ class IoSpec extends AnyFunSuite {
         .collect() // timestamp_ntz surfaces as LocalDateTime
         .map(_.getAs[java.time.LocalDateTime](0)
           .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      assert(rows.nonEmpty, s"$f is an empty file")
       assert(rows.length <= 1000, s"$f has ${rows.length} rows")
       // sorted inside the file (page-level stats + encodings depend on it)
       assert(rows.zip(rows.tail).forall { case (a, b) => a <= b }, f)
       (rows.min, rows.max)
     }
-    assert(perFile.map(_._1).length.toLong > 0 &&
-      files.length.toLong * 1000 >= total)
     // files cover disjoint key ranges (footer min/max prunes whole files):
     // sorted by min, each file ends before-or-where the next begins
     val byMin = perFile.sortBy(_._1)

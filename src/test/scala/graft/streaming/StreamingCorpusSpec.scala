@@ -108,18 +108,22 @@ class StreamingCorpusSpec extends AnyFunSuite {
       .writeStream.outputMode("append").format("memory")
       .queryName("decon_stream").start()
     q.processAllAvailable()
-    // stateless stage: the plan must carry no stateful operators at all
-    assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    // stateless stage: progress must exist AND show no stateful operators
+    // (a null/empty progress list would make this check vacuous)
+    assert(q.recentProgress.nonEmpty)
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty))
     q.stop()
 
     val exact = graft.queries.Corpus.decontaminate(spark, sf) // train only
     val streamed = spark.table("decon_stream")
     // over-drop is allowed in principle (Bloom false positives), a pass-
     // through never is; at these sizes (about 2k benchmark n-grams in a
-    // 1M-item filter) the verdicts agree EXACTLY, and deterministically so
+    // 1M-item filter) the verdicts agree EXACTLY, and deterministically
+    // so. Null-safe comparisons: a NULL verdict must COUNT as a
+    // disagreement, not vanish from the filter.
     val diff = exact.join(streamed, "doc_id")
-      .filter(exact("kept") =!= streamed("kept") ||
-        exact("n_contaminated_ngrams") =!= streamed("n_contaminated_ngrams"))
+      .filter(!(exact("kept") <=> streamed("kept")) ||
+        !(exact("n_contaminated_ngrams") <=> streamed("n_contaminated_ngrams")))
     assert(diff.count() == 0)
     assert(exact.filter(!col("kept")).count() > 0) // the stage really fires
   }
