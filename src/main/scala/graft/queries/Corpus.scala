@@ -100,11 +100,22 @@ object Corpus {
                       expectedItems: Long = 1000000L,
                       fpp: Double = 0.001): Array[Byte] = {
     val b = Sampling.pctBucket("split", col("doc_id"))
-    val bench = t(s, dir, "documents")
-      .select(b.as("b"), GraftFunctions.word_ngrams(col("text"), DecontamN).as("gs"))
-      .filter(col("b") >= 95)
-      .select(explode(col("gs")).as("ng"))
-    val bf = bench.stat.bloomFilter("ng", expectedItems, fpp)
+    ngramBloomOf(t(s, dir, "documents").filter(b >= 95), expectedItems, fpp)
+  }
+
+  /** Frame form of [[benchNgramBloom]]: the filter over any (doc_id,
+    * text) benchmark frame's n-grams. EMPTY-SAFE: `df.stat.bloomFilter`
+    * NPEs on a zero-row input (its tree-aggregate combiner sees a null
+    * buffer), and an all-short-doc benchmark produces exactly that — so
+    * the empty case builds the (reject-everything) filter directly. */
+  def ngramBloomOf(bench: DataFrame, expectedItems: Long = 1000000L,
+                   fpp: Double = 0.001): Array[Byte] = {
+    val ngrams = bench
+      .select(explode(GraftFunctions.word_ngrams(col("text"), DecontamN)).as("ng"))
+    val bf =
+      if (ngrams.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else ngrams.stat.bloomFilter("ng", expectedItems, fpp)
     val os = new java.io.ByteArrayOutputStream()
     bf.writeTo(os)
     os.toByteArray
