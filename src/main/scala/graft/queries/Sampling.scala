@@ -19,7 +19,7 @@ import graft.Tables
   *  - shuffle-free where possible: split assignment and mixture
   *    downsampling are pure map-side projections/filters (zero
   *    shuffles); the stratified sample pays exactly one keyed shuffle
-  *    for its per-stratum window;
+  *    of at most k rows per partition (bounded top-k buffers);
   *  - oracle-replayable: md5 is engine-neutral, so DuckDB reproduces
   *    the exact buckets (the same trick the MinHash / hyperplane-sketch
   *    oracles use).
@@ -65,18 +65,33 @@ object Sampling {
 
   /** Deterministic k-per-stratum sample (here: 30 docs per language):
     * rank docs inside each stratum by their full 32-bit salted hash
-    * (doc_id tiebreak) and keep the first k. One keyed shuffle — the
-    * per-stratum window — then done; equivalent to a uniform sample
-    * without replacement that every re-run reproduces bit-for-bit. */
+    * (doc_id tiebreak) and keep the first k — a uniform sample without
+    * replacement that every re-run reproduces bit-for-bit.
+    *
+    * Computed with the bounded map-side [[graft.functions.TopKAggregator]]
+    * rather than a per-stratum window: row_number over a stratum SORTS
+    * THE WHOLE STRATUM on one reducer (a language at 100 TB is a
+    * terabyte-scale partition), while the aggregator's partial buffers
+    * trim to k per partition before the shuffle, so at most k·partitions
+    * rows move and nothing ever fully sorts. Ordering contract matches
+    * the window form exactly (h asc, doc_id asc — the oracle's
+    * row_number); the negated hash maps it onto the aggregator's
+    * (value desc, id asc) and is exact (h < 2^32 « 2^53). */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TopHit, TopKAggregator}
     val h = conv(substring(md5(concat(lit("samp|"),
       col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
-    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
     t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), h.as("h"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 30)
-      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rank_in_lang"))
+      .select(col("lang"), col("doc_id"), h.as("h"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, hv) => TopHit(-hv.toDouble, id) }
+      .agg(new TopKAggregator(30).toColumn.name("hits"))
+      .flatMap { case (lang, hits) =>
+        hits.zipWithIndex.map { case (th, i) => (th.id, lang, (i + 1).toLong) }
+      }
+      .toDF("doc_id", "lang", "rank_in_lang")
   }
 
   val stratifiedSampleSql: String =

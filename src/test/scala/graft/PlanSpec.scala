@@ -218,7 +218,8 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(queries.Sampling.splitAssign(spark, dir)) == 0)
     // mixture = map-side filter + one aggregation shuffle
     assert(countShuffles(queries.Sampling.sourceMixture(spark, dir)) <= 1)
-    // stratified sample pays exactly its per-stratum window shuffle
+    // stratified sample pays exactly one keyed shuffle, and its map-side
+    // top-k buffers mean that shuffle carries <= k rows per partition
     assert(countShuffles(queries.Sampling.stratifiedSample(spark, dir)) == 1)
   }
 
