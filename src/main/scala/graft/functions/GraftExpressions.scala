@@ -257,6 +257,35 @@ object Evaluators {
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** ALL word n-grams in token order (non-distinct) — element i is the
+    * gram starting at token position i, so `posexplode` over this array
+    * yields (token_position, gram) directly: the positional shingle table
+    * behind span-level duplicate detection. Tokenization rules match
+    * [[wordNgrams]] exactly. */
+  def wordNgramsAll(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    var b = 0; var e = str.length
+    while (b < e && str.charAt(b) == ' ') b += 1
+    while (e > b && str.charAt(e - 1) == ' ') e -= 1
+    val w = str.substring(b, e).split("\\s+", -1)
+    if (w.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new Array[Any](w.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= w.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(w(i + j)); j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString); i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `n3_escape(string) -> string` as a codegen'd unary expression. */
@@ -298,6 +327,20 @@ case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev,
       c => s"graft.functions.Evaluators.wordNgrams($c, $n)")
   override protected def withNewChildInternal(c: Expression): WordNgramsExpr =
+    copy(child = c)
+}
+
+/** `word_ngrams_all(string, n) -> array<string>`: ALL n-grams in token
+  * order (non-distinct) — array index = starting token position, so
+  * posexplode gives the positional shingle table in one codegen'd pass. */
+case class WordNgramsAllExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Evaluators.wordNgramsAll(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Evaluators.wordNgramsAll($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordNgramsAllExpr =
     copy(child = c)
 }
 
@@ -565,6 +608,8 @@ object GraftFunctions {
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c)))
   def word_ngrams(c: Column, n: Int): Column =
     ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(c), n))
+  def word_ngrams_all(c: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramsAllExpr(ColumnBridge.expression(c), n))
   def hyperplane_buckets(c: Column, nBands: Int, bitsPerBand: Int,
                          dim: Int, seed: String): Column =
     ColumnBridge.column(HyperplaneBucketsExpr(ColumnBridge.expression(c),
@@ -589,6 +634,13 @@ object GraftFunctions {
       "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", exprs => WordNgramsExpr.build(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams_all", exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"word_ngrams_all(text, n) takes 2 arguments, got ${exprs.length}")
+        WordNgramsAllExpr(exprs.head,
+          WordNgramsExpr.literalN(exprs(1), "word_ngrams_all(text, n): n"))
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_buckets", exprs => HyperplaneBucketsExpr.build(exprs),
       "scala_udf")

@@ -416,17 +416,127 @@ object Corpus {
        |          CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok FROM documents))
        |GROUP BY source, seq""".stripMargin
 
+  /** Span-detection gram width, minimum reported span (tokens), and the
+    * frequency caps that bound the pair fan-out. */
+  private val SpanK = 5
+  private val SpanMinTokens = 8
+  private val SpanDfCap = 50L
+  private val SpanPosCap = 200L
+
+  /** Exact substring duplication across documents (the span-level exact
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022): doc pairs sharing a run of at least
+    * [[SpanMinTokens]] CONSECUTIVE identical tokens, found as maximal runs
+    * of [[SpanK]]-gram matches at a constant position offset. Set-based
+    * near-dup detectors (MinHash/SimHash) miss this — two long documents
+    * sharing one verbatim paragraph have tiny Jaccard but are exactly the
+    * curation problem span dedup exists for. Emits (doc_a, doc_b,
+    * max_span_tokens, n_spans) — the audit artifact a span-clipping stage
+    * consumes.
+    *
+    * Plan shape, built for the corpus scale:
+    *  - positional shingles come from ONE codegen'd pass
+    *    (`word_ngrams_all`, array index = token position) — posexplode
+    *    over a plain array column, no HOF inside the Generate;
+    *  - gram strings NEVER ride a shuffle: both the frequency count and
+    *    the position self-join key on xxhash64(gram) (8 bytes vs ~30-char
+    *    strings; a cross-doc collision would need 2^-64 odds AND the
+    *    colliding positions to extend a run, so the hash join is exact in
+    *    practice — the string-keyed oracle agrees on every graded corpus);
+    *  - the self-join is capped: grams in > [[SpanDfCap]] distinct docs or
+    *    > [[SpanPosCap]] total positions are dropped BEFORE the join
+    *    (boilerplate/stopword shingles would otherwise square the row
+    *    count — same discipline as the n-gram Jaccard df cap), so
+    *    per-gram fan-out is bounded by construction;
+    *  - runs are gaps-and-islands: group matches by (pair, pa - pb), rank
+    *    by pa inside the group — consecutive positions share pa - rank,
+    *    so one window + one groupBy turns matches into maximal runs. The
+    *    window partitions by (pair, diff): match-list-sized groups, never
+    *    a corpus-sized sort.
+    */
+  def commonSpans(s: SparkSession, dir: String): DataFrame =
+    commonSpansOf(TextOps.spread(s, t(s, dir, "documents")))
+
+  /** Frame form of [[commonSpans]] — any (doc_id, text) frame; caps and
+    * widths parameterized for spec coverage, defaults = the graded
+    * query's constants. */
+  private[graft] def commonSpansOf(docs: DataFrame, k: Int = SpanK,
+                                   minTokens: Int = SpanMinTokens,
+                                   dfCap: Long = SpanDfCap,
+                                   posCap: Long = SpanPosCap): DataFrame = {
+    // checkpointed: three consumers (frequency count + both join sides)
+    // would otherwise re-run the scan + explode + hash each; the
+    // materialized table is (long, long, long) rows — strings gone
+    val pos = docs
+      .select(col("doc_id"), posexplode(
+        GraftFunctions.word_ngrams_all(col("text"), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("gram")).as("h"))
+      .localCheckpoint()
+    val ok = pos.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("np"))
+      .filter(col("df").between(2, dfCap) && col("np") <= posCap)
+      .select("h")
+    // no broadcast hint: the shared-gram set grows with the corpus (same
+    // size contract as the hot-shingle join) — AQE picks the strategy
+    val p = pos.join(ok, "h") // columns: (h, doc_id, pos)
+    val matches = p.toDF("h", "doc_a", "pa")
+      .join(p.toDF("h", "doc_b", "pb"), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    val wIsl = Window.partitionBy(col("doc_a"), col("doc_b"), col("diff"))
+      .orderBy(col("pa"))
+    val runs = matches
+      .withColumn("diff", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(wIsl))
+      .groupBy("doc_a", "doc_b", "diff", "isl")
+      .agg((count(lit(1)) + k - 1).as("span"))
+    runs.groupBy("doc_a", "doc_b")
+      .agg(max(col("span")).as("max_span_tokens"),
+        sum(when(col("span") >= minTokens, 1L).otherwise(0L)).as("n_spans"))
+      .filter(col("max_span_tokens") >= minTokens)
+  }
+
+  val commonSpansSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |g0 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= $SpanK
+       |      THEN list_transform(range(1, len(w) - $SpanK + 2),
+       |             i -> struct_pack(pos := i - 1, gram := array_to_string(w[i:i+${SpanK - 1}], ' ')))
+       |      ELSE []::STRUCT(pos BIGINT, gram VARCHAR)[] END AS gs
+       |  FROM toks),
+       |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+       |      FROM (SELECT doc_id, unnest(gs) AS u FROM g0)),
+       |ok AS (SELECT gram FROM (
+       |         SELECT gram, count(DISTINCT doc_id) AS df, count(*) AS np
+       |         FROM g GROUP BY gram)
+       |       WHERE df BETWEEN 2 AND $SpanDfCap AND np <= $SpanPosCap),
+       |p AS (SELECT g.* FROM g JOIN ok USING (gram)),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+       |       FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |isl AS (SELECT doc_a, doc_b, pa, pa - pb AS diff,
+       |          pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+       |        FROM pr),
+       |runs AS (SELECT doc_a, doc_b, CAST(count(*) + $SpanK - 1 AS BIGINT) AS span
+       |         FROM isl GROUP BY doc_a, doc_b, diff, isl)
+       |SELECT doc_a, doc_b, max(span) AS max_span_tokens,
+       |  CAST(sum(CASE WHEN span >= $SpanMinTokens THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+       |FROM runs GROUP BY doc_a, doc_b HAVING max(span) >= $SpanMinTokens""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> decontaminate _,
     "q_fuzzy_decontaminate" -> fuzzyDecontaminate _,
     "q_bm25_topk" -> bm25TopK _,
     "q_quantiles" -> lengthQuantiles _,
-    "q_pack_sequences" -> packSequences _)
+    "q_pack_sequences" -> packSequences _,
+    "q_common_spans" -> commonSpans _)
 
   val oracles: Map[String, String] = Map(
     "q_decontaminate" -> decontaminateSql,
     "q_fuzzy_decontaminate" -> fuzzyDecontaminateSql,
     "q_bm25_topk" -> bm25TopKSql,
     "q_quantiles" -> lengthQuantilesSql,
-    "q_pack_sequences" -> packSequencesSql)
+    "q_pack_sequences" -> packSequencesSql,
+    "q_common_spans" -> commonSpansSql)
 }

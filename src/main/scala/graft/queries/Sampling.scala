@@ -32,17 +32,25 @@ object Sampling {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  /** Percent bucket in [0, 100): first 8 md5 hex digits of "salt|id".
-    * SQL twin: `('0x' || substr(md5('salt|' || CAST(id AS VARCHAR)), 1,
-    * 8))::UBIGINT % 100`. Shared with [[Corpus.decontaminate]] so the
-    * decontamination stage sees the exact same train/test membership the
-    * split stage assigned. */
-  private[queries] def pctBucket(salt: String, id: Column): Column =
+  /** Salted content bucket in [0, mod): first 8 md5 hex digits of
+    * "salt|id", reduced mod `mod` (the hash has 2^32 range, so any mod up
+    * to ~10^6 keeps the buckets uniform). SQL twin: `('0x' ||
+    * substr(md5('salt|' || CAST(id AS VARCHAR)), 1, 8))::UBIGINT % mod`. */
+  private[queries] def bucket(salt: String, id: Column, mod: Long): Column =
     conv(substring(md5(concat(lit(salt + "|"), id.cast("string"))), 1, 8),
-      16, 10).cast("long") % 100
+      16, 10).cast("long") % mod
+
+  private[queries] def bucketSql(salt: String, id: String, mod: Long): String =
+    s"('0x' || substr(md5('$salt|' || CAST($id AS VARCHAR)), 1, 8))::UBIGINT % $mod"
+
+  /** Percent bucket in [0, 100) — shared with [[Corpus.decontaminate]] so
+    * the decontamination stage sees the exact same train/test membership
+    * the split stage assigned. */
+  private[queries] def pctBucket(salt: String, id: Column): Column =
+    bucket(salt, id, 100L)
 
   private[queries] def pctBucketSql(salt: String, id: String): String =
-    s"('0x' || substr(md5('$salt|' || CAST($id AS VARCHAR)), 1, 8))::UBIGINT % 100"
+    bucketSql(salt, id, 100L)
 
   /** 90/5/5 train/val/test assignment, content-stable per doc. A pure
     * projection — no shuffle, no state; the split of a doc is a function
@@ -134,13 +142,86 @@ object Sampling {
        |GROUP BY source""".stripMargin
   }
 
+  /** Micro-bucket granularity for computed (non-config) keep fractions:
+    * fractions are floored to integer millionths so the keep test is
+    * integer-exact and engine-neutral, like the percent buckets. */
+  private val MixMicro = 1000000L
+
+  /** Temperature exponent for [[temperatureMix]]. α ∈ (0, 1) flattens the
+    * source distribution (α→0 fully uniform, α=1 unchanged); 0.5 is the
+    * square-root rebalancing common for multilingual corpora. */
+  private val MixAlpha = 0.5
+
+  /** Temperature-based source rebalancing (the α-power resampling used to
+    * flatten multilingual / multi-source mixtures): after downsampling,
+    * source shares are proportional to p_s^α instead of p_s. Solving
+    * post_count ∝ p_s^α for a per-source keep fraction and normalizing so
+    * the smallest source keeps everything gives the closed form
+    * f_s = (c_min / c_s)^(1-α)  —  sqrt(c_min/c_s) at α = 1/2.
+    * Membership is the salted micro-bucket, so the resample is
+    * content-stable and monotone in f like [[mixtureKept]].
+    *
+    * Determinism across engines: c_min/c_s (IEEE double divide) and sqrt
+    * are both correctly-rounded operations, so Spark and the oracle floor
+    * the SAME double to the SAME integer micro-threshold — no float
+    * comparison ever crosses the engine boundary. (General pow carries no
+    * such guarantee — Java's is 1-ulp, libm varies — so the α = 1/2 form
+    * computes through sqrt on both sides; other α stay in the law-tested
+    * generic path, not the oracle-graded one.)
+    *
+    * Scale: pass 1 is a map-side-combined count per source (rows =
+    * |sources|, config-scale); the thresholds broadcast back onto the
+    * corpus for a map-side filter; pass 2 re-counts the kept docs. Two
+    * tiny keyed shuffles, zero corpus-sized sorts. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    temperatureMixOf(t(s, dir, "documents"), MixAlpha)
+
+  private[graft] def temperatureMixOf(docs: DataFrame, alpha: Double): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    // |sources| rows by construction — the one-row-stats broadcast pattern
+    val cmin = counts.agg(min(col("n_total")).as("c_min"))
+    val ratio = col("c_min").cast("double") / col("n_total")
+    val f = if (1.0 - alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val thresholds = counts.crossJoin(broadcast(cmin))
+      .select(col("lang"), col("n_total"),
+        floor(f * MixMicro).cast("long").as("keep_micro"))
+    val kept = docs
+      .join(broadcast(thresholds.select("lang", "keep_micro")), "lang")
+      .filter(bucket("temp", col("doc_id"), MixMicro) < col("keep_micro"))
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    thresholds.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"), col("keep_micro"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  val temperatureMixSql: String = {
+    val b = bucketSql("temp", "doc_id", MixMicro)
+    s"""WITH counts AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+       |  FROM documents GROUP BY lang),
+       |thr AS (
+       |  SELECT lang, n_total,
+       |    CAST(floor(sqrt((SELECT CAST(min(n_total) AS DOUBLE) FROM counts)
+       |      / n_total) * $MixMicro) AS BIGINT) AS keep_micro
+       |  FROM counts),
+       |kept AS (
+       |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM documents d JOIN thr USING (lang)
+       |  WHERE $b < thr.keep_micro GROUP BY d.lang)
+       |SELECT thr.lang, thr.n_total, thr.keep_micro,
+       |  COALESCE(kept.n_kept, 0) AS n_kept
+       |FROM thr LEFT JOIN kept USING (lang)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_assign" -> splitAssign _,
     "q_stratified_sample" -> stratifiedSample _,
-    "q_source_mixture" -> sourceMixture _)
+    "q_source_mixture" -> sourceMixture _,
+    "q_temperature_mix" -> temperatureMix _)
 
   val oracles: Map[String, String] = Map(
     "q_split_assign" -> splitAssignSql,
     "q_stratified_sample" -> stratifiedSampleSql,
-    "q_source_mixture" -> sourceMixtureSql)
+    "q_source_mixture" -> sourceMixtureSql,
+    "q_temperature_mix" -> temperatureMixSql)
 }

@@ -62,4 +62,58 @@ class CorpusSpec extends AnyFunSuite {
       .except(ref).count() == 0)
     out.unpersist()
   }
+
+  test("common spans: planted span found exactly, sub-threshold spans silent") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10-token span
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta"),
+      (2L, s"one two three four five six $shared"),
+      (3L, "totally unrelated words here nothing shared at all"),
+      (4L, "y1 y2 y3 y4 y5 y6 y7 y8 y9")).toDF("doc_id", "text")
+    val out = queries.Corpus.commonSpansOf(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    // max span is EXACT: 10 shared tokens = island of 6 5-gram matches
+    assert(r.getLong(2) == 10L && r.getLong(3) == 1L)
+    // a 7-token shared run sits below the 8-token report threshold
+    val below = Seq(
+      (1L, "p1 p2 p3 c1 c2 c3 c4 c5 c6 c7 q1"),
+      (2L, "r1 r2 c1 c2 c3 c4 c5 c6 c7 r3")).toDF("doc_id", "text")
+    assert(queries.Corpus.commonSpansOf(below).isEmpty)
+  }
+
+  test("common spans: frequency caps drop boilerplate grams before the join") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val tri = Seq(
+      (1L, s"$shared a1 b1 c1"),
+      (2L, s"$shared a2 b2 c2"),
+      (3L, s"$shared a3 b3 c3")).toDF("doc_id", "text")
+    // uncapped: every pair of the triangle reports the span
+    assert(queries.Corpus.commonSpansOf(tri).count() == 3)
+    // df cap 2: the shared grams live in 3 docs -> excluded, no pairs
+    assert(queries.Corpus.commonSpansOf(tri, dfCap = 2).isEmpty)
+    // position cap below the 18 total gram occurrences -> excluded too
+    assert(queries.Corpus.commonSpansOf(tri, posCap = 2).isEmpty)
+  }
+
+  test("temperature mix: alpha=1 keeps everything, alpha=0.5 flattens shares") {
+    val docs = Tables(spark, dir, "documents")
+    val id = queries.Sampling.temperatureMixOf(docs, 1.0).collect()
+    assert(id.nonEmpty && id.forall(r => r.getLong(3) == r.getLong(1)))
+    val half = queries.Sampling.temperatureMixOf(docs, 0.5).collect()
+    // smallest source keeps everything (keep_micro = 10^6)
+    val minTotal = half.map(_.getLong(1)).min
+    assert(half.filter(_.getLong(1) == minTotal)
+      .forall(_.getLong(2) == 1000000L))
+    // kept counts never exceed totals and shares flatten: the max/min
+    // ratio across sources strictly shrinks vs the input distribution
+    assert(half.forall(r => r.getLong(3) <= r.getLong(1)))
+    val preRatio = half.map(_.getLong(1)).max.toDouble / minTotal
+    val postMin = half.map(_.getLong(3)).min
+    val postRatio = half.map(_.getLong(3)).max.toDouble / postMin
+    assert(preRatio > 1.0 && postRatio < preRatio)
+  }
 }

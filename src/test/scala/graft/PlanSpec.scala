@@ -270,6 +270,39 @@ class PlanSpec extends AnyFunSuite {
       !fs.contains("BroadcastNestedLoopJoin"), fs)
   }
 
+  test("common spans: gram strings never ride a shuffle, equi-joins only") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.StringType
+    val df = queries.Corpus.commonSpans(spark, dir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    df.count() // let AQE finalize before walking exchanges
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other =>
+        Seq(other) ++ other.children.flatMap(walk) ++ other.subqueries.flatMap(walk)
+    }
+    val exchanges = walk(executed(df)).collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty, s)
+    // every shuffled/broadcast row is (ids, positions, xxhash64) — the
+    // ~30-char gram strings stay map-side, pre-hash
+    val leaked = exchanges.filter(_.output.exists(_.dataType == StringType))
+    assert(leaked.isEmpty,
+      s"gram strings ride a shuffle: ${leaked.map(_.output).mkString(";")}")
+  }
+
+  test("temperature mix: thresholds broadcast onto the corpus, stats one row") {
+    val df = queries.Sampling.temperatureMix(spark, dir)
+    val s = planString(df)
+    // corpus-side membership test is a broadcast lookup (thresholds =
+    // |langs| rows by construction), never a corpus shuffle
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    // the c_min stats join is the bm25-style one-row broadcast
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("capped jaccard: hot-set anti-join, equi pair join, no cartesian") {
     val s = planString(queries.TextOps.ngramJaccard(spark, dir))
     assert(s.contains("LeftAnti"), s)

@@ -134,6 +134,36 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaSql == native)
   }
 
+  test("word_ngrams_all: positional grams match the HOF form, index = position") {
+    GraftFunctions.register(spark)
+    val docs = graft.Tables(spark, graft.TestSpark.sf0001, "documents")
+      .select($"text").as[String].collect().toSeq ++ Seq(
+      "", " ", "one", "one two", "a b c", "a b c a b c a b c",
+      "  padded   with   runs  ", "\ttab lead x y z",
+      "x y z\t", "a b c\n", "one two\t")
+    val df = docs.toDF("text").withColumn("w", split(trim($"text"), "\\s+"))
+    val native = df.select(GraftFunctions.word_ngrams_all($"text", 3).as("gs"))
+      .as[Seq[String]].collect().toSeq
+    // HOF twin: ALL grams in order, index i-1 = starting token position
+    val hof = expr("CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), " +
+      "i -> concat_ws(' ', slice(w, i, 3))) ELSE array() END")
+    val viaHof = df.select(hof.cast("array<string>").as("gs"))
+      .as[Seq[String]].collect().toSeq
+    assert(native == viaHof)
+    // non-distinct, in order: repeated grams keep every occurrence
+    val rep = spark.sql("SELECT word_ngrams_all('a b a b a b', 2) AS gs")
+      .as[Seq[String]].head()
+    assert(rep == Seq("a b", "b a", "a b", "b a", "a b"))
+    // length law: max(0, tokens - n + 1) — posexplode positions are dense
+    assert(native.zip(viaHof).forall { case (a, b) => a.length == b.length })
+    // stays inside whole-stage codegen over a real scan
+    val planned = graft.Tables(spark, graft.TestSpark.sf0001, "documents")
+      .select(GraftFunctions.word_ngrams_all($"text", 5).as("gs"))
+    assert(planned.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      planned.queryExecution.executedPlan.toString)
+  }
+
   test("hyperplane_buckets matches the HOF sketch formulation exactly") {
     GraftFunctions.register(spark)
     import graft.similarity.{SemanticDedupIndex, SemanticSketch}
