@@ -10,9 +10,11 @@ import graft.sinks.Sinks
   * the training-data half of the engine chained the way a pretraining
   * pipeline runs it, with each stage's counts asserted —
   *
-  *   split → source mixture → quality floor → exact decontamination
-  *   (two-frame API) → fuzzy (near-dup) decontamination → Bloom
-  *   cross-check → sequence packing → clustered layout write.
+  *   split → exact decontamination (two-frame API) → fuzzy (near-dup)
+  *   decontamination → Bloom cross-check → span-level exact dedup
+  *   (clip duplicated spans, keep min-id copy) → source mixture →
+  *   temperature (α-power) language flattening → quality floor →
+  *   sequence packing → clustered layout write.
   *
   * EtlDemo exercises the reference's harvest→KG lifecycle; this demo
   * exercises the corpus operators the builder prompt adds on top.
@@ -70,24 +72,52 @@ object CorpusDemo {
     val overDrops = joined
       .filter((col("e.kept") <=> true) && !(col("s.kept") <=> true)).count()
 
-    // 5. source mixture (upweight curated, downsample crawl)
-    val mixed = Sampling.mixtureKept(decon).localCheckpoint()
-    val nMixed = mixed.count()
-    require(nMixed > 0 && nMixed <= decon.count(), s"mixture kept $nMixed")
+    // 5. span-level exact dedup: duplicated spans keep only the min-id
+    // copy; everything else in both docs survives. n_chars is recomputed
+    // from the clipped text so downstream gates see the real lengths.
+    val clipStats = Corpus.spanClipOf(decon.select(col("doc_id"), col("text")))
+      .localCheckpoint()
+    val nClippedDocs = clipStats.filter(col("n_removed") > 0).count()
+    val nTokensClipped = clipStats.agg(sum("n_removed")).head().getLong(0)
+    require(nClippedDocs > 0, "demo corpus has planted span dups; 0 clipped")
+    val clipped = decon.drop("text", "n_chars")
+      .join(clipStats.select(col("doc_id"), col("text_clipped").as("text")),
+        "doc_id")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .localCheckpoint()
+    require(clipped.count() == decon.count(), "clipping must not drop docs")
 
-    // 6. quality floor (the corpus pipeline's first gate)
-    val survivors = mixed.filter(col("n_chars") >= 150).localCheckpoint()
+    // 6. source mixture (upweight curated, downsample crawl)
+    val mixed = Sampling.mixtureKept(clipped).localCheckpoint()
+    val nMixed = mixed.count()
+    require(nMixed > 0 && nMixed <= clipped.count(), s"mixture kept $nMixed")
+
+    // 7. temperature-flatten the language mixture (α = 1/2): the dominant
+    // language's share must strictly shrink, the smallest language keeps
+    // everything
+    val tempered = Sampling.temperatureKept(mixed, 0.5).localCheckpoint()
+    val nTempered = tempered.count()
+    require(nTempered > 0 && nTempered <= nMixed, s"temperature kept $nTempered")
+    def topShare(df: org.apache.spark.sql.DataFrame): Double = {
+      val counts = df.groupBy("lang").count().collect()
+      counts.map(_.getLong(1)).max.toDouble / counts.map(_.getLong(1)).sum
+    }
+    require(topShare(tempered) < topShare(mixed),
+      "temperature mix must flatten the dominant language share")
+
+    // 8. quality floor (the corpus pipeline's first gate)
+    val survivors = tempered.filter(col("n_chars") >= 150).localCheckpoint()
     val nSurvivors = survivors.count()
     require(nSurvivors > 0)
 
-    // 7. pack survivors into fixed-token training sequences
+    // 9. pack survivors into fixed-token training sequences
     val packed = Corpus.packSequencesOf(spark, survivors).localCheckpoint()
     val nSeqs = packed.count()
     val nPackedDocs = packed.agg(sum("n_docs")).head().getLong(0)
     require(nPackedDocs == nSurvivors,
       s"packing lost docs: $nPackedDocs != $nSurvivors")
 
-    // 8. land the corpus in query-ready layout (disjoint key ranges)
+    // 10. land the corpus in query-ready layout (disjoint key ranges)
     Sinks.writeClustered(survivors, s"$out/corpus", nFiles = 4,
       maxRecordsPerFile = 1000L, "source", "doc_id")
     val nWritten = spark.read.parquet(s"$out/corpus").count()
@@ -95,9 +125,11 @@ object CorpusDemo {
 
     println(s"[corpus] $nAll docs → split train=$nTrain bench=$nBench → " +
       s"exact-decon dropped $nContaminated (bloom: 0 false negatives, " +
-      s"$overDrops over-drops) → fuzzy-decon → mixture=$nMixed → quality " +
-      s"survivors=$nSurvivors → $nSeqs sequences ($nPackedDocs docs) → " +
-      s"clustered parquet at $out/corpus")
+      s"$overDrops over-drops) → fuzzy-decon → span-clip " +
+      s"($nClippedDocs docs, $nTokensClipped tokens) → mixture=$nMixed → " +
+      s"temperature=$nTempered → quality survivors=$nSurvivors → " +
+      s"$nSeqs sequences ($nPackedDocs docs) → clustered parquet at " +
+      s"$out/corpus")
     spark.stop()
   }
 }

@@ -457,13 +457,12 @@ object Corpus {
   def commonSpans(s: SparkSession, dir: String): DataFrame =
     commonSpansOf(TextOps.spread(s, t(s, dir, "documents")))
 
-  /** Frame form of [[commonSpans]] — any (doc_id, text) frame; caps and
-    * widths parameterized for spec coverage, defaults = the graded
-    * query's constants. */
-  private[graft] def commonSpansOf(docs: DataFrame, k: Int = SpanK,
-                                   minTokens: Int = SpanMinTokens,
-                                   dfCap: Long = SpanDfCap,
-                                   posCap: Long = SpanPosCap): DataFrame = {
+  /** Maximal match runs behind [[commonSpansOf]] / [[spanClipOf]]: one
+    * row per maximal run of k-gram matches at constant offset —
+    * (doc_a, doc_b, pa0, pb0, span) with pa0/pb0 the run's starting
+    * token position in each doc and span its length in TOKENS. */
+  private[graft] def spanRuns(docs: DataFrame, k: Int, dfCap: Long,
+                              posCap: Long): DataFrame = {
     // checkpointed: three consumers (frequency count + both join sides)
     // would otherwise re-run the scan + explode + hash each; the
     // materialized table is (long, long, long) rows — strings gone
@@ -486,18 +485,30 @@ object Corpus {
       .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
     val wIsl = Window.partitionBy(col("doc_a"), col("doc_b"), col("diff"))
       .orderBy(col("pa"))
-    val runs = matches
+    matches
       .withColumn("diff", col("pa") - col("pb"))
       .withColumn("isl", col("pa") - row_number().over(wIsl))
       .groupBy("doc_a", "doc_b", "diff", "isl")
-      .agg((count(lit(1)) + k - 1).as("span"))
-    runs.groupBy("doc_a", "doc_b")
+      .agg(min(col("pa")).as("pa0"), (count(lit(1)) + k - 1).as("span"))
+      .select(col("doc_a"), col("doc_b"), col("pa0"),
+        (col("pa0") - col("diff")).as("pb0"), col("span"))
+  }
+
+  /** Frame form of [[commonSpans]] — any (doc_id, text) frame; caps and
+    * widths parameterized for spec coverage, defaults = the graded
+    * query's constants. */
+  private[graft] def commonSpansOf(docs: DataFrame, k: Int = SpanK,
+                                   minTokens: Int = SpanMinTokens,
+                                   dfCap: Long = SpanDfCap,
+                                   posCap: Long = SpanPosCap): DataFrame =
+    spanRuns(docs, k, dfCap, posCap).groupBy("doc_a", "doc_b")
       .agg(max(col("span")).as("max_span_tokens"),
         sum(when(col("span") >= minTokens, 1L).otherwise(0L)).as("n_spans"))
       .filter(col("max_span_tokens") >= minTokens)
-  }
 
-  val commonSpansSql: String =
+  /** Shared oracle CTE prefix: tokenize, positional grams, frequency
+    * caps, position matches, gaps-and-islands runs with start positions. */
+  private val spanRunCtes: String =
     s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
        |g0 AS (
        |  SELECT doc_id,
@@ -518,11 +529,85 @@ object Corpus {
        |isl AS (SELECT doc_a, doc_b, pa, pa - pb AS diff,
        |          pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
        |        FROM pr),
-       |runs AS (SELECT doc_a, doc_b, CAST(count(*) + $SpanK - 1 AS BIGINT) AS span
-       |         FROM isl GROUP BY doc_a, doc_b, diff, isl)
+       |runs AS (SELECT doc_a, doc_b, diff, min(pa) AS pa0,
+       |           CAST(count(*) + $SpanK - 1 AS BIGINT) AS span
+       |         FROM isl GROUP BY doc_a, doc_b, diff, isl)""".stripMargin
+
+  val commonSpansSql: String =
+    s"""$spanRunCtes
        |SELECT doc_a, doc_b, max(span) AS max_span_tokens,
        |  CAST(sum(CASE WHEN span >= $SpanMinTokens THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
        |FROM runs GROUP BY doc_a, doc_b HAVING max(span) >= $SpanMinTokens""".stripMargin
+
+  /** Span CLIPPING — the action stage [[commonSpans]] audits: for every
+    * reported duplicated span, the copy in the HIGHER-id doc is removed
+    * (the lower id keeps its text — the same min-id survivor convention
+    * the dedup-groups stage uses), and the clipped corpus is re-emitted.
+    * This is how span-level dedup actually repairs a corpus: near-dup
+    * dedup drops whole docs, span dedup drops only the duplicated bytes
+    * and keeps both documents' unique content.
+    *
+    * Output is one row per INPUT doc — n_tokens, n_removed, and the
+    * reassembled clipped text — so the stage is auditable (untouched docs
+    * pass through with n_removed = 0) and chainable (text_clipped is the
+    * next stage's text).
+    *
+    * Scale shape: cover positions explode from runs (runs are rare —
+    * duplication, not the corpus), the clip is a (doc_id, pos) anti-join,
+    * and reassembly is a per-doc sort of ONE doc's tokens inside an
+    * aggregate buffer (docs are KB-scale; the corpus-level plan never
+    * globally sorts). Token order is rebuilt with array_sort over
+    * (pos, tok) structs — positions are unique per doc, so the sort is
+    * total and the oracle's string_agg ORDER BY pos agrees exactly. */
+  def spanClip(s: SparkSession, dir: String): DataFrame =
+    spanClipOf(TextOps.spread(s, t(s, dir, "documents")))
+
+  private[graft] def spanClipOf(docs: DataFrame, k: Int = SpanK,
+                                minTokens: Int = SpanMinTokens,
+                                dfCap: Long = SpanDfCap,
+                                posCap: Long = SpanPosCap): DataFrame = {
+    val cover = spanRuns(docs, k, dfCap, posCap)
+      .filter(col("span") >= minTokens)
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("pb0"), col("pb0") + col("span") - 1)).as("pos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"), posexplode(
+        GraftFunctions.word_ngrams_all(col("text"), 1)).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val rebuilt = toks.join(cover, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("text_clipped"))
+    docs.select(col("doc_id"),
+        size(GraftFunctions.word_ngrams_all(col("text"), 1)).cast("long")
+          .as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clipped"), lit("")).as("text_clipped"))
+  }
+
+  val spanClipSql: String =
+    s"""$spanRunCtes,
+       |cover AS (SELECT DISTINCT doc_id, pos FROM (
+       |  SELECT doc_b AS doc_id, unnest(range(pa0 - diff, pa0 - diff + span)) AS pos
+       |  FROM runs WHERE span >= $SpanMinTokens)),
+       |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+       |    i -> struct_pack(pos := i - 1, tok := w[i]))) AS u
+       |  FROM toks)),
+       |reb AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |          string_agg(t.tok, ' ' ORDER BY t.pos) AS text_clipped
+       |        FROM tok t LEFT JOIN cover c
+       |          ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |        WHERE c.pos IS NULL GROUP BY t.doc_id)
+       |SELECT b.doc_id, b.n_tokens,
+       |  b.n_tokens - COALESCE(r.n_kept, 0) AS n_removed,
+       |  COALESCE(r.text_clipped, '') AS text_clipped
+       |FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks) b
+       |LEFT JOIN reb r USING (doc_id)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> decontaminate _,
@@ -530,7 +615,8 @@ object Corpus {
     "q_bm25_topk" -> bm25TopK _,
     "q_quantiles" -> lengthQuantiles _,
     "q_pack_sequences" -> packSequences _,
-    "q_common_spans" -> commonSpans _)
+    "q_common_spans" -> commonSpans _,
+    "q_span_clip" -> spanClip _)
 
   val oracles: Map[String, String] = Map(
     "q_decontaminate" -> decontaminateSql,
@@ -538,5 +624,6 @@ object Corpus {
     "q_bm25_topk" -> bm25TopKSql,
     "q_quantiles" -> lengthQuantilesSql,
     "q_pack_sequences" -> packSequencesSql,
-    "q_common_spans" -> commonSpansSql)
+    "q_common_spans" -> commonSpansSql,
+    "q_span_clip" -> spanClipSql)
 }

@@ -176,15 +176,32 @@ object Sampling {
   def temperatureMix(s: SparkSession, dir: String): DataFrame =
     temperatureMixOf(t(s, dir, "documents"), MixAlpha)
 
-  private[graft] def temperatureMixOf(docs: DataFrame, alpha: Double): DataFrame = {
+  /** Per-language keep thresholds — (lang, n_total, keep_micro),
+    * |langs| rows. */
+  private[graft] def temperatureThresholds(docs: DataFrame,
+                                           alpha: Double): DataFrame = {
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
-    // |sources| rows by construction — the one-row-stats broadcast pattern
+    // |langs| rows by construction — the one-row-stats broadcast pattern
     val cmin = counts.agg(min(col("n_total")).as("c_min"))
     val ratio = col("c_min").cast("double") / col("n_total")
     val f = if (1.0 - alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
-    val thresholds = counts.crossJoin(broadcast(cmin))
+    counts.crossJoin(broadcast(cmin))
       .select(col("lang"), col("n_total"),
         floor(f * MixMicro).cast("long").as("keep_micro"))
+  }
+
+  /** The temperature FILTER itself (docs the flattened mixture keeps) —
+    * the form a pipeline chains; [[temperatureMixOf]] is its graded
+    * per-language audit. */
+  private[graft] def temperatureKept(docs: DataFrame, alpha: Double): DataFrame =
+    docs
+      .join(broadcast(temperatureThresholds(docs, alpha)
+        .select("lang", "keep_micro")), "lang")
+      .filter(bucket("temp", col("doc_id"), MixMicro) < col("keep_micro"))
+      .select(docs.columns.map(col): _*)
+
+  private[graft] def temperatureMixOf(docs: DataFrame, alpha: Double): DataFrame = {
+    val thresholds = temperatureThresholds(docs, alpha)
     val kept = docs
       .join(broadcast(thresholds.select("lang", "keep_micro")), "lang")
       .filter(bucket("temp", col("doc_id"), MixMicro) < col("keep_micro"))

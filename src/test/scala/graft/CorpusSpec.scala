@@ -99,6 +99,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(queries.Corpus.commonSpansOf(tri, posCap = 2).isEmpty)
   }
 
+  test("span clip: removes exactly the duplicated copy, survivor intact") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d1 = s"alpha beta gamma $shared delta epsilon zeta"
+    val d3 = "totally unrelated words here nothing shared at all"
+    val docs = Seq(
+      (1L, d1),
+      (2L, s"one two three four five six $shared"),
+      (3L, d3)).toDF("doc_id", "text")
+    val out = queries.Corpus.spanClipOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the lower id keeps its copy byte-for-byte
+    assert(out(1L).getLong(2) == 0 && out(1L).getString(3) == d1)
+    // the higher id loses EXACTLY the shared tokens; the rest keep order
+    assert(out(2L).getLong(2) == 10 &&
+      out(2L).getString(3) == "one two three four five six")
+    // untouched docs pass through verbatim with n_removed = 0
+    assert(out(3L).getLong(2) == 0 && out(3L).getString(3) == d3)
+    // token accounting: n_tokens is the pre-clip count
+    assert(out(2L).getLong(1) == 16)
+  }
+
   test("temperature mix: alpha=1 keeps everything, alpha=0.5 flattens shares") {
     val docs = Tables(spark, dir, "documents")
     val id = queries.Sampling.temperatureMixOf(docs, 1.0).collect()
