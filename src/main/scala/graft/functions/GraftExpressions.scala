@@ -222,13 +222,12 @@ object Evaluators {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** Distinct word n-gram shingles in one pass — the native replacement
-    * for the `split + transform + array_distinct` HOF chain (HOFs are
-    * CodegenFallback in Spark 4). Semantics replicate the column form
-    * EXACTLY: Spark `trim` strips ASCII spaces only, `split` on `\s+`
-    * keeps a leading empty token, `array_distinct` preserves first
-    * occurrence, < n tokens → empty array. */
-  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+  /** The ONE copy of the gram tokenization contract, shared by
+    * [[wordNgrams]] and [[wordNgramsAll]]. Semantics replicate the HOF
+    * column form EXACTLY: Spark `trim` strips ASCII spaces only, `split`
+    * on `\s+` keeps a leading empty token, < n tokens → empty array.
+    * Element i is the gram starting at token position i. */
+  private def gramArray(s: UTF8String, n: Int): Array[String] = {
     val str = s.toString
     var b = 0; var e = str.length
     while (b < e && str.charAt(b) == ' ') b += 1
@@ -237,10 +236,8 @@ object Evaluators {
     // in non-space whitespace yields a trailing ""); Java's default
     // limit-0 split would drop them and diverge from the column form
     val w = str.substring(b, e).split("\\s+", -1)
-    if (w.length < n)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]()
+    if (w.length < n) return Array.empty[String]
+    val out = new Array[String](w.length - n + 1)
     val sb = new java.lang.StringBuilder()
     var i = 0
     while (i + n <= w.length) {
@@ -250,8 +247,20 @@ object Evaluators {
         if (j > 0) sb.append(' ')
         sb.append(w(i + j)); j += 1
       }
-      seen.add(sb.toString); i += 1
+      out(i) = sb.toString; i += 1
     }
+    out
+  }
+
+  /** Distinct word n-gram shingles in one pass — the native replacement
+    * for the `split + transform + array_distinct` HOF chain (HOFs are
+    * CodegenFallback in Spark 4). `array_distinct` semantics: first
+    * occurrence order preserved. */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+    val grams = gramArray(s, n)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < grams.length) { seen.add(grams(i)); i += 1 }
     val out = new Array[Any](seen.size)
     val it = seen.iterator(); var k = 0
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
@@ -261,29 +270,12 @@ object Evaluators {
   /** ALL word n-grams in token order (non-distinct) — element i is the
     * gram starting at token position i, so `posexplode` over this array
     * yields (token_position, gram) directly: the positional shingle table
-    * behind span-level duplicate detection. Tokenization rules match
-    * [[wordNgrams]] exactly. */
+    * behind span-level duplicate detection. */
   def wordNgramsAll(s: UTF8String, n: Int): ArrayData = {
-    val str = s.toString
-    var b = 0; var e = str.length
-    while (b < e && str.charAt(b) == ' ') b += 1
-    while (e > b && str.charAt(e - 1) == ' ') e -= 1
-    val w = str.substring(b, e).split("\\s+", -1)
-    if (w.length < n)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array.empty[Any])
-    val out = new Array[Any](w.length - n + 1)
-    val sb = new java.lang.StringBuilder()
+    val grams = gramArray(s, n)
+    val out = new Array[Any](grams.length)
     var i = 0
-    while (i + n <= w.length) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(w(i + j)); j += 1
-      }
-      out(i) = UTF8String.fromString(sb.toString); i += 1
-    }
+    while (i < grams.length) { out(i) = UTF8String.fromString(grams(i)); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

@@ -432,7 +432,12 @@ object Corpus {
     * sharing one verbatim paragraph have tiny Jaccard but are exactly the
     * curation problem span dedup exists for. Emits (doc_a, doc_b,
     * max_span_tokens, n_spans) — the audit artifact a span-clipping stage
-    * consumes.
+    * consumes. n_spans counts reported RUNS (matches at one offset):
+    * self-similar shared text (e.g. a periodic paragraph) also matches
+    * itself at shifted offsets, so one physical region can contribute
+    * several runs — n_spans is an upper bound on distinct duplicated
+    * regions, not a count of them (the clip stage is immune: cover
+    * positions union away the overlap).
     *
     * Plan shape, built for the corpus scale:
     *  - positional shingles come from ONE codegen'd pass
@@ -548,17 +553,21 @@ object Corpus {
     * and keeps both documents' unique content.
     *
     * Output is one row per INPUT doc — n_tokens, n_removed, and the
-    * reassembled clipped text — so the stage is auditable (untouched docs
-    * pass through with n_removed = 0) and chainable (text_clipped is the
-    * next stage's text).
+    * clipped text — so the stage is auditable and chainable (text_clipped
+    * is the next stage's text). UNTOUCHED docs (n_removed = 0) pass their
+    * text through BYTE-IDENTICAL — only actually-clipped docs are
+    * reassembled from the token stream, which normalizes their whitespace
+    * to single spaces (inherent to token-level surgery; the oracle
+    * mirrors both branches).
     *
     * Scale shape: cover positions explode from runs (runs are rare —
-    * duplication, not the corpus), the clip is a (doc_id, pos) anti-join,
-    * and reassembly is a per-doc sort of ONE doc's tokens inside an
-    * aggregate buffer (docs are KB-scale; the corpus-level plan never
-    * globally sorts). Token order is rebuilt with array_sort over
-    * (pos, tok) structs — positions are unique per doc, so the sort is
-    * total and the oracle's string_agg ORDER BY pos agrees exactly. */
+    * duplication, not the corpus), and ONE pass over the marked tokens
+    * computes count + removed + reassembly in the same aggregate (no
+    * second tokenize of the corpus, no separate count join). Reassembly
+    * sorts ONE doc's tokens inside its aggregate buffer (docs are
+    * KB-scale; the corpus-level plan never globally sorts) via array_sort
+    * over (pos, tok) structs — positions are unique per doc, so the sort
+    * is total and the oracle's string_agg ORDER BY pos agrees exactly. */
   def spanClip(s: SparkSession, dir: String): DataFrame =
     spanClipOf(TextOps.spread(s, t(s, dir, "documents")))
 
@@ -574,19 +583,19 @@ object Corpus {
     val toks = docs.select(col("doc_id"), posexplode(
         GraftFunctions.word_ngrams_all(col("text"), 1)).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-    val rebuilt = toks.join(cover, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = toks
+      .join(cover.withColumn("cov", lit(1)), Seq("doc_id", "pos"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok"))).as("text_clipped"))
-    docs.select(col("doc_id"),
-        size(GraftFunctions.word_ngrams_all(col("text"), 1)).cast("long")
-          .as("n_tokens"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cov").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ", transform(array_sort(
+          collect_list(when(col("cov").isNull, struct(col("pos"), col("tok"))))),
+          x => x.getField("tok"))).as("text_rebuilt"))
+    docs.select(col("doc_id"), col("text"))
       .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("text_clipped"), lit("")).as("text_clipped"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        when(col("n_removed") === 0, col("text"))
+          .otherwise(col("text_rebuilt")).as("text_clipped"))
   }
 
   val spanClipSql: String =
@@ -598,16 +607,17 @@ object Corpus {
        |  SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
        |    i -> struct_pack(pos := i - 1, tok := w[i]))) AS u
        |  FROM toks)),
-       |reb AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-       |          string_agg(t.tok, ' ' ORDER BY t.pos) AS text_clipped
+       |reb AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |          CAST(count(c.pos) AS BIGINT) AS n_removed,
+       |          string_agg(t.tok, ' ' ORDER BY t.pos)
+       |            FILTER (WHERE c.pos IS NULL) AS text_rebuilt
        |        FROM tok t LEFT JOIN cover c
        |          ON t.doc_id = c.doc_id AND t.pos = c.pos
-       |        WHERE c.pos IS NULL GROUP BY t.doc_id)
-       |SELECT b.doc_id, b.n_tokens,
-       |  b.n_tokens - COALESCE(r.n_kept, 0) AS n_removed,
-       |  COALESCE(r.text_clipped, '') AS text_clipped
-       |FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks) b
-       |LEFT JOIN reb r USING (doc_id)""".stripMargin
+       |        GROUP BY t.doc_id)
+       |SELECT d.doc_id, r.n_tokens, r.n_removed,
+       |  CASE WHEN r.n_removed = 0 THEN d.text
+       |       ELSE COALESCE(r.text_rebuilt, '') END AS text_clipped
+       |FROM documents d LEFT JOIN reb r USING (doc_id)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> decontaminate _,

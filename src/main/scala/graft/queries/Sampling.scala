@@ -80,8 +80,9 @@ object Sampling {
     * rather than a per-stratum window: row_number over a stratum SORTS
     * THE WHOLE STRATUM on one reducer (a language at 100 TB is a
     * terabyte-scale partition), while the aggregator's partial buffers
-    * trim to k per partition before the shuffle, so at most k·partitions
-    * rows move and nothing ever fully sorts. Ordering contract matches
+    * trim to k per stratum per partition before the shuffle, so at most
+    * k·|strata|·partitions rows move (k·partitions per stratum) and
+    * nothing ever fully sorts. Ordering contract matches
     * the window form exactly (h asc, doc_id asc — the oracle's
     * row_number); the negated hash maps it onto the aggregator's
     * (value desc, id asc) and is exact (h < 2^32 « 2^53). */
@@ -148,20 +149,21 @@ object Sampling {
   private val MixMicro = 1000000L
 
   /** Temperature exponent for [[temperatureMix]]. α ∈ (0, 1) flattens the
-    * source distribution (α→0 fully uniform, α=1 unchanged); 0.5 is the
-    * square-root rebalancing common for multilingual corpora. */
+    * language distribution (α→0 fully uniform, α=1 unchanged); 0.5 is
+    * the square-root rebalancing common for multilingual corpora. */
   private val MixAlpha = 0.5
 
-  /** Temperature-based source rebalancing (the α-power resampling used to
-    * flatten multilingual / multi-source mixtures): after downsampling,
-    * source shares are proportional to p_s^α instead of p_s. Solving
-    * post_count ∝ p_s^α for a per-source keep fraction and normalizing so
-    * the smallest source keeps everything gives the closed form
-    * f_s = (c_min / c_s)^(1-α)  —  sqrt(c_min/c_s) at α = 1/2.
+  /** Temperature-based LANGUAGE rebalancing (the α-power resampling used
+    * to flatten multilingual mixtures — the stratum is `lang`; the
+    * config-driven per-SOURCE stage is [[sourceMixture]]): after
+    * downsampling, language shares are proportional to p_l^α instead of
+    * p_l. Solving post_count ∝ p_l^α for a per-language keep fraction and
+    * normalizing so the smallest language keeps everything gives the
+    * closed form f_l = (c_min / c_l)^(1-α) — sqrt(c_min/c_l) at α = 1/2.
     * Membership is the salted micro-bucket, so the resample is
     * content-stable and monotone in f like [[mixtureKept]].
     *
-    * Determinism across engines: c_min/c_s (IEEE double divide) and sqrt
+    * Determinism across engines: c_min/c_l (IEEE double divide) and sqrt
     * are both correctly-rounded operations, so Spark and the oracle floor
     * the SAME double to the SAME integer micro-threshold — no float
     * comparison ever crosses the engine boundary. (General pow carries no
@@ -169,8 +171,8 @@ object Sampling {
     * computes through sqrt on both sides; other α stay in the law-tested
     * generic path, not the oracle-graded one.)
     *
-    * Scale: pass 1 is a map-side-combined count per source (rows =
-    * |sources|, config-scale); the thresholds broadcast back onto the
+    * Scale: pass 1 is a map-side-combined count per language (rows =
+    * |langs|, config-scale); the thresholds broadcast back onto the
     * corpus for a map-side filter; pass 2 re-counts the kept docs. Two
     * tiny keyed shuffles, zero corpus-sized sorts. */
   def temperatureMix(s: SparkSession, dir: String): DataFrame =
@@ -190,21 +192,24 @@ object Sampling {
         floor(f * MixMicro).cast("long").as("keep_micro"))
   }
 
+  /** The ONE membership test both the filter and the audit share: docs
+    * surviving the given thresholds. A single code path so the graded
+    * numbers and the docs a pipeline actually keeps can never drift. */
+  private def keptWith(docs: DataFrame, thresholds: DataFrame): DataFrame =
+    docs
+      .join(broadcast(thresholds.select("lang", "keep_micro")), "lang")
+      .filter(bucket("temp", col("doc_id"), MixMicro) < col("keep_micro"))
+
   /** The temperature FILTER itself (docs the flattened mixture keeps) —
     * the form a pipeline chains; [[temperatureMixOf]] is its graded
-    * per-language audit. */
+    * per-language audit over the same membership. */
   private[graft] def temperatureKept(docs: DataFrame, alpha: Double): DataFrame =
-    docs
-      .join(broadcast(temperatureThresholds(docs, alpha)
-        .select("lang", "keep_micro")), "lang")
-      .filter(bucket("temp", col("doc_id"), MixMicro) < col("keep_micro"))
+    keptWith(docs, temperatureThresholds(docs, alpha))
       .select(docs.columns.map(col): _*)
 
   private[graft] def temperatureMixOf(docs: DataFrame, alpha: Double): DataFrame = {
     val thresholds = temperatureThresholds(docs, alpha)
-    val kept = docs
-      .join(broadcast(thresholds.select("lang", "keep_micro")), "lang")
-      .filter(bucket("temp", col("doc_id"), MixMicro) < col("keep_micro"))
+    val kept = keptWith(docs, thresholds)
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
     thresholds.join(kept, Seq("lang"), "left")
       .select(col("lang"), col("n_total"), col("keep_micro"),

@@ -104,10 +104,14 @@ class CorpusSpec extends AnyFunSuite {
     val shared = (1 to 10).map(i => s"s$i").mkString(" ")
     val d1 = s"alpha beta gamma $shared delta epsilon zeta"
     val d3 = "totally unrelated words here nothing shared at all"
+    // irregular whitespace + no duplicated span: the passthrough branch
+    // must be BYTE-identical, not a token-stream re-rendering
+    val d4 = "spaced  out\twords\nhere untouched entirely still unique"
     val docs = Seq(
       (1L, d1),
       (2L, s"one two three four five six $shared"),
-      (3L, d3)).toDF("doc_id", "text")
+      (3L, d3),
+      (4L, d4)).toDF("doc_id", "text")
     val out = queries.Corpus.spanClipOf(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
     // the lower id keeps its copy byte-for-byte
@@ -117,6 +121,7 @@ class CorpusSpec extends AnyFunSuite {
       out(2L).getString(3) == "one two three four five six")
     // untouched docs pass through verbatim with n_removed = 0
     assert(out(3L).getLong(2) == 0 && out(3L).getString(3) == d3)
+    assert(out(4L).getLong(2) == 0 && out(4L).getString(3) == d4)
     // token accounting: n_tokens is the pre-clip count
     assert(out(2L).getLong(1) == 16)
   }
@@ -126,7 +131,7 @@ class CorpusSpec extends AnyFunSuite {
     val id = queries.Sampling.temperatureMixOf(docs, 1.0).collect()
     assert(id.nonEmpty && id.forall(r => r.getLong(3) == r.getLong(1)))
     val half = queries.Sampling.temperatureMixOf(docs, 0.5).collect()
-    // smallest source keeps everything (keep_micro = 10^6)
+    // smallest language keeps everything (keep_micro = 10^6)
     val minTotal = half.map(_.getLong(1)).min
     assert(half.filter(_.getLong(1) == minTotal)
       .forall(_.getLong(2) == 1000000L))

@@ -219,7 +219,8 @@ class PlanSpec extends AnyFunSuite {
     // mixture = map-side filter + one aggregation shuffle
     assert(countShuffles(queries.Sampling.sourceMixture(spark, dir)) <= 1)
     // stratified sample pays exactly one keyed shuffle, and its map-side
-    // top-k buffers mean that shuffle carries <= k rows per partition
+    // top-k buffers mean that shuffle carries <= k rows per stratum per
+    // partition (k·|strata|·partitions total), never a whole stratum
     assert(countShuffles(queries.Sampling.stratifiedSample(spark, dir)) == 1)
   }
 
