@@ -627,8 +627,69 @@ object TextOps {
       |  k.lang
       |FROM kept k WHERE k.doc_id NOT IN (SELECT doc2 FROM verified)""".stripMargin
 
+  /** In-corpus bigram language-model scoring (the n-gram-LM half of
+    * perplexity-style quality filtering — CCNet filters on a KenLM
+    * n-gram model the same way; the embedding-classifier half is
+    * VectorOps.classifierFilter): train the maximum-likelihood bigram
+    * model ON the corpus itself, then score every doc by its average
+    * bigram log-probability. Self-scoring needs no smoothing (every
+    * scored bigram was counted) and is the standard outlier detector:
+    * repetitive/templated text scores near 0, incoherent token soup
+    * scores very negative.
+    *
+    * Engine-parity discipline (the BM25 precedent): each bigram's
+    * ln(c2/c1) is rounded to 4dp and summed as DECIMAL, so the per-doc
+    * sum is order-independent and bit-stable across engines; the one
+    * double division (sum/n) happens once on identical inputs.
+    *
+    * Scale: bigram counts are a map-side-combined groupBy; the unigram
+    * (context) counts AGGREGATE THE BIGRAM TABLE, not the corpus (c1 =
+    * Σ c2 over grams sharing w1 — no second corpus pass); scoring is one
+    * equi-join of the corpus bigrams against the LM table plus a per-doc
+    * aggregate. No windows, no sorts, no driver state. */
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScoreOf(spread(s, t(s, dir, "documents")))
+
+  private[graft] def lmScoreOf(docs: DataFrame): DataFrame = {
+    val bi = docs.select(col("doc_id"), explode(
+      graft.functions.GraftFunctions.word_ngrams_all(col("text"), 2)).as("bg"))
+    val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val lm = c2.join(c1, "w1")
+      .select(col("bg"),
+        round(log(col("c2").cast("double") / col("c1")), 4)
+          .cast("decimal(18,4)").as("lp"))
+    val scored = bi.join(lm, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum(col("lp")).as("lpsum"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_bigrams"),
+        (col("lpsum").cast("double") / col("n")).as("avg_logprob"))
+  }
+
+  val lmScoreSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |bg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+      |         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+      |         ELSE []::VARCHAR[] END) AS bg
+      |       FROM toks),
+      |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY bg),
+      |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+      |       FROM c2 GROUP BY 1),
+      |lm AS (SELECT bg, CAST(round(ln(CAST(c2 AS DOUBLE) / c1), 4) AS DECIMAL(18,4)) AS lp
+      |       FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1),
+      |sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n, sum(lp) AS lpsum
+      |       FROM bg b JOIN lm USING (bg) GROUP BY b.doc_id)
+      |SELECT d.doc_id, COALESCE(sc.n, 0) AS n_bigrams,
+      |  CAST(sc.lpsum AS DOUBLE) / sc.n AS avg_logprob
+      |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_pipeline" -> corpusPipeline _,
+    "q_lm_score" -> lmScore _,
     "q_repetition_score" -> repetitionScore _,
     "q_pii_redact" -> piiRedact _,
     "q_vocab_topk" -> vocabTopK _,
@@ -647,6 +708,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q_corpus_pipeline" -> corpusPipelineSql,
+    "q_lm_score" -> lmScoreSql,
     "q_repetition_score" -> repetitionScoreSql,
     "q_pii_redact" -> piiRedactSql,
     "q_vocab_topk" -> vocabTopKSql,

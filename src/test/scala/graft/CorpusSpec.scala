@@ -126,6 +126,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(2L).getLong(1) == 16)
   }
 
+  test("lm score: self-trained bigram LM — deterministic text scores 0, " +
+    "competing contexts score ln(1/k), short docs are null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "r r r r r r"), // only doc with 'r': P(r|r)=1 everywhere
+      (2L, "a b"), (3L, "a c"), (4L, "a d"), (5L, "a e"), // P(.|a)=1/4
+      (6L, "solo")).toDF("doc_id", "text")
+    val out = queries.TextOps.lmScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(2) == 0.0 && out(1L).getLong(1) == 5L)
+    // round(ln(0.25), 4) = -1.3863 — each of the four bigrams
+    (2L to 5L).foreach { id =>
+      assert(out(id).getLong(1) == 1L && out(id).getDouble(2) == -1.3863)
+    }
+    // a 1-token doc has no bigrams: present, n = 0, score null
+    assert(out(6L).getLong(1) == 0L && out(6L).isNullAt(2))
+    // scores are log-probabilities: never positive
+    assert(out.values.filter(!_.isNullAt(2)).forall(_.getDouble(2) <= 0.0))
+  }
+
   test("temperature mix: alpha=1 keeps everything, alpha=0.5 flattens shares") {
     val docs = Tables(spark, dir, "documents")
     val id = queries.Sampling.temperatureMixOf(docs, 1.0).collect()
