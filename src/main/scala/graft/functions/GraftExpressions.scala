@@ -669,6 +669,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[WordNgramsExpr].getName, "word_ngrams"),
       (exprs: Seq[Expression]) => WordNgramsExpr.build(exprs)))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams_all"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WordNgramsAllExpr].getName, "word_ngrams_all"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"word_ngrams_all(text, n) takes 2 arguments, got ${exprs.length}")
+        WordNgramsAllExpr(exprs.head,
+          WordNgramsExpr.literalN(exprs(1), "word_ngrams_all(text, n): n"))
+      }))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_buckets"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[HyperplaneBucketsExpr].getName, "hyperplane_buckets"),

@@ -340,12 +340,32 @@ class ExpressionsSpec extends AnyFunSuite {
       .collect()(0).getSeq[String](0) == Seq("a b c", "b c d"))
   }
 
-  test("GraftExtensions injects functions into a fresh session") {
-    val s2 = TestSpark.spark.newSession()
-    new GraftExtensions().apply(
-      new org.apache.spark.sql.SparkSessionExtensions {})
-    // registration path via extensions object on existing session state:
-    GraftFunctions.register(s2)
-    assert(s2.sql("SELECT n3_escape('a\nb') AS e").collect()(0).getString(0) == "a\\nb")
+  test("GraftExtensions injects every engine function at session build") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val prev = TestSpark.spark
+    // a genuinely extension-built session on the same SparkContext:
+    // clearing active/default makes getOrCreate construct a NEW session,
+    // and THAT is the only path where withExtensions actually applies
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val names = Seq("n3_escape", "simhash64", "word_ngrams",
+        "word_ngrams_all", "hyperplane_buckets", "dot_double",
+        "minhash_sigs", "bloom_might_contain", "bloom_hits")
+      names.foreach(n => assert(
+        s2.sessionState.functionRegistry.functionExists(FunctionIdentifier(n)),
+        s"$n not injected"))
+      // injected functions resolve and compute (no temp-function call)
+      assert(s2.sql("SELECT n3_escape('a\nb') AS e")
+        .collect()(0).getString(0) == "a\\nb")
+      assert(s2.sql("SELECT word_ngrams_all('a b a b', 2) AS g")
+        .collect()(0).getSeq[String](0) == Seq("a b", "b a", "a b"))
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
   }
 }
