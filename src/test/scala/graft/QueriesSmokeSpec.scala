@@ -10,9 +10,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("every oracle has a query; non-oracled queries are known") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // oracle-less queries must be the engine-defined-hash ones only
+    // oracle-less queries must be the engine-defined-centroid ones only
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("q_simhash_neardup", "q_ann_ivf", "q_ann_recall"))
+      Set("q_ann_ivf", "q_ann_recall"))
   }
 
   test("entry returns rows") {
