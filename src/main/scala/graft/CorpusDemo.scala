@@ -14,7 +14,8 @@ import graft.sinks.Sinks
   *   decontamination → Bloom cross-check → span-level exact dedup
   *   (clip duplicated spans, keep min-id copy) → source mixture →
   *   temperature (α-power) language flattening → quality floor →
-  *   sequence packing → clustered layout write.
+  *   bigram-LM scoring audit → sequence packing → clustered layout
+  *   write.
   *
   * EtlDemo exercises the reference's harvest→KG lifecycle; this demo
   * exercises the corpus operators the builder prompt adds on top.
@@ -110,6 +111,16 @@ object CorpusDemo {
     val nSurvivors = survivors.count()
     require(nSurvivors > 0)
 
+    // 8b. bigram-LM scoring audit over the survivors (the perplexity
+    // half of quality filtering): every multi-token doc gets a score,
+    // scores are log-probs (<= 0), and the worst outliers are visible
+    val lm = TextOps.lmScoreOf(survivors).localCheckpoint()
+    require(lm.count() == nSurvivors, "LM scoring must cover every doc")
+    require(lm.filter(col("n_bigrams") > 0 && col("avg_logprob") > 0).count() == 0,
+      "log-probabilities must be non-positive")
+    val lmMin = lm.filter(col("n_bigrams") > 0)
+      .agg(min("avg_logprob")).head().getDouble(0)
+
     // 9. pack survivors into fixed-token training sequences
     val packed = Corpus.packSequencesOf(spark, survivors).localCheckpoint()
     val nSeqs = packed.count()
@@ -127,9 +138,9 @@ object CorpusDemo {
       s"exact-decon dropped $nContaminated (bloom: 0 false negatives, " +
       s"$overDrops over-drops) → fuzzy-decon → span-clip " +
       s"($nClippedDocs docs, $nTokensClipped tokens) → mixture=$nMixed → " +
-      s"temperature=$nTempered → quality survivors=$nSurvivors → " +
-      s"$nSeqs sequences ($nPackedDocs docs) → clustered parquet at " +
-      s"$out/corpus")
+      s"temperature=$nTempered → quality survivors=$nSurvivors " +
+      f"(worst LM score $lmMin%.3f) → $nSeqs sequences ($nPackedDocs docs) " +
+      s"→ clustered parquet at $out/corpus")
     spark.stop()
   }
 }
