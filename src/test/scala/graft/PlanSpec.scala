@@ -293,6 +293,22 @@ class PlanSpec extends AnyFunSuite {
       s"gram strings ride a shuffle: ${leaked.map(_.output).mkString(";")}")
   }
 
+  test("lm score and simhash neardup: equi-joins only, bounded shuffles") {
+    // LM scoring: bigram count, context count (over the bigram TABLE,
+    // not the corpus), LM join, score join, per-doc agg, totality join —
+    // all equi; nothing quadratic
+    val lm = queries.TextOps.lmScore(spark, dir)
+    val ls = planString(lm)
+    assert(!ls.contains("CartesianProduct") &&
+      !ls.contains("BroadcastNestedLoopJoin"), ls)
+    assert(countShuffles(lm) <= 8, ls) // incl. spread's utilization repartition
+    // simhash near-dup: one corpus aggregate then a band-local self-join
+    val sh = queries.Sessions.simhashNearDup(spark, dir)
+    val ss = planString(sh)
+    assert(!ss.contains("CartesianProduct") &&
+      !ss.contains("BroadcastNestedLoopJoin"), ss)
+  }
+
   test("temperature mix: thresholds broadcast onto the corpus, stats one row") {
     val df = queries.Sampling.temperatureMix(spark, dir)
     val s = planString(df)
