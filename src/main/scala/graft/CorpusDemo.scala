@@ -118,8 +118,11 @@ object CorpusDemo {
     require(lm.count() == nSurvivors, "LM scoring must cover every doc")
     require(lm.filter(col("n_bigrams") > 0 && col("avg_logprob") > 0).count() == 0,
       "log-probabilities must be non-positive")
-    val lmMin = lm.filter(col("n_bigrams") > 0)
-      .agg(min("avg_logprob")).head().getDouble(0)
+    // null-safe: min over an empty set (no multi-token survivor) is null
+    val lmMinRow = lm.filter(col("n_bigrams") > 0)
+      .agg(min("avg_logprob")).head()
+    val lmMin =
+      if (lmMinRow.isNullAt(0)) "n/a" else f"${lmMinRow.getDouble(0)}%.3f"
 
     // 9. pack survivors into fixed-token training sequences
     val packed = Corpus.packSequencesOf(spark, survivors).localCheckpoint()
@@ -139,7 +142,7 @@ object CorpusDemo {
       s"$overDrops over-drops) → fuzzy-decon → span-clip " +
       s"($nClippedDocs docs, $nTokensClipped tokens) → mixture=$nMixed → " +
       s"temperature=$nTempered → quality survivors=$nSurvivors " +
-      f"(worst LM score $lmMin%.3f) → $nSeqs sequences ($nPackedDocs docs) " +
+      s"(worst LM score $lmMin) → $nSeqs sequences ($nPackedDocs docs) " +
       s"→ clustered parquet at $out/corpus")
     spark.stop()
   }

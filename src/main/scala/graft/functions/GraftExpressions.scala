@@ -336,6 +336,17 @@ case class WordNgramsAllExpr(child: Expression, n: Int) extends UnaryExpression 
     copy(child = c)
 }
 
+object WordNgramsAllExpr {
+  /** SQL-path arg check shared by register() and GraftExtensions. */
+  def build(exprs: Seq[Expression]): WordNgramsAllExpr = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"word_ngrams_all(text, n) takes 2 arguments, got ${exprs.length}")
+    WordNgramsAllExpr(exprs.head,
+      WordNgramsExpr.literalN(exprs(1), "word_ngrams_all(text, n): n"))
+  }
+}
+
 object WordNgramsExpr {
   /** SQL-path arg check: exactly (text, n) with n a positive integer
     * literal — n <= 0 would emit a nonsense single-empty-shingle array. */
@@ -627,12 +638,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", exprs => WordNgramsExpr.build(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_ngrams_all", exprs => {
-        if (exprs.length != 2) throw new IllegalArgumentException(
-          s"word_ngrams_all(text, n) takes 2 arguments, got ${exprs.length}")
-        WordNgramsAllExpr(exprs.head,
-          WordNgramsExpr.literalN(exprs(1), "word_ngrams_all(text, n): n"))
-      }, "scala_udf")
+      "word_ngrams_all", exprs => WordNgramsAllExpr.build(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_buckets", exprs => HyperplaneBucketsExpr.build(exprs),
       "scala_udf")
@@ -672,12 +678,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams_all"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WordNgramsAllExpr].getName, "word_ngrams_all"),
-      (exprs: Seq[Expression]) => {
-        if (exprs.length != 2) throw new IllegalArgumentException(
-          s"word_ngrams_all(text, n) takes 2 arguments, got ${exprs.length}")
-        WordNgramsAllExpr(exprs.head,
-          WordNgramsExpr.literalN(exprs(1), "word_ngrams_all(text, n): n"))
-      }))
+      (exprs: Seq[Expression]) => WordNgramsAllExpr.build(exprs)))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_buckets"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -10,9 +10,9 @@ import graft.functions.GraftFunctions
 
 /** Second analytics batch: sessionization (gap-based), ntile bucketing,
   * CUBE grouping, Levenshtein near-dup on entity names, a wide scalar
-  * string-function surface, and a native-expression SimHash near-dup pair
-  * query (no SQL oracle — the murmur hash is engine-defined; the driver
-  * records a rows-only check and correctness is pinned by ExpressionsSpec).
+  * string-function surface, and the banded SimHash near-dup pair query
+  * (oracle-graded: its 60-bit md5 fingerprint replays in DuckDB — see
+  * [[simhashNearDup]]).
   */
 object Sessions {
 

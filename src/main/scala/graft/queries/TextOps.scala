@@ -651,8 +651,11 @@ object TextOps {
     lmScoreOf(spread(s, t(s, dir, "documents")))
 
   private[graft] def lmScoreOf(docs: DataFrame): DataFrame = {
+    // checkpointed: two consumers (the count and the scoring join) would
+    // otherwise re-run the scan + tokenize + explode each
     val bi = docs.select(col("doc_id"), explode(
       graft.functions.GraftFunctions.word_ngrams_all(col("text"), 2)).as("bg"))
+      .localCheckpoint()
     val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
