@@ -363,14 +363,11 @@ object Corpus {
     * sequence where it STARTS (tokens-before ÷ budget). Emits per-sequence
     * packing stats (docs, token sum) — the artifact batch planners read.
     *
-    * Scale: the keyed generalization of chunkPack's two-level cumsum.
-    * A per-source window would put one source = one partition (the
-    * single-partition trap chunkPack's scaladoc documents); instead:
-    * range-partition on (source, doc_id), partition-local cumsum keyed on
-    * (pid, source), then ONE bounded collect of per-(pid, source) totals
-    * (≤ partitions × |sources| rows; sources are config-scale) builds the
-    * broadcast offset table. PackLawSpec proves equality with the naive
-    * per-source window on random inputs.
+    * Scale: runs on [[graft.operators.KeyedCumsum]] — the two-level
+    * keyed cumsum that replaces the per-source window (one source = one
+    * reducer partition, the single-partition trap chunkPack's scaladoc
+    * documents). PackLawSpec proves equality with the naive per-source
+    * window on random inputs.
     */
   def packSequences(s: SparkSession, dir: String): DataFrame =
     packSequencesOf(s, t(s, dir, "documents"))
@@ -378,28 +375,8 @@ object Corpus {
   private[graft] def packSequencesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     val toks = docs.select(col("source"), col("doc_id"),
       ceil(col("n_chars") / 4.0).cast("long").as("tok"))
-    val w = Window.partitionBy("pid", "source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // checkpoint pins ONE spark_partition_id assignment for both consumers
-    val local = toks
-      .repartitionByRange(col("source"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .withColumn("local_cum", sum(col("tok")).over(w))
-      .localCheckpoint()
-    val totals = local.groupBy("pid", "source")
-      .agg(max(col("local_cum")).as("total"))
-      .orderBy("source", "pid").collect() // bounded: partitions x sources
-    var curSrc: String = null
-    var acc = 0L
-    val offsets = totals.map { r =>
-      if (r.getString(1) != curSrc) { curSrc = r.getString(1); acc = 0L }
-      val off = acc; acc += r.getLong(2)
-      (r.getInt(0), r.getString(1), off)
-    }.toSeq
-    val offDf = s.createDataFrame(offsets).toDF("pid", "source", "offset")
-    local.join(broadcast(offDf), Seq("pid", "source"))
-      .select(col("source"), col("tok"),
-        (col("local_cum") + col("offset")).as("cum"))
+    graft.operators.KeyedCumsum(s, toks, key = "source",
+        order = Seq("doc_id"), value = "tok", out = "cum")
       .withColumn("seq", floor((col("cum") - col("tok")) / SeqBudget))
       .groupBy("source", "seq")
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("seq_tokens"))

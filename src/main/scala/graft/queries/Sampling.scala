@@ -235,15 +235,61 @@ object Sampling {
        |FROM thr LEFT JOIN kept USING (lang)""".stripMargin
   }
 
+  /** Per-source character budget for [[budgetCap]]. */
+  private val CharBudget = 4000L
+
+  /** Per-source CHARACTER-BUDGET cap — the budgeted-selection stage that
+    * builds a fixed-size corpus: each source keeps docs greedily in
+    * salted-hash order until the next doc would exceed its
+    * [[CharBudget]]. Complements the other sampling stages — split is a
+    * percentage, stratified is k DOCS per stratum, mixture/temperature
+    * are keep FRACTIONS; this is the only one whose cut point is a
+    * BYTE/char budget, which is how training-corpus size targets are
+    * actually specified. Hash order makes the selection content-stable
+    * (same docs on every re-run) and unbiased (a uniform sample prefix,
+    * not "the earliest docs").
+    *
+    * Scale: the running total comes from
+    * [[graft.operators.KeyedCumsum]] — range-partitioned two-level
+    * cumsum, so no source is ever sorted on a single reducer. One
+    * bounded collect (partitions × |sources|), one broadcast join, one
+    * final aggregate. */
+  def budgetCap(s: SparkSession, dir: String): DataFrame = {
+    val h = bucket("cap", col("doc_id"), 4294967296L)
+    val docs = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"), h.as("h"))
+    graft.operators.KeyedCumsum(s, docs, key = "source",
+        order = Seq("h", "doc_id"), value = "n_chars", out = "cum")
+      .filter(col("cum") <= CharBudget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("chars_kept"))
+  }
+
+  val budgetCapSql: String = {
+    val h = bucketSql("cap", "doc_id", 4294967296L)
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |FROM (
+       |  SELECT source, n_chars,
+       |    CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM (SELECT source, doc_id, n_chars, $h AS h FROM documents))
+       |WHERE cum <= $CharBudget
+       |GROUP BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_assign" -> splitAssign _,
     "q_stratified_sample" -> stratifiedSample _,
     "q_source_mixture" -> sourceMixture _,
-    "q_temperature_mix" -> temperatureMix _)
+    "q_temperature_mix" -> temperatureMix _,
+    "q_budget_cap" -> budgetCap _)
 
   val oracles: Map[String, String] = Map(
     "q_split_assign" -> splitAssignSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_source_mixture" -> sourceMixtureSql,
-    "q_temperature_mix" -> temperatureMixSql)
+    "q_temperature_mix" -> temperatureMixSql,
+    "q_budget_cap" -> budgetCapSql)
 }

@@ -309,6 +309,17 @@ class PlanSpec extends AnyFunSuite {
       !ss.contains("BroadcastNestedLoopJoin"), ss)
   }
 
+  test("budget cap: broadcast offset join, no per-key window shuffle") {
+    val df = queries.Sampling.budgetCap(spark, dir)
+    val s = planString(df)
+    // the offset table joins in as a broadcast; the cumsum upstream is
+    // checkpointed (KeyedCumsum), so downstream sees only the broadcast
+    // join + the final aggregate exchange
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(countShuffles(df) <= 1, s)
+  }
+
   test("temperature mix: thresholds broadcast onto the corpus, stats one row") {
     val df = queries.Sampling.temperatureMix(spark, dir)
     val s = planString(df)
