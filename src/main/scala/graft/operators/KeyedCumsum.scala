@@ -31,6 +31,9 @@ object KeyedCumsum {
     * already materialized it). */
   def apply(s: SparkSession, df: DataFrame, key: String,
             order: Seq[String], value: String, out: String): DataFrame = {
+    require(df.schema(key).dataType == org.apache.spark.sql.types.StringType,
+      s"KeyedCumsum: key '$key' must be a string column " +
+        "(the offset-table rebuild reads it as one); cast or stringify first")
     val w = Window.partitionBy(col("pid"), col(key))
       .orderBy(order.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
