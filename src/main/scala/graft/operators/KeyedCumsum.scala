@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 /** Keyed running total WITHOUT a per-key window — the scale-out form of
   * `SUM(value) OVER (PARTITION BY key ORDER BY order...)`. A per-key
@@ -19,43 +20,63 @@ import org.apache.spark.sql.functions._
   *      |keys| rows; keys are config-scale) builds the broadcast offset
   *      table that lifts local sums to global ones.
   *
-  * Semantics equal the naive window exactly (PackLawSpec proves it on
-  * random inputs); the contract needs a total order, so `order` columns
-  * must be unique per key (callers tiebreak with doc_id).
+  * Semantics equal the naive window exactly (ChunkPackLawSpec proves it
+  * on random inputs, negative values and null keys included). Contract:
+  * `order` columns must be unique per key (callers tiebreak with
+  * doc_id), and `value` must be NON-NULL — a window sum emits null until
+  * a group's first non-null value, which a partition-local sum cannot
+  * reproduce; coalesce first.
   */
 object KeyedCumsum {
 
+  private val Internal = Seq("__kc_pid", "__kc_pid2", "__kc_k", "__kc_cum", "__kc_off")
+
   /** Adds `out` = running total of `value` within `key`, ordered by
-    * `order`. Input columns pass through; `value` must be LONG-castable.
-    * The returned frame is localCheckpoint-ed (the offset collect has
-    * already materialized it). */
+    * `order`. Input columns pass through (null keys form their own group,
+    * like the window). `value` must be LONG-castable and non-null. The
+    * intermediate cumsum is localCheckpoint-ed (materialized by the
+    * offset collect); the returned frame is a lazy broadcast-join over
+    * it — cache/checkpoint it yourself if you act on it repeatedly. */
   def apply(s: SparkSession, df: DataFrame, key: String,
             order: Seq[String], value: String, out: String): DataFrame = {
-    require(df.schema(key).dataType == org.apache.spark.sql.types.StringType,
+    require(df.schema(key).dataType == StringType,
       s"KeyedCumsum: key '$key' must be a string column " +
         "(the offset-table rebuild reads it as one); cast or stringify first")
-    val w = Window.partitionBy(col("pid"), col(key))
+    require(!Internal.exists(df.columns.contains),
+      s"KeyedCumsum: input must not contain reserved columns ${Internal.mkString(", ")}")
+    val w = Window.partitionBy(col("__kc_pid"), col(key))
       .orderBy(order.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // checkpoint pins ONE spark_partition_id assignment for both consumers
     val local = df
       .repartitionByRange(col(key) +: order.map(col): _*)
-      .withColumn("pid", spark_partition_id())
-      .withColumn("local_cum", sum(col(value).cast("long")).over(w))
+      .withColumn("__kc_pid", spark_partition_id())
+      .withColumn("__kc_cum", sum(col(value).cast("long")).over(w))
       .localCheckpoint()
-    val totals = local.groupBy("pid", key)
-      .agg(max(col("local_cum")).as("total"))
-      .orderBy(col(key), col("pid")).collect() // bounded: partitions x keys
+    // group total = SUM of the group's values — NOT max of the running
+    // sum, which diverges as soon as values can be negative (the running
+    // max is not the final sum then)
+    val totals = local.groupBy("__kc_pid", key)
+      .agg(sum(col(value).cast("long")).as("total"))
+      .orderBy(col(key).asc_nulls_first, col("__kc_pid"))
+      .collect() // bounded: partitions x keys
     var curKey: String = null
+    var started = false
     var acc = 0L
     val offsets = totals.map { r =>
-      if (r.getString(1) != curKey) { curKey = r.getString(1); acc = 0L }
-      val off = acc; acc += r.getLong(2)
-      (r.getInt(0), r.getString(1), off)
+      val k = r.getString(1)
+      if (!started || k != curKey) { started = true; curKey = k; acc = 0L }
+      val off = acc
+      acc += (if (r.isNullAt(2)) 0L else r.getLong(2))
+      (r.getInt(0), k, off)
     }.toSeq
-    val offDf = s.createDataFrame(offsets).toDF("pid", key, "offset")
-    local.join(broadcast(offDf), Seq("pid", key))
-      .withColumn(out, col("local_cum") + col("offset"))
-      .drop("pid", "local_cum", "offset")
+    val offDf = s.createDataFrame(offsets)
+      .toDF("__kc_pid2", "__kc_k", "__kc_off")
+    // null-safe key equality: null-key rows keep their group instead of
+    // silently dropping out of the equi-join
+    local.join(broadcast(offDf),
+        col("__kc_pid") === col("__kc_pid2") && col(key) <=> col("__kc_k"))
+      .withColumn(out, col("__kc_cum") + col("__kc_off"))
+      .drop(Internal: _*)
   }
 }

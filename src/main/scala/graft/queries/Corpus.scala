@@ -366,7 +366,7 @@ object Corpus {
     * Scale: runs on [[graft.operators.KeyedCumsum]] — the two-level
     * keyed cumsum that replaces the per-source window (one source = one
     * reducer partition, the single-partition trap chunkPack's scaladoc
-    * documents). PackLawSpec proves equality with the naive per-source
+    * documents). ChunkPackLawSpec proves equality with the naive per-source
     * window on random inputs.
     */
   def packSequences(s: SparkSession, dir: String): DataFrame =

@@ -66,4 +66,32 @@ class ChunkPackLawSpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("KeyedCumsum == naive keyed window incl. NEGATIVE values and null keys") {
+    val rowsGen = for {
+      n <- Gen.choose(0, 100)
+      rows <- Gen.listOfN(n, for {
+        src <- Gen.oneOf(Some("s0"), Some("s1"), Some("s2"), None)
+        v <- Gen.choose(-500L, 500L) // negatives: running max != final sum
+      } yield (src, v))
+    } yield rows.zipWithIndex.map { case ((s, v), i) => (i.toLong, s.orNull, v) }
+
+    val prop = Prop.forAll(rowsGen) { rows =>
+      val docs = rows.toDF("doc_id", "k", "v")
+      val got = graft.operators.KeyedCumsum(
+          spark, docs, key = "k", order = Seq("doc_id"),
+          value = "v", out = "cum")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(3)))
+        .toSet
+      val w = Window.partitionBy("k").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = docs
+        .withColumn("cum", sum(col("v")).over(w))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(3)))
+        .toSet
+      got == naive
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
