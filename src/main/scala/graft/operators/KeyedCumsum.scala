@@ -29,6 +29,11 @@ import org.apache.spark.sql.types.StringType
   */
 object KeyedCumsum {
 
+  /** Default ceiling on distinct keys. The offset collect is partitions ×
+    * |keys| rows; the contract is config-scale keys (sources, languages) —
+    * a caller keying by doc_id would otherwise collect the corpus. */
+  val DefaultMaxKeys = 10000
+
   private val Internal = Seq("__kc_pid", "__kc_pid2", "__kc_k", "__kc_cum", "__kc_off")
 
   /** Adds `out` = running total of `value` within `key`, ordered by
@@ -36,9 +41,16 @@ object KeyedCumsum {
     * like the window). `value` must be LONG-castable and non-null. The
     * intermediate cumsum is localCheckpoint-ed (materialized by the
     * offset collect); the returned frame is a lazy broadcast-join over
-    * it — cache/checkpoint it yourself if you act on it repeatedly. */
+    * it — cache/checkpoint it yourself if you act on it repeatedly.
+    *
+    * `maxKeys` enforces the key-cardinality contract: the offset collect
+    * is hard-capped at maxKeys × partitions rows (a `limit`, so a
+    * violating job can never materialize an unbounded array on the
+    * driver) and the exact distinct-key count is re-checked from the
+    * collected rows — misuse fails loudly instead of OOMing. */
   def apply(s: SparkSession, df: DataFrame, key: String,
-            order: Seq[String], value: String, out: String): DataFrame = {
+            order: Seq[String], value: String, out: String,
+            maxKeys: Int = DefaultMaxKeys): DataFrame = {
     require(df.schema(key).dataType == StringType,
       s"KeyedCumsum: key '$key' must be a string column " +
         "(the offset-table rebuild reads it as one); cast or stringify first")
@@ -56,10 +68,26 @@ object KeyedCumsum {
     // group total = SUM of the group's values — NOT max of the running
     // sum, which diverges as soon as values can be negative (the running
     // max is not the final sum then)
+    // bounded collect: ≤ maxKeys × partitions rows survive the limit even
+    // when a caller violates the contract — the guard below then fails
+    // loudly without the driver ever holding an unbounded result
+    val maxRows = maxKeys.toLong * math.max(1, local.rdd.getNumPartitions)
+    val collectCap = math.min(maxRows, Int.MaxValue.toLong - 1).toInt
     val totals = local.groupBy("__kc_pid", key)
       .agg(sum(col(value).cast("long")).as("total"))
       .orderBy(col(key).asc_nulls_first, col("__kc_pid"))
-      .collect() // bounded: partitions x keys
+      .limit(collectCap + 1)
+      .collect() // bounded: partitions x keys, hard-capped by the limit
+    require(totals.length <= collectCap, s"KeyedCumsum: offset collect " +
+      s"exceeded $collectCap rows — key '$key' breaks the config-scale " +
+      "key contract (pass a higher maxKeys only if the cardinality is " +
+      "genuinely bounded)")
+    val distinctKeys = totals.iterator.map(r =>
+      if (r.isNullAt(1)) null else r.getString(1)).toSet.size
+    require(distinctKeys <= maxKeys, s"KeyedCumsum: key '$key' has " +
+      s"$distinctKeys distinct values (maxKeys=$maxKeys) — a per-document " +
+      "key would collect the corpus; use a window or raise maxKeys for a " +
+      "genuinely bounded key")
     var curKey: String = null
     var started = false
     var acc = 0L

@@ -94,4 +94,22 @@ class ChunkPackLawSpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("KeyedCumsum maxKeys guard fails loudly on per-document keys") {
+    val perDoc = (0 until 50).map(i => (i.toLong, s"doc$i", 1L))
+      .toDF("doc_id", "k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.KeyedCumsum(spark, perDoc, key = "k",
+        order = Seq("doc_id"), value = "v", out = "cum", maxKeys = 8)
+    }
+    // either arm may fire first: the hard collect cap (when few physical
+    // partitions make cap < rows) or the exact distinct-key recheck
+    assert(ex.getMessage.contains("KeyedCumsum"))
+    // a compliant cardinality passes under the same cap, values intact
+    val ok = graft.operators.KeyedCumsum(spark,
+      (0 until 50).map(i => (i.toLong, s"s${i % 3}", 1L))
+        .toDF("doc_id", "k", "v"),
+      key = "k", order = Seq("doc_id"), value = "v", out = "cum", maxKeys = 8)
+    assert(ok.count() == 50)
+  }
 }
