@@ -347,7 +347,71 @@ object VectorOps {
       |  CROSS JOIN w)
       |WHERE score_raw > 0""".stripMargin
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. 2009):
+    * the lexical arm is the graded BM25 top-k ([[Corpus.bm25TopK]]), the
+    * semantic arm ranks the embedding corpus against one query vector by
+    * cosine, and fused score = Σ 1/(60 + rank) over the arms a doc appears
+    * in. The training-data-pipeline use: rank candidate documents for a
+    * benchmark probe where neither lexical nor embedding evidence alone is
+    * trustworthy.
+    *
+    * Scale: each arm ends in a TakeOrderedAndProject top-k, so the fusion
+    * join is k×k rows regardless of corpus size; the semantic arm
+    * broadcasts the single query vector over an un-shuffled corpus scan
+    * (same shape as q_cosine_topk). Absent-arm ranks surface as 0. */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val k = 60
+    val topN = 20
+    val lex = Corpus.bm25TopK(s, dir)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val e = embWithNorm(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val semTop = e.filter(col("vec_id") > 0)
+      .join(broadcast(q))
+      .withColumn("cos_raw", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .orderBy(col("cos_raw").desc, col("vec_id")).limit(topN)
+    val wSem = Window.orderBy(col("cos_raw").desc, col("vec_id"))
+    val sem = semTop.withColumn("sem_rank", row_number().over(wSem).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"),
+        (coalesce(lit(1.0) / (lit(k) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("sem_rank")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(topN)
+    val wF = Window.orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(wF).cast("long"))
+  }
+
+  val rrfFusionSql: String =
+    s"""WITH lex AS (
+       |  SELECT doc_id, rank AS lex_rank FROM (${Corpus.bm25TopKSql})),
+       |e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |sem AS (
+       |  SELECT vec_id AS doc_id,
+       |    CAST(row_number() OVER (ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS sem_rank
+       |  FROM (
+       |    SELECT c.vec_id,
+       |      list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]), (a, b) -> a + b)
+       |        / (q.nrm * c.nrm) AS cos_raw
+       |    FROM e c JOIN e q ON q.vec_id = 0 AND c.vec_id > 0)
+       |  ORDER BY cos_raw DESC, vec_id LIMIT 20),
+       |fused AS (
+       |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |    coalesce(lex_rank, 0) AS lex_rank, coalesce(sem_rank, 0) AS sem_rank,
+       |    coalesce(1.0 / (60 + lex_rank), 0.0) + coalesce(1.0 / (60 + sem_rank), 0.0) AS rrf
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, lex_rank, sem_rank, rrf,
+       |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rrf_fusion" -> rrfFusion _,
     "q_classifier_filter" -> classifierFilter _,
     "q_cosine_topk" -> cosineTopK _,
     "q_embed_neardup" -> embedNearDup _,
@@ -358,6 +422,7 @@ object VectorOps {
     "q_ann_recall" -> annRecall _)
 
   val oracles: Map[String, String] = Map(
+    "q_rrf_fusion" -> rrfFusionSql,
     "q_classifier_filter" -> classifierFilterSql,
     "q_cosine_topk" -> cosineTopKSql,
     "q_embed_neardup" -> embedNearDupSql,

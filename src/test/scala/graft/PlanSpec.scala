@@ -349,4 +349,25 @@ class PlanSpec extends AnyFunSuite {
     val sPlan = planString(queries.Analytics.edgeNgramSearch(spark, dir))
     assert(sPlan.contains("ReadSchema: struct<p_partkey:bigint,p_name:string>"), sPlan)
   }
+
+  test("rrf fusion: both arms end in top-k, no cartesian, no full sort") {
+    val s = planString(queries.VectorOps.rrfFusion(spark, dir))
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("context match is a single typed pass over the cards (no shuffle, no join)") {
+    val df = queries.Extraction.contextMatch(spark, dir)
+    assert(countShuffles(df) == 0)
+    val s = planString(df)
+    assert(!s.contains("Join"), s)
+  }
+
+  test("croissant triples: one dedup shuffle, no join, pruned scan") {
+    val df = queries.Extraction.croissantTriples(spark, dir)
+    // flatMap expansion + dropDuplicates(subject, predicate, obj): the
+    // dedup aggregate's exchange is the only shuffle at any corpus size
+    assert(countShuffles(df) <= 1)
+    assert(!planString(df).contains("Join"), planString(df))
+  }
 }
