@@ -15,7 +15,7 @@ import graft.sinks.Sinks
   *   (clip duplicated spans, keep min-id copy) → source mixture →
   *   temperature (α-power) language flattening → quality floor →
   *   bigram-LM scoring audit → sequence packing → clustered layout
-  *   write.
+  *   write → hybrid BM25+cosine RRF retrieval audit.
   *
   * EtlDemo exercises the reference's harvest→KG lifecycle; this demo
   * exercises the corpus operators the builder prompt adds on top.
@@ -137,13 +137,27 @@ object CorpusDemo {
     val nWritten = spark.read.parquet(s"$out/corpus").count()
     require(nWritten == nSurvivors, s"write lost docs: $nWritten")
 
+    // 11. hybrid retrieval audit: BM25 + cosine arms fused by reciprocal
+    // rank — the "find me the docs most like this probe" query a data
+    // curator runs against the landed corpus
+    val fused = queries.VectorOps.rrfFusion(spark, sf).collect()
+    require(fused.length > 0 && fused.length <= 20)
+    require(fused.map(_.getAs[Long]("fused_rank")).toSeq ==
+      (1L to fused.length).toSeq, "fused ranks must be dense 1..k")
+    val rrfs = fused.map(_.getAs[Double]("rrf")).toSeq
+    require(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b },
+      "rrf scores must be non-increasing in fused rank")
+    require(fused.forall(r => r.getAs[Long]("lex_rank") > 0 ||
+      r.getAs[Long]("sem_rank") > 0), "every fused doc needs an arm")
+
     println(s"[corpus] $nAll docs → split train=$nTrain bench=$nBench → " +
       s"exact-decon dropped $nContaminated (bloom: 0 false negatives, " +
       s"$overDrops over-drops) → fuzzy-decon → span-clip " +
       s"($nClippedDocs docs, $nTokensClipped tokens) → mixture=$nMixed → " +
       s"temperature=$nTempered → quality survivors=$nSurvivors " +
       s"(worst LM score $lmMin) → $nSeqs sequences ($nPackedDocs docs) " +
-      s"→ clustered parquet at $out/corpus")
+      s"→ clustered parquet at $out/corpus → rrf top-${fused.length} " +
+      "retrieval audit ok")
     spark.stop()
   }
 }
