@@ -295,7 +295,36 @@ object Graph {
       |UNION ALL SELECT node, 'https://w3id.org/mlentory/meta/extractionTime',
       |  strftime(t, '%Y-%m-%d_%H-%M-%S'), 'literal', '' FROM n""".stripMargin
 
+  /** K3 serialization, oracle-graded: N-Triples lines through the
+    * codegen'd `n3_escape` native expression
+    * (`functions/GraftExpressions.scala`) over literals that exercise
+    * every escape class (backslash, quote, newline, tab) — the sink's
+    * typed `N3.formatTriple` path shares the same escape table
+    * (N3Spec pins the pure-Scala side; this pins the column expression
+    * against a chained-replace SQL replay). */
+  def n3Lines(s: SparkSession, dir: String): DataFrame = {
+    val obj = concat(lit("title \""), col("lang"), lit("\" \\ "),
+      col("source"), lit("\nend\t."))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(lit("<https://ex.org/doc/"), col("doc_id"),
+        lit("> <https://schema.org/description> \""),
+        graft.functions.GraftFunctions.n3_escape(obj),
+        lit("\" .")).as("line"))
+  }
+
+  val n3LinesSql: String =
+    """SELECT doc_id,
+      |  '<https://ex.org/doc/' || doc_id || '> <https://schema.org/description> "'
+      |  || replace(replace(replace(replace(replace(o,
+      |       '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+      |  || '" .' AS line
+      |FROM (SELECT doc_id,
+      |  'title "' || lang || '" \ ' || source || chr(10) || 'end' || chr(9) || '.' AS o
+      |  FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_n3_lines" -> n3Lines _,
     "q_triple_gen" -> tripleGen _,
     "q_doc_pivot" -> docPivot _,
     "q_name_resolution" -> nameResolution _,
@@ -305,6 +334,7 @@ object Graph {
     "q_reify_emit" -> reifyEmit _)
 
   val oracles: Map[String, String] = Map(
+    "q_n3_lines" -> n3LinesSql,
     "q_triple_gen" -> tripleGenSql,
     "q_doc_pivot" -> docPivotSql,
     "q_name_resolution" -> nameResolutionSql,

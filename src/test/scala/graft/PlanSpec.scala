@@ -350,6 +350,15 @@ class PlanSpec extends AnyFunSuite {
     assert(sPlan.contains("ReadSchema: struct<p_partkey:bigint,p_name:string>"), sPlan)
   }
 
+  test("n3 lines: shuffle-free projection with the native escape expression") {
+    val df = queries.Graph.n3Lines(spark, dir)
+    assert(countShuffles(df) == 0)
+    // the expression prints as its class simple-name; the *(1) prefix
+    // proves the projection stayed inside whole-stage codegen
+    val s = planString(df)
+    assert(s.contains("n3escapeexpr") && s.contains("*(1) Project"), s)
+  }
+
   test("rrf fusion: both arms end in top-k, no cartesian, no full sort") {
     val s = planString(queries.VectorOps.rrfFusion(spark, dir))
     assert(s.contains("TakeOrderedAndProject"), s)
