@@ -160,11 +160,61 @@ object Extraction {
       |         'author-' || (doc_id % 20), 'literal', '' FROM d
       |)""".stripMargin
 
+  // ---------------------------------------------------------------- Y1
+
+  /** Y1 front-matter, oracle-graded: YAML cards built from the documents
+    * table drive the REAL [[graft.text.FrontMatter]] parser through every
+    * read path the reference uses — quoted-scalar stripping, flat lists,
+    * the license precedence chain (license_name > license > any other
+    * *license* key), and extra_gated conditions-of-access
+    * (`ModelCardToSchemaParser.py:400-506`). Fixture classes by doc_id:
+    * %5==0 has only `other_license` (fallback concat), %5==2 has BOTH
+    * license_name and license (precedence), the rest a quoted `license`;
+    * %2==0 gets a 2-item language list; %3==0 gets a gated prompt. */
+  def frontMatter(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val m5 = col("doc_id") % 5
+    val card = concat(
+      lit("---\n"),
+      when(m5 === 2, concat(lit("license_name: custom-"), col("lang"), lit("\n")))
+        .otherwise(lit("")),
+      when(m5 =!= 0, concat(lit("license: \""), col("source"), lit("-1.0\"\n")))
+        .otherwise(concat(lit("other_license: research-"), col("source"), lit("\n"))),
+      lit("language:\n- "), col("lang"), lit("\n"),
+      when(col("doc_id") % 2 === 0, lit("- en\n")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("extra_gated_prompt: agree-"), col("lang"), lit("\n")))
+        .otherwise(lit("")),
+      lit("---\n"), substring(col("text"), 1, 60))
+    t(s, dir, "documents").select(col("doc_id"), card.as("card"))
+      .as[(Long, String)]
+      .map { case (id, c) =>
+        val fm = graft.text.FrontMatter.parse(c)
+        (id, graft.text.FrontMatter.license(fm).getOrElse(""),
+          graft.text.FrontMatter.conditionsOfAccess(fm).getOrElse(""),
+          fm.getOrElse("language", Seq.empty).size.toLong)
+      }
+      .toDF("doc_id", "license", "gated", "n_langs")
+  }
+
+  val frontMatterSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 2 THEN 'custom-' || lang
+      |       WHEN doc_id % 5 <> 0 THEN source || '-1.0'
+      |       ELSE 'research-' || source END AS license,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'extra_gated_prompt: agree-' || lang
+      |       ELSE '' END AS gated,
+      |  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END::BIGINT AS n_langs
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_context_match" -> contextMatch _,
-    "q_croissant_triples" -> croissantTriples _)
+    "q_croissant_triples" -> croissantTriples _,
+    "q_front_matter" -> frontMatter _)
 
   val oracles: Map[String, String] = Map(
     "q_context_match" -> contextMatchSql,
-    "q_croissant_triples" -> croissantTriplesSql)
+    "q_croissant_triples" -> croissantTriplesSql,
+    "q_front_matter" -> frontMatterSql)
 }
