@@ -208,13 +208,90 @@ object Extraction {
       |  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END::BIGINT AS n_langs
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------------------- M1-M6
+
+  /** Markdown sectionizer, oracle-graded end-to-end: two-level cards built
+    * from the documents table drive the REAL
+    * [[graft.text.Markdown.hierarchical]] through header hierarchy
+    * ("H1 > H2" titles), blank-line paragraph splitting, list-block
+    * trimming to 4 lines + "..." (M2/M4), content-hash dedup keeping the
+    * shortest title (M6), and the (level, title) output order. The card
+    * shape makes every emitted section's title and content a closed-form
+    * function of the source columns, so the oracle enumerates the exact
+    * 5-row output per doc. */
+  def markdownSections(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val card = concat(
+      lit("# Doc "), col("doc_id"),
+      lit("\nIntro para one "), col("lang"),
+      lit(".\n\nIntro para two "), col("source"),
+      lit(".\n## More\n- item a "), col("lang"),
+      lit("\n- item b "), col("source"),
+      lit("\n- item c\n- item d\n- item e\n- item f "), col("doc_id"))
+    t(s, dir, "documents").select(col("doc_id"), card.as("card"))
+      .as[(Long, String)]
+      .flatMap { case (id, c) =>
+        graft.text.Markdown.hierarchical(c).zipWithIndex.map { case (sec, i) =>
+          (id, (i + 1).toLong, sec.title, sec.content, sec.level.toLong)
+        }
+      }
+      .toDF("doc_id", "sec_idx", "title", "content", "lvl")
+  }
+
+  val markdownSectionsSql: String =
+    """WITH d AS (SELECT doc_id, lang, source FROM documents),
+      |lst AS (SELECT doc_id, lang, source,
+      |  '- item a ' || lang || chr(10) || '- item b ' || source || chr(10) ||
+      |  '- item c' || chr(10) || '- item d' AS l4 FROM d)
+      |SELECT doc_id, 1::BIGINT AS sec_idx, 'Doc ' || doc_id AS title,
+      |  'Intro para one ' || lang || '.' || chr(10) || chr(10) ||
+      |    'Intro para two ' || source || '.' AS content,
+      |  1::BIGINT AS lvl FROM lst
+      |UNION ALL SELECT doc_id, 2, 'Doc ' || doc_id || ' - Par. 1',
+      |  'Intro para one ' || lang || '.', 1 FROM lst
+      |UNION ALL SELECT doc_id, 3, 'Doc ' || doc_id || ' - Par. 2',
+      |  'Intro para two ' || source || '.', 1 FROM lst
+      |UNION ALL SELECT doc_id, 4, 'Doc ' || doc_id || ' > More',
+      |  l4 || chr(10) || '- item e' || chr(10) || '- item f ' || doc_id, 2 FROM lst
+      |UNION ALL SELECT doc_id, 5, 'Doc ' || doc_id || ' > More - Par. 1',
+      |  l4 || chr(10) || '...', 2 FROM lst""".stripMargin
+
+  // ---------------------------------------------------------------- A1
+
+  /** A1 related-entity collection through the real
+    * [[EntityBuilders.relatedEntities]]: long-format properties from the
+    * documents table, typed by the property→entity-type config map;
+    * unmapped properties (license here) drop out, output is the distinct
+    * (entity_type, value) frontier (`HFExtractor.py:365-402`). */
+  def relatedEntitiesQ(s: SparkSession, dir: String): DataFrame = {
+    val props = t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("m"), col("doc_id") % 7).as("bm"),
+        col("source").as("ds"), col("lang").as("lic"))
+      .select(expr("stack(3, 'base_model', bm, 'trained_on', ds, " +
+        "'license', lic) AS (property, value)"))
+    graft.transform.EntityBuilders.relatedEntities(props,
+      Map("base_model" -> "model", "trained_on" -> "dataset"))
+  }
+
+  val relatedEntitiesSql: String =
+    """SELECT DISTINCT 'model' AS entity_type, 'm' || (doc_id % 7) AS value
+      |FROM documents
+      |UNION
+      |SELECT DISTINCT 'dataset', source FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_context_match" -> contextMatch _,
     "q_croissant_triples" -> croissantTriples _,
-    "q_front_matter" -> frontMatter _)
+    "q_front_matter" -> frontMatter _,
+    "q_markdown_sections" -> markdownSections _,
+    "q_related_entities" -> relatedEntitiesQ _)
 
   val oracles: Map[String, String] = Map(
     "q_context_match" -> contextMatchSql,
     "q_croissant_triples" -> croissantTriplesSql,
-    "q_front_matter" -> frontMatterSql)
+    "q_front_matter" -> frontMatterSql,
+    "q_markdown_sections" -> markdownSectionsSql,
+    "q_related_entities" -> relatedEntitiesSql)
 }
