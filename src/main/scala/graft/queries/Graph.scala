@@ -323,7 +323,106 @@ object Graph {
       |  'title "' || lang || '" \ ' || source || chr(10) || 'end' || chr(9) || '.' AS o
       |  FROM documents)""".stripMargin
 
+  // ------------------------------------------------------------ T3-T5
+
+  /** T3 arXiv builder, oracle-graded through the real
+    * [[graft.transform.EntityBuilders.arxivTriples]]: fixture articles
+    * from the documents table exercise the id normalization (category
+    * prefix strip + version-suffix removal), the conditional DOI sameAs
+    * (empty dois drop), the typed date literal, and the categories
+    * array fan-out (`KnowledgeGraphHandler.py:585-666`). */
+  def arxivTriplesQ(s: SparkSession, dir: String): DataFrame = {
+    val articles = t(s, dir, "documents").select(
+      when(col("doc_id") % 3 === 0,
+        concat(lit("cs.LG/"), col("doc_id") + 2000, lit("v"), col("doc_id") % 4 + 1))
+        .otherwise(concat(col("doc_id") + 2000, lit("v"), col("doc_id") % 4 + 1))
+        .as("arxiv_id"),
+      concat(lit("Paper "), col("doc_id")).as("title"),
+      substring(col("text"), 1, 80).as("summary"),
+      when(col("doc_id") % 2 === 0, concat(lit("10.1234/"), col("doc_id")))
+        .otherwise(lit("")).as("doi"),
+      concat(lit("2024-0"), col("doc_id") % 9 + 1, lit("-01")).as("published"),
+      array(col("lang"), col("source")).as("categories"))
+    graft.transform.EntityBuilders.arxivTriples(articles)
+      .withColumnRenamed("objKind", "obj_kind")
+  }
+
+  val arxivTriplesSql: String =
+    """WITH d AS (SELECT doc_id, lang, source, text,
+      |  'https://w3id.org/mlentory/mlentory_graph/'
+      |    || sha256('platform=hf|type=article|' || (doc_id + 2000)) AS subj
+      |  FROM documents)
+      |SELECT subj AS subject, 'https://schema.org/type' AS predicate,
+      |  'https://schema.org/ScholarlyArticle' AS obj, 'iri' AS obj_kind, '' AS datatype FROM d
+      |UNION ALL SELECT subj, 'https://schema.org/name', 'Paper ' || doc_id, 'literal', '' FROM d
+      |UNION ALL SELECT subj, 'https://schema.org/url',
+      |  'https://arxiv.org/abs/' || (doc_id + 2000), 'iri', '' FROM d
+      |UNION ALL SELECT subj, 'https://schema.org/abstract', substr(text, 1, 80), 'literal', '' FROM d
+      |UNION ALL SELECT subj, 'https://schema.org/sameAs',
+      |  'https://doi.org/10.1234/' || doc_id, 'iri', '' FROM d WHERE doc_id % 2 = 0
+      |UNION ALL SELECT subj, 'https://schema.org/datePublished',
+      |  '2024-0' || (doc_id % 9 + 1) || '-01', 'literal',
+      |  'http://www.w3.org/2001/XMLSchema#date' FROM d
+      |UNION ALL SELECT subj, 'https://schema.org/keywords', lang, 'literal', '' FROM d
+      |UNION ALL SELECT subj, 'https://schema.org/keywords', source, 'literal', '' FROM d""".stripMargin
+
+  /** T4 keyword vocabulary through
+    * [[graft.transform.EntityBuilders.keywordTriples]] — lowercased hash
+    * identity over a distinct vocab built from the language column. */
+  def keywordTriplesQ(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(concat(lit("Tag-"), col("lang")).as("tag_name"),
+        concat(lit("desc "), col("lang")).as("description"))
+      .distinct()
+    graft.transform.EntityBuilders.keywordTriples(vocab)
+      .withColumnRenamed("objKind", "obj_kind")
+  }
+
+  val keywordTriplesSql: String =
+    """WITH v AS (SELECT DISTINCT 'tag-' || lang AS tag_lc, 'desc ' || lang AS description FROM documents),
+      |s AS (SELECT tag_lc, description,
+      |  'https://w3id.org/mlentory/mlentory_graph/'
+      |    || sha256('platform=hf|type=keyword|' || tag_lc) AS subj FROM v)
+      |SELECT subj AS subject, 'https://schema.org/type' AS predicate,
+      |  'https://schema.org/DefinedTerm' AS obj, 'iri' AS obj_kind, '' AS datatype FROM s
+      |UNION ALL SELECT subj, 'https://schema.org/name', tag_lc, 'literal', '' FROM s
+      |UNION ALL SELECT subj, 'https://schema.org/description', description, 'literal', '' FROM s""".stripMargin
+
+  /** T5 SPDX licenses through
+    * [[graft.transform.EntityBuilders.licenseTriples]] — identifier
+    * falling back to name when empty, conditional url
+    * (`GraphBuilderLicense.py:29-168`). */
+  def licenseTriplesQ(s: SparkSession, dir: String): DataFrame = {
+    val spdx = t(s, dir, "documents").select(
+      when(col("doc_id") % 4 === 0, lit("")).otherwise(
+        concat(lit("lic"), col("doc_id"))).as("identifier"),
+      concat(lit("License "), col("doc_id")).as("name"),
+      when(col("doc_id") % 5 === 0, lit("")).otherwise(
+        concat(lit("https://spdx.org/"), col("doc_id"))).as("url"),
+      substring(col("text"), 1, 40).as("license_text"))
+    graft.transform.EntityBuilders.licenseTriples(spdx)
+      .withColumnRenamed("objKind", "obj_kind")
+  }
+
+  val licenseTriplesSql: String =
+    """WITH d AS (SELECT doc_id, text,
+      |  CASE WHEN doc_id % 4 = 0 THEN 'License ' || doc_id ELSE 'lic' || doc_id END AS ident
+      |  FROM documents),
+      |s AS (SELECT doc_id, text, ident,
+      |  'https://w3id.org/mlentory/mlentory_graph/'
+      |    || sha256('platform=hf|type=license|' || ident) AS subj FROM d)
+      |SELECT subj AS subject, 'https://schema.org/type' AS predicate,
+      |  'https://schema.org/CreativeWork' AS obj, 'iri' AS obj_kind, '' AS datatype FROM s
+      |UNION ALL SELECT subj, 'https://schema.org/name', 'License ' || doc_id, 'literal', '' FROM s
+      |UNION ALL SELECT subj, 'https://schema.org/identifier', ident, 'literal', '' FROM s
+      |UNION ALL SELECT subj, 'https://schema.org/url', 'https://spdx.org/' || doc_id,
+      |  'iri', '' FROM s WHERE doc_id % 5 <> 0
+      |UNION ALL SELECT subj, 'https://schema.org/description', substr(text, 1, 40), 'literal', '' FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_arxiv_triples" -> arxivTriplesQ _,
+    "q_keyword_triples" -> keywordTriplesQ _,
+    "q_license_triples" -> licenseTriplesQ _,
     "q_n3_lines" -> n3Lines _,
     "q_triple_gen" -> tripleGen _,
     "q_doc_pivot" -> docPivot _,
@@ -334,6 +433,9 @@ object Graph {
     "q_reify_emit" -> reifyEmit _)
 
   val oracles: Map[String, String] = Map(
+    "q_arxiv_triples" -> arxivTriplesSql,
+    "q_keyword_triples" -> keywordTriplesSql,
+    "q_license_triples" -> licenseTriplesSql,
     "q_n3_lines" -> n3LinesSql,
     "q_triple_gen" -> tripleGenSql,
     "q_doc_pivot" -> docPivotSql,
