@@ -70,8 +70,12 @@ object ScaleTenProbe {
       math.min(once(), once())
     }
 
+    // q_context_match is a per-card typed pass; q_rrf_fusion scans the
+    // whole corpus in both retrieval arms — the round-5 additions whose
+    // cost grows with data (q_version_history's fixture batches are
+    // doc_id-bounded by design, so it is not a scale probe subject)
     val heavy = Seq("q_incremental_dedup", "q_semantic_dedup",
-      "q_dedup_groups", "q_common_spans")
+      "q_dedup_groups", "q_common_spans", "q_context_match", "q_rrf_fusion")
     val d1 = load.Scratch.dir("probe10_base", src)
     val d10 = load.Scratch.dir("probe10_ten", src)
     try {
