@@ -289,6 +289,83 @@ object Extraction {
        |  'IndividualQA' AS method
        |FROM ranked GROUP BY model_id, property""".stripMargin
 
+  /** E8 `grouped` QA strategy over the same cards: the 3-question list
+    * clusters into ONE group (nClusters = max(1, 3/10)), whose
+    * representative is the FIRST question — so the context ranking, the
+    * mean confidence, and the section title are the representative's,
+    * shared by all three properties, while each property's value is its
+    * own best-sentence echo answer parsed back out of the multi-question
+    * response (E4 clustering + E5 multi-prompt + E6 parseMultiAnswers
+    * all execute on the graded path). */
+  def qaGrouped(s: SparkSession, dir: String): DataFrame = {
+    val card = concat(
+      lit("# Alpha\nAlpha section about "), col("lang"), lit(" language .\n"),
+      lit("# Beta\nBeta section from "), col("source"), lit(" pipeline .\n"),
+      lit("# Gamma\nGamma section with "), col("n_chars"), lit(" characters ."))
+    val models = t(s, dir, "documents").select(
+      concat(lit("doc:"), col("doc_id")).as("modelId"), card.as("card"))
+    SchemaPropertyExtractor.extract(models, QaQueries, new TokenOverlapScorer,
+        strategy = SchemaPropertyExtractor.Strategy.Grouped)
+      .toDF()
+      .select(col("modelId").as("model_id"), col("property"), col("value"),
+        col("confidence"), col("sectionTitle").as("section_title"), col("method"))
+  }
+
+  val qaGroupedSql: String =
+    s"""WITH docs AS (
+       |  SELECT 'doc:' || doc_id AS model_id,
+       |    'Alpha section about ' || lang || ' language .' AS a_c,
+       |    'Beta section from ' || source || ' pipeline .' AS b_c,
+       |    'Gamma section with ' || n_chars || ' characters .' AS g_c
+       |  FROM documents),
+       |secs AS (
+       |  SELECT model_id, 'Alpha' AS title, a_c AS content, 1 AS sec_idx FROM docs
+       |  UNION ALL SELECT model_id, 'Beta', b_c, 2 FROM docs
+       |  UNION ALL SELECT model_id, 'Gamma', g_c, 3 FROM docs),
+       |st AS (
+       |  SELECT model_id, title, content, sec_idx,
+       |    ${sqlToks("title || ' ' || content")} AS toks
+       |  FROM secs),
+       |qs AS (
+       |  SELECT * FROM (VALUES
+       |    ('alpha_lang', 'Alpha Lang. alpha section language'),
+       |    ('beta_src', 'Beta Src. beta section pipeline'),
+       |    ('gamma_n', 'Gamma N. gamma section characters'))
+       |    AS q(property, qtext)),
+       |qt AS (SELECT property, ${sqlToks("qtext")} AS qtoks FROM qs),
+       |scored AS (
+       |  SELECT s.model_id, q.property, s.title, s.content, s.sec_idx,
+       |    len(list_filter(q.qtoks, x -> list_contains(s.toks, x))) AS inter,
+       |    len(q.qtoks) AS nq, len(s.toks) AS ns
+       |  FROM st s CROSS JOIN qt q),
+       |ranked AS (
+       |  SELECT *,
+       |    CASE WHEN nq = 0 OR ns = 0 THEN 0.0
+       |         ELSE CAST(inter AS DOUBLE) / (nq + ns - inter) END AS jac,
+       |    row_number() OVER (PARTITION BY model_id, property
+       |      ORDER BY CASE WHEN nq = 0 OR ns = 0 THEN 0.0
+       |                    ELSE CAST(inter AS DOUBLE) / (nq + ns - inter) END DESC,
+       |               sec_idx) AS rank_jac,
+       |    row_number() OVER (PARTITION BY model_id, property
+       |      ORDER BY inter DESC, title || ': ' || content) AS rank_int
+       |  FROM scored),
+       |rep AS (
+       |  SELECT model_id,
+       |    ((max(CASE WHEN rank_jac = 1 THEN jac END)
+       |      + max(CASE WHEN rank_jac = 2 THEN jac END))
+       |      + max(CASE WHEN rank_jac = 3 THEN jac END)) / 3 AS confidence,
+       |    max(CASE WHEN rank_jac = 1 THEN title END) AS section_title
+       |  FROM ranked WHERE property = 'alpha_lang' GROUP BY model_id),
+       |vals AS (
+       |  SELECT model_id, property,
+       |    CASE WHEN max(inter) = 0 THEN 'Information not found'
+       |         ELSE max(CASE WHEN rank_int = 1 THEN title || ': ' || content END)
+       |    END AS value
+       |  FROM ranked GROUP BY model_id, property)
+       |SELECT v.model_id, v.property, v.value, r.confidence, r.section_title,
+       |  'GroupedQA' AS method
+       |FROM vals v JOIN rep r ON v.model_id = r.model_id""".stripMargin
+
   // ------------------------------------------------------------- M1-M6
 
   /** Markdown sectionizer, oracle-graded end-to-end: two-level cards built
@@ -368,7 +445,8 @@ object Extraction {
     "q_front_matter" -> frontMatter _,
     "q_markdown_sections" -> markdownSections _,
     "q_related_entities" -> relatedEntitiesQ _,
-    "q_qa_individual" -> qaIndividual _)
+    "q_qa_individual" -> qaIndividual _,
+    "q_qa_grouped" -> qaGrouped _)
 
   val oracles: Map[String, String] = Map(
     "q_context_match" -> contextMatchSql,
@@ -376,5 +454,6 @@ object Extraction {
     "q_front_matter" -> frontMatterSql,
     "q_markdown_sections" -> markdownSectionsSql,
     "q_related_entities" -> relatedEntitiesSql,
-    "q_qa_individual" -> qaIndividualSql)
+    "q_qa_individual" -> qaIndividualSql,
+    "q_qa_grouped" -> qaGroupedSql)
 }
