@@ -57,33 +57,70 @@ object Versioned {
       .drop("etSec")
   }
 
-  def versionHistory(s: SparkSession, dir: String): DataFrame = {
+  private def fixtureBatches(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
     val b1 = batch(docs.filter(col("doc_id") < 300), col("lang"),
       lit(T1) + col("doc_id") % 7 * 60)
     val b2 = batch(docs.filter(col("doc_id") >= 100 && col("doc_id") < 400),
       when(col("doc_id") % 3 === 0, upper(col("lang"))).otherwise(col("lang")),
       lit(T2) + col("doc_id") % 5 * 60)
-    // Scratch store per invocation (same discipline as q_incremental_dedup):
-    // concurrent Verify/Bench runs can never see each other's snapshots, and
-    // the result is checkpointed off the scratch parquet before cleanup.
+    (b1, b2)
+  }
+
+  /** Run the two-batch fixture load into a scratch store (same discipline
+    * as q_incremental_dedup: process-unique dir, removed even on failure;
+    * result must be checkpointed off the scratch parquet before cleanup)
+    * and return `body`'s view of the loaded store. */
+  private def withFixtureStore[T](s: SparkSession, dir: String)
+                                 (body: TripletStore => T): T = {
+    val (b1, b2) = fixtureBatches(s, dir)
     Scratch.withScratch("graft_vh_q", dir) { tmp =>
       val store = new TripletStore(s, tmp.getAbsolutePath)
       store.merge(b1, new Timestamp(T1 * 1000))
       store.merge(b2, new Timestamp(T3 * 1000))
+      body(store)
+    }
+  }
+
+  def versionHistory(s: SparkSession, dir: String): DataFrame =
+    withFixtureStore(s, dir) { store =>
       store.ranges.select(col("subject"), col("predicate"), col("obj"),
           expr("unix_micros(useStart) div 1000").as("start_ms"),
           expr("unix_micros(useEnd) div 1000").as("end_ms"),
           col("deprecated"))
         .localCheckpoint()
     }
-  }
 
-  /** Pure-SQL restatement of the two-batch merge: identity equality on the
-    * raw (subject, predicate, obj) fields replaces the store's md5 identity
-    * hashes (equal up to md5 collisions; objKind/datatype/info constant). */
-  val versionHistorySql: String =
-    s"""WITH d AS (SELECT doc_id, lang, source FROM documents),
+  /** V6 delta emit, oracle-graded: triples added / retired between the two
+    * snapshots — pure anti-joins over versions (`GraphHandler.py:78-148`).
+    * Added = batch-2 fresh triples; retired = the deprecate-changed set. */
+  def versionDelta(s: SparkSession, dir: String): DataFrame =
+    withFixtureStore(s, dir) { store =>
+      val (added, retired) = store.delta(0, 1)
+      added.withColumn("change", lit("added"))
+        .unionByName(retired.withColumn("change", lit("retired")))
+        .localCheckpoint()
+    }
+
+  /** V8 as-of queries, oracle-graded at two probe times: mid-January
+    * (before batch 2: every batch-1 range is live, including the ones
+    * later deprecated) and April (after the deprecation stamp: the
+    * current graph — extended + untouched + fresh, deprecated excluded). */
+  def versionAsOf(s: SparkSession, dir: String): DataFrame =
+    withFixtureStore(s, dir) { store =>
+      val jan = new Timestamp(1705276800L * 1000) // 2024-01-15T00:00:00Z
+      val apr = new Timestamp(1711929600L * 1000) // 2024-04-01T00:00:00Z
+      store.asOf(jan).withColumn("as_of", lit("jan"))
+        .unionByName(store.asOf(apr).withColumn("as_of", lit("apr")))
+        .select("as_of", "subject", "predicate", "obj")
+        .localCheckpoint()
+    }
+
+  /** Shared fixture CTEs for the three oracles: the two batches as pure
+    * SQL over the raw identity fields (equal to the store's md5 identity
+    * up to collisions; objKind/datatype/info constant). */
+  private val fixtureCte: String =
+    s"""d AS (SELECT doc_id, lang, source FROM documents),
        |b1 AS (
        |  SELECT 'doc:' || doc_id AS subject, 'hasLang' AS predicate, lang AS obj,
        |         ${T1 * 1000} + (doc_id % 7) * 60000 AS et_ms
@@ -103,7 +140,11 @@ object Versioned {
        |         ${T2 * 1000} + (doc_id % 5) * 60000
        |  FROM d WHERE doc_id >= 100 AND doc_id < 400
        |),
-       |touched AS (SELECT DISTINCT subject FROM b2)
+       |touched AS (SELECT DISTINCT subject FROM b2)""".stripMargin
+
+  /** Pure-SQL restatement of the two-batch merge. */
+  val versionHistorySql: String =
+    s"""WITH $fixtureCte
        |SELECT b1.subject, b1.predicate, b1.obj, b1.et_ms AS start_ms,
        |       greatest(b1.et_ms, b2.et_ms) AS end_ms, false AS deprecated
        |FROM b1 JOIN b2 ON b1.subject = b2.subject
@@ -122,9 +163,39 @@ object Versioned {
        |WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.subject = b2.subject
        |  AND b1.predicate = b2.predicate AND b1.obj = b2.obj)""".stripMargin
 
+  val versionDeltaSql: String =
+    s"""WITH $fixtureCte
+       |SELECT subject, predicate, obj, 'added' AS change
+       |FROM b2
+       |WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.subject = b2.subject
+       |  AND b1.predicate = b2.predicate AND b1.obj = b2.obj)
+       |UNION ALL
+       |SELECT subject, predicate, obj, 'retired'
+       |FROM b1
+       |WHERE NOT EXISTS (SELECT 1 FROM b2 WHERE b2.subject = b1.subject
+       |  AND b2.predicate = b1.predicate AND b2.obj = b1.obj)
+       |  AND subject IN (SELECT subject FROM touched)""".stripMargin
+
+  val versionAsOfSql: String =
+    s"""WITH $fixtureCte
+       |SELECT 'jan' AS as_of, subject, predicate, obj FROM b1
+       |UNION ALL
+       |SELECT 'apr', subject, predicate, obj FROM b1
+       |WHERE NOT (subject IN (SELECT subject FROM touched)
+       |  AND NOT EXISTS (SELECT 1 FROM b2 WHERE b2.subject = b1.subject
+       |    AND b2.predicate = b1.predicate AND b2.obj = b1.obj))
+       |UNION ALL
+       |SELECT 'apr', subject, predicate, obj FROM b2
+       |WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.subject = b2.subject
+       |  AND b1.predicate = b2.predicate AND b1.obj = b2.obj)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_version_history" -> versionHistory _)
+    "q_version_history" -> versionHistory _,
+    "q_version_delta" -> versionDelta _,
+    "q_version_asof" -> versionAsOf _)
 
   val oracles: Map[String, String] = Map(
-    "q_version_history" -> versionHistorySql)
+    "q_version_history" -> versionHistorySql,
+    "q_version_delta" -> versionDeltaSql,
+    "q_version_asof" -> versionAsOfSql)
 }

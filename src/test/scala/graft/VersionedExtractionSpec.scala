@@ -52,6 +52,45 @@ class VersionedExtractionSpec extends AnyFunSuite {
     assert(rest.filter(col("start_ms") =!= col("end_ms")).count() == 0)
   }
 
+  // --- q_version_delta / q_version_asof ----------------------------------
+
+  private lazy val vd = Versioned.versionDelta(spark, sf).cache()
+  private lazy val va = Versioned.versionAsOf(spark, sf).cache()
+
+  test("version delta: retired rows are changed hasLang triples with an added replacement") {
+    val retired = vd.filter(col("change") === "retired")
+    assert(retired.count() > 0)
+    assert(retired.filter(col("predicate") =!= "hasLang").count() == 0)
+    assert(retired.collect().forall { r =>
+      val id = r.getAs[String]("subject").stripPrefix("doc:").toInt
+      id >= 100 && id < 300 && id % 3 == 0
+    })
+    // every retired value has its uppercase replacement in the added set
+    assert(retired.select("subject")
+      .join(vd.filter(col("change") === "added" && col("predicate") === "hasLang"),
+        Seq("subject"), "left_anti").count() == 0)
+    // fresh docs [300, 400) contribute both of their triples as added
+    val freshDocs = Tables(spark, sf, "documents")
+      .filter(col("doc_id") >= 300 && col("doc_id") < 400).count()
+    assert(vd.filter(col("change") === "added" &&
+      col("subject").isin((300 until 400).map(i => s"doc:$i"): _*)).count()
+      == 2 * freshDocs)
+  }
+
+  test("as-of: january sees every batch-1 range; april = january - retired + added") {
+    val b1Docs = Tables(spark, sf, "documents").filter(col("doc_id") < 300).count()
+    val jan = va.filter(col("as_of") === "jan").select("subject", "predicate", "obj")
+    val apr = va.filter(col("as_of") === "apr").select("subject", "predicate", "obj")
+    assert(jan.count() == 2 * b1Docs)
+    val retired = vd.filter(col("change") === "retired")
+      .select("subject", "predicate", "obj")
+    val added = vd.filter(col("change") === "added")
+      .select("subject", "predicate", "obj")
+    val expectedApr = jan.exceptAll(retired).unionByName(added)
+    assert(expectedApr.exceptAll(apr).count() == 0)
+    assert(apr.exceptAll(expectedApr).count() == 0)
+  }
+
   // --- q_context_match ---------------------------------------------------
 
   private lazy val cm = Extraction.contextMatch(spark, sf).cache()
