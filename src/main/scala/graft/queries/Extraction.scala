@@ -439,7 +439,101 @@ object Extraction {
       |UNION
       |SELECT DISTINCT 'dataset', source FROM documents""".stripMargin
 
+  // ------------------------------------------------------------- S7/S9
+
+  /** S7 OpenML + S9 AI4Life platform extraction end-to-end through the
+    * REAL [[graft.extract.PlatformPipelines]] / [[graft.extract.SchemaMapping]]
+    * code paths (`OpenMLExtractor.py:322-546`, `AI4LifeExtractor.py:88-243`):
+    * nested API-record fixtures built from the documents table are mapped
+    * by all three rule kinds (dotted Path, Format template, Concat array),
+    * the OpenML leg joins the J3 dataset-status dim (broadcast + scraped-
+    * over-api coalesce; ids >= 200 miss the dim and drop their status row),
+    * and the AI4Life leg exercises the recursive struct flatten. Output is
+    * the union of both long-format provenance property tables. */
+  def platformExtract(s: SparkSession, dir: String): DataFrame = {
+    import graft.extract.{PlatformPipelines, SchemaMapping}
+    import SchemaMapping.{Concat, Format, Path}
+    val docs = t(s, dir, "documents")
+
+    val runs = docs.filter(col("doc_id") < 250).select(
+      col("doc_id").cast("string").as("rid"),
+      struct(
+        col("doc_id").as("id"),
+        concat(lit("flow_"), col("source")).as("flow_name"),
+        (col("doc_id") % 17).as("uploader")).as("run"),
+      struct(col("lang").as("lang"), col("n_chars").as("n_chars")).as("meta"))
+    // J3 status dim: doc_id-bounded (< 200 rows at every SF) — a genuine
+    // broadcastable dimension by construction
+    val status = docs.filter(col("doc_id") < 200).select(
+      col("doc_id").cast("string").as("identifier"),
+      concat(lit("api_"), col("source")).as("api_status"),
+      when(col("doc_id") % 4 === 0, concat(lit("scr_"), col("lang")))
+        .as("scraped_status"))
+    val openmlLong = PlatformPipelines.openml(
+      runs,
+      Seq(
+        "name" -> Format("Run {run.id} [{meta.lang}]"),
+        "flow" -> Path("run.flow_name"),
+        "uploader" -> Format("user_{run.uploader}"),
+        "tags" -> Concat(Seq("run.flow_name", "meta.lang"))),
+      idColumn = "rid", datasetStatus = Some(status))
+
+    val records = docs.filter(col("doc_id") >= 250 && col("doc_id") < 450)
+      .select(
+        concat(lit("ai4life_"), col("doc_id")).as("rid"),
+        struct(
+          struct(concat(lit("Author "), col("source")).as("name"),
+            col("lang").as("country")).as("author"),
+          struct(lit("0.1").as("version"),
+            col("n_chars").cast("string").as("size")).as("release"))
+          .as("config"),
+        col("source").as("platform"))
+    val ai4lifeLong = PlatformPipelines.ai4life(
+      records,
+      Seq(
+        "author" -> Path("config_author_name"),
+        "origin" -> Format("{platform}/{config_release_version}"),
+        "sizeinfo" -> Concat(Seq("config_release_size", "config_author_country"))),
+      idColumn = "rid")
+
+    openmlLong.unionByName(ai4lifeLong)
+      .withColumnRenamed("modelId", "model_id")
+  }
+
+  /** Pure-SQL restatement: each rule kind is spelled out per property;
+    * Concat values replay Spark's array→string cast format `[a, b]`. */
+  val platformExtractSql: String =
+    """WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents),
+      |om AS (SELECT CAST(doc_id AS VARCHAR) AS model_id, doc_id, lang, source
+      |       FROM d WHERE doc_id < 250),
+      |om_long AS (
+      |  SELECT model_id, 'name' AS property,
+      |         'Run ' || doc_id || ' [' || lang || ']' AS value FROM om
+      |  UNION ALL SELECT model_id, 'flow', 'flow_' || source FROM om
+      |  UNION ALL SELECT model_id, 'uploader', 'user_' || (doc_id % 17) FROM om
+      |  UNION ALL SELECT model_id, 'tags',
+      |    '[flow_' || source || ', ' || lang || ']' FROM om
+      |  UNION ALL SELECT model_id, 'status',
+      |    CASE WHEN doc_id % 4 = 0 THEN 'scr_' || lang
+      |         ELSE 'api_' || source END
+      |    FROM om WHERE doc_id < 200),
+      |al AS (SELECT 'ai4life_' || doc_id AS model_id, lang, source, n_chars
+      |       FROM d WHERE doc_id >= 250 AND doc_id < 450),
+      |al_long AS (
+      |  SELECT model_id, 'author' AS property, 'Author ' || source AS value FROM al
+      |  UNION ALL SELECT model_id, 'origin', source || '/0.1' FROM al
+      |  UNION ALL SELECT model_id, 'sizeinfo',
+      |    '[' || n_chars || ', ' || lang || ']' FROM al)
+      |SELECT model_id, property, value,
+      |       'openml_python_package' AS method, CAST(1.0 AS DOUBLE) AS confidence
+      |FROM om_long
+      |UNION ALL
+      |SELECT model_id, property, value, 'Parsed_from_AI4Life_API',
+      |       CAST(1.0 AS DOUBLE)
+      |FROM al_long""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_platform_extract" -> platformExtract _,
     "q_context_match" -> contextMatch _,
     "q_croissant_triples" -> croissantTriples _,
     "q_front_matter" -> frontMatter _,
@@ -449,6 +543,7 @@ object Extraction {
     "q_qa_grouped" -> qaGrouped _)
 
   val oracles: Map[String, String] = Map(
+    "q_platform_extract" -> platformExtractSql,
     "q_context_match" -> contextMatchSql,
     "q_croissant_triples" -> croissantTriplesSql,
     "q_front_matter" -> frontMatterSql,

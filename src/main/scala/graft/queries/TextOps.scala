@@ -548,6 +548,100 @@ object TextOps {
       |    ('spark','hash','join','merge','sort','scan','window','small','big','fast','slow'))) AS BIGINT) AS n_other
       |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)""".stripMargin
 
+  /** Full §2.4 tag categorization + P4 through the REAL
+    * [[graft.operators.TagCategorizer]]: a deterministic tags array per
+    * document exercises every rule family — `dataset:`/`arxiv:`/
+    * `base_model:` prefix extraction, language/library/task vocabulary
+    * membership, task normalization (`-` → space + lowercase), the
+    * pipeline_tag fold (known task → ml_task + keywords; unknown →
+    * dropped), and the plain-keyword residual — then P4 keeps only models
+    * with a reference publication (`ModelCardToSchemaParser.py:296-398,
+    * 1034-1035`). Buckets emit sorted-joined for order-free comparison. */
+  def tagCategorize(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TagCategorizer
+    val none = array().cast("array<string>")
+    val tagged = t(s, dir, "documents").select(
+      col("doc_id"), col("lang"), col("source"),
+      concat(
+        when(col("doc_id") % 3 === 0,
+          array(concat(lit("arxiv:"), (lit(1000) + col("doc_id") % 50).cast("string"))))
+          .otherwise(none),
+        when(col("doc_id") % 4 === 0,
+          array(concat(lit("dataset:ds_"), col("source")))).otherwise(none),
+        when(col("doc_id") % 5 === 0,
+          array(concat(lit("base_model:org/m"), (col("doc_id") % 7).cast("string"))))
+          .otherwise(none),
+        array(col("lang")),
+        when(col("doc_id") % 2 === 0, array(lit("libA"))).otherwise(array(lit("libB"))),
+        when(col("doc_id") % 7 === 0, array(lit("Text-Classification"))).otherwise(none),
+        array(concat(lit("kw"), (col("doc_id") % 11).cast("string")))).as("tags"),
+      when(col("doc_id") % 6 === 0, lit("Translation"))
+        .when(col("doc_id") % 6 === 1, lit("obscure-task")).as("pipeline_tag"))
+    val cat = TagCategorizer.categorize(tagged, TagCategorizer.Vocabs(
+      languages = Seq("en", "de", "fr", "es", "it"),
+      libraries = Seq("libA", "libB"),
+      tasks = Seq("text classification", "translation", "summarization")))
+    TagCategorizer.hasPublication(cat).select(
+      col("doc_id"),
+      array_join(array_sort(col("reference_publication")), ",").as("ref_pubs"),
+      array_join(array_sort(col("fine_tuned_from")), ",").as("fine_tuned"),
+      array_join(array_sort(col("trained_on")), ",").as("trained_on"),
+      array_join(array_sort(col("in_language")), ",").as("in_lang"),
+      array_join(array_sort(col("ml_task")), ",").as("ml_task"),
+      array_join(array_sort(col("keywords")), ",").as("keywords"))
+  }
+
+  val tagCategorizeSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, source,
+      |    (CASE WHEN doc_id % 3 = 0 THEN ['arxiv:' || (1000 + doc_id % 50)]
+      |          ELSE []::VARCHAR[] END)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN ['dataset:ds_' || source]
+      |             ELSE []::VARCHAR[] END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN ['base_model:org/m' || (doc_id % 7)]
+      |             ELSE []::VARCHAR[] END)
+      |    || [lang]
+      |    || (CASE WHEN doc_id % 2 = 0 THEN ['libA'] ELSE ['libB'] END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN ['Text-Classification']
+      |             ELSE []::VARCHAR[] END)
+      |    || ['kw' || (doc_id % 11)] AS tags,
+      |    CASE WHEN doc_id % 6 = 0 THEN 'Translation'
+      |         WHEN doc_id % 6 = 1 THEN 'obscure-task' END AS pipeline_tag
+      |  FROM documents),
+      |cat AS (
+      |  SELECT doc_id,
+      |    list_transform(list_filter(tags, t -> t LIKE 'arxiv:%'),
+      |      t -> 'https://arxiv.org/abs/' || string_split(t, 'arxiv:')[-1]) AS arxiv,
+      |    list_transform(list_filter(tags, t -> t LIKE 'dataset:%'),
+      |      t -> string_split(t, 'dataset:')[-1]) AS datasets,
+      |    list_transform(list_filter(tags, t -> t LIKE 'base_model:%'),
+      |      t -> string_split(t, ':')[-1]) AS base_models,
+      |    list_transform(list_filter(tags,
+      |      t -> lower(t) IN ('en','de','fr','es','it')), t -> lower(t)) AS langs,
+      |    list_filter(tags, t -> t IN ('libA','libB')) AS libs,
+      |    list_transform(list_filter(tags, t -> replace(lower(t), '-', ' ')
+      |        IN ('text classification','translation','summarization')),
+      |      t -> replace(lower(t), '-', ' ')) AS tasks,
+      |    list_filter(tags, t -> NOT contains(t, ':')
+      |      AND lower(t) NOT IN ('en','de','fr','es','it')
+      |      AND t NOT IN ('libA','libB')
+      |      AND replace(lower(t), '-', ' ')
+      |        NOT IN ('text classification','translation','summarization')) AS plain,
+      |    CASE WHEN pipeline_tag IS NOT NULL
+      |           AND replace(lower(pipeline_tag), '-', ' ')
+      |             IN ('text classification','translation','summarization')
+      |         THEN [replace(lower(pipeline_tag), '-', ' ')]
+      |         ELSE []::VARCHAR[] END AS pipe_task
+      |  FROM base)
+      |SELECT doc_id,
+      |  COALESCE(array_to_string(list_sort(list_distinct(arxiv)), ','), '') AS ref_pubs,
+      |  COALESCE(array_to_string(list_sort(list_distinct(base_models)), ','), '') AS fine_tuned,
+      |  COALESCE(array_to_string(list_sort(list_distinct(datasets)), ','), '') AS trained_on,
+      |  COALESCE(array_to_string(list_sort(list_distinct(langs)), ','), '') AS in_lang,
+      |  COALESCE(array_to_string(list_sort(list_distinct(tasks || pipe_task)), ','), '') AS ml_task,
+      |  COALESCE(array_to_string(list_sort(list_distinct(plain || libs || pipe_task)), ','), '') AS keywords
+      |FROM cat WHERE len(arxiv) > 0""".stripMargin
+
   /** The full corpus-cleaning chain as one dataflow — the canonical
     * LLM-training-data pipeline: quality floor → exact dedup (content
     * hash, keep min id) → MinHash-LSH candidate pairs → Jaccard-verified
@@ -707,7 +801,8 @@ object TextOps {
     "q_minhash_band_pairs" -> minhashBandPairs _,
     "q_dedup_groups" -> dedupGroups _,
     "q_simhash" -> simhash _,
-    "q_tag_buckets" -> tagBuckets _)
+    "q_tag_buckets" -> tagBuckets _,
+    "q_tag_categorize" -> tagCategorize _)
 
   val oracles: Map[String, String] = Map(
     "q_corpus_pipeline" -> corpusPipelineSql,
@@ -726,5 +821,6 @@ object TextOps {
     "q_minhash_band_pairs" -> minhashBandPairsSql,
     "q_dedup_groups" -> dedupGroupsSql,
     "q_simhash" -> simhashSql,
-    "q_tag_buckets" -> tagBucketsSql)
+    "q_tag_buckets" -> tagBucketsSql,
+    "q_tag_categorize" -> tagCategorizeSql)
 }

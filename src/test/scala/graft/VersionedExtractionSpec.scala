@@ -91,6 +91,29 @@ class VersionedExtractionSpec extends AnyFunSuite {
     assert(apr.exceptAll(expectedApr).count() == 0)
   }
 
+  // --- q_platform_extract ------------------------------------------------
+
+  test("platform extract: status dim joins broadcast and misses drop their row") {
+    val pe = Extraction.platformExtract(spark, sf).cache()
+    // the J3 dim lookup must be a broadcast join, never a shuffle join
+    assert(pe.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val status = pe.filter(col("property") === "status")
+    // ids in [200, 250) have runs but no dim row: left-join null → dropped
+    assert(status.filter(col("model_id").cast("long") >= 200).count() == 0)
+    // scraped status wins over api status exactly on ids % 4 == 0
+    assert(status.filter(col("model_id").cast("long") % 4 === 0 &&
+      !col("value").startsWith("scr_")).count() == 0)
+    assert(status.filter(col("model_id").cast("long") % 4 =!= 0 &&
+      !col("value").startsWith("api_")).count() == 0)
+    // each leg carries its platform's provenance method
+    assert(pe.filter(col("model_id").startsWith("ai4life_") &&
+      col("method") =!= "Parsed_from_AI4Life_API").count() == 0)
+    assert(pe.filter(!col("model_id").startsWith("ai4life_") &&
+      col("method") =!= "openml_python_package").count() == 0)
+    pe.unpersist()
+  }
+
   // --- q_context_match ---------------------------------------------------
 
   private lazy val cm = Extraction.contextMatch(spark, sf).cache()
