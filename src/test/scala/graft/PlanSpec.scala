@@ -379,4 +379,21 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(df) <= 1)
     assert(!planString(df).contains("Join"), planString(df))
   }
+
+  test("tag categorize is a pure map stage (no shuffle, no join)") {
+    // array HOFs + broadcast-sized vocab literals: at 100 TB this must
+    // stay embarrassingly parallel
+    val df = queries.TextOps.tagCategorize(spark, dir)
+    assert(countShuffles(df) == 0, planString(df))
+    assert(!planString(df).contains("Join"), planString(df))
+  }
+
+  test("platform extract: status dim broadcast, zero shuffle exchanges") {
+    // unions of per-property projections + one broadcast dim lookup —
+    // the record side must never shuffle for the J3 status join
+    val df = queries.Extraction.platformExtract(spark, dir)
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(countShuffles(df) == 0, s)
+  }
 }
