@@ -45,6 +45,31 @@ final case class SemanticSketch(
     Array.tabulate(dim)(d => component(b, j, d))
 }
 
+object SemanticSketch {
+  /** Granularity sized to the corpus — the operating rule the 100×
+    * probe measured (SCALE.md §Similarity): expected bucket occupancy
+    * is n / 2^bitsPerBand, and candidate volume per band grows as
+    * n × occupancy, so holding occupancy constant keeps pair formation
+    * linear in the corpus while a FIXED bitsPerBand goes quadratic.
+    * `bitsPerBand = clamp(ceil(log2(n / targetOccupancy)), 4, 30)`;
+    * recall lost to finer buckets is bought back with `nBands`
+    * (OR-amplification), which multiplies work only linearly. */
+  def forCorpus(expectedVectors: Long,
+                dim: Int = 64,
+                nBands: Int = 6,
+                targetOccupancy: Int = 8,
+                seed: String = "hp",
+                maxCandidatesPerVector: Int = 10000): SemanticSketch = {
+    require(expectedVectors >= 1, "expectedVectors must be >= 1")
+    require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
+    val bits = math.min(30, math.max(4,
+      math.ceil(math.log(expectedVectors.toDouble / targetOccupancy) /
+        math.log(2)).toInt))
+    SemanticSketch(nBands = nBands, bitsPerBand = bits, dim = dim,
+      seed = seed, maxCandidatesPerVector = maxCandidatesPerVector)
+  }
+}
+
 /** Incremental SEMANTIC dedup — the embedding-space sibling of
   * [[DedupIndex]]: a persisted table of (vec_id, embedding, norm, band
   * buckets) is the standing index; an incoming batch drops any vector
@@ -69,11 +94,14 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
 
   def vectors: DataFrame = table
 
-  /** Candidate-pair count of the latest [[ingest]] (pre-cap; -1 when the
-    * cap is pinned off and the counting pass is skipped), and how many of
-    * those the per-vector cap truncated. A nonzero truncation count means
-    * recall loss on some dense cluster — it is logged loudly and surfaced
-    * here so callers can alert on it. */
+  /** Candidate-pair volume of the latest [[ingest]] and how much of it
+    * the cap truncated, both computed from (band, bucket) occupancy
+    * stats BEFORE any pair row materializes (probes × acceptors summed
+    * per bucket — an upper bound on distinct pairs, since a pair
+    * colliding in several bands counts once per band). -1 when the cap
+    * is pinned off and the stats pass is skipped. A nonzero truncation
+    * count means recall loss on some dense bucket — it is logged loudly
+    * and surfaced here so callers can alert on it. */
   @volatile var lastCandidates: Long = 0L
   @volatile var lastTruncated: Long = 0L
 
@@ -104,33 +132,26 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
       .join(idx.select("vhash"), Seq("vhash"), "left_anti")
       .localCheckpoint() // consumed 4x: bands, two cosine joins, anti-join
 
-    val candidates = candidatePairs(afterExact, idx)
-
-    // per-probe candidate cap: a dense semantic cluster (one bucket with
-    // k accepted vectors) would otherwise cost every new probe k cosines.
-    // Deterministic truncation order (neighbor id); the count is the loud
-    // metric — truncation trades bounded work for possible missed drops.
-    // With the cap pinned off (MaxValue) the ranking window, its shuffle
-    // and the stats job are pure overhead and are skipped entirely.
+    // Candidate cap, enforced BEFORE the pair join ever runs: acceptors
+    // are ranked per (band, bucket) and only the perBucketCap smallest
+    // ids survive into pair formation, so per-probe candidates are
+    // <= nBands * perBucketCap = maxCandidatesPerVector BY CONSTRUCTION
+    // and — crucially — the pre-cap pair set is never materialized. The
+    // previous shape exploded ALL bucket-collision pairs and then ranked
+    // them with a per-probe window: at a fixed sketch granularity the
+    // pair volume grows as n²/2^bitsPerBand, and the window's sort over
+    // it filled the disk at a 100x corpus (500k docs / 200k vectors)
+    // while the cap never even triggered. The ranking window here sorts
+    // id-only ACCEPTOR rows (|index| * nBands), linear in the corpus.
+    // With the cap pinned off (MaxValue) the ranking and the stats job
+    // are pure overhead and are skipped entirely.
     val cap = sketch.maxCandidatesPerVector
     val capped =
-      if (cap == Int.MaxValue) { lastCandidates = -1L; lastTruncated = 0L; candidates }
-      else {
-        val ranked = candidates
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec1").orderBy(col("vec2"), col("from_index"))))
-          .localCheckpoint()
-        val capStats = ranked.agg(
-          count(lit(1)).as("n"),
-          sum(when(col("rn") > cap, 1L).otherwise(0L)).as("trunc")).head()
-        lastCandidates = capStats.getLong(0)
-        lastTruncated = if (capStats.isNullAt(1)) 0L else capStats.getLong(1)
-        if (lastTruncated > 0)
-          System.err.println(s"[semantic-dedup] per-vector candidate cap $cap " +
-            s"truncated $lastTruncated of $lastCandidates candidate pairs at " +
-            s"$path — possible missed near-dups in a dense cluster")
-        ranked.filter(col("rn") <= cap)
-      }
+      if (cap == Int.MaxValue) {
+        lastCandidates = -1L; lastTruncated = 0L
+        candidatePairs(afterExact, idx)
+      } else cappedCandidatePairs(afterExact, idx,
+        math.max(1, cap / sketch.nBands))
 
     val dropped = cosineDrops(capped, afterExact, idx)
     val survivors = afterExact
@@ -150,16 +171,53 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     * union of per-band collisions. Acceptors: every accepted index
     * vector, plus post-exact batch vectors restricted to smaller ids (the
     * non-cascading one-pass rule). Equi-joins only — never all-pairs. */
-  private[graft] def candidatePairs(afterExact: DataFrame, idx: DataFrame): DataFrame = {
-    def bands(df: DataFrame, suffix: String) =
-      df.select(col("vec_id").as(s"vec$suffix"), posexplode(col("buckets")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val acceptors = bands(idx, "2").withColumn("from_index", lit(true))
+  private def bands(df: DataFrame, suffix: String): DataFrame =
+    df.select(col("vec_id").as(s"vec$suffix"), posexplode(col("buckets")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  private def acceptorBands(afterExact: DataFrame, idx: DataFrame): DataFrame =
+    bands(idx, "2").withColumn("from_index", lit(true))
       .unionByName(bands(afterExact, "2").withColumn("from_index", lit(false)))
-    bands(afterExact, "1")
-      .join(acceptors, Seq("band", "bucket"))
+
+  private def pairJoin(probes: DataFrame, acceptors: DataFrame): DataFrame =
+    probes.join(acceptors, Seq("band", "bucket"))
       .filter(col("from_index") || col("vec2") < col("vec1"))
       .dropDuplicates("vec1", "vec2", "from_index")
+
+  private[graft] def candidatePairs(afterExact: DataFrame, idx: DataFrame): DataFrame =
+    pairJoin(bands(afterExact, "1"), acceptorBands(afterExact, idx))
+
+  /** Capped pair formation: acceptors ranked per (band, bucket) by id
+    * (the same deterministic smallest-first order the per-probe window
+    * used), only `perBucketCap` per bucket join probes. Work stats come
+    * from bucket occupancy aggregates (tiny: <= nBands * 2^bitsPerBand
+    * rows after the groupBys), never from counting pair rows. Caveat:
+    * the rank window sorts one bucket's acceptor ids on one task — id-
+    * only rows, so even a fully degenerate bucket (every vector in one
+    * bucket) is 16 bytes/vector, not a pair explosion. */
+  private[graft] def cappedCandidatePairs(afterExact: DataFrame, idx: DataFrame,
+                                          perBucketCap: Int): DataFrame = {
+    val probes = bands(afterExact, "1").localCheckpoint()
+    val acceptors = acceptorBands(afterExact, idx)
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("band", "bucket")
+          .orderBy(col("vec2"), col("from_index"))))
+      .localCheckpoint()
+    val pStats = probes.groupBy("band", "bucket").agg(count(lit(1)).as("np"))
+    val aStats = acceptors.groupBy("band", "bucket").agg(count(lit(1)).as("na"))
+    val stats = pStats.join(aStats, Seq("band", "bucket"))
+      .agg(
+        sum(col("np") * col("na")).as("cands"),
+        sum(col("np") * greatest(col("na") - perBucketCap, lit(0))).as("trunc"))
+      .head()
+    lastCandidates = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    lastTruncated = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    if (lastTruncated > 0)
+      System.err.println(s"[semantic-dedup] per-bucket acceptor cap " +
+        s"$perBucketCap truncated ~$lastTruncated of ~$lastCandidates " +
+        s"candidate pairs at $path — possible missed near-dups in a dense " +
+        "bucket; raise bitsPerBand to match the corpus size")
+    pairJoin(probes, acceptors.filter(col("arn") <= perBucketCap).drop("arn"))
   }
 
   /** Cosine scoring on the capped pairs only (package-private for the

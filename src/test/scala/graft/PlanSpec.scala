@@ -209,6 +209,24 @@ class PlanSpec extends AnyFunSuite {
       val ds = planString(sem.cosineDrops(cands, batch, idx))
       assert(!ds.contains("CartesianProduct") &&
         !ds.contains("BroadcastNestedLoopJoin"), ds)
+
+      // capped pair formation (the 100 TB path): the acceptor rank and
+      // the pair join must also ship bare ids only — the cap bounds the
+      // pair volume, the id-only exchanges bound the bytes per pair
+      val capped = sem.cappedCandidatePairs(batch, idx, 2)
+      capped.count()
+      val cappedLeaks = walk(executed(capped))
+        .collect { case e: Exchange => e }
+        .filter(_.output.exists(_.dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        }))
+      assert(cappedLeaks.isEmpty,
+        s"vector payload rides the capped candidate path: " +
+          cappedLeaks.map(_.output).mkString(";"))
+      val cs2 = planString(capped)
+      assert(!cs2.contains("CartesianProduct") &&
+        !cs2.contains("BroadcastNestedLoopJoin"), cs2)
     }
   }
 

@@ -70,25 +70,72 @@ object ScaleTenProbe {
       math.min(once(), once())
     }
 
+    // Library-level probe for the PRODUCTION semantic-dedup path: cap ON
+    // (default) and, for the scaled variant, bitsPerBand grown with the
+    // corpus (~log2(n / targetOccupancy)) — the granularity law SCALE.md
+    // documents. The graded q_semantic_dedup pins the cap OFF so the
+    // DuckDB oracle can replay every pair; that makes it a correctness
+    // instrument whose pair volume is n²/2^bits by design, not the
+    // production configuration, so it is probed here instead of via
+    // SparkEntry. Two-batch ingest, same split shape as the query.
+    def semIngest(dir: String, scaled: Boolean): Double = {
+      import graft.similarity.{SemanticDedupIndex, SemanticSketch}
+      val emb = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val n = emb.count()
+      val sk =
+        if (scaled) SemanticSketch.forCorpus(n) // the library's own dial
+        else SemanticSketch(nBands = 3, bitsPerBand = 8)
+      val bits = sk.bitsPerBand
+      load.Scratch.withScratch("probe_sem", dir) { tmp =>
+        val idx = new SemanticDedupIndex(spark, tmp.getAbsolutePath,
+          threshold = 0.95, sketch = sk)
+        val t0 = System.nanoTime()
+        idx.ingest(emb.filter(col("vec_id") % 2 === 0))
+        idx.ingest(emb.filter(col("vec_id") % 2 =!= 0))
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[scale10]   (bits=$bits%2d bands=${sk.nBands} " +
+          f"candidates=${idx.lastCandidates}%,d truncated=${idx.lastTruncated}%,d)")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        dt
+      }
+    }
+
     // q_context_match is a per-card typed pass; q_rrf_fusion scans the
     // whole corpus in both retrieval arms — the round-5 additions whose
     // cost grows with data (q_version_history's fixture batches are
     // doc_id-bounded by design, so it is not a scale probe subject)
-    val heavy = Seq("q_incremental_dedup", "q_semantic_dedup",
+    val heavyAll = Seq("q_incremental_dedup", "q_semantic_dedup",
       "q_dedup_groups", "q_common_spans", "q_context_match", "q_rrf_fusion")
+    // args: [multiplier] [comma-separated query subset] — e.g.
+    //   Test/runMain graft.ScaleTenProbe 100 q_dedup_groups,q_common_spans
+    // gives a second measured decade on a chosen subset.
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val heavy = args.drop(1).headOption
+      .map(o => { val s = o.split(",").toSet; heavyAll.filter(s) })
+      .getOrElse(heavyAll)
     val d1 = load.Scratch.dir("probe10_base", src)
-    val d10 = load.Scratch.dir("probe10_ten", src)
+    val dN = load.Scratch.dir("probe10_big", src)
     try {
       corpus(1, d1)
-      corpus(10, d10)
-      println(s"[scale10] corpus 1x: $nDocs docs / $nVec vecs; 10x: ${nDocs * 10} / ${nVec * 10}")
+      corpus(mult, dN)
+      println(s"[scale10] corpus 1x: $nDocs docs / $nVec vecs; " +
+        s"${mult}x: ${nDocs * mult} / ${nVec * mult}")
       heavy.foreach { q =>
         val t1 = bestOf2(q, d1.getAbsolutePath)
-        val t10 = bestOf2(q, d10.getAbsolutePath)
-        println(f"[scale10] $q%-22s 1x=$t1%6.2fs 10x=$t10%7.2fs ratio=${t10 / t1}%5.2f")
+        val tN = bestOf2(q, dN.getAbsolutePath)
+        println(f"[scale10] $q%-22s 1x=$t1%6.2fs ${mult}x=$tN%7.2fs ratio=${tN / t1}%5.2f")
       }
+      args.drop(1).headOption.map(_.split(",").toSet).getOrElse(Set.empty)
+        .intersect(Set("lib_semantic_default", "lib_semantic_scaled"))
+        .toSeq.sorted.foreach { q =>
+          val scaled = q.endsWith("scaled")
+          val t1 = semIngest(d1.getAbsolutePath, scaled)
+          val tN = semIngest(dN.getAbsolutePath, scaled)
+          println(f"[scale10] $q%-22s 1x=$t1%6.2fs ${mult}x=$tN%7.2fs ratio=${tN / t1}%5.2f")
+        }
     } finally {
-      load.Scratch.rm(d1); load.Scratch.rm(d10)
+      load.Scratch.rm(d1); load.Scratch.rm(dN)
     }
     spark.stop()
   }

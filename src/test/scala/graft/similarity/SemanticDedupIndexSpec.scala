@@ -71,6 +71,23 @@ class SemanticDedupIndexSpec extends AnyFunSuite {
       "capping bounds work; it never drops vectors by itself")
   }
 
+  test("forCorpus holds bucket occupancy constant as the corpus grows") {
+    // the 100x-probe law: bits ≈ log2(n / occupancy), clamped to [4, 30]
+    assert(SemanticSketch.forCorpus(1L).bitsPerBand == 4)
+    assert(SemanticSketch.forCorpus(2000L).bitsPerBand == 8)
+    assert(SemanticSketch.forCorpus(200000L).bitsPerBand == 15)   // probe's 3.1x point
+    assert(SemanticSketch.forCorpus(Long.MaxValue / 2).bitsPerBand == 30)
+    // occupancy n / 2^bits stays within [target/2, target] up the decades
+    Seq(1000L, 100000L, 10000000L, 1000000000L).foreach { n =>
+      val occ = n.toDouble / (1L << SemanticSketch.forCorpus(n).bitsPerBand)
+      assert(occ <= 8.0 + 1e-9 && occ >= 4.0 - 1e-9, s"n=$n occ=$occ")
+    }
+    val sk = SemanticSketch.forCorpus(50000L, dim = 32, nBands = 4,
+      targetOccupancy = 16, maxCandidatesPerVector = 100)
+    assert(sk.dim == 32 && sk.nBands == 4 && sk.maxCandidatesPerVector == 100)
+    assert(sk.bitsPerBand == 12) // ceil(log2(50000/16)) = ceil(11.6)
+  }
+
   test("bands OR-amplify: a pair colliding in ANY band is a candidate") {
     val dir = Files.createTempDirectory("sem_bands").toString
     // two bands, many bits: near-identical vectors agree in every band;
