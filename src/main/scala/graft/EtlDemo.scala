@@ -144,6 +144,31 @@ object EtlDemo {
         .withColumn("extractionTime", lit(t))
       val stats = store.merge(nested, t)
       println(s"[etl] openml nested trees: new=${stats.nNew}")
+
+      // S8 enrichment: the dataset stats page scraped browserless (per-
+      // partition transport, selector fallbacks, kill switch) and merged
+      // as provenance-wrapped properties — scraped status wins over the
+      // API status and the method column records the winner
+      val scrapeClient = () => new LiveSource.HttpClient with Serializable {
+        def get(url: String): String =
+          if (url.endsWith("=554"))
+            """<span aria-label="status">active</span>
+              |<span title="downloads">1.2K</span>
+              |<span aria-label="likes">17</span>""".stripMargin
+          else throw new RuntimeException("page unavailable")
+      }
+      val scraped = graft.sources.StatsScraper.scrape(spark,
+        Seq("554", "999"), scrapeClient,
+        id => s"stub://openml/search?type=data&id=$id",
+        policy = LiveSource.RetryPolicy(maxRetries = 0, sleep = _ => ()))
+      val enriched = PlatformPipelines.openmlScrapedProperties(scraped.toDF(),
+        apiStatus = Some(Seq(("999", "deactivated"))
+          .toDF("identifier", "api_status")))
+      val won = enriched.filter(col("property") === "schema.org:status")
+        .select("modelId", "value", "method").collect()
+        .map(r => s"${r.getString(0)}=${r.getString(1)}(${r.getString(2)})")
+        .sorted.mkString(" ")
+      println(s"[etl] openml scraped stats: $won")
     }
 
     // S5 production half: arXiv ids from the tags, fetched in BATCHES (one

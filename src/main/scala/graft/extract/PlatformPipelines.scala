@@ -71,6 +71,42 @@ object PlatformPipelines {
     toLongProperties(withStatus, idColumn, "openml_python_package", 1.0)
   }
 
+  /** S8 enrichment merge (`OpenMLExtractor.py:518-535`): the scraped
+    * stats become provenance-wrapped properties — `schema.org:status`
+    * prefers the scraped value over the API status AND records which
+    * source won in the provenance method (`web_scraping` vs
+    * `openml_python_package`, `:526-528`); downloads/likes/issues always
+    * carry `web_scraping`. `stats` is the
+    * [[graft.sources.StatsScraper]] output (id, status, downloads,
+    * likes, issues, fetched); `apiStatus` the J3 dim (identifier,
+    * api_status), broadcast — it is config-scale. Output rows union
+    * directly with [[openml]]'s property table. */
+  def openmlScrapedProperties(stats: DataFrame,
+                              apiStatus: Option[DataFrame] = None): DataFrame = {
+    val withApi = apiStatus match {
+      case Some(s) =>
+        stats.join(broadcast(s), stats("id") === s("identifier"), "left")
+          .drop("identifier")
+      case None => stats.withColumn("api_status", lit(null).cast("string"))
+    }
+    val scrapedWon = col("status") =!= "N/A"
+    val statusRows = withApi.select(
+      col("id").cast("string").as("modelId"),
+      lit("schema.org:status").as("property"),
+      coalesce(when(scrapedWon, col("status")), col("api_status"),
+        lit("N/A")).as("value"),
+      when(scrapedWon, lit("web_scraping"))
+        .otherwise(lit("openml_python_package")).as("method"),
+      lit(1.0).as("confidence"))
+    Seq("downloads", "likes", "issues").map { p =>
+      withApi.select(col("id").cast("string").as("modelId"),
+        lit(p).as("property"),
+        col(p).cast("string").as("value"),
+        lit("web_scraping").as("method"),
+        lit(1.0).as("confidence"))
+    }.foldLeft(statusRows)(_ unionByName _)
+  }
+
   /** T1 nested OpenML child-entity trees (`GraphBuilderFAIR4ML.py:350-415,
     * 462-484`): a runs frame whose `dataset` column holds the DatasetObject
     * struct (name, url, estimationProcedure{type, data_splits_url,

@@ -51,16 +51,81 @@ object Sinks {
       .parquet(path)
   }
 
-  /** K3 N-Triples serialization (`MlentoryTransform.py:145-155`): each
-    * triple row formatted via the pure N3 layer. */
-  def writeNTriples(triples: DataFrame, path: String): Unit = {
+  private def ntLines(triples: DataFrame) = {
     val spark = triples.sparkSession
     import spark.implicits._
     triples
       .select("subject", "predicate", "obj", "objKind", "datatype")
       .as[Triple]
       .map(N3.formatTriple)
-      .write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** K3 N-Triples serialization (`MlentoryTransform.py:145-155`): each
+    * triple row formatted via the pure N3 layer. */
+  def writeNTriples(triples: DataFrame, path: String): Unit =
+    ntLines(triples).write.mode(SaveMode.Overwrite).text(path)
+
+  /** K5 Virtuoso bulk-load staging (`dbHandler/RDFHandler.py:60-111`):
+    * the reference serializes the graph to ONE file, moves it into the
+    * loader's watched directory, registers `(dir, pattern, graph)` with
+    * `ld_dir` and runs `rdf_loader_run(); checkpoint;` through isql —
+    * the database then bulk-loads the staged files itself.
+    *
+    * Spark restatement: the staging IS the data-path work, so the
+    * engine writes the watched directory directly and distributed —
+    * chunked `.nt` part files (`maxTriplesPerFile` bounds each chunk so
+    * the loader's parallel workers balance instead of one worker eating
+    * one giant file), a `<file>.graph` sidecar per chunk naming the
+    * target graph (the bulk loader's public per-file graph convention),
+    * a `manifest.tsv` (file → graph), and `loader.sql` carrying exactly
+    * the registration the reference executes. The isql invocation stays
+    * external by design — the reference, too, only reaches it via
+    * `docker exec`. Driver-side staging ops are O(output files) =
+    * O(triples / maxTriplesPerFile), never O(triples).
+    *
+    * `loaderDir`: the staged directory's path AS SEEN BY the database
+    * process (the reference registers the container-internal path);
+    * defaults to `path`. Returns the staged chunk file names.
+    */
+  def writeBulkLoadDir(triples: DataFrame, path: String, graphIri: String,
+                       maxTriplesPerFile: Long = 1000000L,
+                       loaderDir: String = ""): Seq[String] = {
+    require(graphIri.nonEmpty &&
+      !graphIri.exists(c => c.isWhitespace || c == '\'' || c == '<' || c == '>'),
+      s"graph IRI unsafe for a loader registration: '$graphIri'")
+    val spark = triples.sparkSession
+    ntLines(triples)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxTriplesPerFile)
+      .text(path)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val staged = parts.zipWithIndex.map { case (p, i) =>
+      val name = f"chunk-$i%05d.nt"
+      fs.rename(p, new org.apache.hadoop.fs.Path(dir, name))
+      writeString(fs, new org.apache.hadoop.fs.Path(dir, name + ".graph"),
+        graphIri)
+      name
+    }.toSeq
+    writeString(fs, new org.apache.hadoop.fs.Path(dir, "manifest.tsv"),
+      staged.map(n => s"$n\t$graphIri").mkString("", "\n", "\n"))
+    val regDir = if (loaderDir.isEmpty) path else loaderDir
+    writeString(fs, new org.apache.hadoop.fs.Path(dir, "loader.sql"),
+      s"""DELETE FROM DB.DBA.LOAD_LIST;
+         |ld_dir('$regDir', '*.nt', '$graphIri');
+         |DB.DBA.rdf_loader_run();
+         |checkpoint;
+         |""".stripMargin)
+    staged
+  }
+
+  private def writeString(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Parse N-Triples text back to a triple table (load-from-file mode,

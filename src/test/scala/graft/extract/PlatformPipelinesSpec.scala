@@ -39,6 +39,28 @@ class PlatformPipelinesSpec extends AnyFunSuite {
       .select("value").as[String].collect().toSet == Set("Run_7", "Run_8"))
   }
 
+  test("S8 scraped stats become provenance-wrapped properties") {
+    import graft.sources.StatsScraper.{default, PageStats}
+    val stats = Seq(
+      PageStats("d1", "active", 1500L, 2L, 0L, fetched = true),
+      default("d2")).toDF() // failed scrape: all defaults
+    val api = Seq(("d2", "deactivated")).toDF("identifier", "api_status")
+    val props = PlatformPipelines.openmlScrapedProperties(stats, Some(api))
+    val status = props.filter(col("property") === "schema.org:status")
+      .select("modelId", "value", "method").as[(String, String, String)]
+      .collect().map { case (id, v, m) => id -> ((v, m)) }.toMap
+    // scraped status wins and its provenance says so; a failed scrape
+    // falls back to the API status under the API's method tag
+    assert(status("d1") == ("active", "web_scraping"))
+    assert(status("d2") == ("deactivated", "openml_python_package"))
+    val counts = props.filter(col("property") =!= "schema.org:status")
+      .select("modelId", "property", "value", "method")
+      .as[(String, String, String, String)].collect()
+    assert(counts.length == 6 && counts.forall(_._4 == "web_scraping"))
+    assert(counts.collect { case ("d1", "downloads", v, _) => v }.head == "1500")
+    assert(counts.collect { case ("d2", "likes", v, _) => v }.head == "0")
+  }
+
   test("AI4Life pipeline: flatten + dotted mapping to long properties") {
     val recs = spark.read.json(Seq(
       """{"id": "bio1", "manifest": {"weights": {"pytorch_state_dict":

@@ -51,6 +51,44 @@ class IoSpec extends AnyFunSuite {
     assert(typed.select("datatype").as[String].head().endsWith("#date"))
   }
 
+  test("bulk-load staging dir: chunked .nt, .graph sidecars, manifest (K5)") {
+    val dir = Files.createTempDirectory("bulk").toString + "/stage"
+    val graph = "https://example.org/graph/main"
+    val tri = (1 to 10).map(i =>
+        (s"http://s$i", "http://p", s"v$i", "literal", ""))
+      .toDF("subject", "predicate", "obj", "objKind", "datatype")
+    val staged = Sinks.writeBulkLoadDir(tri.repartition(2), dir, graph,
+      maxTriplesPerFile = 3L)
+
+    val f = new java.io.File(dir)
+    val ntFiles = f.listFiles().filter(_.getName.endsWith(".nt")).sortBy(_.getName)
+    assert(staged.sorted == ntFiles.map(_.getName).toSeq.sorted)
+    // maxTriplesPerFile bounds every chunk; all 10 triples land
+    val perFile = ntFiles.map(n =>
+      scala.io.Source.fromFile(n).getLines().count(_.nonEmpty))
+    assert(perFile.forall(_ <= 3) && perFile.sum == 10, perFile.mkString(","))
+    // every chunk has a sidecar naming the target graph (the loader's
+    // per-file graph convention)
+    ntFiles.foreach { n =>
+      val sidecar = new java.io.File(dir, n.getName + ".graph")
+      assert(sidecar.isFile)
+      assert(scala.io.Source.fromFile(sidecar).mkString == graph)
+    }
+    // manifest covers exactly the staged chunks; loader.sql registers
+    // the directory + pattern + graph like the reference's isql call
+    val manifest = scala.io.Source.fromFile(new java.io.File(dir, "manifest.tsv"))
+      .getLines().toSeq
+    assert(manifest == staged.map(n => s"$n\t$graph"))
+    val sql = scala.io.Source.fromFile(new java.io.File(dir, "loader.sql")).mkString
+    assert(sql.contains(s"ld_dir('$dir', '*.nt', '$graph')"))
+    assert(sql.contains("rdf_loader_run") && sql.contains("checkpoint"))
+    // the staged chunks are still valid N-Triples: read back through K3
+    assert(Sinks.readNTriples(spark, dir + "/*.nt").count() == 10)
+    // an unsafe graph IRI is refused, not splice-quoted into loader.sql
+    intercept[IllegalArgumentException](
+      Sinks.writeBulkLoadDir(tri, dir + "2", "bad graph'iri"))
+  }
+
   test("clustered writer: bounded files, sorted inside, disjoint key ranges") {
     val dir = Files.createTempDirectory("clustered").toString + "/li"
     val li = graft.Tables(spark, TestSpark.sf0001, "lineitem")
