@@ -132,6 +132,43 @@ class StatsScraperSpec extends AnyFunSuite {
     assert(out.count(_.fetched) == 2 && calls.get() == 6)
   }
 
+  // property: for any attribute order / quoting style / surrounding
+  // decoy markup, the matcher finds the target element and returns its
+  // exact (whitespace-normalized) text — the selector semantics must not
+  // depend on how the page happens to serialize its attributes
+  test("matcher is robust to attribute order, quoting, and decoys") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.choose(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    val textGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val extraAttr = for {
+      k <- Gen.oneOf("data-x", "role", "lang")
+      v <- word
+    } yield s"""$k="$v""""
+    val gen = for {
+      value <- word
+      text <- textGen
+      cls <- word
+      before <- Gen.oneOf(true, false)
+      quote <- Gen.oneOf("\"", "'")
+      extra <- Gen.listOf(extraAttr).map(_.take(3))
+      decoy <- textGen
+    } yield {
+      val attrs = scala.util.Random.shuffle(
+        extra :+ s"aria-label=$quote$value$quote" :+ s"""class="pad $cls"""")
+      val target = s"""<span ${attrs.mkString(" ")}>$text</span>"""
+      val noise = s"""<div class="$cls"><span title="other">$decoy</span></div>"""
+      val html = if (before) s"<body>$noise$target</body>"
+                 else s"<body>$target$noise</body>"
+      (html, value, text)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(gen) { case (html, value, text) =>
+        firstText(html, s"""span[aria-label="$value"]""").contains(text)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("scrape retries rate limits and runs distributed") {
     RateStub.n.set(0)
     val out = scrape(spark, Seq("9"), () => RateStub.client(),
