@@ -82,11 +82,60 @@ object IoQueries {
        |  lang AS meta_l, n_chars AS meta_n
        |FROM documents""".stripMargin
 
+  /** K5 bulk-load staging roundtrip: a triple fixture with hostile
+    * literals (newline, quote, backslash, tab) staged through the REAL
+    * [[Sinks.writeBulkLoadDir]] (chunked `.nt` + `.graph` sidecars +
+    * manifest, `RDFHandler.py:60-111`) and read back through the K3
+    * N-Triples reader over the staged chunks only — any drift in the
+    * chunking, the rename, or the N3 escape/unescape pair
+    * hash-mismatches against the identity oracle. */
+  def ntStageRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents").select(
+      concat(lit("http://m/"), col("doc_id")).as("subject"),
+      lit("http://p/title").as("predicate"),
+      concat(lit("t\n\"q\"\t\\x "), col("lang")).as("obj"),
+      lit("literal").as("objKind"), lit("").as("datatype"))
+    val iris = t(s, dir, "documents").select(
+      concat(lit("http://m/"), col("doc_id")).as("subject"),
+      lit("http://p/source").as("predicate"),
+      concat(lit("http://src/"), col("source")).as("obj"),
+      lit("iri").as("objKind"), lit("").as("datatype"))
+    val typed = t(s, dir, "documents").select(
+      concat(lit("http://m/"), col("doc_id")).as("subject"),
+      lit("http://p/chars").as("predicate"),
+      col("n_chars").cast("string").as("obj"),
+      lit("literal").as("objKind"),
+      lit("http://www.w3.org/2001/XMLSchema#integer").as("datatype"))
+    Scratch.withScratch("graft_nt_q", dir) { tmp =>
+      Sinks.writeBulkLoadDir(src.unionByName(iris).unionByName(typed),
+        tmp.getAbsolutePath, "https://example.org/g", maxTriplesPerFile = 4096L)
+      Sinks.readNTriples(s, tmp.getAbsolutePath + "/*.nt")
+        .withColumnRenamed("objKind", "obj_kind")
+        .localCheckpoint()
+    }
+  }
+
+  val ntStageRoundtripSql: String =
+    s"""SELECT 'http://m/' || doc_id AS subject, p.predicate,
+       |  CASE p.predicate
+       |    WHEN 'http://p/title' THEN 't\n"q"\t\\x ' || lang
+       |    WHEN 'http://p/source' THEN 'http://src/' || source
+       |    ELSE CAST(n_chars AS VARCHAR) END AS obj,
+       |  CASE p.predicate WHEN 'http://p/source' THEN 'iri'
+       |    ELSE 'literal' END AS obj_kind,
+       |  CASE p.predicate
+       |    WHEN 'http://p/chars' THEN 'http://www.w3.org/2001/XMLSchema#integer'
+       |    ELSE '' END AS datatype
+       |FROM documents, (VALUES ('http://p/title'), ('http://p/source'),
+       |  ('http://p/chars')) AS p(predicate)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tsv_roundtrip" -> tsvRoundtrip _,
-    "q_json_roundtrip" -> jsonRoundtrip _)
+    "q_json_roundtrip" -> jsonRoundtrip _,
+    "q_nt_stage_roundtrip" -> ntStageRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "q_tsv_roundtrip" -> tsvRoundtripSql,
-    "q_json_roundtrip" -> jsonRoundtripSql)
+    "q_json_roundtrip" -> jsonRoundtripSql,
+    "q_nt_stage_roundtrip" -> ntStageRoundtripSql)
 }
