@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Versioned-store scaling probe: load a growing corpus into a
+  * [[graft.load.TripletStore]] in equal batches and print, for EACH
+  * batch, the merge wall time and the bytes the new version wrote to
+  * disk. The claim under test is the 100 TB load path: per-batch cost
+  * must track the BATCH (plus the bounded delta family read by the
+  * MERGE join), not the accumulated store — a store that rewrites its
+  * full history per batch shows bytes-written growing linearly with
+  * batch number here. Run:
+  *
+  *   sbt "Test/runMain graft.StoreScaleProbe"
+  *
+  * Measured numbers are recorded in SCALE.md. Batches are disjoint
+  * subject slices of the sf0.1 documents table (3 triples per doc),
+  * plus a re-extraction of the PREVIOUS slice with one changed object —
+  * so every batch exercises fresh inserts, extensions, and
+  * deprecations, the full V3/V4/V5 surface.
+  */
+object StoreScaleProbe {
+
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars").localCheckpoint()
+    val n = docs.count()
+    val nBatches = 10
+    val step = n / nBatches + 1
+
+    def slice(b: Int, changed: Boolean) = {
+      val s = docs.filter(col("doc_id") >= b * step &&
+        col("doc_id") < (b + 1) * step)
+      val subj = concat(lit("http://m/"), col("doc_id"))
+      val rows = Seq(
+        s.select(subj.as("subject"), lit("http://p/source").as("predicate"),
+          (if (changed) concat(lit("v2:"), col("source")) else col("source"))
+            .as("obj")),
+        s.select(subj.as("subject"), lit("http://p/lang").as("predicate"),
+          col("lang").as("obj")),
+        s.select(subj.as("subject"), lit("http://p/chars").as("predicate"),
+          col("n_chars").cast("string").as("obj")))
+      rows.reduce(_ unionByName _)
+        .withColumn("objKind", lit("literal"))
+        .withColumn("datatype", lit(""))
+        .withColumn("extractionMethod", lit("probe"))
+        .withColumn("confidence", lit(1.0))
+    }
+
+    val root = load.Scratch.dir("probe_store", dir)
+    val store = new load.TripletStore(spark, root.getAbsolutePath)
+    println(s"[store] $n docs in $nBatches batches of ~$step " +
+      s"(x3 triples, prev slice re-extracted with 1 changed predicate)")
+    try {
+      (0 until nBatches).foreach { b =>
+        val t = Timestamp.valueOf(f"2024-01-${b + 1}%02d 00:00:00")
+        val fresh = slice(b, changed = false)
+        val batch =
+          (if (b == 0) fresh
+           else fresh.unionByName(slice(b - 1, changed = true)))
+            .withColumn("extractionTime", lit(t))
+        val dt = timed(store.merge(batch, t))
+        val total = dirBytes(root)
+        // the newest committed dir family for this merge (delta or full
+        // snapshot, depending on the store's layout generation)
+        val newest = Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.endsWith(s"=${store.currentVersion}"))
+          .map(dirBytes).sum
+        println(f"[store] batch=$b dt=$dt%6.2fs wroteMB=${newest / 1e6}%7.2f " +
+          f"storeMB=${total / 1e6}%7.2f v=${store.currentVersion}")
+      }
+      val t0 = System.nanoTime()
+      val cnt = store.currentTriples.count()
+      println(f"[store] currentTriples=$cnt read=${(System.nanoTime() - t0) / 1e9}%5.2fs")
+    } finally {
+      load.Scratch.rm(root)
+      spark.stop()
+    }
+  }
+}
