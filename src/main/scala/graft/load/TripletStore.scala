@@ -3,15 +3,15 @@ package graft.load
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Temporally versioned triple store — the Spark restatement of the
   * reference's Postgres history schema and its V1-V8 load operators
   * (`code/load/mlentory_load/core/GraphHandler.py:348-714`,
   * `init.sql`): an SCD-2 fact table of (triple, extraction-info) validity
-  * ranges maintained by join-based MERGE, snapshotted to parquet versions
-  * (no Delta in the offline jar set — SURVEY §7.3).
+  * ranges maintained by join-based MERGE (no Delta in the offline jar
+  * set — SURVEY §7.3).
   *
   * Merge semantics per update batch at logical time `now`:
   *  - V1/V2 get-or-create: identity via md5 hashes computed with Spark
@@ -24,11 +24,29 @@ import org.apache.spark.sql.types.DecimalType
   *  - V6 delta emit: merge returns the new-triple and deprecated-triple
   *    sets for downstream graph sinks.
   *
-  * Scale: one shuffle on tripletHash+infoHash (the MERGE join) and one on
-  * subject (the deprecation semi-join); snapshot rewrite is a straight
-  * columnar write. At 100 TB the ranges table would be partitioned by
-  * a subject-hash bucket so the MERGE join co-partitions with incoming
-  * batches; the join structure is unchanged.
+  * Storage layout (format generation 3) is merge-on-read, LSM-style:
+  * each merge commits ONLY its changed rows — extended, fresh, and
+  * newly-deprecated — as a delta (`v=N`); untouched open ranges and the
+  * closed history are never rewritten, so write amplification per batch
+  * is O(changed), not O(store). `compact()` materializes the full state
+  * as a base snapshot (`base=N`) and drops the dirs it supersedes.
+  * A snapshot at version v is reconstructed as: newest base ≤ v, plus
+  * the deltas in (base, v]. Open rows are latest-writer-wins per
+  * (tripletHash, infoHash) — the merge maintains at most one OPEN range
+  * per identity, so a window by identity ordered by writing version
+  * (ties: open before closed, which co-occur only inside a base) picks
+  * exactly the live row; closed rows are immutable once written and are
+  * unioned from every level. The reconstruction window and the MERGE
+  * join hash-partition on the same identity key, so the join reuses the
+  * window's exchange rather than shuffling twice.
+  *
+  * Scale: one shuffle on tripletHash+infoHash (window + MERGE join, shared)
+  * and one on subject (the deprecation semi-join) per batch; the read side
+  * spans the base plus the deltas since the last compaction (bounded by
+  * compaction cadence). At 100 TB the base and deltas would additionally
+  * be clustered by an identity-hash prefix so the reconstruction and the
+  * MERGE co-partition with incoming batches; the join structure is
+  * unchanged.
   */
 class TripletStore(spark: SparkSession, path: String) {
 
@@ -38,12 +56,14 @@ class TripletStore(spark: SparkSession, path: String) {
 
   /** Only COMMITTED snapshots are visible (shared `_SUCCESS` gating —
     * see CommittedDirs); additionally, a non-empty store must carry the
-    * current identity-format marker: the tripletHash formula changed once
-    * (NUL-separated, null-coalesced fields), and silently merging into a
-    * store keyed by the old formula would mis-extend/deprecate every
-    * pre-existing range. Fail loudly instead. */
+    * current store-format marker: the tripletHash formula and the
+    * snapshot layout each changed once (format 2: NUL-separated
+    * null-coalesced identity fields; format 3: delta layout), and
+    * silently merging into a store written under an older generation
+    * would mis-extend/deprecate every pre-existing range or double-count
+    * its history. Fail loudly instead. */
   private def versions: Seq[Int] = {
-    val vs = CommittedDirs.list(fs, "v=")
+    val vs = (deltaVersions ++ baseVersions).distinct.sorted
     if (vs.nonEmpty) {
       val marker = new java.io.File(fs, FormatMarker)
       // compare the CONTENT, not mere existence — a future format bump
@@ -61,18 +81,53 @@ class TripletStore(spark: SparkSession, path: String) {
     vs
   }
 
+  private def deltaVersions: Seq[Int] = CommittedDirs.list(fs, "v=")
+  private def baseVersions: Seq[Int] = CommittedDirs.list(fs, "base=")
+
   def currentVersion: Int = versions.lastOption.getOrElse(-1)
+
+  private def emptyRanges: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rangeSchema)
+
+  /** The committed level files covering snapshot v: the newest base ≤ v
+    * plus every delta in (base, v]. Deltas at or below a base are its
+    * leftovers (a compaction that crashed before its deletions) and are
+    * superseded by construction. */
+  private def levelsAt(v: Int): Option[DataFrame] = {
+    val floor = baseVersions.filter(_ <= v).lastOption
+    val deltas = deltaVersions.filter(d => d > floor.getOrElse(-1) && d <= v)
+    val dirs = floor.map(b => s"$path/base=$b").toSeq ++
+      deltas.map(d => s"$path/v=$d")
+    if (dirs.isEmpty) None
+    else Some(spark.read.schema(physSchema).parquet(dirs: _*))
+  }
+
+  /** Snapshot reconstruction at version v. Open rows: latest writer per
+    * identity wins (ties — one base holding both the open row and older
+    * closed rows of the same identity — resolved open-first); closed
+    * rows are append-only across all levels. */
+  private def reconstruct(v: Int, openOnly: Boolean): DataFrame =
+    levelsAt(v) match {
+      case None => emptyRanges
+      case Some(all) =>
+        val w = Window.partitionBy("tripletHash", "infoHash")
+          .orderBy(col("v").desc, col("deprecated").asc)
+        val open = all.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && !col("deprecated"))
+          .select(rangeCols: _*)
+        if (openOnly) open
+        else open.unionByName(
+          all.filter(col("deprecated")).select(rangeCols: _*))
+    }
 
   /** Full ranges table at the latest snapshot (empty schema-typed DF when
     * the store is new). */
-  def ranges: DataFrame =
-    if (currentVersion < 0)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rangeSchema)
-    else spark.read.parquet(s"$path/v=$currentVersion")
+  def ranges: DataFrame = reconstruct(currentVersion, openOnly = false)
 
   /** V8 current-graph scan: non-deprecated triples. */
   def currentTriples: DataFrame =
-    ranges.filter(!col("deprecated"))
+    reconstruct(currentVersion, openOnly = true)
       .select("subject", "predicate", "obj", "objKind", "datatype")
       .distinct()
 
@@ -107,12 +162,10 @@ class TripletStore(spark: SparkSession, path: String) {
         max("extractionTime").as("extractionTime"))
       .localCheckpoint()
 
-    val cur = ranges
-    val open = cur.filter(!col("deprecated"))
-    val closed = cur.filter(col("deprecated"))
+    val open = reconstruct(currentVersion, openOnly = true)
 
     // The MERGE join executes exactly ONCE (eager checkpoint); extended /
-    // fresh / deprecation / stats / snapshot below all read the
+    // fresh / deprecation / stats / delta below all read the
     // materialized result instead of re-running the join lineage — at
     // 100 TB the previous shape re-scanned the ranges table 4x per batch.
     val j = open.as("o").join(inc.as("i"),
@@ -149,15 +202,13 @@ class TripletStore(spark: SparkSession, path: String) {
       .withColumn("deprecated", lit(true))
       .withColumn("useEnd", lit(now))
       .select(rangeCols: _*)
-    val untouched = openUnmatched
-      .join(touchedSubjects, Seq("subject"), "left_anti")
-      .select(rangeCols: _*)
 
-    val next = extended.select(rangeCols: _*)
+    // The delta holds ONLY the changed rows. Open ranges of untouched
+    // subjects and the closed history are represented by the levels
+    // already on disk — an unchanged row is never rewritten.
+    val delta = extended.select(rangeCols: _*)
       .unionByName(fresh.select(rangeCols: _*))
       .unionByName(toDeprecate)
-      .unionByName(untouched)
-      .unionByName(closed.select(rangeCols: _*))
 
     // One stats job over the checkpointed join instead of three counts
     // that each re-ran the full merge lineage.
@@ -172,34 +223,44 @@ class TripletStore(spark: SparkSession, path: String) {
       nDeprecated = kinds.getOrElse("deprecated", 0L))
 
     val v = currentVersion + 1
-    // marker BEFORE the snapshot commit: written after, a crash between
+    // marker BEFORE the delta commit: written after, a crash between
     // the two would brick a correctly-keyed store (the format check only
     // fires once a committed snapshot exists, so the early write is safe)
     fs.mkdirs()
     java.nio.file.Files.writeString(
       new java.io.File(fs, FormatMarker).toPath, IdentityFormat.toString)
-    next.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$v")
+    delta.withColumn("v", lit(v))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/v=$v")
     stats
   }
 
-  /** Snapshot GC: drop all but the newest `keep` versions (time travel /
-    * delta queries only reach back that far afterwards). The latest
-    * snapshot is never touched, so readers of `ranges` are unaffected. */
+  /** Compaction: materialize the full state at the oldest retained
+    * version as a base snapshot, then drop every level it supersedes —
+    * the dropped versions (all but the newest `keep`) stop being
+    * time-travel targets; the retained ones stay delta-queryable. The
+    * base commits via its own `_SUCCESS` before any deletion, so a crash
+    * mid-compaction leaves a readable store (leftover superseded dirs
+    * are ignored by `levelsAt` and removed by the next compaction). */
   def compact(keep: Int = 2): Seq[Int] = {
-    val drop = versions.dropRight(math.max(1, keep))
-    drop.foreach { v =>
-      val d = new java.io.File(s"$path/v=$v")
-      Option(d.listFiles()).foreach(_.foreach(_.delete()))
-      d.delete()
-    }
-    drop
+    val vs = versions
+    val dropped = vs.dropRight(math.max(1, keep))
+    if (dropped.isEmpty) return dropped
+    val cut = vs.takeRight(math.max(1, keep)).head
+    reconstruct(cut, openOnly = false).withColumn("v", lit(cut))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/base=$cut")
+    (dropped.flatMap(d => Seq(s"v=$d", s"base=$d")) :+ s"v=$cut")
+      .foreach { nm =>
+        val d = new java.io.File(fs, nm)
+        if (d.exists()) Scratch.rm(d)
+      }
+    dropped
   }
 
   /** V6 delta: triples in version b but not a (new) / in a but not b
     * (retired). Pure anti-joins over snapshots. */
   def delta(fromV: Int, toV: Int): (DataFrame, DataFrame) = {
     def tri(v: Int): DataFrame =
-      spark.read.parquet(s"$path/v=$v").filter(!col("deprecated"))
+      reconstruct(v, openOnly = true)
         .select("subject", "predicate", "obj").distinct()
     val a = tri(fromV); val b = tri(toV)
     (b.join(a, Seq("subject", "predicate", "obj"), "left_anti"),
@@ -213,8 +274,10 @@ object TripletStore {
 
   final case class MergeStats(nNew: Long, nExtended: Long, nDeprecated: Long)
 
-  /** Identity-hash format generation (bumped when withIdentity changes). */
-  val IdentityFormat = 2
+  /** Store-format generation (bumped when withIdentity or the snapshot
+    * layout changes): 2 = identity-hash fix, 3 = delta (merge-on-read)
+    * layout. */
+  val IdentityFormat = 3
   val FormatMarker = "_FORMAT"
 
   val rangeSchema: StructType = StructType(Seq(
@@ -226,6 +289,11 @@ object TripletStore {
     StructField("confidence", DoubleType),
     StructField("useStart", TimestampType), StructField("useEnd", TimestampType),
     StructField("deprecated", BooleanType)))
+
+  /** On-disk schema: the range row plus the version that wrote it (the
+    * reconstruction's latest-writer-wins ordering key). */
+  val physSchema: StructType = StructType(
+    rangeSchema.fields :+ StructField("v", IntegerType))
 
   private val rangeCols = rangeSchema.fieldNames.toSeq.map(col)
 

@@ -34,16 +34,22 @@ object StreamingLoad {
       .parquet(dir)
 
   /** Start the merge stream. Each micro-batch merges at its own max
-    * extraction time (the logical load clock). */
+    * extraction time (the logical load clock). The store's delta layout
+    * accrues one level per micro-batch, so the stream compacts every
+    * `compactEvery` merges — without it, an always-on stream would make
+    * snapshot reconstruction scan an ever-growing delta list. */
   def start(stream: DataFrame, store: TripletStore,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String, compactEvery: Int = 32): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val now = batch.agg(max(col("extractionTime"))).head().getTimestamp(0)
           store.merge(batch, now)
-          ()
+          if ((store.currentVersion + 1) % math.max(1, compactEvery) == 0) {
+            store.compact()
+            ()
+          }
         }
       }
       .start()

@@ -176,4 +176,41 @@ class TripletStoreSpec extends AnyFunSuite {
     val (added, _) = store.delta(2, 3)
     assert(added.count() == 1) // remaining snapshots still delta-queryable
   }
+
+  test("merge commits only changed rows (O(batch) write amplification)") {
+    val dir = Files.createTempDirectory("store7").toString
+    val store = new TripletStore(spark, dir)
+    // 100 subjects x 1 triple, then a batch touching ONE subject
+    val wide = (1 to 100).map(i => (s"m$i", "name", s"n$i"))
+    store.merge(batch(wide, "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    store.merge(batch(Seq(("m1", "name", "changed")), "2024-02-01 00:00:00"),
+      ts("2024-02-01 00:00:00"))
+    // delta v=1 holds exactly the deprecated old row + the fresh one —
+    // the 99 untouched ranges are NOT rewritten
+    assert(spark.read.parquet(s"$dir/v=1").count() == 2)
+    assert(store.ranges.count() == 101)
+    assert(store.currentTriples.count() == 100)
+  }
+
+  test("compaction crash leftovers (superseded deltas) are ignored on read") {
+    val dir = Files.createTempDirectory("store8").toString
+    val store = new TripletStore(spark, dir)
+    (1 to 3).foreach { i =>
+      store.merge(batch(Seq(("m1", "name", s"v$i")), s"2024-0$i-01 00:00:00"),
+        ts(s"2024-0$i-01 00:00:00"))
+    }
+    store.compact(keep = 1)
+    // simulate the crash window: a superseded delta left behind AFTER the
+    // base committed — levelsAt must skip it, not double-count its rows
+    spark.read.parquet(s"$dir/base=2").limit(1)
+      .withColumn("v", lit(1))
+      .write.parquet(s"$dir/v=1")
+    val before = store.ranges.count()
+    store.merge(batch(Seq(("m1", "name", "v4")), "2024-04-01 00:00:00"),
+      ts("2024-04-01 00:00:00"))
+    assert(store.currentVersion == 3)
+    // the open v3 row flips to closed (replaced, not added); fresh v4 adds 1
+    assert(store.ranges.count() == before + 1)
+    assert(store.currentTriples.filter(col("obj") === "v4").count() == 1)
+  }
 }

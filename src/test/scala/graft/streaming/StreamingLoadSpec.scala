@@ -39,23 +39,33 @@ class StreamingLoadSpec extends AnyFunSuite {
       .write.mode("append").parquet(inDir)
     batchDf("alpha-v2", "2024-02-01 00:00:00").coalesce(1)
       .write.mode("append").parquet(inDir)
+    batchDf("alpha-v3", "2024-03-01 00:00:00").coalesce(1)
+      .write.mode("append").parquet(inDir)
 
+    // compactEvery=1: the third merge leaves 3 versions, so the periodic
+    // compaction fires a real base write — the stream also proves
+    // merge-after-compact continuity
     val q = StreamingLoad.start(
-      StreamingLoad.readTripleStream(spark, inDir), store, ckDir)
+      StreamingLoad.readTripleStream(spark, inDir), store, ckDir,
+      compactEvery = 1)
     q.processAllAvailable()
     q.stop()
 
-    assert(store.currentVersion >= 1) // two merges happened
+    assert(store.currentVersion >= 2) // three merges happened
+    // the periodic compaction ran: a base exists under the store
+    assert(new java.io.File(storeDir).listFiles()
+      .exists(_.getName.startsWith("base=")))
     val cur = store.currentTriples
     val names = cur.filter($"predicate" === "schema.org:name")
       .select("obj").as[String].collect().toSet
-    assert(names == Set("alpha-v2"))
+    assert(names == Set("alpha-v3"))
     val dep = store.ranges.filter($"deprecated")
-    assert(dep.select("obj").as[String].collect().toSet == Set("alpha"))
-    // task fact extended across both batches, never deprecated
+    assert(dep.select("obj").as[String].collect().toSet ==
+      Set("alpha", "alpha-v2"))
+    // task fact extended across all batches, never deprecated
     val task = store.ranges.filter($"predicate" === "fair4ml:mlTask")
     assert(task.count() == 1)
     assert(task.select("useEnd").head().getTimestamp(0) ==
-      Timestamp.valueOf("2024-02-01 00:00:00"))
+      Timestamp.valueOf("2024-03-01 00:00:00"))
   }
 }
