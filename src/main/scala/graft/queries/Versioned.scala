@@ -116,6 +116,40 @@ object Versioned {
         .localCheckpoint()
     }
 
+  // Batch-3 logical times: extraction base and merge "now" (deprecation
+  // stamp) for the post-compaction merge.
+  private val T4 = 1711929600L // 2024-04-01T00:00:00Z
+  private val T5 = 1714521600L // 2024-05-01T00:00:00Z
+
+  /** The delta-layout lifecycle, oracle-graded end-to-end: after the
+    * two-batch load the store COMPACTS (keep=1 — the full state
+    * materializes as a `base=` snapshot and every delta dir is dropped),
+    * then a third batch merges ON TOP of the base ([200,250) forced to
+    * `hasLang = newlang`: its `hasSource` rows extend, its `hasLang`
+    * rows deprecate + refresh). The result is the full Version_Range
+    * state read through the base + delta reconstruction — any drift in
+    * the base materialization, the leftover-delta exclusion, or the
+    * latest-writer-wins window hash-mismatches against a pure-SQL
+    * three-batch MERGE restatement. */
+  def versionCompacted(s: SparkSession, dir: String): DataFrame = {
+    val (b1, b2) = fixtureBatches(s, dir)
+    val b3 = batch(
+      t(s, dir, "documents").filter(col("doc_id") >= 200 && col("doc_id") < 250),
+      lit("newlang"), lit(T4))
+    Scratch.withScratch("graft_vc_q", dir) { tmp =>
+      val store = new TripletStore(s, tmp.getAbsolutePath)
+      store.merge(b1, new Timestamp(T1 * 1000))
+      store.merge(b2, new Timestamp(T3 * 1000))
+      store.compact(keep = 1)
+      store.merge(b3, new Timestamp(T5 * 1000))
+      store.ranges.select(col("subject"), col("predicate"), col("obj"),
+          expr("unix_micros(useStart) div 1000").as("start_ms"),
+          expr("unix_micros(useEnd) div 1000").as("end_ms"),
+          col("deprecated"))
+        .localCheckpoint()
+    }
+  }
+
   /** Shared fixture CTEs for the three oracles: the two batches as pure
     * SQL over the raw identity fields (equal to the store's md5 identity
     * up to collisions; objKind/datatype/info constant). */
@@ -142,10 +176,10 @@ object Versioned {
        |),
        |touched AS (SELECT DISTINCT subject FROM b2)""".stripMargin
 
-  /** Pure-SQL restatement of the two-batch merge. */
-  val versionHistorySql: String =
-    s"""WITH $fixtureCte
-       |SELECT b1.subject, b1.predicate, b1.obj, b1.et_ms AS start_ms,
+  /** Pure-SQL restatement of the two-batch merge (body only, so
+    * q_version_compacted can reuse it as a CTE). */
+  private val versionHistoryBody: String =
+    s"""SELECT b1.subject, b1.predicate, b1.obj, b1.et_ms AS start_ms,
        |       greatest(b1.et_ms, b2.et_ms) AS end_ms, false AS deprecated
        |FROM b1 JOIN b2 ON b1.subject = b2.subject
        |  AND b1.predicate = b2.predicate AND b1.obj = b2.obj
@@ -162,6 +196,9 @@ object Versioned {
        |FROM b2
        |WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.subject = b2.subject
        |  AND b1.predicate = b2.predicate AND b1.obj = b2.obj)""".stripMargin
+
+  val versionHistorySql: String =
+    s"WITH $fixtureCte\n$versionHistoryBody"
 
   val versionDeltaSql: String =
     s"""WITH $fixtureCte
@@ -189,13 +226,57 @@ object Versioned {
        |WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.subject = b2.subject
        |  AND b1.predicate = b2.predicate AND b1.obj = b2.obj)""".stripMargin
 
+  /** The three-batch restatement: `s2` is the two-batch state (the
+    * q_version_history oracle verbatim), then batch 3's MERGE arms apply
+    * over it — closed rows immutable, matched open rows extended,
+    * unmatched open rows of touched subjects deprecated at T5, untouched
+    * open rows carried, unmatched batch rows fresh. */
+  val versionCompactedSql: String =
+    s"""WITH $fixtureCte,
+       |s2 AS MATERIALIZED ($versionHistoryBody),
+       |b3 AS (
+       |  SELECT 'doc:' || doc_id AS subject, 'hasLang' AS predicate,
+       |         'newlang' AS obj, ${T4 * 1000} AS et_ms
+       |  FROM d WHERE doc_id >= 200 AND doc_id < 250
+       |  UNION ALL
+       |  SELECT 'doc:' || doc_id, 'hasSource', source, ${T4 * 1000}
+       |  FROM d WHERE doc_id >= 200 AND doc_id < 250
+       |),
+       |t3 AS (SELECT DISTINCT subject FROM b3)
+       |SELECT subject, predicate, obj, start_ms, end_ms, deprecated
+       |FROM s2 WHERE deprecated
+       |UNION ALL
+       |SELECT s2.subject, s2.predicate, s2.obj, s2.start_ms,
+       |       greatest(s2.end_ms, b3.et_ms), false
+       |FROM s2 JOIN b3 ON s2.subject = b3.subject
+       |  AND s2.predicate = b3.predicate AND s2.obj = b3.obj
+       |WHERE NOT s2.deprecated
+       |UNION ALL
+       |SELECT subject, predicate, obj, start_ms, ${T5 * 1000}, true
+       |FROM s2
+       |WHERE NOT deprecated AND subject IN (SELECT subject FROM t3)
+       |  AND NOT EXISTS (SELECT 1 FROM b3 WHERE b3.subject = s2.subject
+       |    AND b3.predicate = s2.predicate AND b3.obj = s2.obj)
+       |UNION ALL
+       |SELECT subject, predicate, obj, start_ms, end_ms, deprecated
+       |FROM s2
+       |WHERE NOT deprecated AND subject NOT IN (SELECT subject FROM t3)
+       |UNION ALL
+       |SELECT b3.subject, b3.predicate, b3.obj, b3.et_ms, b3.et_ms, false
+       |FROM b3
+       |WHERE NOT EXISTS (SELECT 1 FROM s2 WHERE NOT s2.deprecated
+       |  AND s2.subject = b3.subject AND s2.predicate = b3.predicate
+       |  AND s2.obj = b3.obj)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_version_history" -> versionHistory _,
     "q_version_delta" -> versionDelta _,
-    "q_version_asof" -> versionAsOf _)
+    "q_version_asof" -> versionAsOf _,
+    "q_version_compacted" -> versionCompacted _)
 
   val oracles: Map[String, String] = Map(
     "q_version_history" -> versionHistorySql,
     "q_version_delta" -> versionDeltaSql,
-    "q_version_asof" -> versionAsOfSql)
+    "q_version_asof" -> versionAsOfSql,
+    "q_version_compacted" -> versionCompactedSql)
 }
