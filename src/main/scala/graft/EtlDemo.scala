@@ -322,6 +322,15 @@ object EtlDemo {
       groups.unpersist()
     }
 
+    // Compaction: materialize the delta levels into a base snapshot; the
+    // graph a reader sees must be identical before and after.
+    val preCompact = store.currentTriples.count()
+    store.compact(keep = 1)
+    require(store.currentTriples.count() == preCompact,
+      "compaction changed the current graph")
+    println(s"[etl] compacted store: base at v${store.currentVersion}, " +
+      s"$preCompact triples unchanged")
+
     val current = store.currentTriples
     println(s"[etl] current graph: ${current.count()} triples, " +
       s"${store.distinctSubjectCount} subjects, store v${store.currentVersion}")
