@@ -192,6 +192,40 @@ class TripletStoreSpec extends AnyFunSuite {
     assert(store.currentTriples.count() == 100)
   }
 
+  test("reconstruction window and MERGE join share one store-side shuffle") {
+    val dir = Files.createTempDirectory("store9").toString
+    val store = new TripletStore(spark, dir)
+    (1 to 2).foreach { i =>
+      store.merge(batch(Seq(("m1", "name", s"v$i"), ("m2", "kind", "x")),
+        s"2024-0$i-01 00:00:00"), ts(s"2024-0$i-01 00:00:00"))
+    }
+    // rebuild the merge join's pre-checkpoint shape: open side = the
+    // latest-writer-wins window; the full-outer join partitions on the
+    // same (tripletHash, infoHash) key and must REUSE that exchange —
+    // a second store-side shuffle here doubles the 100 TB merge cost
+    val inc = TripletStore.withIdentity(
+        batch(Seq(("m1", "name", "v3")), "2024-03-01 00:00:00"))
+      .groupBy("tripletHash", "infoHash")
+      .agg(first("subject").as("subject"))
+    val j = store.ranges.filter(!col("deprecated")).as("o")
+      .join(inc.as("i"),
+        col("o.tripletHash") === col("i.tripletHash") &&
+          col("o.infoHash") === col("i.infoHash"), "full_outer")
+    j.collect()
+    val exec = j.queryExecution.executedPlan.toString
+    // store side: exactly one hash exchange on the identity key feeding
+    // the window; none between the window and the join
+    val windowToJoin = exec.split("SortMergeJoin|ShuffledHashJoin")
+    assert(windowToJoin.length >= 2, s"no shuffle join in plan:\n$exec")
+    val storeSide = windowToJoin(1) // first child printed under the join
+    assert(storeSide.contains("Window"),
+      s"store side lost its reconstruction window:\n$exec")
+    val exchangesAboveWindow = storeSide.split("Window")(0)
+      .split("Exchange hashpartitioning").length - 1
+    assert(exchangesAboveWindow == 0,
+      s"extra store-side exchange between window and join:\n$exec")
+  }
+
   test("compaction crash leftovers (superseded deltas) are ignored on read") {
     val dir = Files.createTempDirectory("store8").toString
     val store = new TripletStore(spark, dir)
