@@ -65,6 +65,10 @@ class VersioningLawsSpec extends AnyFunSuite {
           lastFacts += s -> rows.filter(_._1 == s).map(r => (r._2, r._3)).toSet
         }
 
+        // the laws must be layout-independent: randomly compact so later
+        // steps read (and merge onto) a base + delta mix, not just deltas
+        if (rnd.nextDouble() < 0.4) store.compact(keep = 1 + rnd.nextInt(2))
+
         // L2: unique open range per identity
         val openDup = store.ranges.filter(!col("deprecated"))
           .groupBy("tripletHash", "infoHash").count().filter(col("count") > 1)
