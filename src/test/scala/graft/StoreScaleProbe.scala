@@ -89,6 +89,32 @@ object StoreScaleProbe {
       val t0 = System.nanoTime()
       val cnt = store.currentTriples.count()
       println(f"[store] currentTriples=$cnt read=${(System.nanoTime() - t0) / 1e9}%5.2fs")
+
+      // Compaction-cadence arm: same batches, compact every 4 merges —
+      // the read side (levels under the reconstruction window) must stay
+      // bounded instead of growing one delta per batch.
+      val root2 = load.Scratch.dir("probe_store_c", dir)
+      val store2 = new load.TripletStore(spark, root2.getAbsolutePath)
+      try {
+        (0 until nBatches).foreach { b =>
+          val t = Timestamp.valueOf(f"2024-01-${b + 1}%02d 00:00:00")
+          val fresh = slice(b, changed = false)
+          val batch =
+            (if (b == 0) fresh
+             else fresh.unionByName(slice(b - 1, changed = true)))
+              .withColumn("extractionTime", lit(t))
+          val dt = timed(store2.merge(batch, t))
+          if ((store2.currentVersion + 1) % 4 == 0) store2.compact(keep = 1)
+          val levels = Option(root2.listFiles()).getOrElse(Array.empty)
+            .count(f => f.isDirectory &&
+              (f.getName.startsWith("v=") || f.getName.startsWith("base=")))
+          println(f"[store-c] batch=$b dt=$dt%6.2fs levels=$levels " +
+            f"storeMB=${dirBytes(root2) / 1e6}%7.2f")
+        }
+        val t1 = System.nanoTime()
+        val cnt2 = store2.currentTriples.count()
+        println(f"[store-c] currentTriples=$cnt2 read=${(System.nanoTime() - t1) / 1e9}%5.2fs")
+      } finally load.Scratch.rm(root2)
     } finally {
       load.Scratch.rm(root)
       spark.stop()
