@@ -40,13 +40,17 @@ import org.apache.spark.sql.functions._
   * join hash-partition on the same identity key, so the join reuses the
   * window's exchange rather than shuffling twice.
   *
-  * Scale: one shuffle on tripletHash+infoHash (window + MERGE join, shared)
-  * and one on subject (the deprecation semi-join) per batch; the read side
-  * spans the base plus the deltas since the last compaction (bounded by
-  * compaction cadence). At 100 TB the base and deltas would additionally
-  * be clustered by an identity-hash prefix so the reconstruction and the
-  * MERGE co-partition with incoming batches; the join structure is
-  * unchanged.
+  * Scale: the merge first restricts the level rows to the batch's
+  * subjects (a semi-join AQE can broadcast — the identity key embeds the
+  * subject, so whole groups drop, never a group's shadowing rows), THEN
+  * windows and full-outer joins on tripletHash+infoHash with the window's
+  * exchange reused by the join — per batch the store is scanned once but
+  * only the touched slice is shuffled and materialized: O(touched +
+  * batch), not O(store). The read side spans the base plus the deltas
+  * since the last compaction (bounded by compaction cadence). At 100 TB
+  * the base and deltas would additionally be clustered by an
+  * identity-hash prefix so reconstruction and MERGE co-partition with
+  * incoming batches; the join structure is unchanged.
   */
 class TripletStore(spark: SparkSession, path: String) {
 
@@ -106,11 +110,21 @@ class TripletStore(spark: SparkSession, path: String) {
   /** Snapshot reconstruction at version v. Open rows: latest writer per
     * identity wins (ties — one base holding both the open row and older
     * closed rows of the same identity — resolved open-first); closed
-    * rows are append-only across all levels. */
-  private def reconstruct(v: Int, openOnly: Boolean): DataFrame =
+    * rows are append-only across all levels.
+    *
+    * `subjects`, when given, restricts the reconstruction to those
+    * subjects BEFORE the window. Safe because the window key embeds the
+    * subject (tripletHash hashes it): the filter drops whole identity
+    * groups, never a group's shadowing rows — and it turns the merge's
+    * store-side shuffle into O(touched rows), with AQE free to broadcast
+    * the subject list when the batch is small. */
+  private def reconstruct(v: Int, openOnly: Boolean,
+                          subjects: Option[DataFrame] = None): DataFrame =
     levelsAt(v) match {
       case None => emptyRanges
-      case Some(all) =>
+      case Some(all0) =>
+        val all = subjects.fold(all0)(s =>
+          all0.join(s, Seq("subject"), "left_semi"))
         val w = Window.partitionBy("tripletHash", "infoHash")
           .orderBy(col("v").desc, col("deprecated").asc)
         val open = all.withColumn("rn", row_number().over(w))
@@ -162,7 +176,13 @@ class TripletStore(spark: SparkSession, path: String) {
         max("extractionTime").as("extractionTime"))
       .localCheckpoint()
 
-    val open = reconstruct(currentVersion, openOnly = true)
+    // Only rows of subjects present in the batch can change (extend,
+    // deprecate, or collide with a fresh insert — the identity key embeds
+    // the subject), so the store side of the MERGE is the TOUCHED slice,
+    // not the live store: the join below materializes O(touched + batch).
+    val touchedSubjects = inc.select("subject").distinct()
+    val open = reconstruct(currentVersion, openOnly = true,
+      subjects = Some(touchedSubjects))
 
     // The MERGE join executes exactly ONCE (eager checkpoint); extended /
     // fresh / deprecation / stats / delta below all read the
@@ -195,10 +215,10 @@ class TripletStore(spark: SparkSession, path: String) {
         col("i.extractionTime").as("useStart"),
         col("i.extractionTime").as("useEnd"), lit(false).as("deprecated"))
 
-    val touchedSubjects = inc.select("subject").distinct()
-    val openUnmatched = j.filter(col("i.tripletHash").isNull)
+    // Every open row in j has a touched subject (the reconstruction was
+    // subject-restricted), so an unmatched one IS a deprecation.
+    val toDeprecate = j.filter(col("i.tripletHash").isNull)
       .select(col("o.*"))
-    val toDeprecate = openUnmatched.join(touchedSubjects, Seq("subject"), "left_semi")
       .withColumn("deprecated", lit(true))
       .withColumn("useEnd", lit(now))
       .select(rangeCols: _*)
