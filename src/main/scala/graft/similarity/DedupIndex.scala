@@ -55,15 +55,27 @@ object DedupIndex {
     * separately from [[DedupIndex.ingest]] so PlanSpec can pin its shape:
     * every join is an equi-join on fingerprint or band, never all-pairs. */
   private[graft] def acceptancePlan(batch: DataFrame, idx: DataFrame): DataFrame = {
+    // Index-side discipline (same shape as the store's touched-slice
+    // MERGE): every probe of the standing index first SEMI-FILTERS it by
+    // the batch's own keys — the semi's build side is the small batch
+    // list, which AQE broadcasts, so the index is scanned but never
+    // shuffled, and every downstream join runs against O(batch) rows. A
+    // plain anti-join against the raw index would shuffle the full index
+    // per ingest (the batch is the anti's streamed side, so it can never
+    // be the broadcast build).
+
     // (a) exact: smallest id per fingerprint within the batch...
     val exactKeep = batch.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    // ...then anti-join the index fingerprints. dropDuplicates collapses
-    // fully identical batch rows (same doc_id AND text), which the
-    // min-id-per-fingerprint keep alone would let through twice.
-    val afterExact = batch.join(exactKeep, "doc_id")
+    // ...then anti-join the batch-hit slice of the index fingerprints.
+    // dropDuplicates collapses fully identical batch rows (same doc_id
+    // AND text), which the min-id-per-fingerprint keep alone would let
+    // through twice.
+    val preExact = batch.join(exactKeep, "doc_id")
       .dropDuplicates("fp")
-      .join(idx.select("fp"), Seq("fp"), "left_anti")
+    val idxFpHits = idx.select("fp")
+      .join(preExact.select("fp"), Seq("fp"), "left_semi").distinct()
+    val afterExact = preExact.join(idxFpHits, Seq("fp"), "left_anti")
 
     // (b) near: LSH band hit against the index drops the batch doc; a
     // band shared with a smaller-id post-exact batch doc drops the larger
@@ -73,8 +85,10 @@ object DedupIndex {
           concat_ws("_", col("mh0"), col("mh1")).as("band"))
         .unionByName(df.select(col("doc_id").as(idCol),
           concat_ws("_", col("mh2"), col("mh3")).as("band")))
-    val vsIndex = bands(afterExact, "doc_id")
-      .join(bands(idx, "idx_id").select("band").distinct(), "band")
+    val batchBands = bands(afterExact, "doc_id")
+    val idxBandHits = bands(idx, "idx_id").select("band")
+      .join(batchBands.select("band"), Seq("band"), "left_semi").distinct()
+    val vsIndex = batchBands.join(idxBandHits, "band")
       .select("doc_id").distinct()
     val b = bands(afterExact, "doc1")
     val withinBatch = b.join(bands(afterExact, "doc2"), "band")

@@ -127,9 +127,16 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     // re-ingesting a zero vector would grow the index every time
     val exactKeep = batch.groupBy("vhash").agg(min(col("vec_id")).as("vec_id"))
       .select("vec_id")
-    val afterExact = batch.join(exactKeep, "vec_id")
+    // Index side semi-filtered by the batch's own hashes first (the
+    // semi's build side is the small batch list, AQE-broadcast): the
+    // standing index is scanned, never shuffled — a raw anti-join would
+    // shuffle the full index vhash column on every ingest.
+    val preExact = batch.join(exactKeep, "vec_id")
       .dropDuplicates("vhash") // fully identical rows (same id too) collapse
-      .join(idx.select("vhash"), Seq("vhash"), "left_anti")
+    val idxVhashHits = idx.select("vhash")
+      .join(preExact.select("vhash"), Seq("vhash"), "left_semi").distinct()
+    val afterExact = preExact
+      .join(idxVhashHits, Seq("vhash"), "left_anti")
       .localCheckpoint() // consumed 4x: bands, two cosine joins, anti-join
 
     // Candidate cap, enforced BEFORE the pair join ever runs: acceptors
@@ -175,8 +182,18 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     df.select(col("vec_id").as(s"vec$suffix"), posexplode(col("buckets")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-  private def acceptorBands(afterExact: DataFrame, idx: DataFrame): DataFrame =
-    bands(idx, "2").withColumn("from_index", lit(true))
+  /** Acceptor bands, with the index side restricted to the (band,
+    * bucket) cells the batch actually probes — a semi-join whose build
+    * side is the small probe set (AQE-broadcast), so the standing index
+    * is scanned but never shuffled, and the cap's ranking window sorts
+    * only probed buckets' acceptors instead of |index| × nBands rows.
+    * Acceptors in unprobed buckets can never form a pair, and ranks
+    * don't interact across buckets, so the filter is semantics-free. */
+  private def acceptorBands(afterExact: DataFrame, idx: DataFrame,
+                            probes: DataFrame): DataFrame =
+    bands(idx, "2")
+      .join(probes.select("band", "bucket"), Seq("band", "bucket"), "left_semi")
+      .withColumn("from_index", lit(true))
       .unionByName(bands(afterExact, "2").withColumn("from_index", lit(false)))
 
   private def pairJoin(probes: DataFrame, acceptors: DataFrame): DataFrame =
@@ -184,8 +201,10 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
       .filter(col("from_index") || col("vec2") < col("vec1"))
       .dropDuplicates("vec1", "vec2", "from_index")
 
-  private[graft] def candidatePairs(afterExact: DataFrame, idx: DataFrame): DataFrame =
-    pairJoin(bands(afterExact, "1"), acceptorBands(afterExact, idx))
+  private[graft] def candidatePairs(afterExact: DataFrame, idx: DataFrame): DataFrame = {
+    val probes = bands(afterExact, "1")
+    pairJoin(probes, acceptorBands(afterExact, idx, probes))
+  }
 
   /** Capped pair formation: acceptors ranked per (band, bucket) by id
     * (the same deterministic smallest-first order the per-probe window
@@ -198,7 +217,7 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
   private[graft] def cappedCandidatePairs(afterExact: DataFrame, idx: DataFrame,
                                           perBucketCap: Int): DataFrame = {
     val probes = bands(afterExact, "1").localCheckpoint()
-    val acceptors = acceptorBands(afterExact, idx)
+    val acceptors = acceptorBands(afterExact, idx, probes)
       .withColumn("arn", row_number().over(
         Window.partitionBy("band", "bucket")
           .orderBy(col("vec2"), col("from_index"))))

@@ -166,6 +166,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct") &&
       !s.contains("BroadcastNestedLoopJoin"), s)
     assert(s.contains("LeftAnti"), s) // exact + near drops are anti-joins
+    // index probes are semi-filtered by the batch's keys BEFORE any
+    // anti/hit join — the standing index streams through the semi (whose
+    // build side is the small batch list) instead of shuffling per ingest
+    assert(s.contains("LeftSemi"), s)
   }
 
   test("semantic ingest: id-only candidate shuffle, equi-joins, no cartesian") {
@@ -189,6 +193,9 @@ class PlanSpec extends AnyFunSuite {
       val cs = planString(cands)
       assert(!cs.contains("CartesianProduct") &&
         !cs.contains("BroadcastNestedLoopJoin"), cs)
+      // the index-side bands are semi-filtered to the batch's probed
+      // (band, bucket) cells before pair formation
+      assert(cs.contains("LeftSemi"), cs)
       cands.count() // let AQE finalize before walking exchanges
       def walk(p: org.apache.spark.sql.execution.SparkPlan)
           : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
