@@ -2,7 +2,7 @@ package graft.load
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,12 +47,29 @@ import org.apache.spark.sql.functions._
   * exchange reused by the join — per batch the store is scanned once but
   * only the touched slice is shuffled and materialized: O(touched +
   * batch), not O(store). The read side spans the base plus the deltas
-  * since the last compaction (bounded by compaction cadence). At 100 TB
-  * the base and deltas would additionally be clustered by an
-  * identity-hash prefix so reconstruction and MERGE co-partition with
-  * incoming batches; the join structure is unchanged.
+  * since the last compaction, bounded by the AUTOMATIC compaction
+  * cadence: after a merge pushes the live level count (base + deltas)
+  * past `autoCompactEvery`, the merge itself compacts down to
+  * `autoCompactKeep` retained versions — the StoreScaleProbe's measured
+  * 1-4 level cycle with flat merge wall time becomes the default
+  * operating mode instead of a caller's chore (`autoCompactEvery = 0`
+  * disables it for callers managing their own cadence). Base and delta
+  * files are clustered by the identity hash ([[graft.sinks.Sinks
+  * .writeClustered]] on tripletHash, infoHash): each file covers a
+  * narrow identity range with footer min/max stats, so reconstruction
+  * and MERGE co-partition with incoming batches and point/subject reads
+  * prune whole files; `targetRowsPerFile` sizes the range partitioning
+  * (at 100 TB: total rows / target file size).
+  *
+  * Time-travel below the compaction horizon THROWS rather than
+  * returning an empty snapshot: a `delta(fromV, toV)` whose `fromV` was
+  * compacted away would otherwise silently report every live triple as
+  * "added".
   */
-class TripletStore(spark: SparkSession, path: String) {
+class TripletStore(spark: SparkSession, path: String,
+                   autoCompactEvery: Int = 4,
+                   autoCompactKeep: Int = 2,
+                   targetRowsPerFile: Long = 1L << 20) {
 
   import TripletStore._
 
@@ -119,12 +136,19 @@ class TripletStore(spark: SparkSession, path: String) {
     * store-side shuffle into O(touched rows), with AQE free to broadcast
     * the subject list when the batch is small. */
   private def reconstruct(v: Int, openOnly: Boolean,
-                          subjects: Option[DataFrame] = None): DataFrame =
+                          subjects: Option[DataFrame] = None): DataFrame = {
+    requireRetained(v)
     levelsAt(v) match {
       case None => emptyRanges
       case Some(all0) =>
+        // null-safe semi join: a legal null-subject row (the identity
+        // hash null-coalesces) must stay visible to merge — with a plain
+        // equi-join null never equals null, so such rows could never be
+        // extended or deprecated and every re-merge would open a new
+        // shadowing range.
         val all = subjects.fold(all0)(s =>
-          all0.join(s, Seq("subject"), "left_semi"))
+          all0.join(s.select(col("subject").as("__batch_subject")),
+            col("subject") <=> col("__batch_subject"), "left_semi"))
         val w = Window.partitionBy("tripletHash", "infoHash")
           .orderBy(col("v").desc, col("deprecated").asc)
         val open = all.withColumn("rn", row_number().over(w))
@@ -134,6 +158,23 @@ class TripletStore(spark: SparkSession, path: String) {
         else open.unionByName(
           all.filter(col("deprecated")).select(rangeCols: _*))
     }
+  }
+
+  /** Fail loudly when snapshot `v` is not answerable: below the
+    * compaction horizon (its levels were dropped), beyond the newest
+    * version, or any non-initial version of an empty store. The
+    * pre-delta layout raised AnalysisException on the missing `v=` dir;
+    * the delta layout must not regress that to a silent empty result. */
+  private def requireRetained(v: Int): Unit = {
+    val vs = versions
+    if (v < 0 && vs.isEmpty) return // empty store, empty snapshot
+    if (vs.isEmpty || v < vs.head || v > vs.last)
+      throw new IllegalArgumentException(
+        s"snapshot version $v is not retained by the store at $path " +
+          s"(retained: ${if (vs.isEmpty) "none"
+            else s"${vs.head}..${vs.last}"}); versions below the " +
+          "compaction horizon cannot be reconstructed")
+  }
 
   /** Full ranges table at the latest snapshot (empty schema-typed DF when
     * the store is new). */
@@ -249,10 +290,28 @@ class TripletStore(spark: SparkSession, path: String) {
     fs.mkdirs()
     java.nio.file.Files.writeString(
       new java.io.File(fs, FormatMarker).toPath, IdentityFormat.toString)
-    delta.withColumn("v", lit(v))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/v=$v")
+    // identity-clustered delta files: the stats job already counted the
+    // delta rows, so the file sizing is free
+    graft.sinks.Sinks.writeClustered(delta.withColumn("v", lit(v)),
+      s"$path/v=$v",
+      nFilesFor(stats.nNew + stats.nExtended + stats.nDeprecated),
+      targetRowsPerFile, "tripletHash", "infoHash")
+
+    // auto-compaction cadence: once the live level count exceeds the
+    // configured bound, fold down to `autoCompactKeep` retained versions
+    // — the level count a reader spans is thus never above
+    // autoCompactEvery + 1, without any caller involvement.
+    if (autoCompactEvery > 0) {
+      val floor = baseVersions.lastOption.getOrElse(-1)
+      val levels = deltaVersions.count(_ > floor) + (if (floor >= 0) 1 else 0)
+      if (levels > autoCompactEvery) compact(autoCompactKeep)
+    }
     stats
   }
+
+  /** Range-partition file count for `rows` at `targetRowsPerFile`. */
+  private def nFilesFor(rows: Long): Int =
+    math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
 
   /** Compaction: materialize the full state at the oldest retained
     * version as a base snapshot, then drop every level it supersedes —
@@ -266,8 +325,18 @@ class TripletStore(spark: SparkSession, path: String) {
     val dropped = vs.dropRight(math.max(1, keep))
     if (dropped.isEmpty) return dropped
     val cut = vs.takeRight(math.max(1, keep)).head
-    reconstruct(cut, openOnly = false).withColumn("v", lit(cut))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/base=$cut")
+    // Retry safety: a prior compaction that crashed after committing
+    // base=cut but before its deletions must NOT rewrite the base —
+    // reconstruct(cut) would then read the very path being overwritten
+    // (Spark refuses) — the committed base is the state; only the
+    // superseded dirs remain to delete.
+    if (!baseVersions.contains(cut)) {
+      val snap = reconstruct(cut, openOnly = false)
+        .withColumn("v", lit(cut)).localCheckpoint()
+      graft.sinks.Sinks.writeClustered(snap, s"$path/base=$cut",
+        nFilesFor(snap.count()), targetRowsPerFile,
+        "tripletHash", "infoHash")
+    }
     (dropped.flatMap(d => Seq(s"v=$d", s"base=$d")) :+ s"v=$cut")
       .foreach { nm =>
         val d = new java.io.File(fs, nm)

@@ -56,7 +56,10 @@ object IoQueries {
     * quote in a string field (JSON escapes in-band, so unlike TSV the
     * files stay line-splittable), a null field (writer drops it, reader
     * restores null from schema), an array, and a nested struct (flattened
-    * after read-back for the comparison). */
+    * after read-back for the comparison). The array rides through the
+    * sink/reader intact but the COMPARED column is `array_join`ed to a
+    * scalar — the driver's pandas comparator sorts rows by every column
+    * and cannot order raw array cells. */
   def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val src = t(s, dir, "documents").select(
       col("doc_id"),
@@ -68,7 +71,8 @@ object IoQueries {
     Scratch.withScratch("graft_json_q", dir) { tmp =>
       Sinks.writeJsonRecords(src, tmp.getAbsolutePath)
       s.read.schema(src.schema).json(tmp.getAbsolutePath)
-        .select(col("doc_id"), col("src_opt"), col("tricky"), col("tags"),
+        .select(col("doc_id"), col("src_opt"), col("tricky"),
+          array_join(col("tags"), "\u0001").as("tags_joined"),
           col("meta.l").as("meta_l"), col("meta.n").as("meta_n"))
         .localCheckpoint()
     }
@@ -78,7 +82,7 @@ object IoQueries {
     s"""SELECT doc_id,
        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS src_opt,
        |  'line1\nline2\t"' || lang AS tricky,
-       |  [lang, 's_' || source] AS tags,
+       |  array_to_string([lang, 's_' || source], chr(1)) AS tags_joined,
        |  lang AS meta_l, n_chars AS meta_n
        |FROM documents""".stripMargin
 

@@ -210,7 +210,16 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     * (the same deterministic smallest-first order the per-probe window
     * used), only `perBucketCap` per bucket join probes. Work stats come
     * from bucket occupancy aggregates (tiny: <= nBands * 2^bitsPerBand
-    * rows after the groupBys), never from counting pair rows. Caveat:
+    * rows after the groupBys), never from counting pair rows. The
+    * resulting `lastCandidates` / `lastTruncated` are UPPER BOUNDS on
+    * joined work, not surviving-pair counts: sum(np*na) also counts a
+    * probe's collision with itself and the batch-acceptor pairs the
+    * pairJoin ordering filter (vec2 < vec1) discards, as well as the
+    * same pair met in multiple bands — so they are NOT comparable with
+    * the exact per-probe pair stats earlier bench rounds reported, and
+    * truncation alert thresholds should be calibrated against this
+    * inflated denominator (the bound is what the join must touch, which
+    * is the quantity the cap protects). Caveat:
     * the rank window sorts one bucket's acceptor ids on one task — id-
     * only rows, so even a fully degenerate bucket (every vector in one
     * bucket) is 16 bytes/vector, not a pair explosion. */

@@ -35,21 +35,20 @@ object StreamingLoad {
 
   /** Start the merge stream. Each micro-batch merges at its own max
     * extraction time (the logical load clock). The store's delta layout
-    * accrues one level per micro-batch, so the stream compacts every
-    * `compactEvery` merges — without it, an always-on stream would make
-    * snapshot reconstruction scan an ever-growing delta list. */
+    * accrues one level per micro-batch; the store's OWN auto-compaction
+    * cadence (TripletStore `autoCompactEvery`, on by default) bounds the
+    * level count, so an always-on stream never makes snapshot
+    * reconstruction scan an ever-growing delta list — size the cadence
+    * on the store, not here. */
   def start(stream: DataFrame, store: TripletStore,
-            checkpointDir: String, compactEvery: Int = 32): StreamingQuery =
+            checkpointDir: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val now = batch.agg(max(col("extractionTime"))).head().getTimestamp(0)
           store.merge(batch, now)
-          if ((store.currentVersion + 1) % math.max(1, compactEvery) == 0) {
-            store.compact()
-            ()
-          }
+          ()
         }
       }
       .start()

@@ -65,7 +65,9 @@ object StoreScaleProbe {
     }
 
     val root = load.Scratch.dir("probe_store", dir)
-    val store = new load.TripletStore(spark, root.getAbsolutePath)
+    // arm 1 measures PURE delta growth — auto-compaction off
+    val store = new load.TripletStore(spark, root.getAbsolutePath,
+      autoCompactEvery = 0)
     println(s"[store] $n docs in $nBatches batches of ~$step " +
       s"(x3 triples, prev slice re-extracted with 1 changed predicate)")
     try {
@@ -90,11 +92,13 @@ object StoreScaleProbe {
       val cnt = store.currentTriples.count()
       println(f"[store] currentTriples=$cnt read=${(System.nanoTime() - t0) / 1e9}%5.2fs")
 
-      // Compaction-cadence arm: same batches, compact every 4 merges —
-      // the read side (levels under the reconstruction window) must stay
-      // bounded instead of growing one delta per batch.
+      // Compaction-cadence arm: same batches under the store's DEFAULT
+      // auto-compaction (every 4 levels, keep 1 here) — the read side
+      // (levels under the reconstruction window) must stay bounded
+      // instead of growing one delta per batch, with no caller calls.
       val root2 = load.Scratch.dir("probe_store_c", dir)
-      val store2 = new load.TripletStore(spark, root2.getAbsolutePath)
+      val store2 = new load.TripletStore(spark, root2.getAbsolutePath,
+        autoCompactEvery = 4, autoCompactKeep = 1)
       try {
         (0 until nBatches).foreach { b =>
           val t = Timestamp.valueOf(f"2024-01-${b + 1}%02d 00:00:00")
@@ -104,7 +108,6 @@ object StoreScaleProbe {
              else fresh.unionByName(slice(b - 1, changed = true)))
               .withColumn("extractionTime", lit(t))
           val dt = timed(store2.merge(batch, t))
-          if ((store2.currentVersion + 1) % 4 == 0) store2.compact(keep = 1)
           val levels = Option(root2.listFiles()).getOrElse(Array.empty)
             .count(f => f.isDirectory &&
               (f.getName.startsWith("v=") || f.getName.startsWith("base=")))

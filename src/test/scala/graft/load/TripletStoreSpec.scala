@@ -226,6 +226,146 @@ class TripletStoreSpec extends AnyFunSuite {
       s"extra store-side exchange between window and join:\n$exec")
   }
 
+  test("time-travel below the compaction horizon throws, not empty-result") {
+    val dir = Files.createTempDirectory("store10").toString
+    val store = new TripletStore(spark, dir)
+    (1 to 3).foreach { i =>
+      store.merge(batch(Seq(("m1", "name", s"v$i")), s"2024-0$i-01 00:00:00"),
+        ts(s"2024-0$i-01 00:00:00"))
+    }
+    store.compact(keep = 1) // horizon is now version 2
+    // pre-fix, delta(0, 2) silently reported every live triple as "added"
+    val e = intercept[IllegalArgumentException](store.delta(0, 2))
+    assert(e.getMessage.contains("not retained"))
+    // beyond-newest and never-written versions are equally unanswerable
+    intercept[IllegalArgumentException](store.delta(2, 99))
+    val empty = new TripletStore(spark,
+      Files.createTempDirectory("store10b").toString)
+    intercept[IllegalArgumentException](empty.delta(0, 1))
+    // retained versions still answer
+    assert(store.currentTriples.count() == 1)
+  }
+
+  test("compact retried after a crash between base commit and deletions") {
+    val dir = Files.createTempDirectory("store11").toString
+    val store = new TripletStore(spark, dir)
+    (1 to 3).foreach { i =>
+      store.merge(batch(Seq(("m1", "name", s"v$i")), s"2024-0$i-01 00:00:00"),
+        ts(s"2024-0$i-01 00:00:00"))
+    }
+    // stash the dirs a compaction will delete, compact, then restore them
+    // — exactly the on-disk state of a crash after the base's _SUCCESS
+    // but before any deletion
+    val stash = Files.createTempDirectory("store11_stash").toFile
+    Seq("v=0", "v=1", "v=2").foreach { nm =>
+      val src = new java.io.File(dir, nm).toPath
+      val dst = new java.io.File(stash, nm).toPath
+      java.nio.file.Files.walk(src).forEach { p =>
+        java.nio.file.Files.copy(p, dst.resolve(src.relativize(p)))
+      }
+    }
+    store.compact(keep = 1)
+    Seq("v=0", "v=1", "v=2").foreach { nm =>
+      val src = new java.io.File(stash, nm).toPath
+      val dst = new java.io.File(dir, nm).toPath
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (!java.nio.file.Files.exists(t)) java.nio.file.Files.copy(p, t)
+      }
+    }
+    val before = store.currentTriples.collect().toSeq
+    // pre-fix this retried compact picked the same cut and Spark refused
+    // with "Cannot overwrite a path that is also being read from"
+    store.compact(keep = 1)
+    assert(store.currentTriples.collect().toSeq == before)
+    // the leftovers are gone; only the committed base remains
+    val names = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(names == Set("base=2"), names.toString)
+  }
+
+  test("auto-compaction bounds the level count with no caller calls") {
+    val dir = Files.createTempDirectory("store12").toString
+    val store = new TripletStore(spark, dir,
+      autoCompactEvery = 2, autoCompactKeep = 1)
+    (1 to 6).foreach { i =>
+      store.merge(batch(Seq(("m1", "name", s"v$i"), (s"m$i", "kind", "x")),
+        s"2024-0$i-01 00:00:00"), ts(s"2024-0$i-01 00:00:00"))
+      val levels = new java.io.File(dir).listFiles()
+        .count(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
+      assert(levels <= 3, // autoCompactEvery + 1, transiently
+        s"after merge $i: $levels committed levels")
+    }
+    // a long merge sequence stays readable and correct throughout
+    assert(store.currentVersion == 5)
+    assert(store.currentTriples
+      .filter(col("predicate") === "name").select("obj")
+      .as[String].collect().toSet == Set("v6"))
+    // m1's kind fact is deprecated at batch 2 (m1 re-extracted without
+    // it), so current = name v6 + kind for m2..m6
+    assert(store.currentTriples.count() == 6)
+    // autoCompactEvery = 0 disables the cadence entirely
+    val dir2 = Files.createTempDirectory("store12b").toString
+    val manual = new TripletStore(spark, dir2, autoCompactEvery = 0)
+    (1 to 5).foreach { i =>
+      manual.merge(batch(Seq(("m1", "name", s"v$i")), s"2024-0$i-01 00:00:00"),
+        ts(s"2024-0$i-01 00:00:00"))
+    }
+    assert(new java.io.File(dir2).listFiles()
+      .count(_.getName.startsWith("base=")) == 0)
+  }
+
+  test("null-subject rows merge like any other identity (extend, deprecate)") {
+    val dir = Files.createTempDirectory("store13").toString
+    val store = new TripletStore(spark, dir)
+    val nullSubj = Seq((null.asInstanceOf[String], "name", "alpha"))
+    store.merge(batch(nullSubj, "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    // pre-fix the subject semi-join dropped null subjects (null != null),
+    // so this re-merge opened a second shadowing range instead of
+    // extending — and the old row could never be deprecated
+    val s2 = store.merge(batch(nullSubj, "2024-02-01 00:00:00"),
+      ts("2024-02-01 00:00:00"))
+    assert(s2.nNew == 0 && s2.nExtended == 1 && s2.nDeprecated == 0, s2.toString)
+    assert(store.ranges.count() == 1)
+    val s3 = store.merge(
+      batch(Seq((null.asInstanceOf[String], "name", "beta")),
+        "2024-03-01 00:00:00"), ts("2024-03-01 00:00:00"))
+    assert(s3.nNew == 1 && s3.nDeprecated == 1, s3.toString)
+    assert(store.currentTriples.select("obj").as[String].collect().toSet ==
+      Set("beta"))
+  }
+
+  test("base and delta files are identity-clustered (disjoint key ranges)") {
+    val dir = Files.createTempDirectory("store14").toString
+    // tiny targetRowsPerFile forces multiple files at toy scale
+    val store = new TripletStore(spark, dir, autoCompactEvery = 0,
+      targetRowsPerFile = 25L)
+    val wide = (1 to 100).map(i => (s"m$i", "name", s"n$i"))
+    store.merge(batch(wide, "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    store.merge(batch(wide.map { case (s, p, _) => (s, p, "changed") },
+      "2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"))
+    store.compact(keep = 1)
+    def assertClustered(d: String): Unit = {
+      val files = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(files.length > 1, s"$d: want multiple files, got ${files.length}")
+      val ranges = files.map { f =>
+        val hs = spark.read.parquet(f).select("tripletHash")
+          .as[String].collect()
+        assert(hs.sameElements(hs.sorted), s"$f not sorted inside")
+        (hs.min, hs.max)
+      }.sortBy(_._1)
+      ranges.zip(ranges.tail).foreach { case ((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"$d: overlapping file key ranges [$hi] vs [$lo]")
+      }
+    }
+    assertClustered(s"$dir/base=1")
+    // a fresh delta on top of the base is clustered the same way
+    store.merge(batch(wide.map { case (s, p, _) => (s, p, "again") },
+      "2024-03-01 00:00:00"), ts("2024-03-01 00:00:00"))
+    assertClustered(s"$dir/v=2")
+  }
+
   test("compaction crash leftovers (superseded deltas) are ignored on read") {
     val dir = Files.createTempDirectory("store8").toString
     val store = new TripletStore(spark, dir)

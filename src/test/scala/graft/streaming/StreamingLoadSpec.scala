@@ -32,7 +32,10 @@ class StreamingLoadSpec extends AnyFunSuite {
     val inDir = Files.createTempDirectory("stream_in").toString
     val ckDir = Files.createTempDirectory("stream_ck").toString
     val storeDir = Files.createTempDirectory("stream_store").toString
-    val store = new TripletStore(spark, storeDir)
+    // autoCompactEvery=2: the third micro-batch's merge pushes the level
+    // count to 3 > 2 and fires a real base write inside the stream — the
+    // stream also proves merge-after-compact continuity
+    val store = new TripletStore(spark, storeDir, autoCompactEvery = 2)
 
     // batch files land one at a time (maxFilesPerTrigger=1)
     batchDf("alpha", "2024-01-01 00:00:00").coalesce(1)
@@ -42,12 +45,8 @@ class StreamingLoadSpec extends AnyFunSuite {
     batchDf("alpha-v3", "2024-03-01 00:00:00").coalesce(1)
       .write.mode("append").parquet(inDir)
 
-    // compactEvery=1: the third merge leaves 3 versions, so the periodic
-    // compaction fires a real base write — the stream also proves
-    // merge-after-compact continuity
     val q = StreamingLoad.start(
-      StreamingLoad.readTripleStream(spark, inDir), store, ckDir,
-      compactEvery = 1)
+      StreamingLoad.readTripleStream(spark, inDir), store, ckDir)
     q.processAllAvailable()
     q.stop()
 
