@@ -177,8 +177,10 @@ object Versioned {
        |touched AS (SELECT DISTINCT subject FROM b2)""".stripMargin
 
   /** Pure-SQL restatement of the two-batch merge (body only, so
-    * q_version_compacted can reuse it as a CTE). */
-  private val versionHistoryBody: String =
+    * q_version_compacted can reuse it as a CTE). `dep2Ms` is the
+    * deprecation stamp of the second merge — the caller-passed `now` in
+    * batch mode, the batch's max extraction time in streaming mode. */
+  private def versionHistoryBody(dep2Ms: Long): String =
     s"""SELECT b1.subject, b1.predicate, b1.obj, b1.et_ms AS start_ms,
        |       greatest(b1.et_ms, b2.et_ms) AS end_ms, false AS deprecated
        |FROM b1 JOIN b2 ON b1.subject = b2.subject
@@ -186,7 +188,7 @@ object Versioned {
        |UNION ALL
        |SELECT b1.subject, b1.predicate, b1.obj, b1.et_ms,
        |       CASE WHEN b1.subject IN (SELECT subject FROM touched)
-       |            THEN ${T3 * 1000} ELSE b1.et_ms END,
+       |            THEN $dep2Ms ELSE b1.et_ms END,
        |       b1.subject IN (SELECT subject FROM touched)
        |FROM b1
        |WHERE NOT EXISTS (SELECT 1 FROM b2 WHERE b2.subject = b1.subject
@@ -198,7 +200,7 @@ object Versioned {
        |  AND b1.predicate = b2.predicate AND b1.obj = b2.obj)""".stripMargin
 
   val versionHistorySql: String =
-    s"WITH $fixtureCte\n$versionHistoryBody"
+    s"WITH $fixtureCte\n${versionHistoryBody(T3 * 1000)}"
 
   val versionDeltaSql: String =
     s"""WITH $fixtureCte
@@ -231,9 +233,15 @@ object Versioned {
     * over it — closed rows immutable, matched open rows extended,
     * unmatched open rows of touched subjects deprecated at T5, untouched
     * open rows carried, unmatched batch rows fresh. */
-  val versionCompactedSql: String =
+  val versionCompactedSql: String = versionCompactedSqlAt(T3 * 1000, T5 * 1000)
+
+  /** The three-batch restatement with caller-chosen deprecation stamps
+    * (`dep2Ms` for the second merge, `dep3Ms` for the third) — shared by
+    * q_version_compacted (batch `now` stamps) and q_stream_merge (the
+    * stream stamps each merge at its batch's max extraction time). */
+  private def versionCompactedSqlAt(dep2Ms: Long, dep3Ms: Long): String =
     s"""WITH $fixtureCte,
-       |s2 AS MATERIALIZED ($versionHistoryBody),
+       |s2 AS MATERIALIZED (${versionHistoryBody(dep2Ms)}),
        |b3 AS (
        |  SELECT 'doc:' || doc_id AS subject, 'hasLang' AS predicate,
        |         'newlang' AS obj, ${T4 * 1000} AS et_ms
@@ -252,7 +260,7 @@ object Versioned {
        |  AND s2.predicate = b3.predicate AND s2.obj = b3.obj
        |WHERE NOT s2.deprecated
        |UNION ALL
-       |SELECT subject, predicate, obj, start_ms, ${T5 * 1000}, true
+       |SELECT subject, predicate, obj, start_ms, $dep3Ms, true
        |FROM s2
        |WHERE NOT deprecated AND subject IN (SELECT subject FROM t3)
        |  AND NOT EXISTS (SELECT 1 FROM b3 WHERE b3.subject = s2.subject
@@ -268,15 +276,65 @@ object Versioned {
        |  AND s2.subject = b3.subject AND s2.predicate = b3.predicate
        |  AND s2.obj = b3.obj)""".stripMargin
 
+  /** §2.12 streaming load, oracle-graded end-to-end: the SAME three
+    * fixture batches arrive as separate parquet files consumed by a real
+    * Structured Streaming file source ([[graft.streaming.StreamingLoad]]),
+    * each micro-batch merging into a scratch store with
+    * `autoCompactEvery = 1` — so the stream itself exercises
+    * merge → auto-compact → merge-on-base continuity, not just the merge
+    * arms. The stream stamps each merge at its batch's max extraction
+    * time (the logical load clock; `StreamingLoad.start`), so the oracle
+    * is the three-batch MERGE restatement with deprecation stamps
+    * `max(et(b2)) = T2 + 4min` and `max(et(b3)) = T4` instead of the
+    * batch-mode `now` arguments. Any drift between the streaming path
+    * and batch semantics — micro-batch ordering, foreachBatch state,
+    * compaction inside the stream — hash-mismatches here. */
+  def streamMerge(s: SparkSession, dir: String): DataFrame = {
+    val (b1, b2) = fixtureBatches(s, dir)
+    val b3 = batch(
+      t(s, dir, "documents").filter(col("doc_id") >= 200 && col("doc_id") < 250),
+      lit("newlang"), lit(T4))
+    Scratch.withScratch("graft_sm_q", dir) { tmp =>
+      val inDir = new java.io.File(tmp, "in").getAbsolutePath
+      val ckDir = new java.io.File(tmp, "ck").getAbsolutePath
+      val store = new TripletStore(s, new java.io.File(tmp, "store").getAbsolutePath,
+        autoCompactEvery = 1, autoCompactKeep = 1)
+      // one file per logical batch; processAllAvailable between drops
+      // pins the arrival order regardless of file-listing tiebreaks
+      b1.coalesce(1).write.mode("append").parquet(inDir)
+      val q = graft.streaming.StreamingLoad.start(
+        graft.streaming.StreamingLoad.readTripleStream(s, inDir), store, ckDir)
+      try {
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        b3.coalesce(1).write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      } finally q.stop()
+      store.ranges.select(col("subject"), col("predicate"), col("obj"),
+          expr("unix_micros(useStart) div 1000").as("start_ms"),
+          expr("unix_micros(useEnd) div 1000").as("end_ms"),
+          col("deprecated"))
+        .localCheckpoint()
+    }
+  }
+
+  /** Stream deprecation stamps: batch 2's max extraction time is
+    * `T2 + (max doc_id%5)*60s`; batch 3's is flat `T4`. */
+  val streamMergeSql: String =
+    versionCompactedSqlAt(T2 * 1000 + 4 * 60000, T4 * 1000)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_version_history" -> versionHistory _,
     "q_version_delta" -> versionDelta _,
     "q_version_asof" -> versionAsOf _,
-    "q_version_compacted" -> versionCompacted _)
+    "q_version_compacted" -> versionCompacted _,
+    "q_stream_merge" -> streamMerge _)
 
   val oracles: Map[String, String] = Map(
     "q_version_history" -> versionHistorySql,
     "q_version_delta" -> versionDeltaSql,
     "q_version_asof" -> versionAsOfSql,
-    "q_version_compacted" -> versionCompactedSql)
+    "q_version_compacted" -> versionCompactedSql,
+    "q_stream_merge" -> streamMergeSql)
 }
