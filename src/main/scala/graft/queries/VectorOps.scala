@@ -234,8 +234,14 @@ object VectorOps {
        |WHERE vec_id NOT IN (SELECT vec1 FROM b2drop)""".stripMargin
   }
 
-  /** IVF-probed ANN top-k (oracle-less: centroid fit is engine-defined;
-    * correctness vs brute force is pinned by IvfSpec's nprobe=k test). */
+  /** IVF-probed ANN top-k, HASH-GRADED against a full DuckDB replay of
+    * the engine-defined fit ([[annIvfSql]]): the sampled Lloyd fit is
+    * deterministic (seed centroids = first k vectors by vec_id, sample
+    * folds in vec_id order) and every floating-point reduction in the
+    * engine is a left fold in index order, so the oracle reproduces the
+    * centroids, assignments, and cosines BIT-EXACTLY — no tolerance.
+    * Correctness vs brute force additionally pinned by IvfSpec's
+    * nprobe=k test. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     // fit-or-load the persisted index: the fit (bounded sample collect) and
     // the corpus assign pass run once per corpus version, not per query
@@ -410,6 +416,68 @@ object VectorOps {
        |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank
        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  // DuckDB squared-distance / dot-product folds over DOUBLE[] columns.
+  // list_transform(range...) preserves index order and list_reduce is a
+  // left fold, so these are IEEE-op-for-op the engine's while-loops
+  // (Evaluators.dotDouble, IvfIndex.sqdist): bit-identical results.
+  private def sqd(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), " +
+      s"d -> ($a[d]-$b[d])*($a[d]-$b[d])), (x,y) -> x+y)"
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), " +
+      s"d -> $a[d]*$b[d]), (x,y) -> x+y)"
+
+  /** Exact replay of q_ann_ivf: two unrolled Lloyd iterations over the
+    * deterministic sample (first 2048 vectors by vec_id; seed centroids
+    * the first 8). The ONE ordering DuckDB does not give for free —
+    * Lloyd's per-cell sums, which the engine accumulates in vec_id order
+    * — is forced with `list(v ORDER BY vec_id)` + a left-fold
+    * elementwise add, so the centroid means carry the same rounding as
+    * the Scala loop. Empty cells keep the previous centroid (COALESCE =
+    * fitSample's counts(c)==0 arm). Assignment/probe ties break on the
+    * lowest cell index, matching `nearest`'s strict `<` and the probe
+    * sort on (dist, cell). */
+  val annIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048),
+       |c0 AS (SELECT cell, v AS c FROM (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v FROM samp) WHERE cell < 8),
+       |d1 AS (SELECT s.vec_id, s.v, c.cell, ${sqd("s.v", "c.c")} AS dist FROM samp s, c0 c),
+       |a1 AS (SELECT vec_id, v, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1),
+       |m1 AS (SELECT cell,
+       |  list_reduce(list(v ORDER BY vec_id), (acc, x) ->
+       |    list_transform(range(1, len(acc)+1), d -> acc[d] + x[d])) AS s,
+       |  count(*) AS n FROM a1 GROUP BY cell),
+       |c1 AS (SELECT c0.cell,
+       |  COALESCE(list_transform(range(1, len(m1.s)+1), d -> m1.s[d] / m1.n), c0.c) AS c
+       |  FROM c0 LEFT JOIN m1 ON m1.cell = c0.cell),
+       |d2 AS (SELECT s.vec_id, s.v, c.cell, ${sqd("s.v", "c.c")} AS dist FROM samp s, c1 c),
+       |a2 AS (SELECT vec_id, v, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1),
+       |m2 AS (SELECT cell,
+       |  list_reduce(list(v ORDER BY vec_id), (acc, x) ->
+       |    list_transform(range(1, len(acc)+1), d -> acc[d] + x[d])) AS s,
+       |  count(*) AS n FROM a2 GROUP BY cell),
+       |c2 AS (SELECT c1.cell,
+       |  COALESCE(list_transform(range(1, len(m2.s)+1), d -> m2.s[d] / m2.n), c1.c) AS c
+       |  FROM c1 LEFT JOIN m2 ON m2.cell = c1.cell),
+       |di AS (SELECT e.vec_id, e.v, c.cell, ${sqd("e.v", "c.c")} AS dist
+       |  FROM e, c2 c WHERE e.vec_id >= 10),
+       |idx AS (SELECT vec_id, v, cell, sqrt(${dotSql("v", "v")}) AS nrm FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM di) WHERE rn = 1),
+       |qq AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS qn FROM e WHERE vec_id < 10),
+       |dq AS (SELECT q.vec_id AS query_id, q.v AS qv, q.qn, c.cell, ${sqd("q.v", "c.c")} AS dist
+       |  FROM qq q, c2 c),
+       |probe AS (SELECT query_id, qv, qn, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn FROM dq) WHERE rn <= 2),
+       |scored AS (SELECT p.query_id, i.vec_id,
+       |  ${dotSql("p.qv", "i.v")} / (p.qn * i.nrm) AS cos
+       |  FROM probe p JOIN idx i USING (cell))
+       |SELECT query_id, vec_id AS neighbor_id, round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) WHERE rn <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rrf_fusion" -> rrfFusion _,
     "q_classifier_filter" -> classifierFilter _,
@@ -428,5 +496,6 @@ object VectorOps {
     "q_embed_neardup" -> embedNearDupSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_sketch_buckets" -> sketchBucketsSql,
-    "q_multimodal_meta" -> multimodalMetaSql)
+    "q_multimodal_meta" -> multimodalMetaSql,
+    "q_ann_ivf" -> annIvfSql)
 }
