@@ -135,7 +135,12 @@ object Markdown {
     else text.grouped(maxLen).toVector
 
   /** M6: hierarchical sectionization = header sections ∪ their paragraphs,
-    * deduplicated by content keeping the shortest title. */
+    * deduplicated by content keeping the shortest title. Dedup groups by
+    * the content STRING, not a content hash: equal-content sections are
+    * exactly what the reference's hash key modeled, the strings are
+    * already in memory, and a per-section digest (MessageDigest.getInstance
+    * per call) was 95% of this function's measured CPU — 77 → 5 µs/card
+    * on the q_context_match card shape (SCALE.md §Sectionizer). */
   def hierarchical(card: String, maxBlockLines: Int = 4): Vector[Section] = {
     val secs = sections(card)
     val fine = secs.flatMap { s =>
@@ -144,7 +149,7 @@ object Markdown {
       }
     }
     (secs ++ fine)
-      .groupBy(s => graft.model.Hashing.sha256(s.content))
+      .groupBy(_.content)
       .values.map(_.minBy(s => (s.title.length, s.title))).toVector
       .sortBy(s => (s.level, s.title))
   }

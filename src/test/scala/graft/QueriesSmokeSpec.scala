@@ -10,9 +10,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("every oracle has a query; non-oracled queries are known") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // oracle-less queries must be the engine-defined-centroid ones only
+    // q_ann_recall stays rows-only by design (recall floors live in
+    // IvfSpec); q_ann_ivf is hash-graded since its DuckDB IVF-fit replay
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("q_ann_ivf", "q_ann_recall"))
+      Set("q_ann_recall"))
   }
 
   test("entry returns rows") {
