@@ -96,7 +96,21 @@ object EtlDemo {
       PropertyQuery("fair4ml:intendedUse", "intended use of the model"),
       PropertyQuery("fair4ml:trainingDetails", "training details and data"))
     val backend = new TokenOverlapScorer
-    val store = new TripletStore(spark, s"$out/store")
+    // Production operating mode: the store compacts ITSELF — after any
+    // merge pushes the live level count past autoCompactEvery, the merge
+    // folds the levels down to autoCompactKeep retained versions. The
+    // demo runs a deliberately tight cadence (2/2) so it fires across the
+    // five merge legs below; every leg asserts the resulting bound.
+    val autoCompactEvery = 2
+    val store = new TripletStore(spark, s"$out/store",
+      autoCompactEvery = autoCompactEvery, autoCompactKeep = 2)
+    def assertLevelBound(leg: String): Unit = {
+      require(store.levelCount <= autoCompactEvery,
+        s"auto-compaction cadence violated after $leg: " +
+          s"${store.levelCount} levels > $autoCompactEvery")
+      println(s"[etl] store after $leg: ${store.levelCount} level(s), " +
+        s"retained v${store.oldestRetainedVersion}..v${store.currentVersion}")
+    }
 
     def load(license: String, time: String): Unit = {
       val t = Timestamp.valueOf(time)
@@ -119,6 +133,7 @@ object EtlDemo {
       val stats = store.merge(inc, t)
       println(s"[etl] merge @$time: new=${stats.nNew} extended=${stats.nExtended} " +
         s"deprecated=${stats.nDeprecated}")
+      assertLevelBound(s"merge @$time")
     }
 
     load("apache-2.0", "2024-01-10 00:00:00")
@@ -144,6 +159,7 @@ object EtlDemo {
         .withColumn("extractionTime", lit(t))
       val stats = store.merge(nested, t)
       println(s"[etl] openml nested trees: new=${stats.nNew}")
+      assertLevelBound("openml merge")
 
       // S8 enrichment: the dataset stats page scraped browserless (per-
       // partition transport, selector fallbacks, kill switch) and merged
@@ -201,6 +217,7 @@ object EtlDemo {
           .withColumn("extractionTime", lit(t)), t)
       println(s"[etl] arXiv batched fetch: ${arxivStats.nNew} article triples")
       require(arxivStats.nNew > 0, "arXiv leg produced no triples")
+      assertLevelBound("arXiv merge")
     }
 
     // S4 production half: croissant JSON-LD fetched per dataset id through
@@ -237,6 +254,7 @@ object EtlDemo {
       val stats = store.merge(triples, t)
       println(s"[etl] croissant fetch: ${stats.nNew} dataset triples")
       require(stats.nNew > 0, "croissant leg produced no triples")
+      assertLevelBound("croissant merge")
     }
 
     // E8 strategy dispatch: the same card answers through all three
@@ -322,14 +340,37 @@ object EtlDemo {
       groups.unpersist()
     }
 
-    // Compaction: materialize the delta levels into a base snapshot; the
-    // graph a reader sees must be identical before and after.
+    // Retention policy: beyond the automatic cadence, an operator can
+    // compact manually to narrow the VERSION-travel window (keep = 1 →
+    // only the current version remains a delta/snapshot target). The
+    // graph a reader sees must be identical before and after, TIMESTAMP
+    // travel still answers across the full history (closed ranges are
+    // folded into the base, never dropped), and a version below the new
+    // horizon fails loudly instead of returning an empty snapshot.
     val preCompact = store.currentTriples.count()
+    val belowHorizon = store.oldestRetainedVersion
     store.compact(keep = 1)
     require(store.currentTriples.count() == preCompact,
       "compaction changed the current graph")
-    println(s"[etl] compacted store: base at v${store.currentVersion}, " +
-      s"$preCompact triples unchanged")
+    require(store.levelCount == 1 &&
+        store.oldestRetainedVersion == store.currentVersion,
+      "retention compact(keep=1) should leave a single base level")
+    val licenseAt = (t: String) => store
+      .asOf(Timestamp.valueOf(t))
+      .filter(col("predicate") === "schema.org:license")
+      .select("obj").collect().map(_.getString(0)).toSeq
+    require(licenseAt("2024-01-15 00:00:00") == Seq("apache-2.0") &&
+        licenseAt("2024-02-15 00:00:00") == Seq("mit"),
+      "as-of reads changed across the retention compaction")
+    val horizonError =
+      try { store.delta(belowHorizon, store.currentVersion); "none" }
+      catch { case e: IllegalArgumentException => e.getMessage.take(60) }
+    require(horizonError != "none",
+      s"version $belowHorizon below the retention horizon must throw")
+    println(s"[etl] retention: compacted to 1 base level at " +
+      s"v${store.currentVersion}, $preCompact triples unchanged; as-of " +
+      "history intact (apache-2.0 @Jan, mit @Feb); " +
+      s"v$belowHorizon read errors: '$horizonError...'")
 
     val current = store.currentTriples
     println(s"[etl] current graph: ${current.count()} triples, " +

@@ -107,6 +107,19 @@ class TripletStore(spark: SparkSession, path: String,
 
   def currentVersion: Int = versions.lastOption.getOrElse(-1)
 
+  /** Oldest version still answerable by time-travel reads; -1 when empty.
+    * Versions below it were folded into a base by compaction. */
+  def oldestRetainedVersion: Int = versions.headOption.getOrElse(-1)
+
+  /** Live level count a current read spans: the newest base (if any)
+    * plus the deltas above it. The auto-compaction cadence keeps this at
+    * or below `autoCompactEvery` after every merge; exposed so operators
+    * can alert on it when running with `autoCompactEvery = 0`. */
+  def levelCount: Int = {
+    val floor = baseVersions.lastOption.getOrElse(-1)
+    deltaVersions.count(_ > floor) + (if (floor >= 0) 1 else 0)
+  }
+
   private def emptyRanges: DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rangeSchema)
@@ -301,11 +314,8 @@ class TripletStore(spark: SparkSession, path: String,
     // configured bound, fold down to `autoCompactKeep` retained versions
     // — the level count a reader spans is thus never above
     // autoCompactEvery + 1, without any caller involvement.
-    if (autoCompactEvery > 0) {
-      val floor = baseVersions.lastOption.getOrElse(-1)
-      val levels = deltaVersions.count(_ > floor) + (if (floor >= 0) 1 else 0)
-      if (levels > autoCompactEvery) compact(autoCompactKeep)
-    }
+    if (autoCompactEvery > 0 && levelCount > autoCompactEvery)
+      compact(autoCompactKeep)
     stats
   }
 
