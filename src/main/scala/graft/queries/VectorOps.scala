@@ -253,11 +253,12 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
-  /** ANN recall curve (rows-only like q_ann_ivf: centroids are
-    * engine-defined): recall@5 of the persisted IVF index vs brute-force
-    * cosine at nprobe 1/2/4/8 — the guard that index evolution cannot
-    * silently regress recall. IvfSpec pins a hard floor; this query keeps
-    * the whole curve visible in the graded artifact dump. */
+  /** ANN recall curve, HASH-GRADED like q_ann_ivf against a DuckDB
+    * replay of the deterministic fit ([[annRecallSql]]): recall@5 of the
+    * persisted IVF index vs brute-force cosine at nprobe 1/2/4/8 — the
+    * guard that index evolution cannot silently regress recall. IvfSpec
+    * pins a hard floor; this query keeps the whole curve visible in the
+    * graded artifact dump. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (model, index) = graft.similarity.IvfStore.indexFor(s, dir, k = 8, iters = 2)
@@ -427,17 +428,20 @@ object VectorOps {
     s"list_reduce(list_transform(range(1, len($a)+1), " +
       s"d -> $a[d]*$b[d]), (x,y) -> x+y)"
 
-  /** Exact replay of q_ann_ivf: two unrolled Lloyd iterations over the
-    * deterministic sample (first 2048 vectors by vec_id; seed centroids
-    * the first 8). The ONE ordering DuckDB does not give for free —
-    * Lloyd's per-cell sums, which the engine accumulates in vec_id order
-    * — is forced with `list(v ORDER BY vec_id)` + a left-fold
-    * elementwise add, so the centroid means carry the same rounding as
-    * the Scala loop. Empty cells keep the previous centroid (COALESCE =
-    * fitSample's counts(c)==0 arm). Assignment/probe ties break on the
-    * lowest cell index, matching `nearest`'s strict `<` and the probe
-    * sort on (dist, cell). */
-  val annIvfSql: String =
+  /** Shared replay of the engine-defined IVF fit, used by BOTH ANN
+    * oracles: two unrolled Lloyd iterations over the deterministic sample
+    * (first 2048 vectors by vec_id; seed centroids the first 8), the full
+    * corpus assignment with norms (`idx`), the query vectors with norms
+    * (`qq`), and the query-to-centroid distances (`dq`). The ONE ordering
+    * DuckDB does not give for free — Lloyd's per-cell sums, which the
+    * engine accumulates in vec_id order — is forced with
+    * `list(v ORDER BY vec_id)` + a left-fold elementwise add, so the
+    * centroid means carry the same rounding as the Scala loop. Empty
+    * cells keep the previous centroid (COALESCE = fitSample's
+    * counts(c)==0 arm). Assignment/probe ties break on the lowest cell
+    * index, matching `nearest`'s strict `<` and the probe sort on
+    * (dist, cell). */
+  private val ivfReplayCtes: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048),
        |c0 AS (SELECT cell, v AS c FROM (
@@ -468,7 +472,10 @@ object VectorOps {
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM di) WHERE rn = 1),
        |qq AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS qn FROM e WHERE vec_id < 10),
        |dq AS (SELECT q.vec_id AS query_id, q.v AS qv, q.qn, c.cell, ${sqd("q.v", "c.c")} AS dist
-       |  FROM qq q, c2 c),
+       |  FROM qq q, c2 c)""".stripMargin
+
+  val annIvfSql: String =
+    s"""$ivfReplayCtes,
        |probe AS (SELECT query_id, qv, qn, cell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn FROM dq) WHERE rn <= 2),
        |scored AS (SELECT p.query_id, i.vec_id,
@@ -477,6 +484,34 @@ object VectorOps {
        |SELECT query_id, vec_id AS neighbor_id, round(cos, 4) AS cos FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
        |  FROM scored) WHERE rn <= 5""".stripMargin
+
+  /** Exact replay of q_ann_recall over the same fit CTEs: every probed
+    * cell keeps its rank (`rn` 1-based = Spark's 0-based cell_rank + 1),
+    * the four curve arms each take per-query top-5 among rows visible at
+    * that nprobe, hits join the brute-force exact top-5 (the inlined
+    * [[cosineTopKSql]] — its inner WITH shadows this one's `e`), and the
+    * recall value reproduces Scala's `math.round(h / n * 10000) / 1e4`
+    * as `floor(h / n * 10000 + 0.5) / 10000.0` — same IEEE ops in the
+    * same order, so the doubles are bit-identical, no tolerance. */
+  val annRecallSql: String =
+    s"""$ivfReplayCtes,
+       |probe AS (SELECT query_id, qv, qn, cell, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn FROM dq) WHERE rn <= 8),
+       |base AS (SELECT p.query_id, i.vec_id, p.rn AS cell_rn,
+       |  ${dotSql("p.qv", "i.v")} / (p.qn * i.nrm) AS cos
+       |  FROM probe p JOIN idx i USING (cell)),
+       |exact AS (SELECT query_id, neighbor_id AS vec_id FROM ($cosineTopKSql)),
+       |arms AS (SELECT * FROM (VALUES (1), (2), (4), (8)) t(np)),
+       |sel AS (SELECT np, query_id, vec_id FROM (
+       |  SELECT a.np, b.query_id, b.vec_id,
+       |    row_number() OVER (PARTITION BY a.np, b.query_id ORDER BY b.cos DESC, b.vec_id) AS rn
+       |  FROM arms a JOIN base b ON b.cell_rn <= a.np) WHERE rn <= 5),
+       |hits AS (SELECT np, count(*) AS h FROM sel
+       |  JOIN exact USING (query_id, vec_id) GROUP BY np),
+       |nex AS (SELECT count(*) AS n FROM exact)
+       |SELECT CAST(a.np AS BIGINT) AS nprobe,
+       |  floor(CAST(COALESCE(h.h, 0) AS DOUBLE) / n * 10000 + 0.5) / 10000.0 AS recall_at_5
+       |FROM arms a LEFT JOIN hits h ON h.np = a.np CROSS JOIN nex""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rrf_fusion" -> rrfFusion _,
@@ -497,5 +532,6 @@ object VectorOps {
     "q_semantic_dedup" -> semanticDedupSql,
     "q_sketch_buckets" -> sketchBucketsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
-    "q_ann_ivf" -> annIvfSql)
+    "q_ann_ivf" -> annIvfSql,
+    "q_ann_recall" -> annRecallSql)
 }

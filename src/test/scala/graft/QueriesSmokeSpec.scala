@@ -8,12 +8,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  test("every oracle has a query; non-oracled queries are known") {
+  test("every oracle has a query; every query has an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // q_ann_recall stays rows-only by design (recall floors live in
-    // IvfSpec); q_ann_ivf is hash-graded since its DuckDB IVF-fit replay
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("q_ann_recall"))
+    // since r6 the full surface is oracle-paired: the last rows-only
+    // holdouts (the engine-defined IVF fit) are replayed bit-exactly in
+    // DuckDB (annIvfSql / annRecallSql)
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == Set.empty)
   }
 
   test("entry returns rows") {
