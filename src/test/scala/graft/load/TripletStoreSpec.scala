@@ -366,6 +366,51 @@ class TripletStoreSpec extends AnyFunSuite {
     assertClustered(s"$dir/v=2")
   }
 
+  test("commit race: the losing writer throws, the winner's state survives") {
+    val dir = Files.createTempDirectory("store9").toString
+    val store = new TripletStore(spark, dir)
+    store.merge(batch(Seq(("m1", "name", "alpha")), "2024-01-01 00:00:00"),
+      ts("2024-01-01 00:00:00"))
+    store.merge(batch(Seq(("m1", "name", "winner")), "2024-02-01 00:00:00"),
+      ts("2024-02-01 00:00:00")) // commits v=1 — the race winner
+    // a writer whose snapshot read happened before the winner's commit:
+    // pin its version view to the stale value so it targets v=1 too
+    val stale = new TripletStore(spark, dir) {
+      override def currentVersion: Int = 0
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      stale.merge(batch(Seq(("m1", "name", "loser")), "2024-02-02 00:00:00"),
+        ts("2024-02-02 00:00:00"))
+    }
+    assert(e.getMessage.contains("lost the commit race"))
+    // the winner's committed version is untouched and the loser left no
+    // visible state — only the race error
+    assert(store.currentVersion == 1)
+    assert(store.currentTriples.filter(col("obj") === "winner").count() == 1)
+    assert(store.currentTriples.filter(col("obj") === "loser").count() == 0)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".tmp-")),
+      "the losing writer must clean up its temp dir")
+  }
+
+  test("compaction sweeps dead writers' commit temp dirs, spares live ones") {
+    val dir = Files.createTempDirectory("store10").toString
+    val store = new TripletStore(spark, dir)
+    (1 to 2).foreach { i =>
+      store.merge(batch(Seq(("m1", "name", s"v$i")), s"2024-0$i-01 00:00:00"),
+        ts(s"2024-0$i-01 00:00:00"))
+    }
+    val dead = new java.io.File(dir, ".tmp-v7-deadbeef")
+    dead.mkdirs()
+    dead.setLastModified(
+      System.currentTimeMillis() - TripletStore.TmpSweepAgeMs - 60000)
+    val live = new java.io.File(dir, ".tmp-v7-cafecafe")
+    live.mkdirs() // fresh mtime = a writer mid-commit
+    store.compact(keep = 1)
+    assert(!dead.exists(), "an expired tmp dir is a dead writer's garbage")
+    assert(live.exists(), "a fresh tmp dir may belong to a live writer")
+    assert(store.currentTriples.filter(col("obj") === "v2").count() == 1)
+  }
+
   test("compaction crash leftovers (superseded deltas) are ignored on read") {
     val dir = Files.createTempDirectory("store8").toString
     val store = new TripletStore(spark, dir)
