@@ -316,51 +316,23 @@ class TripletStore(spark: SparkSession, path: String,
     fs.mkdirs()
     java.nio.file.Files.writeString(
       new java.io.File(fs, FormatMarker).toPath, IdentityFormat.toString)
-    // Optimistic concurrency on the version commit: the delta is written
-    // to a process-unique temp dir, then committed with ONE atomic rename
-    // to `v=N`. Without this, two writers that both read currentVersion =
-    // N-1 would BOTH overwrite `v=N` (the file sink runs in Overwrite
-    // mode) and the loser's batch would vanish silently; with it the
-    // rename is the reservation — exactly one writer wins, the loser
-    // throws (its MERGE was computed against a stale snapshot; re-merge
-    // to retry against the winner's). A crash at ANY point leaves only
-    // ignorable garbage: a torn `v=N` cannot exist (the rename is atomic)
-    // and `.tmp-` dirs are invisible to readers and swept by compaction —
-    // the previous mkdir-reservation design would instead have wedged the
-    // next merge on a crashed writer's leftover.
-    val tmp = new java.io.File(fs,
-      s".tmp-v$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    // Optimistic concurrency on the version commit ([[AtomicDirCommit]]):
+    // the delta is written to a process-unique temp dir, then committed
+    // with ONE atomic rename to `v=N`. Two writers that both read
+    // currentVersion = N-1 race the rename instead of silently
+    // overwriting each other in the file sink's Overwrite mode; the
+    // loser throws (its MERGE was computed against a stale snapshot;
+    // re-merge to retry against the winner's). A crash at ANY point
+    // leaves only `.tmp-` garbage swept by compaction — a torn `v=N`
+    // cannot exist.
+    val tmp = AtomicDirCommit.tmpFor(fs, s"v$v")
     // identity-clustered delta files: the stats job already counted the
     // delta rows, so the file sizing is free
     graft.sinks.Sinks.writeClustered(delta.withColumn("v", lit(v)),
       tmp.getAbsolutePath,
       nFilesFor(stats.nNew + stats.nExtended + stats.nDeprecated),
       targetRowsPerFile, "tripletHash", "infoHash")
-    val vDir = new java.io.File(fs, s"v=$v")
-    def commitRename(): Unit =
-      java.nio.file.Files.move(tmp.toPath, vDir.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    def lostRace(e: Throwable): Nothing = {
-      Scratch.rm(tmp)
-      throw new java.util.ConcurrentModificationException(
-        s"lost the commit race for version v=$v at $path (another " +
-          "writer committed it first): re-read the store and retry " +
-          s"the merge against the new current version ($e)")
-    }
-    try commitRename()
-    catch {
-      case e: java.nio.file.FileSystemException =>
-        // the tmp dir carries its _SUCCESS before the rename, so a target
-        // WITH _SUCCESS is a concurrent writer's committed version — a
-        // real lost race. A target WITHOUT it cannot come from this code
-        // path (the rename is all-or-nothing): it is a torn leftover of a
-        // pre-rename-layout writer or manual tampering — sweep it and
-        // retry the commit once, preserving torn-dir self-healing.
-        if (new java.io.File(vDir, "_SUCCESS").exists()) lostRace(e)
-        Scratch.rm(vDir)
-        try commitRename()
-        catch { case e2: java.nio.file.FileSystemException => lostRace(e2) }
-    }
+    AtomicDirCommit.commit(tmp, new java.io.File(fs, s"v=$v"))
 
     // auto-compaction cadence: once the live level count exceeds the
     // configured bound, fold down to `autoCompactKeep` retained versions
@@ -404,13 +376,7 @@ class TripletStore(spark: SparkSession, path: String,
         val d = new java.io.File(fs, nm)
         if (d.exists()) Scratch.rm(d)
       }
-    // sweep crashed writers' commit temp dirs: a LIVE writer's tmp has a
-    // fresh mtime (every landing part file touches it); anything past the
-    // age horizon belongs to a dead process and will never be renamed
-    Option(fs.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(".tmp-") &&
-        System.currentTimeMillis() - f.lastModified() > TmpSweepAgeMs)
-      .foreach(Scratch.rm)
+    AtomicDirCommit.sweepTmp(fs, TmpSweepAgeMs)
     dropped
   }
 

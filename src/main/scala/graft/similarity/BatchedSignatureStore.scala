@@ -55,11 +55,20 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
   def size: Long = table.count()
 
   /** Append one committed batch of survivor rows (no-op when empty). */
+  /** Append one committed batch via the shared rename-commit protocol
+    * ([[graft.load.AtomicDirCommit]]). The index is a single-writer
+    * store BY SEMANTICS (acceptance depends on arrival order), so a
+    * second concurrent ingester is a caller bug — with the rename
+    * commit it surfaces as a loud ConcurrentModificationException
+    * instead of one batch's survivors silently vanishing under the
+    * other's Overwrite. */
   protected def append(survivors: DataFrame, nAdded: Long): Unit =
     if (nAdded > 0) {
       val next = batches.lastOption.getOrElse(-1) + 1
+      val tmp = graft.load.AtomicDirCommit.tmpFor(fs, s"b$next")
       survivors.select(schema.fieldNames.map(col): _*)
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/b=$next")
+        .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+      graft.load.AtomicDirCommit.commit(tmp, new java.io.File(fs, s"b=$next"))
     }
 
   /** Rewrite all committed batches into one directory — after many small
@@ -83,6 +92,8 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
       bs.foreach(b => rmTree(new java.io.File(s"$path/b=$b")))
       pendingMarker.delete()
     }
+    graft.load.AtomicDirCommit.sweepTmp(fs,
+      graft.load.TripletStore.TmpSweepAgeMs)
     batches.length
   }
 }
