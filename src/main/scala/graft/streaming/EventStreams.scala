@@ -16,19 +16,22 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Schema of the events table as the stream source sees it (ts kept as
-    * epoch-nanos long to match the parquet physical type, converted on
-    * read). */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** File-based stream over a directory of events parquet. */
+  /** File-based stream over a directory of events parquet. Streaming
+    * sources need the schema up front, and the event files have shipped
+    * with two physical ts encodings (TIMESTAMP(NANOS) → nanos-as-long,
+    * TIMESTAMP(MICROS) → NTZ), so the schema comes from a footer-only
+    * static read of whatever is already in `dir`, then ts is normalized
+    * to a session-TZ TIMESTAMP exactly like the batch reader
+    * ([[graft.Tables]]) — stream and batch see one type by construction. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val physical = spark.read.parquet(dir).schema
+    val df = spark.readStream.schema(physical).parquet(dir)
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Tumbling 1-hour counts per event type with a 2-hour watermark: late
