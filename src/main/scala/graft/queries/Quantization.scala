@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.similarity.{Sq8, Sq8Model}
+
+/** SQ8 scalar-quantization queries over the embeddings table — the
+  * compressed-index leg of the ANN family ([[VectorOps]]): code/digest
+  * validation, reconstruction-error accounting, asymmetric brute-force
+  * top-k over the compressed corpus, and IVF-probed search over a
+  * compressed index (the IVF+SQ8 "ADC" stack modern vector stores run at
+  * scale). Every query is HASH-GRADED: the fit is order-independent
+  * min/max and the codec arithmetic is written as the same IEEE op
+  * sequence in both engines, so the DuckDB replays are bit-exact.
+  *
+  * Scale: the corpus-side state a search touches is 1 byte/dim instead of
+  * 8 — at 100 TB of raw embeddings the searchable index is ~12.5 TB, and
+  * the probe join's shuffle/broadcast volume shrinks by the same 8×. The
+  * fit's shuffle is `dim` rows per map partition (partial min/max agg);
+  * encode/decode never shuffle.
+  */
+object Quantization {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dot_double(a, b)
+
+  private val dim = 64
+
+  private def fitModel(s: SparkSession, dir: String): Sq8Model = {
+    val m = Sq8.fit(t(s, dir, "embeddings"))
+    require(m.dim == dim, s"embeddings dim ${m.dim} != oracle dim $dim")
+    m
+  }
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      // single-split test file → spread the per-row array math across cores
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Codes as comparable scalars (the driver's comparator can't sort raw
+    * arrays — the q_json_roundtrip lesson): per-vector min/max/sum plus an
+    * md5 digest of the comma-joined code string, which pins every single
+    * code byte without shipping an array column. */
+  def sq8Codes(s: SparkSession, dir: String): DataFrame = {
+    val m = fitModel(s, dir)
+    emb(s, dir)
+      .withColumn("cs", Sq8.encode(m)(col("v")))
+      .select(col("vec_id"),
+        array_min(col("cs")).cast("long").as("code_min"),
+        array_max(col("cs")).cast("long").as("code_max"),
+        aggregate(col("cs"), lit(0L), (a, x) => a + x).as("code_sum"),
+        md5(concat_ws(",", col("cs").cast("array<string>"))).as("code_digest"))
+  }
+
+  /** Per-vector reconstruction error of decode(encode(v)) — max and mean
+    * absolute error over dimensions. Sq8Spec additionally pins the
+    * theoretical bound (max_err ≤ step/2 per dimension). */
+  def sq8Error(s: SparkSession, dir: String): DataFrame = {
+    val m = fitModel(s, dir)
+    emb(s, dir)
+      .withColumn("dv", Sq8.decode(m)(Sq8.encode(m)(col("v"))))
+      .withColumn("errs", zip_with(col("v"), col("dv"), (a, b) => abs(a - b)))
+      .select(col("vec_id"),
+        round(aggregate(col("errs"), lit(0.0), (acc, x) => greatest(acc, x)), 6)
+          .as("max_err"),
+        round(aggregate(col("errs"), lit(0.0), (acc, x) => acc + x) / lit(64.0), 6)
+          .as("mean_err"))
+  }
+
+  /** Asymmetric brute-force top-k: full-precision query vectors scored
+    * against the DEQUANTIZED corpus (what a production search does against
+    * an SQ8 index before optional exact re-ranking). Same plan shape as
+    * q_cosine_topk: query side broadcast, corpus never shuffled. */
+  def sq8TopK(s: SparkSession, dir: String): DataFrame = {
+    val m = fitModel(s, dir)
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .withColumn("qn", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qn"))
+    val c = e.filter(col("vec_id") >= 10)
+      .withColumn("dv", Sq8.decode(m)(Sq8.encode(m)(col("v"))))
+      .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+      .select(col("vec_id").as("neighbor_id"), col("dv"), col("dn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    c.join(broadcast(q))
+      .withColumn("cos_raw", dot(col("qv"), col("dv")) / (col("qn") * col("dn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos"))
+  }
+
+  /** IVF-probed search over the SQ8-compressed index — the full ADC stack:
+    * the persisted IVF cell assignment restricts which corpus rows are
+    * touched (nprobe=2 of 8 cells), and the touched rows are scored from
+    * their codes, not their raw vectors. At scale this is the plan you
+    * want: probe join volume ∝ corpus/k·nprobe, bytes/row ∝ dim, not
+    * 8·dim. Hash-graded against [[annSq8Sql]], which composes the proven
+    * IVF fit replay with the SQ8 codec replay. */
+  def annSq8(s: SparkSession, dir: String): DataFrame = {
+    val m = fitModel(s, dir)
+    val (model, index) = graft.similarity.IvfStore.indexFor(s, dir, k = 8, iters = 2)
+    val comp = index.filter(col("vec_id") >= 10)
+      .withColumn("dv", Sq8.decode(m)(Sq8.encode(m)(col("v"))))
+      .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+    val q = graft.similarity.IvfIndex
+      .probedCells(t(s, dir, "embeddings").filter(col("vec_id") < 10), model,
+        nprobe = 2)
+      .drop("cell_rank")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    comp.join(broadcast(q), "cell")
+      .withColumn("cos", dot(col("qv"), col("dv")) / (col("qn") * col("dn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  // ---- DuckDB replays ------------------------------------------------
+  // The codec is replayed from scratch: per-dim min/max (order-independent
+  // aggregates → bit-identical to any Spark execution), then the same
+  // affine encode/decode expressions. Dot products use the proven
+  // list_reduce left-fold form (bit-identical to dot_double's while-loop).
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), " +
+      s"i -> $a[i]*$b[i]), (x,y) -> x+y)"
+
+  /** Shared codec CTEs: e (vectors), sl (per-dim min/max as lists), codes
+    * (SQ8 codes per vector), deq (dequantized reconstruction). */
+  private val sqCtes: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |st AS (SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+       |  FROM e, range(1, $dim + 1) td(d) GROUP BY d),
+       |sl AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM st),
+       |codes AS (SELECT vec_id, v,
+       |  list_transform(range(1, $dim + 1), d ->
+       |    CASE WHEN sl.mxs[d] = sl.mns[d] THEN 0
+       |         ELSE CAST(GREATEST(0, LEAST(255,
+       |           floor((v[d] - sl.mns[d]) / (sl.mxs[d] - sl.mns[d]) * 255.0 + 0.5)))
+       |           AS INTEGER) END) AS cs
+       |  FROM e, sl),
+       |deq AS (SELECT vec_id, v, cs,
+       |  list_transform(range(1, $dim + 1), d ->
+       |    sl.mns[d] + cs[d] * ((sl.mxs[d] - sl.mns[d]) / 255.0)) AS dv
+       |  FROM codes, sl)""".stripMargin
+
+  val sq8CodesSql: String =
+    s"""$sqCtes
+       |SELECT vec_id,
+       |  CAST(list_aggregate(cs, 'min') AS BIGINT) AS code_min,
+       |  CAST(list_aggregate(cs, 'max') AS BIGINT) AS code_max,
+       |  CAST(list_aggregate(cs, 'sum') AS BIGINT) AS code_sum,
+       |  md5(array_to_string(list_transform(cs, c -> CAST(c AS VARCHAR)), ',')) AS code_digest
+       |FROM codes""".stripMargin
+
+  val sq8ErrorSql: String =
+    s"""$sqCtes,
+       |errs AS (SELECT vec_id,
+       |  list_transform(range(1, $dim + 1), d -> abs(v[d] - dv[d])) AS es
+       |  FROM deq)
+       |SELECT vec_id,
+       |  round(list_reduce(es, (a, b) -> GREATEST(a, b)), 6) AS max_err,
+       |  round(list_reduce(es, (a, b) -> a + b) / 64.0, 6) AS mean_err
+       |FROM errs""".stripMargin
+
+  val sq8TopKSql: String =
+    s"""$sqCtes,
+       |qq AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS qn
+       |  FROM e WHERE vec_id < 10),
+       |cc AS (SELECT vec_id, dv, sqrt(${dotSql("dv", "dv")}) AS dn
+       |  FROM deq WHERE vec_id >= 10)
+       |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.v", "c.dv")} / (q.qn * c.dn) AS cos_raw,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${dotSql("q.v", "c.dv")} / (q.qn * c.dn) DESC, c.vec_id) AS rn
+       |  FROM qq q, cc c)
+       |WHERE rn <= 5""".stripMargin
+
+  /** IVF fit replay ([[VectorOps.ivfReplayCtes]]: centroids c2, assigned
+    * corpus idx, query cell distances dq) composed with the SQ8 codec over
+    * the INDEX rows — encode/decode idx.v exactly as the engine does, then
+    * probe nprobe=2 cells and rank by asymmetric cosine. */
+  val annSq8Sql: String =
+    s"""${VectorOps.ivfReplayCtes},
+       |st AS (SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+       |  FROM e, range(1, $dim + 1) td(d) GROUP BY d),
+       |sl AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM st),
+       |cdx AS (SELECT i.vec_id, i.cell,
+       |  list_transform(range(1, $dim + 1), d ->
+       |    CASE WHEN sl.mxs[d] = sl.mns[d] THEN 0
+       |         ELSE CAST(GREATEST(0, LEAST(255,
+       |           floor((i.v[d] - sl.mns[d]) / (sl.mxs[d] - sl.mns[d]) * 255.0 + 0.5)))
+       |           AS INTEGER) END) AS cs
+       |  FROM idx i, sl),
+       |ddx AS (SELECT c.vec_id, c.cell,
+       |  list_transform(range(1, $dim + 1), d ->
+       |    sl.mns[d] + c.cs[d] * ((sl.mxs[d] - sl.mns[d]) / 255.0)) AS dv
+       |  FROM cdx c, sl),
+       |ddn AS (SELECT vec_id, cell, dv, sqrt(${dotSql("dv", "dv")}) AS dn FROM ddx),
+       |probe AS (SELECT query_id, qv, qn, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+       |  FROM dq) WHERE rn <= 2),
+       |scored AS (SELECT p.query_id, i.vec_id,
+       |  ${dotSql("p.qv", "i.dv")} / (p.qn * i.dn) AS cos
+       |  FROM probe p JOIN ddn i USING (cell))
+       |SELECT query_id, vec_id AS neighbor_id, round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) WHERE rn <= 5""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sq8_codes" -> sq8Codes _,
+    "q_sq8_error" -> sq8Error _,
+    "q_sq8_topk" -> sq8TopK _,
+    "q_ann_sq8" -> annSq8 _)
+
+  val oracles: Map[String, String] = Map(
+    "q_sq8_codes" -> sq8CodesSql,
+    "q_sq8_error" -> sq8ErrorSql,
+    "q_sq8_topk" -> sq8TopKSql,
+    "q_ann_sq8" -> annSq8Sql)
+}

@@ -441,7 +441,7 @@ object VectorOps {
     * counts(c)==0 arm). Assignment/probe ties break on the lowest cell
     * index, matching `nearest`'s strict `<` and the probe sort on
     * (dist, cell). */
-  private val ivfReplayCtes: String =
+  private[queries] val ivfReplayCtes: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048),
        |c0 AS (SELECT cell, v AS c FROM (

@@ -88,6 +88,13 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
   }
 
+  test("sq8 top-k: query side broadcast, compressed corpus never shuffled for the join") {
+    val s = planString(queries.Quantization.sq8TopK(spark, dir))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+    // the codec is pure projection — no UDF boundary in the scoring path
+    assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"), s)
+  }
+
   test("hash aggregations use partial (map-side) aggregation") {
     val s = planString(queries.Relational.q1Agg(spark, dir))
     assert(s.contains("HashAggregate"), s)
