@@ -83,4 +83,18 @@ object Sq8 {
       mn + c.cast("double") * ((mx - mn) / lit(255.0))
     })
   }
+
+  // Packed storage: parquet has no int8 list element (array<int> costs
+  // 4 bytes/code before encoding), so the on-disk/index representation is
+  // a BINARY blob at exactly 1 byte/dim. Packing is a sink-side step, not
+  // the scoring hot path, so a Scala UDF is acceptable here (the scoring
+  // path stays pure column ops — PlanSpec pins it UDF-free).
+  private val packUdf = udf((codes: Seq[Int]) => codes.map(_.toByte).toArray)
+  private val unpackUdf = udf((b: Array[Byte]) => b.map(x => (x & 0xFF): Int))
+
+  /** Codes as a 1-byte-per-dim binary blob (storage form). */
+  def encodePacked(m: Sq8Model)(v: Column): Column = packUdf(encode(m)(v))
+
+  /** Binary blob → array<int> codes (feed to [[decode]] for scoring). */
+  def unpack(bin: Column): Column = unpackUdf(bin)
 }

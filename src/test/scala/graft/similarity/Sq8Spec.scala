@@ -55,6 +55,19 @@ class Sq8Spec extends AnyFunSuite {
     assert(out.forall(_ == 1.5))
   }
 
+  test("packed binary roundtrip: exactly 1 byte per dim, exact code recovery") {
+    val df = emb.limit(50)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val both = df.select(
+      Sq8.encode(model)(col("v")).as("cs"),
+      Sq8.unpack(Sq8.encodePacked(model)(col("v"))).as("ps"))
+    assert(both.filter(col("cs") =!= col("ps")).count() == 0)
+    val lens = df
+      .select(octet_length(Sq8.encodePacked(model)(col("v"))).as("len"))
+      .distinct().as[Int].collect()
+    assert(lens.toSeq == Seq(64))
+  }
+
   test("asymmetric top-k over codes recalls the exact top-k") {
     val exact = graft.queries.VectorOps.cosineTopK(spark, TestSpark.sf0001)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
