@@ -279,7 +279,52 @@ object Sampling {
        |GROUP BY source""".stripMargin
   }
 
+  /** Deterministic curriculum interleave: each source's docs get a stable
+    * pseudo-random order (salted md5 hash — the same content-stable
+    * shuffle the split uses), and the global training order round-robins
+    * the sources: global_pos = (rank_in_source − 1)·|sources| +
+    * source_idx. The training loader reads shards sorted by global_pos
+    * and sees sources interleaved 1:1:… with each source internally
+    * shuffled — with NO global sort or single-partition window anywhere:
+    * per-source ranks come from [[graft.operators.KeyedCumsum]]'s
+    * two-level cumsum (rank = running sum of 1s), the source dim is a
+    * tiny broadcast, and the position is arithmetic. */
+  def interleave(s: SparkSession, dir: String): DataFrame = {
+    val h = bucket("curr", col("doc_id"), 4294967296L)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), h.as("h"), lit(1L).as("one"))
+    val ranked = graft.operators.KeyedCumsum(s, docs, key = "source",
+        order = Seq("h", "doc_id"), value = "one", out = "src_rank")
+    val srcW = Window.orderBy("source") // tiny: |sources| rows
+    val dim = docs.select("source").distinct()
+      .withColumn("source_idx", row_number().over(srcW).cast("long") - 1)
+    val ns = dim.agg(count(lit(1)).as("ns"))
+    ranked
+      .join(broadcast(dim), "source")
+      .crossJoin(broadcast(ns))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        ((col("src_rank") - 1) * col("ns") + col("source_idx"))
+          .as("global_pos"))
+  }
+
+  val interleaveSql: String = {
+    val h = bucketSql("curr", "doc_id", 4294967296L)
+    """WITH d AS (SELECT doc_id, source, HEXPR AS h FROM documents),
+      |dim AS (SELECT source,
+      |  CAST(row_number() OVER (ORDER BY source) AS BIGINT) - 1 AS source_idx
+      |  FROM (SELECT DISTINCT source FROM d)),
+      |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dim),
+      |ranked AS (SELECT doc_id, source,
+      |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS src_rank
+      |  FROM d)
+      |SELECT r.doc_id, r.source, r.src_rank,
+      |  (r.src_rank - 1) * ns.n + dim.source_idx AS global_pos
+      |FROM ranked r JOIN dim USING (source) CROSS JOIN ns""".stripMargin
+      .replace("HEXPR", h)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interleave" -> interleave _,
     "q_split_assign" -> splitAssign _,
     "q_stratified_sample" -> stratifiedSample _,
     "q_source_mixture" -> sourceMixture _,
@@ -287,6 +332,7 @@ object Sampling {
     "q_budget_cap" -> budgetCap _)
 
   val oracles: Map[String, String] = Map(
+    "q_interleave" -> interleaveSql,
     "q_split_assign" -> splitAssignSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_source_mixture" -> sourceMixtureSql,

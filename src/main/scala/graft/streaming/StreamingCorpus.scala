@@ -50,6 +50,17 @@ object StreamingCorpus {
   def decontaminateStream(docs: DataFrame, filter: Array[Byte]): DataFrame =
     graft.queries.Corpus.decontaminateBloom(docs, filter)
 
+  /** Streaming count–min sketch: the standing frequency summary
+    * ([[graft.queries.Sketches]]) updated per micro-batch — the build is
+    * one groupBy aggregation over tokens × a broadcast 4-row hash dim,
+    * so it runs unchanged on a streaming frame (update/complete mode)
+    * with state bounded at depth×width cells FOREVER, whatever the
+    * stream rate. StreamingCorpusSpec proves streamed cells equal the
+    * batch sketch over the same files (the cell-wise merge law CmsSpec
+    * pins is exactly why micro-batch accumulation works). */
+  def cmsCells(docs: DataFrame): DataFrame =
+    graft.queries.Sketches.buildSketch(graft.queries.Sketches.tokensOf(docs))
+
   /** The production intake loop: every arriving micro-batch is ingested
     * into the persisted [[graft.similarity.DedupIndex]] — each batch
     * dedups against itself and everything that survived before it, and

@@ -37,6 +37,26 @@ class StreamingCorpusSpec extends AnyFunSuite {
     assert(batch.values.sum > 0)
   }
 
+  test("streamed count-min sketch cells equal the batch sketch") {
+    val dir = Files.createTempDirectory("cms_stream")
+    Files.copy(Paths.get(s"${TestSpark.sf0001}/documents.parquet"),
+      dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamingCorpus.cmsCells(
+        StreamingCorpus.readDocuments(spark, dir.toString))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_cells").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("cms_cells")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.queries.Sketches
+      .cmsSketch(spark, TestSpark.sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming intake ingests each micro-batch into the dedup index") {
     val dir = Files.createTempDirectory("intake_stream")
     val idxPath = Files.createTempDirectory("intake_idx").toString
