@@ -106,7 +106,12 @@ object ScaleTenProbe {
     // cost grows with data (q_version_history's fixture batches are
     // doc_id-bounded by design, so it is not a scale probe subject)
     val heavyAll = Seq("q_incremental_dedup", "q_semantic_dedup",
-      "q_dedup_groups", "q_common_spans", "q_context_match", "q_rrf_fusion")
+      "q_dedup_groups", "q_common_spans", "q_context_match", "q_rrf_fusion",
+      // round-6 families: linear scans (sq8 top-k), probed-index search
+      // (ann_sq8), bounded-cell aggregation (cms), two-level rank
+      // (interleave) — each with a distinct expected scaling shape
+      "q_sq8_topk", "q_ann_sq8", "q_cms_sketch", "q_cms_heavy_hitters",
+      "q_interleave")
     // args: [multiplier] [comma-separated query subset] — e.g.
     //   Test/runMain graft.ScaleTenProbe 100 q_dedup_groups,q_common_spans
     // gives a second measured decade on a chosen subset.
