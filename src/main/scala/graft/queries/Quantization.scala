@@ -217,15 +217,175 @@ object Quantization {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
        |  FROM scored) WHERE rn <= 5""".stripMargin
 
+  // ---- Product quantization (m=8 subspaces × k=16 cells × 8 dims) ----
+
+  private def pqModel(s: SparkSession, dir: String): graft.similarity.PqModel = {
+    val m = graft.similarity.Pq.fit(
+      t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+    require(m.dim == dim, s"embeddings dim ${m.dim} != oracle dim $dim")
+    m
+  }
+
+  /** PQ codes as comparable scalars (same digest discipline as
+    * [[sq8Codes]]): every one of the m codes is pinned through the md5
+    * digest, so the oracle's from-scratch per-subspace Lloyd replay must
+    * agree on all of them. */
+  def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val m = pqModel(s, dir)
+    emb(s, dir)
+      .withColumn("cs", graft.similarity.Pq.encode(m)(col("v")))
+      .select(col("vec_id"),
+        array_min(col("cs")).cast("long").as("code_min"),
+        array_max(col("cs")).cast("long").as("code_max"),
+        aggregate(col("cs"), lit(0L), (a, x) => a + x).as("code_sum"),
+        md5(concat_ws(",", col("cs").cast("array<string>"))).as("code_digest"))
+  }
+
+  /** Per-vector PQ reconstruction error (max + mean absolute over
+    * dimensions) — the quality ledger next to [[sq8Error]]: PQ trades
+    * ~8× more compression than SQ8 for coarser reconstruction, and this
+    * pair of graded queries makes the trade measurable. */
+  def pqError(s: SparkSession, dir: String): DataFrame = {
+    val m = pqModel(s, dir)
+    emb(s, dir)
+      .withColumn("dv",
+        graft.similarity.Pq.decode(m)(graft.similarity.Pq.encode(m)(col("v"))))
+      .withColumn("errs", zip_with(col("v"), col("dv"), (a, b) => abs(a - b)))
+      .select(col("vec_id"),
+        round(aggregate(col("errs"), lit(0.0), (acc, x) => greatest(acc, x)), 6)
+          .as("max_err"),
+        round(aggregate(col("errs"), lit(0.0), (acc, x) => acc + x) / lit(64.0), 6)
+          .as("mean_err"))
+  }
+
+  /** Asymmetric top-k over the PQ-reconstructed corpus (full-precision
+    * queries, m-byte corpus rows) — the scoring path is pure column ops
+    * over the flattened-centroid plan literal, no UDF, no shuffle of the
+    * corpus. */
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val m = pqModel(s, dir)
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .withColumn("qn", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qn"))
+    val c = e.filter(col("vec_id") >= 10)
+      .withColumn("dv",
+        graft.similarity.Pq.decode(m)(graft.similarity.Pq.encode(m)(col("v"))))
+      .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+      .select(col("vec_id").as("neighbor_id"), col("dv"), col("dn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    c.join(broadcast(q))
+      .withColumn("cos_raw", dot(col("qv"), col("dv")) / (col("qn") * col("dn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos"))
+  }
+
+  private def sqdSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), " +
+      s"d -> ($a[d]-$b[d])*($a[d]-$b[d])), (x,y) -> x+y)"
+
+  /** From-scratch replay of the per-subspace Lloyd fit — one CTE chain
+    * with the subspace as a COLUMN (s ∈ 0..7), each arm the exact shape
+    * [[VectorOps.ivfReplayCtes]] proved bit-exact: seeds = first k
+    * sample subvectors by vec_id per subspace, per-cell sums folded in
+    * vec_id order, empty cells keep the previous centroid, assignment
+    * ties to the lowest cell. Ends with `pq` (vec_id, s, code) and `rv`
+    * (vec_id, 64-dim reconstruction, subspace slices concatenated in s
+    * order so the dot-product fold visits dims in the engine's order). */
+  private val pqCtes: String = {
+    val ew = "list_transform(range(1, 9), d -> acc[d] + x[d])"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sub AS (SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS u
+       |  FROM e, range(0, 8) ts(s)),
+       |samp AS (SELECT * FROM sub WHERE vec_id IN
+       |  (SELECT vec_id FROM e ORDER BY vec_id LIMIT 2048)),
+       |c0 AS (SELECT s, cell, u AS c FROM (
+       |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cell, u
+       |  FROM samp) WHERE cell < 16),
+       |d1 AS (SELECT p.vec_id, p.s, p.u, c.cell, ${sqdSql("p.u", "c.c")} AS dist
+       |  FROM samp p JOIN c0 c ON c.s = p.s),
+       |a1 AS (SELECT vec_id, s, u, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY s, vec_id ORDER BY dist, cell) AS rn
+       |  FROM d1) WHERE rn = 1),
+       |m1 AS (SELECT s, cell,
+       |  list_reduce(list(u ORDER BY vec_id), (acc, x) -> $ew) AS sm,
+       |  count(*) AS n FROM a1 GROUP BY s, cell),
+       |c1 AS (SELECT c0.s, c0.cell,
+       |  COALESCE(list_transform(range(1, 9), d -> m1.sm[d] / m1.n), c0.c) AS c
+       |  FROM c0 LEFT JOIN m1 ON m1.s = c0.s AND m1.cell = c0.cell),
+       |d2 AS (SELECT p.vec_id, p.s, p.u, c.cell, ${sqdSql("p.u", "c.c")} AS dist
+       |  FROM samp p JOIN c1 c ON c.s = p.s),
+       |a2 AS (SELECT vec_id, s, u, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY s, vec_id ORDER BY dist, cell) AS rn
+       |  FROM d2) WHERE rn = 1),
+       |m2 AS (SELECT s, cell,
+       |  list_reduce(list(u ORDER BY vec_id), (acc, x) -> $ew) AS sm,
+       |  count(*) AS n FROM a2 GROUP BY s, cell),
+       |c2 AS (SELECT c1.s, c1.cell,
+       |  COALESCE(list_transform(range(1, 9), d -> m2.sm[d] / m2.n), c1.c) AS c
+       |  FROM c1 LEFT JOIN m2 ON m2.s = c1.s AND m2.cell = c1.cell),
+       |dall AS (SELECT b.vec_id, b.s, b.u, c.cell, ${sqdSql("b.u", "c.c")} AS dist
+       |  FROM sub b JOIN c2 c ON c.s = b.s),
+       |pq AS (SELECT vec_id, s, cell AS code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY s, vec_id ORDER BY dist, cell) AS rn
+       |  FROM dall) WHERE rn = 1),
+       |rv AS (SELECT p.vec_id, flatten(list(c.c ORDER BY p.s)) AS dv
+       |  FROM pq p JOIN c2 c ON c.s = p.s AND c.cell = p.code
+       |  GROUP BY p.vec_id)""".stripMargin
+  }
+
+  val pqCodesSql: String =
+    s"""$pqCtes,
+       |cl AS (SELECT vec_id, list(code ORDER BY s) AS cs FROM pq GROUP BY vec_id)
+       |SELECT vec_id,
+       |  CAST(list_aggregate(cs, 'min') AS BIGINT) AS code_min,
+       |  CAST(list_aggregate(cs, 'max') AS BIGINT) AS code_max,
+       |  CAST(list_aggregate(cs, 'sum') AS BIGINT) AS code_sum,
+       |  md5(array_to_string(list_transform(cs, c -> CAST(c AS VARCHAR)), ',')) AS code_digest
+       |FROM cl""".stripMargin
+
+  val pqErrorSql: String =
+    s"""$pqCtes,
+       |errs AS (SELECT e.vec_id,
+       |  list_transform(range(1, $dim + 1), d -> abs(e.v[d] - r.dv[d])) AS es
+       |  FROM e JOIN rv r USING (vec_id))
+       |SELECT vec_id,
+       |  round(list_reduce(es, (a, b) -> GREATEST(a, b)), 6) AS max_err,
+       |  round(list_reduce(es, (a, b) -> a + b) / 64.0, 6) AS mean_err
+       |FROM errs""".stripMargin
+
+  val pqTopKSql: String =
+    s"""$pqCtes,
+       |qq AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS qn
+       |  FROM e WHERE vec_id < 10),
+       |cc AS (SELECT vec_id, dv, sqrt(${dotSql("dv", "dv")}) AS dn
+       |  FROM rv WHERE vec_id >= 10)
+       |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.v", "c.dv")} / (q.qn * c.dn) AS cos_raw,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${dotSql("q.v", "c.dv")} / (q.qn * c.dn) DESC, c.vec_id) AS rn
+       |  FROM qq q, cc c)
+       |WHERE rn <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sq8_codes" -> sq8Codes _,
     "q_sq8_error" -> sq8Error _,
     "q_sq8_topk" -> sq8TopK _,
-    "q_ann_sq8" -> annSq8 _)
+    "q_ann_sq8" -> annSq8 _,
+    "q_pq_codes" -> pqCodes _,
+    "q_pq_error" -> pqError _,
+    "q_pq_topk" -> pqTopK _)
 
   val oracles: Map[String, String] = Map(
     "q_sq8_codes" -> sq8CodesSql,
     "q_sq8_error" -> sq8ErrorSql,
     "q_sq8_topk" -> sq8TopKSql,
-    "q_ann_sq8" -> annSq8Sql)
+    "q_ann_sq8" -> annSq8Sql,
+    "q_pq_codes" -> pqCodesSql,
+    "q_pq_error" -> pqErrorSql,
+    "q_pq_topk" -> pqTopKSql)
 }
