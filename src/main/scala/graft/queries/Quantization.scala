@@ -283,6 +283,34 @@ object Quantization {
         round(col("cos_raw"), 4).as("cos"))
   }
 
+  /** IVF-probed search over the PQ-coded index — FAISS's IndexIVFPQ
+    * shape: the persisted cell assignment bounds which corpus rows a
+    * query touches (nprobe=2 of 8), and touched rows are scored from
+    * their m-byte PQ codes. The corpus-side state is cell id + m codes
+    * per vector — the configuration that fits a 100 TB corpus's search
+    * state in executor memory. Hash-graded by [[annPqSql]], which
+    * composes the IVF fit replay with the prefixed PQ fit replay. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val m = pqModel(s, dir)
+    val (model, index) = graft.similarity.IvfStore.indexFor(s, dir, k = 8, iters = 2)
+    val comp = index.filter(col("vec_id") >= 10)
+      .withColumn("dv",
+        graft.similarity.Pq.decode(m)(graft.similarity.Pq.encode(m)(col("v"))))
+      .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+    val q = graft.similarity.IvfIndex
+      .probedCells(t(s, dir, "embeddings").filter(col("vec_id") < 10), model,
+        nprobe = 2)
+      .drop("cell_rank")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    comp.join(broadcast(q), "cell")
+      .withColumn("cos", dot(col("qv"), col("dv")) / (col("qn") * col("dn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   private def sqdSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), " +
       s"d -> ($a[d]-$b[d])*($a[d]-$b[d])), (x,y) -> x+y)"
@@ -292,50 +320,56 @@ object Quantization {
     * [[VectorOps.ivfReplayCtes]] proved bit-exact: seeds = first k
     * sample subvectors by vec_id per subspace, per-cell sums folded in
     * vec_id order, empty cells keep the previous centroid, assignment
-    * ties to the lowest cell. Ends with `pq` (vec_id, s, code) and `rv`
-    * (vec_id, 64-dim reconstruction, subspace slices concatenated in s
-    * order so the dot-product fold visits dims in the engine's order). */
-  private val pqCtes: String = {
+    * ties to the lowest cell. Ends with `${p}pq` (vec_id, s, code) and
+    * `${p}rv` (vec_id, 64-dim reconstruction, subspace slices
+    * concatenated in s order so the dot-product fold visits dims in the
+    * engine's order). Every CTE name takes prefix `p` so the chain
+    * composes with [[VectorOps.ivfReplayCtes]] (which owns the shared
+    * `e` and its own samp/c0../c2 names) for the IVF+PQ oracle. */
+  private def pqFit(p: String): String = {
     val ew = "list_transform(range(1, 9), d -> acc[d] + x[d])"
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |sub AS (SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS u
+    s"""${p}sub AS (SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS u
        |  FROM e, range(0, 8) ts(s)),
-       |samp AS (SELECT * FROM sub WHERE vec_id IN
+       |${p}samp AS (SELECT * FROM ${p}sub WHERE vec_id IN
        |  (SELECT vec_id FROM e ORDER BY vec_id LIMIT 2048)),
-       |c0 AS (SELECT s, cell, u AS c FROM (
+       |${p}c0 AS (SELECT s, cell, u AS c FROM (
        |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cell, u
-       |  FROM samp) WHERE cell < 16),
-       |d1 AS (SELECT p.vec_id, p.s, p.u, c.cell, ${sqdSql("p.u", "c.c")} AS dist
-       |  FROM samp p JOIN c0 c ON c.s = p.s),
-       |a1 AS (SELECT vec_id, s, u, cell FROM (
+       |  FROM ${p}samp) WHERE cell < 16),
+       |${p}d1 AS (SELECT p.vec_id, p.s, p.u, c.cell, ${sqdSql("p.u", "c.c")} AS dist
+       |  FROM ${p}samp p JOIN ${p}c0 c ON c.s = p.s),
+       |${p}a1 AS (SELECT vec_id, s, u, cell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY s, vec_id ORDER BY dist, cell) AS rn
-       |  FROM d1) WHERE rn = 1),
-       |m1 AS (SELECT s, cell,
+       |  FROM ${p}d1) WHERE rn = 1),
+       |${p}m1 AS (SELECT s, cell,
        |  list_reduce(list(u ORDER BY vec_id), (acc, x) -> $ew) AS sm,
-       |  count(*) AS n FROM a1 GROUP BY s, cell),
-       |c1 AS (SELECT c0.s, c0.cell,
+       |  count(*) AS n FROM ${p}a1 GROUP BY s, cell),
+       |${p}c1 AS (SELECT c0.s, c0.cell,
        |  COALESCE(list_transform(range(1, 9), d -> m1.sm[d] / m1.n), c0.c) AS c
-       |  FROM c0 LEFT JOIN m1 ON m1.s = c0.s AND m1.cell = c0.cell),
-       |d2 AS (SELECT p.vec_id, p.s, p.u, c.cell, ${sqdSql("p.u", "c.c")} AS dist
-       |  FROM samp p JOIN c1 c ON c.s = p.s),
-       |a2 AS (SELECT vec_id, s, u, cell FROM (
+       |  FROM ${p}c0 c0 LEFT JOIN ${p}m1 m1 ON m1.s = c0.s AND m1.cell = c0.cell),
+       |${p}d2 AS (SELECT p.vec_id, p.s, p.u, c.cell, ${sqdSql("p.u", "c.c")} AS dist
+       |  FROM ${p}samp p JOIN ${p}c1 c ON c.s = p.s),
+       |${p}a2 AS (SELECT vec_id, s, u, cell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY s, vec_id ORDER BY dist, cell) AS rn
-       |  FROM d2) WHERE rn = 1),
-       |m2 AS (SELECT s, cell,
+       |  FROM ${p}d2) WHERE rn = 1),
+       |${p}m2 AS (SELECT s, cell,
        |  list_reduce(list(u ORDER BY vec_id), (acc, x) -> $ew) AS sm,
-       |  count(*) AS n FROM a2 GROUP BY s, cell),
-       |c2 AS (SELECT c1.s, c1.cell,
+       |  count(*) AS n FROM ${p}a2 GROUP BY s, cell),
+       |${p}c2 AS (SELECT c1.s, c1.cell,
        |  COALESCE(list_transform(range(1, 9), d -> m2.sm[d] / m2.n), c1.c) AS c
-       |  FROM c1 LEFT JOIN m2 ON m2.s = c1.s AND m2.cell = c1.cell),
-       |dall AS (SELECT b.vec_id, b.s, b.u, c.cell, ${sqdSql("b.u", "c.c")} AS dist
-       |  FROM sub b JOIN c2 c ON c.s = b.s),
-       |pq AS (SELECT vec_id, s, cell AS code FROM (
+       |  FROM ${p}c1 c1 LEFT JOIN ${p}m2 m2 ON m2.s = c1.s AND m2.cell = c1.cell),
+       |${p}dall AS (SELECT b.vec_id, b.s, b.u, c.cell, ${sqdSql("b.u", "c.c")} AS dist
+       |  FROM ${p}sub b JOIN ${p}c2 c ON c.s = b.s),
+       |${p}pq AS (SELECT vec_id, s, cell AS code FROM (
        |  SELECT *, row_number() OVER (PARTITION BY s, vec_id ORDER BY dist, cell) AS rn
-       |  FROM dall) WHERE rn = 1),
-       |rv AS (SELECT p.vec_id, flatten(list(c.c ORDER BY p.s)) AS dv
-       |  FROM pq p JOIN c2 c ON c.s = p.s AND c.cell = p.code
+       |  FROM ${p}dall) WHERE rn = 1),
+       |${p}rv AS (SELECT p.vec_id, flatten(list(c.c ORDER BY p.s)) AS dv
+       |  FROM ${p}pq p JOIN ${p}c2 c ON c.s = p.s AND c.cell = p.code
        |  GROUP BY p.vec_id)""".stripMargin
   }
+
+  private val pqCtes: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${pqFit("")}""".stripMargin
 
   val pqCodesSql: String =
     s"""$pqCtes,
@@ -371,7 +405,26 @@ object Quantization {
        |  FROM qq q, cc c)
        |WHERE rn <= 5""".stripMargin
 
+  /** IVF fit replay + prefixed PQ fit replay, composed: probe nprobe=2
+    * cells (`dq` from the IVF chain), score the probed index rows from
+    * their PQ reconstructions (`p_rv`), rank per query. */
+  val annPqSql: String =
+    s"""${VectorOps.ivfReplayCtes},
+       |${pqFit("p_")},
+       |probe AS (SELECT query_id, qv, qn, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+       |  FROM dq) WHERE rn <= 2),
+       |ddn AS (SELECT i.vec_id, i.cell, r.dv, sqrt(${dotSql("r.dv", "r.dv")}) AS dn
+       |  FROM idx i JOIN p_rv r USING (vec_id)),
+       |scored AS (SELECT p.query_id, i.vec_id,
+       |  ${dotSql("p.qv", "i.dv")} / (p.qn * i.dn) AS cos
+       |  FROM probe p JOIN ddn i USING (cell))
+       |SELECT query_id, vec_id AS neighbor_id, round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) WHERE rn <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_pq" -> annPq _,
     "q_sq8_codes" -> sq8Codes _,
     "q_sq8_error" -> sq8Error _,
     "q_sq8_topk" -> sq8TopK _,
@@ -381,6 +434,7 @@ object Quantization {
     "q_pq_topk" -> pqTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q_ann_pq" -> annPqSql,
     "q_sq8_codes" -> sq8CodesSql,
     "q_sq8_error" -> sq8ErrorSql,
     "q_sq8_topk" -> sq8TopKSql,
