@@ -79,19 +79,26 @@ object Bench {
           s""","idle_companion":"tools/${f.getName}","idle_total_sec":${m.group(1)}""")
       }.getOrElse("")
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$idleCompanion}"""
-    println(line)
-    // The driver truncates long stdout tails in BENCH_r*.json, which made
-    // cross-round per-query comparison depend on which queries survived the
-    // cut. Persist the complete line so every run's full table is diffable.
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$idleCompanion}"""
+    // The driver truncates long stdout tails in BENCH_r*.json — two rounds
+    // running its artifact ended `parsed: null` because the full per-query
+    // map pushed the JSON line past the cut. Persist the complete line to a
+    // file (diffable across rounds) and print a SHORT line: totals, counts,
+    // the slowest queries, and pointers to the full map + idle companion.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_full_latest.json")
-    try {
+    val wroteFull = try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+      true
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      false
     }
+    val slowest = results.sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$slowest,"queries_note":"8 slowest of ${results.size}; full map in queries_full","queries_full":"${if (wroteFull) outPath else ""}","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$idleCompanion}"""
+    println(if (wroteFull) shortLine else fullLine)
     spark.stop()
   }
 }

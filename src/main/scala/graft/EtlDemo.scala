@@ -372,6 +372,30 @@ object EtlDemo {
       "history intact (apache-2.0 @Jan, mit @Feb); " +
       s"v$belowHorizon read errors: '$horizonError...'")
 
+    // TIME-horizon arm: a production history store retains "at least T of
+    // time-travel", not "at least N versions" — compact(olderThan) purges
+    // closed ranges that no in-horizon as-of can ever touch, keeps the
+    // current graph and every in-horizon answer bit-identical, and makes
+    // below-horizon as-of reads throw instead of silently dropping the
+    // purged history.
+    val closedBefore = store.ranges.filter(col("deprecated")).count()
+    store.compact(olderThan = Timestamp.valueOf("2024-03-01 00:00:00"))
+    require(store.currentTriples.count() == preCompact,
+      "time retention changed the current graph")
+    require(licenseAt("2024-03-15 00:00:00") == Seq("mit"),
+      "in-horizon as-of changed across time retention")
+    val closedAfter = store.ranges.filter(col("deprecated")).count()
+    require(closedAfter < closedBefore,
+      s"time retention purged nothing ($closedBefore -> $closedAfter)")
+    val ttlError =
+      try { store.asOf(Timestamp.valueOf("2024-01-15 00:00:00")); "none" }
+      catch { case e: IllegalArgumentException => e.getMessage.take(40) }
+    require(ttlError != "none",
+      "as-of below the time-retention horizon must throw")
+    println(s"[etl] time retention: horizon 2024-03-01, closed ranges " +
+      s"$closedBefore -> $closedAfter, in-horizon as-of intact (mit @Mar); " +
+      s"below-horizon read errors: '$ttlError...'")
+
     val current = store.currentTriples
     println(s"[etl] current graph: ${current.count()} triples, " +
       s"${store.distinctSubjectCount} subjects, store v${store.currentVersion}")

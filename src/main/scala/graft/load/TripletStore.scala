@@ -212,12 +212,37 @@ class TripletStore(spark: SparkSession, path: String,
       .select("subject", "predicate", "obj", "objKind", "datatype")
       .distinct()
 
-  /** As-of query over validity ranges (§7.1 query layer). */
-  def asOf(t: Timestamp): DataFrame =
+  /** Oldest timestamp still answerable by [[asOf]]; None when no
+    * time-based retention pass ([[compact(olderThan:Timestamp)*]]) has
+    * run — then the full closed history is present and any t answers. */
+  def retentionHorizon: Option[Timestamp] = {
+    val f = new java.io.File(fs, HorizonMarker)
+    if (f.exists())
+      Some(new Timestamp(
+        java.nio.file.Files.readString(f.toPath).trim.toLong))
+    else None
+  }
+
+  private def horizonMs: Long =
+    retentionHorizon.map(_.getTime).getOrElse(Long.MinValue)
+
+  /** As-of query over validity ranges (§7.1 query layer). Below the
+    * time-retention horizon it THROWS rather than answering from a
+    * history whose closed ranges were purged — the timestamp analog of
+    * the version-travel horizon check. */
+  def asOf(t: Timestamp): DataFrame = {
+    val h = horizonMs
+    if (t.getTime < h)
+      throw new IllegalArgumentException(
+        s"as-of $t is below the retention horizon ${new Timestamp(h)} of " +
+          s"the store at $path: closed ranges ending before the horizon " +
+          "were purged by compact(olderThan) and the snapshot cannot be " +
+          "reconstructed")
     ranges.filter(col("useStart") <= lit(t) &&
         (lit(t) <= col("useEnd") || !col("deprecated")))
       .select("subject", "predicate", "obj", "objKind", "datatype")
       .distinct()
+  }
 
   /** A9 sanity count: distinct current subjects. */
   def distinctSubjectCount: Long =
@@ -380,6 +405,49 @@ class TripletStore(spark: SparkSession, path: String,
     dropped
   }
 
+  /** Time-based retention: keep every range needed to answer [[asOf]]
+    * queries at or after `olderThan`; purge the rest. A closed
+    * (deprecated) range with `useEnd < olderThan` can never satisfy
+    * `useStart <= t <= useEnd` for an in-horizon t, so exactly those
+    * rows drop; open ranges are always retained (they answer every
+    * future t). The purged state lands as a base at a NEW version and
+    * every prior level drops — so version-travel collapses to the new
+    * base (same as `compact(keep = 1)`) and timestamp-travel keeps the
+    * horizon's guarantee: as-of at or after `olderThan` is unchanged,
+    * as-of below it throws (the horizon is recorded in the store and is
+    * monotone across passes — a shorter later horizon never un-purges).
+    *
+    * Crash ordering: the horizon marker is written BEFORE the purged
+    * base commits, so a crash mid-pass leaves an un-purged store with an
+    * over-strict horizon (reads refuse conservatively) — never a store
+    * that silently answers from purged history. The base itself commits
+    * via `_SUCCESS` before any deletion, like [[compact(keep:Int)*]].
+    *
+    * @return the version numbers dropped from the version-travel window
+    */
+  def compact(olderThan: Timestamp): Seq[Int] = {
+    val vs = versions
+    if (vs.isEmpty) return Seq.empty
+    val newHorizon = math.max(horizonMs, olderThan.getTime)
+    fs.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(fs, HorizonMarker).toPath, newHorizon.toString)
+    val cur = vs.last
+    val nv = cur + 1
+    val snap = reconstruct(cur, openOnly = false)
+      .filter(!col("deprecated") ||
+        col("useEnd") >= lit(new Timestamp(newHorizon)))
+      .withColumn("v", lit(nv)).localCheckpoint()
+    graft.sinks.Sinks.writeClustered(snap, s"$path/base=$nv",
+      nFilesFor(snap.count()), targetRowsPerFile, "tripletHash", "infoHash")
+    vs.flatMap(d => Seq(s"v=$d", s"base=$d")).foreach { nm =>
+      val d = new java.io.File(fs, nm)
+      if (d.exists()) Scratch.rm(d)
+    }
+    AtomicDirCommit.sweepTmp(fs, TmpSweepAgeMs)
+    vs
+  }
+
   /** V6 delta: triples in version b but not a (new) / in a but not b
     * (retired). Pure anti-joins over snapshots. */
   def delta(fromV: Int, toV: Int): (DataFrame, DataFrame) = {
@@ -403,6 +471,10 @@ object TripletStore {
     * layout. */
   val IdentityFormat = 3
   val FormatMarker = "_FORMAT"
+
+  /** Epoch-millis marker recording the time-retention horizon (see
+    * `compact(olderThan)`): as-of reads below it refuse. */
+  val HorizonMarker = "_RETENTION_HORIZON"
 
   /** Age past which a `.tmp-` commit dir is considered a dead writer's
     * leftover and swept by compaction (a live writer's tmp mtime

@@ -16,11 +16,16 @@ import graft.similarity.{Sq8, Sq8Model}
   * min/max and the codec arithmetic is written as the same IEEE op
   * sequence in both engines, so the DuckDB replays are bit-exact.
   *
-  * Scale: the corpus-side state a search touches is 1 byte/dim instead of
-  * 8 — at 100 TB of raw embeddings the searchable index is ~12.5 TB, and
-  * the probe join's shuffle/broadcast volume shrinks by the same 8×. The
-  * fit's shuffle is `dim` rows per map partition (partial min/max agg);
-  * encode/decode never shuffle.
+  * Scale: the corpus-side state a search touches is 1 byte/dim (SQ8) or
+  * 1 byte/subspace (PQ) instead of 8 bytes/dim — and since IvfStore
+  * layout 2 that is what the executed plan reads: codes and
+  * reconstruction norms are persisted in the index artifact at build
+  * time, and the compressed searches' scans never include the raw
+  * vector column (PlanSpec pins the ReadSchema). At 100 TB of raw
+  * embeddings the searchable index is ~12.5 TB (SQ8) / ~1.6 TB (PQ),
+  * and the probe join's shuffle/broadcast volume shrinks by the same
+  * factor. The fit's shuffle is `dim` rows per map partition (partial
+  * min/max agg); encode/decode never shuffle.
   */
 object Quantization {
 
@@ -100,18 +105,24 @@ object Quantization {
   /** IVF-probed search over the SQ8-compressed index — the full ADC stack:
     * the persisted IVF cell assignment restricts which corpus rows are
     * touched (nprobe=2 of 8 cells), and the touched rows are scored from
-    * their codes, not their raw vectors. At scale this is the plan you
-    * want: probe join volume ∝ corpus/k·nprobe, bytes/row ∝ dim, not
-    * 8·dim. Hash-graded against [[annSq8Sql]], which composes the proven
+    * their PERSISTED 1-byte/dim code blobs ([[graft.similarity.IvfStore]]
+    * layout 2) — the search-side scan reads (vec_id, cell, sq8_codes,
+    * sq8_dn) and never the raw vector column (PlanSpec pins the
+    * ReadSchema). At scale this is the plan you want: probe join volume
+    * ∝ corpus/k·nprobe, bytes/row ∝ dim, not 8·dim — the searchable
+    * state of a 100 TB double corpus is ~12.5 TB on disk AND in the
+    * scan. Hash-graded against [[annSq8Sql]], which composes the proven
     * IVF fit replay with the SQ8 codec replay. */
   def annSq8(s: SparkSession, dir: String): DataFrame = {
-    val m = fitModel(s, dir)
-    val (model, index) = graft.similarity.IvfStore.indexFor(s, dir, k = 8, iters = 2)
-    val comp = index.filter(col("vec_id") >= 10)
-      .withColumn("dv", Sq8.decode(m)(Sq8.encode(m)(col("v"))))
-      .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+    val art = graft.similarity.IvfStore.artifactFor(s, dir, k = 8, iters = 2)
+    require(art.sq8.dim == dim, s"artifact sq8 dim ${art.sq8.dim} != $dim")
+    val comp = art.index.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("cell"), col("sq8_codes"),
+        col("sq8_dn").as("dn"))
+      .withColumn("dv",
+        Sq8.decode(art.sq8)(graft.similarity.Codes.unpack(col("sq8_codes"), dim)))
     val q = graft.similarity.IvfIndex
-      .probedCells(t(s, dir, "embeddings").filter(col("vec_id") < 10), model,
+      .probedCells(t(s, dir, "embeddings").filter(col("vec_id") < 10), art.ivf,
         nprobe = 2)
       .drop("cell_rank")
     val w = Window.partitionBy("query_id")
@@ -283,29 +294,106 @@ object Quantization {
         round(col("cos_raw"), 4).as("cos"))
   }
 
+  /** Per-query ADC lookup table over the PQ centroid literal: lut[s·k+c]
+    * = query-subvector(s) · centroid(s, c), an m×k table of partial dot
+    * products computed ONCE per query row (m·k·subDim = 1024 mults at
+    * the defaults) on the broadcast side. Candidates then score as m
+    * table lookups each instead of decode-to-64-doubles + 64-mult dot —
+    * the classic asymmetric-distance-computation trick (Jégou et al.
+    * 2011 §IV.A). Pure column ops over plan literals: no UDF, stays in
+    * whole-stage codegen. */
+  private def pqLut(m: graft.similarity.PqModel, qv: Column): Column = {
+    val flat = typedLit(m.flat.toSeq)
+    val k = m.k
+    val subDim = m.subDim
+    flatten(transform(sequence(lit(0), lit(m.m - 1)), s =>
+      transform(sequence(lit(0), lit(k - 1)), c =>
+        aggregate(sequence(lit(1), lit(subDim)), lit(0.0), (acc, d) =>
+          acc + element_at(qv, s * lit(subDim) + d) *
+            element_at(flat, (s * lit(k) + c) * lit(subDim) + d)))))
+  }
+
+  /** Candidate score from its m persisted codes against a query's
+    * [[pqLut]]: a left fold of m lookups — per-candidate cost O(m), not
+    * O(dim). The fold groups the dot product per subspace (partial dots
+    * summed in subspace order), which the oracle mirrors exactly
+    * ([[pqAdcDotSql]]) so the doubles stay bit-identical. */
+  private def pqAdcDot(m: graft.similarity.PqModel, lut: Column,
+                       codes: Column): Column =
+    aggregate(sequence(lit(0), lit(m.m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(lut, s * lit(m.k) + element_at(codes, s + lit(1)) + lit(1)))
+
   /** IVF-probed search over the PQ-coded index — FAISS's IndexIVFPQ
     * shape: the persisted cell assignment bounds which corpus rows a
     * query touches (nprobe=2 of 8), and touched rows are scored from
-    * their m-byte PQ codes. The corpus-side state is cell id + m codes
-    * per vector — the configuration that fits a 100 TB corpus's search
-    * state in executor memory. Hash-graded by [[annPqSql]], which
-    * composes the IVF fit replay with the prefixed PQ fit replay. */
+    * their PERSISTED m-byte PQ code blobs via the per-query ADC lookup
+    * table ([[pqLut]]) — m array lookups per candidate, never a decode
+    * to dim doubles, and the search-side scan reads (vec_id, cell,
+    * pq_codes, pq_dn), NEVER the raw vector column (PlanSpec pins the
+    * ReadSchema). The corpus-side search state is cell id + m bytes +
+    * one norm per vector — the configuration that fits a 100 TB corpus's
+    * search state in executor memory. Hash-graded by [[annPqSql]], which
+    * composes the IVF fit replay with the prefixed PQ fit replay and the
+    * same subspace-grouped dot. */
   def annPq(s: SparkSession, dir: String): DataFrame = {
-    val m = pqModel(s, dir)
-    val (model, index) = graft.similarity.IvfStore.indexFor(s, dir, k = 8, iters = 2)
-    val comp = index.filter(col("vec_id") >= 10)
-      .withColumn("dv",
-        graft.similarity.Pq.decode(m)(graft.similarity.Pq.encode(m)(col("v"))))
-      .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+    val art = graft.similarity.IvfStore.artifactFor(s, dir, k = 8, iters = 2)
+    val m = art.pq
+    require(m.dim == dim, s"artifact pq dim ${m.dim} != $dim")
+    val comp = art.index.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("cell"), col("pq_codes"),
+        col("pq_dn").as("dn"))
+      .withColumn("codes", graft.similarity.Codes.unpack(col("pq_codes"), m.m))
     val q = graft.similarity.IvfIndex
-      .probedCells(t(s, dir, "embeddings").filter(col("vec_id") < 10), model,
+      .probedCells(t(s, dir, "embeddings").filter(col("vec_id") < 10), art.ivf,
         nprobe = 2)
       .drop("cell_rank")
+      .withColumn("lut", pqLut(m, col("qv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
     comp.join(broadcast(q), "cell")
-      .withColumn("cos", dot(col("qv"), col("dv")) / (col("qn") * col("dn")))
+      .withColumn("cos",
+        pqAdcDot(m, col("lut"), col("codes")) / (col("qn") * col("dn")))
       .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Two-stage PQ deployment shape — how production stacks run PQ: a
+    * cheap shortlist over the WHOLE compressed corpus (ADC from m-byte
+    * codes, top-50 per query), then an exact full-precision re-rank of
+    * only the shortlist (top-5). The expensive raw-vector read touches
+    * 50 rows per query instead of the corpus; the shortlist side is a
+    * broadcast join against the code columns only. PqSpec pins the
+    * recall law (re-rank of top-50 recovers ≥0.8 of the exact top-5);
+    * this query makes the pipeline itself hash-graded. */
+  def pqRerank(s: SparkSession, dir: String): DataFrame = {
+    val art = graft.similarity.IvfStore.artifactFor(s, dir, k = 8, iters = 2)
+    val m = art.pq
+    require(m.dim == dim, s"artifact pq dim ${m.dim} != $dim")
+    val cand = art.index.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("pq_codes"), col("pq_dn").as("dn"))
+      .withColumn("codes", graft.similarity.Codes.unpack(col("pq_codes"), m.m))
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .withColumn("qn", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qn"))
+      .withColumn("lut", pqLut(m, col("qv")))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("cos_a").desc, col("vec_id"))
+    val short = cand.join(broadcast(q))
+      .withColumn("cos_a",
+        pqAdcDot(m, col("lut"), col("codes")) / (col("qn") * col("dn")))
+      .withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= 50)
+      .select(col("query_id"), col("vec_id"), col("qv"), col("qn"))
+    val raw = e.filter(col("vec_id") >= 10)
+      .withColumn("vn", sqrt(dot(col("v"), col("v"))))
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(short).join(raw, "vec_id")
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("vn")))
+      .withColumn("rn", row_number().over(we))
       .filter(col("rn") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 4).as("cos"))
@@ -314,6 +402,16 @@ object Quantization {
   private def sqdSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), " +
       s"d -> ($a[d]-$b[d])*($a[d]-$b[d])), (x,y) -> x+y)"
+
+  /** Subspace-grouped dot product — the oracle twin of the engine's ADC
+    * path ([[pqLut]] + [[pqAdcDot]]): partial dots folded per 8-dim
+    * subspace, the 8 partials folded in subspace order. The grouping
+    * (not just the values) must match the engine's op tree for the
+    * doubles to stay bit-identical. */
+  private def pqDotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(0, 8), ss -> " +
+      s"list_reduce(list_transform(range(1, 9), d2 -> $a[ss*8+d2] * $b[ss*8+d2]), " +
+      s"(x,y) -> x+y)), (x,y) -> x+y)"
 
   /** From-scratch replay of the per-subspace Lloyd fit — one CTE chain
     * with the subspace as a COLUMN (s ∈ 0..7), each arm the exact shape
@@ -344,7 +442,7 @@ object Quantization {
        |  list_reduce(list(u ORDER BY vec_id), (acc, x) -> $ew) AS sm,
        |  count(*) AS n FROM ${p}a1 GROUP BY s, cell),
        |${p}c1 AS (SELECT c0.s, c0.cell,
-       |  COALESCE(list_transform(range(1, 9), d -> m1.sm[d] / m1.n), c0.c) AS c
+       |  COALESCE(list_transform(range(1, len(m1.sm)+1), d -> m1.sm[d] / m1.n), c0.c) AS c
        |  FROM ${p}c0 c0 LEFT JOIN ${p}m1 m1 ON m1.s = c0.s AND m1.cell = c0.cell),
        |${p}d2 AS (SELECT p.vec_id, p.s, p.u, c.cell, ${sqdSql("p.u", "c.c")} AS dist
        |  FROM ${p}samp p JOIN ${p}c1 c ON c.s = p.s),
@@ -355,7 +453,7 @@ object Quantization {
        |  list_reduce(list(u ORDER BY vec_id), (acc, x) -> $ew) AS sm,
        |  count(*) AS n FROM ${p}a2 GROUP BY s, cell),
        |${p}c2 AS (SELECT c1.s, c1.cell,
-       |  COALESCE(list_transform(range(1, 9), d -> m2.sm[d] / m2.n), c1.c) AS c
+       |  COALESCE(list_transform(range(1, len(m2.sm)+1), d -> m2.sm[d] / m2.n), c1.c) AS c
        |  FROM ${p}c1 c1 LEFT JOIN ${p}m2 m2 ON m2.s = c1.s AND m2.cell = c1.cell),
        |${p}dall AS (SELECT b.vec_id, b.s, b.u, c.cell, ${sqdSql("b.u", "c.c")} AS dist
        |  FROM ${p}sub b JOIN ${p}c2 c ON c.s = b.s),
@@ -407,7 +505,9 @@ object Quantization {
 
   /** IVF fit replay + prefixed PQ fit replay, composed: probe nprobe=2
     * cells (`dq` from the IVF chain), score the probed index rows from
-    * their PQ reconstructions (`p_rv`), rank per query. */
+    * their PQ reconstructions (`p_rv`) with the subspace-grouped ADC dot
+    * ([[pqDotSql]] — the engine scores m lut lookups per candidate, and
+    * the oracle's fold tree mirrors it), rank per query. */
   val annPqSql: String =
     s"""${VectorOps.ivfReplayCtes},
        |${pqFit("p_")},
@@ -417,11 +517,34 @@ object Quantization {
        |ddn AS (SELECT i.vec_id, i.cell, r.dv, sqrt(${dotSql("r.dv", "r.dv")}) AS dn
        |  FROM idx i JOIN p_rv r USING (vec_id)),
        |scored AS (SELECT p.query_id, i.vec_id,
-       |  ${dotSql("p.qv", "i.dv")} / (p.qn * i.dn) AS cos
+       |  ${pqDotSql("p.qv", "i.dv")} / (p.qn * i.dn) AS cos
        |  FROM probe p JOIN ddn i USING (cell))
        |SELECT query_id, vec_id AS neighbor_id, round(cos, 4) AS cos FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
        |  FROM scored) WHERE rn <= 5""".stripMargin
+
+  /** Two-stage replay: PQ fit CTEs give the reconstructions; shortlist =
+    * per-query top-50 by the subspace-grouped ADC cosine over the whole
+    * compressed corpus; exact re-rank joins the raw vectors back for the
+    * shortlist only and takes the top-5 by full-precision cosine. */
+  val pqRerankSql: String =
+    s"""$pqCtes,
+       |qq AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS qn
+       |  FROM e WHERE vec_id < 10),
+       |cc AS (SELECT vec_id, dv, sqrt(${dotSql("dv", "dv")}) AS dn
+       |  FROM rv WHERE vec_id >= 10),
+       |appr AS (SELECT q.vec_id AS query_id, c.vec_id, q.v AS qv, q.qn,
+       |  ${pqDotSql("q.v", "c.dv")} / (q.qn * c.dn) AS cos_a
+       |  FROM qq q, cc c),
+       |short AS (SELECT query_id, vec_id, qv, qn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_a DESC, vec_id) AS rn
+       |  FROM appr) WHERE rn <= 50),
+       |ex AS (SELECT s.query_id, s.vec_id,
+       |  ${dotSql("s.qv", "e.v")} / (s.qn * sqrt(${dotSql("e.v", "e.v")})) AS cos
+       |  FROM short s JOIN e ON e.vec_id = s.vec_id)
+       |SELECT query_id, vec_id AS neighbor_id, round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM ex) WHERE rn <= 5""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> annPq _,
@@ -431,7 +554,8 @@ object Quantization {
     "q_ann_sq8" -> annSq8 _,
     "q_pq_codes" -> pqCodes _,
     "q_pq_error" -> pqError _,
-    "q_pq_topk" -> pqTopK _)
+    "q_pq_topk" -> pqTopK _,
+    "q_pq_rerank" -> pqRerank _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_pq" -> annPqSql,
@@ -441,5 +565,6 @@ object Quantization {
     "q_ann_sq8" -> annSq8Sql,
     "q_pq_codes" -> pqCodesSql,
     "q_pq_error" -> pqErrorSql,
-    "q_pq_topk" -> pqTopKSql)
+    "q_pq_topk" -> pqTopKSql,
+    "q_pq_rerank" -> pqRerankSql)
 }

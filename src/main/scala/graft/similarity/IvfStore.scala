@@ -4,9 +4,16 @@ import java.io.File
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 import IvfIndex.Model
+
+/** A loaded index artifact: the IVF centroid model, the SQ8/PQ codec
+  * models fit over the same corpus version, and the persisted index
+  * table (vec_id, v, cell, nrm, sq8_codes, sq8_dn, pq_codes, pq_dn). */
+final case class IvfArtifact(ivf: Model, sq8: Sq8Model, pq: PqModel,
+                             index: DataFrame)
 
 /** Persisted IVF index artifacts: the centroid model (text) plus the
   * assigned, norm-precomputed corpus table (parquet), fit ONCE per corpus
@@ -15,15 +22,32 @@ import IvfIndex.Model
   * sampled fit and the full assign pass (it was the slowest query in the
   * round-1 bench).
   *
+  * Layout generation 2 additionally persists the compressed search
+  * state AT BUILD TIME: the SQ8 and PQ codec models (text, exact
+  * `Double.toString` roundtrip) and, per index row, the packed code
+  * blobs (`sq8_codes` 1 byte/dim, `pq_codes` 1 byte/subspace — see
+  * [[Codes]]) plus the reconstruction norms (`sq8_dn`, `pq_dn`). A
+  * compressed-index search reads ONLY (vec_id, cell, codes, dn) — never
+  * the raw vector column — so the corpus-side state a probe touches
+  * shrinks 8× (SQ8) / 64× (PQ) on disk AND in the scan, not just in
+  * prose. The raw `v` stays in the artifact for exact re-ranking and
+  * full-precision IVF search; parquet column pruning keeps it out of
+  * the compressed scans (PlanSpec pins the ReadSchema).
+  *
   * The version key covers the embeddings corpus identity — the sorted
   * LEAF part-file statuses (name, size, mtime), not the top-level file's —
-  * and the fit parameters, so a corpus rewrite or parameter change
-  * transparently produces a fresh artifact even when the rewrite keeps
-  * part-file names. Centroids roundtrip through
-  * `Double.toString`/`parseDouble` (exact), so a loaded model reproduces
-  * the fit model's search results bit-for-bit.
+  * and the fit parameters plus the layout generation, so a corpus
+  * rewrite, parameter change, or layout upgrade transparently produces
+  * a fresh artifact even when the rewrite keeps part-file names.
+  * Centroids roundtrip through `Double.toString`/`parseDouble` (exact),
+  * so a loaded model reproduces the fit model's search results
+  * bit-for-bit.
   */
 object IvfStore {
+
+  /** Artifact layout generation — bump when the persisted schema or the
+    * codec fit recipe changes so stale artifacts are never served. */
+  private val Layout = 2
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -51,22 +75,60 @@ object IvfStore {
 
   private def corpusKey(dir: String, k: Int, iters: Int, sampleSize: Int): String = {
     val f = new File(dir, "embeddings.parquet")
-    md5hex((f.getAbsolutePath +: leafStats(f) :+ Seq(k, iters, sampleSize)
-      .mkString("|")).mkString("|"))
+    md5hex((f.getAbsolutePath +: leafStats(f)
+      :+ Seq(k, iters, sampleSize, s"layout$Layout").mkString("|")).mkString("|"))
   }
 
-  private def saveModel(m: Model, f: File): Unit =
+  private def writeDoubleLines(rows: Seq[Array[Double]], f: File): Unit =
     Files.writeString(f.toPath,
-      m.centroids.map(_.map(java.lang.Double.toString).mkString(","))
-        .mkString("\n"))
+      rows.map(_.map(java.lang.Double.toString).mkString(",")).mkString("\n"))
 
-  private def loadModel(f: File): Model =
-    Model(Files.readString(f.toPath).split("\n")
-      .map(_.split(",").map(java.lang.Double.parseDouble)))
+  private def readDoubleLines(f: File): Array[Array[Double]] =
+    Files.readString(f.toPath).split("\n")
+      .map(_.split(",").map(java.lang.Double.parseDouble))
+
+  private def saveModel(m: Model, f: File): Unit =
+    writeDoubleLines(m.centroids.toSeq, f)
+
+  private def loadModel(f: File): Model = Model(readDoubleLines(f))
+
+  /** SQ8 model: two lines (mins, maxs). */
+  private def saveSq8(m: Sq8Model, f: File): Unit =
+    writeDoubleLines(Seq(m.mins, m.maxs), f)
+
+  private def loadSq8(f: File): Sq8Model = {
+    val rows = readDoubleLines(f)
+    Sq8Model(rows(0), rows(1))
+  }
+
+  /** PQ model: header line `m,k,subDim`, then m·k centroid lines in
+    * (subspace, cell) order. */
+  private def savePq(m: PqModel, f: File): Unit =
+    Files.writeString(f.toPath,
+      (s"${m.m},${m.k},${m.subDim}" +:
+        m.sub.flatten.map(_.map(java.lang.Double.toString).mkString(","))
+          .toSeq).mkString("\n"))
+
+  private def loadPq(f: File): PqModel = {
+    val lines = Files.readString(f.toPath).split("\n")
+    val Array(m, k, _) = lines.head.split(",").map(_.toInt)
+    val cents = lines.tail.map(_.split(",").map(java.lang.Double.parseDouble))
+    PqModel(cents.grouped(k).toArray.ensuring(_.length == m))
+  }
+
+  /** Back-compat surface for raw-vector IVF search: (centroid model,
+    * index table). */
+  def indexFor(s: SparkSession, dir: String, k: Int, iters: Int,
+               sampleSize: Int = 2048): (Model, DataFrame) = {
+    val a = artifactFor(s, dir, k, iters, sampleSize)
+    (a.ivf, a.index)
+  }
 
   /** Fit-or-load for `dir`'s embeddings table. First call per corpus
-    * version fits (one bounded sample collect) and writes the artifact;
-    * every later call just reads the model file and the index parquet.
+    * version fits (bounded sample collects: IVF + m PQ subspaces, plus
+    * the dim-row SQ8 min/max agg), encodes the corpus ONCE, and writes
+    * the artifact; every later call just reads the model files and the
+    * index parquet.
     *
     * Concurrency: the artifact is built in a process-unique staging
     * directory and published with one atomic rename — concurrent first
@@ -77,8 +139,8 @@ object IvfStore {
     * identical byte lengths would serve the previous index; pass an
     * explicit corpus commit id through the path for stores that need
     * stronger guarantees. */
-  def indexFor(s: SparkSession, dir: String, k: Int, iters: Int,
-               sampleSize: Int = 2048): (Model, DataFrame) = {
+  def artifactFor(s: SparkSession, dir: String, k: Int, iters: Int,
+                  sampleSize: Int = 2048): IvfArtifact = {
     val d = new File(storeRoot, corpusKey(dir, k, iters, sampleSize))
     if (!new File(d, "centroids.txt").exists()) {
       val staging = new File(d.getParentFile,
@@ -86,10 +148,29 @@ object IvfStore {
       staging.mkdirs()
       val emb = Tables(s, dir, "embeddings")
       val model = IvfIndex.fitSample(emb, k, iters, sampleSize)
+      val sq8 = Sq8.fit(emb)
+      val pq = Pq.fit(emb.select(col("vec_id"), col("embedding")),
+        sampleSize = sampleSize)
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.functions.GraftFunctions.dot_double(a, b)
+      // codes + reconstruction norms computed once at build time with the
+      // SAME expressions the pre-persistence search evaluated per query,
+      // so persisted state is bit-identical to the on-the-fly values
       IvfIndex.withNorm(IvfIndex.assign(emb, model))
+        .withColumn("sq8_arr", Sq8.encode(sq8)(col("v")))
+        .withColumn("sq8_dv", Sq8.decode(sq8)(col("sq8_arr")))
+        .withColumn("pq_arr", Pq.encode(pq)(col("v")))
+        .withColumn("pq_dv", Pq.decode(pq)(col("pq_arr")))
+        .select(col("vec_id"), col("v"), col("cell"), col("nrm"),
+          Codes.pack(col("sq8_arr")).as("sq8_codes"),
+          sqrt(dot(col("sq8_dv"), col("sq8_dv"))).as("sq8_dn"),
+          Codes.pack(col("pq_arr")).as("pq_codes"),
+          sqrt(dot(col("pq_dv"), col("pq_dv"))).as("pq_dn"))
         .write.mode("overwrite")
         .parquet(new File(staging, "index.parquet").getAbsolutePath)
       saveModel(model, new File(staging, "centroids.txt"))
+      saveSq8(sq8, new File(staging, "sq8.txt"))
+      savePq(pq, new File(staging, "pq.txt"))
       def rm(f: File): Unit = graft.load.Scratch.rm(f)
       // atomic publish. A rename blocked by a COMPLETE destination means a
       // concurrent winner published an equivalent artifact — discard ours.
@@ -108,7 +189,10 @@ object IvfStore {
         }
       }
     }
-    (loadModel(new File(d, "centroids.txt")),
+    IvfArtifact(
+      loadModel(new File(d, "centroids.txt")),
+      loadSq8(new File(d, "sq8.txt")),
+      loadPq(new File(d, "pq.txt")),
       s.read.parquet(new File(d, "index.parquet").getAbsolutePath))
   }
 }

@@ -16,16 +16,31 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** Declared fallback schema for an events dir with no parquet yet —
+    * the micros-NTZ encoding of the two known generator vintages (the
+    * normalization below maps either to session-TZ TIMESTAMP anyway). */
+  private val declaredEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
   /** File-based stream over a directory of events parquet. Streaming
     * sources need the schema up front, and the event files have shipped
     * with two physical ts encodings (TIMESTAMP(NANOS) → nanos-as-long,
     * TIMESTAMP(MICROS) → NTZ), so the schema comes from a footer-only
     * static read of whatever is already in `dir`, then ts is normalized
     * to a session-TZ TIMESTAMP exactly like the batch reader
-    * ([[graft.Tables]]) — stream and batch see one type by construction. */
+    * ([[graft.Tables]]) — stream and batch see one type by construction.
+    * An EMPTY (or not-yet-created) source dir can't be sniffed — there
+    * the declared micros-NTZ schema applies, so a stream can start
+    * BEFORE its first file arrives (the production deploy order). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physical = spark.read.parquet(dir).schema
+    val physical =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        declaredEventSchema
+      }
     val df = spark.readStream.schema(physical).parquet(dir)
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -95,6 +95,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"), s)
   }
 
+  test("compressed-index searches read codes, never the raw vector column") {
+    // The 1-byte/dim (SQ8) / 1-byte/subspace (PQ) searchable-state claim
+    // is only real if the executed scan proves it: the index-side
+    // ReadSchema must hold the code blob + norm and EXCLUDE the persisted
+    // raw vector `v` and full-precision norm `nrm` — otherwise a probe
+    // still pays 8 bytes/dim per candidate row at 100 TB.
+    val sq8 = planString(queries.Quantization.annSq8(spark, dir))
+    assert(sq8.contains("sq8_codes:binary") && sq8.contains("sq8_dn:double"), sq8)
+    assert(!sq8.contains(",v:array") && !sq8.contains("nrm:double"), sq8)
+    val pq = planString(queries.Quantization.annPq(spark, dir))
+    assert(pq.contains("pq_codes:binary") && pq.contains("pq_dn:double"), pq)
+    assert(!pq.contains(",v:array") && !pq.contains("nrm:double"), pq)
+    // ADC scoring is m lookups via pure column ops — the only ScalaUDF in
+    // the plan is the broadcast-side probe assignment (10 query rows),
+    // never a per-candidate decode
+    assert(!pq.contains("BatchEvalPython"), pq)
+  }
+
+  test("pq rerank: raw vectors read only behind the broadcast shortlist join") {
+    val s = planString(queries.Quantization.pqRerank(spark, dir))
+    // shortlist side scans codes only; the raw-vector scan joins against
+    // the broadcast 50-per-query shortlist (never shuffles the corpus)
+    assert(s.contains("pq_codes:binary"), s)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("hash aggregations use partial (map-side) aggregation") {
     val s = planString(queries.Relational.q1Agg(spark, dir))
     assert(s.contains("HashAggregate"), s)

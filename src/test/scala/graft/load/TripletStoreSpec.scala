@@ -77,6 +77,61 @@ class TripletStoreSpec extends AnyFunSuite {
     assert(retired.select("obj").as[String].collect().toSet == Set("alpha"))
   }
 
+  test("time-based retention: in-horizon as-of unchanged, below-horizon throws") {
+    val dir = Files.createTempDirectory("store_ttl").toString
+    val store = new TripletStore(spark, dir)
+    // history: name=alpha Jan..Feb (closed in Mar), name=alpha-v2 Mar..
+    store.merge(batch(Seq(("m1", "name", "alpha"), ("m1", "task", "nlp")),
+      "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    store.merge(batch(Seq(("m1", "name", "alpha"), ("m1", "task", "nlp")),
+      "2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"))
+    store.merge(batch(Seq(("m1", "name", "alpha-v2"), ("m1", "task", "nlp")),
+      "2024-03-01 00:00:00"), ts("2024-03-01 00:00:00"))
+
+    assert(store.retentionHorizon.isEmpty)
+    val inHorizonBefore = store.asOf(ts("2024-03-15 00:00:00"))
+      .select("obj").as[String].collect().toSet
+    val closedBefore = store.ranges.filter(col("deprecated")).count()
+    assert(closedBefore == 1) // alpha, useEnd = Feb extend < Mar
+
+    // horizon Mar 15: alpha's closed range ended Mar 1 (the deprecation
+    // stamp) < Mar 15, so it can never answer an in-horizon as-of →
+    // purged; open ranges stay
+    val dropped = store.compact(olderThan = ts("2024-03-15 00:00:00"))
+    assert(dropped.nonEmpty)
+    assert(store.retentionHorizon.contains(ts("2024-03-15 00:00:00")))
+    assert(store.ranges.filter(col("deprecated")).count() == 0)
+    assert(store.levelCount == 1)
+
+    // as-of within the horizon is bit-for-bit unchanged
+    assert(store.asOf(ts("2024-03-15 00:00:00"))
+      .select("obj").as[String].collect().toSet == inHorizonBefore)
+    // the current graph is unchanged too
+    assert(store.currentTriples.count() == 2)
+    // below the horizon: loud refusal, not a silently-wrong answer
+    val e = intercept[IllegalArgumentException] {
+      store.asOf(ts("2024-01-15 00:00:00"))
+    }
+    assert(e.getMessage.contains("retention horizon"))
+
+    // horizons are monotone: a LATER pass with an earlier olderThan
+    // cannot un-purge; the recorded horizon stays at the max
+    store.merge(batch(Seq(("m1", "name", "alpha-v3"), ("m1", "task", "nlp")),
+      "2024-04-01 00:00:00"), ts("2024-04-01 00:00:00"))
+    store.compact(olderThan = ts("2024-02-01 00:00:00"))
+    assert(store.retentionHorizon.contains(ts("2024-03-15 00:00:00")))
+    intercept[IllegalArgumentException] {
+      store.asOf(ts("2024-02-15 00:00:00"))
+    }
+    // and a pass with a later horizon advances it, purging the newly
+    // out-of-horizon closed range (alpha-v2 closed at Apr 1)
+    store.compact(olderThan = ts("2024-05-01 00:00:00"))
+    assert(store.retentionHorizon.contains(ts("2024-05-01 00:00:00")))
+    assert(store.ranges.filter(col("deprecated")).count() == 0)
+    assert(store.asOf(ts("2024-05-15 00:00:00"))
+      .select("obj").as[String].collect().toSet == Set("alpha-v3", "nlp"))
+  }
+
   test("distinct extraction methods keep separate ranges (V2/J5)") {
     val dir = Files.createTempDirectory("store2").toString
     val store = new TripletStore(spark, dir)

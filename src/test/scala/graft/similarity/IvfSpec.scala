@@ -86,4 +86,36 @@ class IvfSpec extends AnyFunSuite {
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     assert(viaStore == viaFit)
   }
+
+  test("packed code columns roundtrip: unpack(pack(x)) is identity over 0..255") {
+    val df = Seq((1L, (0 until 256).toArray)).toDF("id", "cs")
+    val back = df.select(Codes.unpack(Codes.pack($"cs"), 256).as("back"))
+      .as[Seq[Int]].head()
+    assert(back == (0 until 256).toSeq)
+    // and the blob really is 1 byte per code
+    val len = df.select(octet_length(Codes.pack($"cs"))).as[Int].head()
+    assert(len == 256)
+  }
+
+  test("artifact codec models roundtrip exactly; persisted codes match a fresh encode") {
+    val art = IvfStore.artifactFor(spark, TestSpark.sf0001, k = 8, iters = 2)
+    // loaded models reproduce a fresh fit bit-for-bit (Double.toString
+    // roundtrip + deterministic fits)
+    val sq8 = Sq8.fit(emb)
+    assert(art.sq8.mins.toSeq == sq8.mins.toSeq &&
+      art.sq8.maxs.toSeq == sq8.maxs.toSeq)
+    val pq = Pq.fit(emb.select($"vec_id", $"embedding"))
+    assert(art.pq.sub.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq.sub.map(_.map(_.toSeq).toSeq).toSeq)
+    // persisted code blobs = encode of the raw vector under the fresh model
+    val freshCodes = emb
+      .select($"vec_id", Sq8.encode(sq8)($"embedding".cast("array<double>")).as("cs"),
+        Pq.encode(pq)($"embedding".cast("array<double>")).as("ps"))
+    val joined = art.index.join(freshCodes, "vec_id")
+      .select($"vec_id",
+        Codes.unpack($"sq8_codes", sq8.dim).as("stored_s"), $"cs",
+        Codes.unpack($"pq_codes", pq.m).as("stored_p"), $"ps")
+    assert(joined.filter($"stored_s" =!= $"cs" || $"stored_p" =!= $"ps").count() == 0)
+    assert(joined.count() == emb.count())
+  }
 }

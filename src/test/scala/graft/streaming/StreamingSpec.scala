@@ -29,4 +29,22 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("s.n") =!= col("b.n"))
     assert(joined.count() == 0, "per-window counts must match batch")
   }
+
+  test("stream can start on an empty source dir, then pick up arriving files") {
+    // production deploy order: the consumer starts BEFORE the producer's
+    // first file lands — schema sniffing has nothing to read, so the
+    // declared fallback schema applies and the same stream later absorbs
+    // a real file without restart
+    val dir = Files.createTempDirectory("events_stream_empty")
+    val q = EventStreams.hourlyCounts(EventStreams.readEvents(spark, dir.toString))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hourly_empty_start").start()
+    q.processAllAvailable()
+    assert(spark.table("hourly_empty_start").count() == 0)
+    Files.copy(Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("hourly_empty_start").count() > 0)
+  }
 }
