@@ -302,7 +302,7 @@ object Quantization {
     * the classic asymmetric-distance-computation trick (Jégou et al.
     * 2011 §IV.A). Pure column ops over plan literals: no UDF, stays in
     * whole-stage codegen. */
-  private def pqLut(m: graft.similarity.PqModel, qv: Column): Column = {
+  private[graft] def pqLut(m: graft.similarity.PqModel, qv: Column): Column = {
     val flat = typedLit(m.flat.toSeq)
     val k = m.k
     val subDim = m.subDim
@@ -318,7 +318,7 @@ object Quantization {
     * O(dim). The fold groups the dot product per subspace (partial dots
     * summed in subspace order), which the oracle mirrors exactly
     * ([[pqAdcDotSql]]) so the doubles stay bit-identical. */
-  private def pqAdcDot(m: graft.similarity.PqModel, lut: Column,
+  private[graft] def pqAdcDot(m: graft.similarity.PqModel, lut: Column,
                        codes: Column): Column =
     aggregate(sequence(lit(0), lit(m.m - 1)), lit(0.0), (acc, s) =>
       acc + element_at(lut, s * lit(m.k) + element_at(codes, s + lit(1)) + lit(1)))

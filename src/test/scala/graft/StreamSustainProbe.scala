@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sustained-load probe for the streaming twins: feed a 10× corpus
+  * (sf0.1 documents/embeddings replicated with the ScaleTenProbe
+  * perturbation) through ≥20 real micro-batches and print, per batch,
+  * the wall time and the standing state size. The claims under test:
+  *
+  *  - CMS stream: the aggregation state is bounded at depth×width cells
+  *    FOREVER — `numRowsTotal` must plateau while batches keep arriving,
+  *    and per-batch wall must track the BATCH, not the stream history.
+  *  - dedup/semantic intake: the persisted signature/sketch index is the
+  *    only state; per-batch ingest wall must stay ~flat as the standing
+  *    index grows 20× (acceptance is equi-joins against signatures,
+  *    never a rescan of accepted text).
+  *
+  * Run: sbt "Test/runMain graft.StreamSustainProbe [mult] [nBatches]"
+  * Measured numbers are recorded in SCALE.md.
+  */
+object StreamSustainProbe {
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+
+    val docs = Tables(spark, src, "documents").localCheckpoint()
+    val emb = Tables(spark, src, "embeddings").localCheckpoint()
+    val nDocs = docs.count()
+    val nVec = emb.count()
+    println(s"[sustain] corpus ${mult}x over $nBatches micro-batches: " +
+      s"${nDocs * mult} docs / ${nVec * mult} vecs total")
+
+    // 10x replication with the ScaleTenProbe perturbation (replicas are
+    // not near-dups of each other), pre-sliced into nBatches single-file
+    // parquets so each file is exactly one micro-batch
+    val reps = spark.range(mult).select(col("id").as("rep"))
+    val bigDocs = docs.crossJoin(reps)
+      .select((col("doc_id") + col("rep") * nDocs).as("doc_id"),
+        when(col("rep") === 0, col("text")).otherwise(
+          expr("array_join(transform(split(text, ' '), (w, i) -> " +
+            "CASE WHEN (i + rep) % 7 = 0 THEN concat('rp', rep, 'x', i % 13) " +
+            "ELSE w END), ' ')")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .localCheckpoint()
+    val bigEmb = emb.crossJoin(reps)
+      .select((col("vec_id") + col("rep") * nVec).as("vec_id"),
+        when(col("rep") === 0, col("embedding")).otherwise(
+          expr("transform(embedding, (x, d) -> cast(x + " +
+            "(cast(xxhash64(concat(cast(vec_id AS STRING), '|', " +
+            "cast(rep AS STRING), '|', cast(d AS STRING))) % 1000 AS DOUBLE) " +
+            "/ 1000.0) * 0.25 AS FLOAT))")).as("embedding"),
+        col("label"))
+      .localCheckpoint()
+
+    def slices(df: DataFrame, idCol: String, total: Long): Seq[Path] = {
+      val step = total / nBatches + 1
+      (0 until nBatches).map { b =>
+        val stage = Files.createTempDirectory(s"sustain_slice_$b")
+        df.filter(col(idCol) >= b * step && col(idCol) < (b + 1) * step)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+      }
+    }
+
+    def feed(watch: Path, slice: Path, i: Int): Unit =
+      Files.copy(slice, watch.resolve(f"b$i%03d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+
+    // ---- CMS stream: bounded-state aggregation over 20 batches --------
+    locally {
+      val docSlices = slices(bigDocs, "doc_id", nDocs * mult)
+      val watch = Files.createTempDirectory("sustain_cms")
+      val stream = spark.readStream
+        .schema(streaming.StreamingCorpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+      val q = streaming.StreamingCorpus.cmsCells(stream)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("sustain_cms").start()
+      docSlices.zipWithIndex.foreach { case (s, i) =>
+        feed(watch, s, i)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val state = Option(q.lastProgress)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+        println(f"[sustain] cms     batch=$i%2d wall=$dt%6.2fs stateRows=$state")
+      }
+      q.stop()
+    }
+
+    // ---- dedup intake: standing signature index over 20 batches -------
+    locally {
+      val docSlices = slices(bigDocs, "doc_id", nDocs * mult)
+      val watch = Files.createTempDirectory("sustain_dedup")
+      val idxPath = Files.createTempDirectory("sustain_dedup_idx").toString
+      val stream = spark.readStream
+        .schema(streaming.StreamingCorpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+      val q = streaming.StreamingCorpus.dedupIntake(stream, idxPath).start()
+      docSlices.zipWithIndex.foreach { case (s, i) =>
+        feed(watch, s, i)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val size = new similarity.DedupIndex(spark, idxPath).size
+        println(f"[sustain] dedup   batch=$i%2d wall=$dt%6.2fs indexDocs=$size")
+      }
+      q.stop()
+    }
+
+    // ---- semantic intake: standing vector index over 20 batches -------
+    locally {
+      import org.apache.spark.sql.types._
+      val embSlices = slices(bigEmb, "vec_id", nVec * mult)
+      val watch = Files.createTempDirectory("sustain_sem")
+      val idxPath = Files.createTempDirectory("sustain_sem_idx").toString
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      val sk = similarity.SemanticSketch.forCorpus(nVec * mult)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+      val q = streaming.StreamingCorpus
+        .semanticIntake(stream, idxPath, threshold = 0.95, sketch = sk).start()
+      embSlices.zipWithIndex.foreach { case (s, i) =>
+        feed(watch, s, i)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val size = new similarity.SemanticDedupIndex(spark, idxPath,
+          threshold = 0.95, sketch = sk).size
+        println(f"[sustain] semantic batch=$i%2d wall=$dt%6.2fs indexVecs=$size")
+      }
+      q.stop()
+    }
+
+    spark.stop()
+  }
+}
