@@ -359,6 +359,47 @@ object Quantization {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Residual-encoded IVF+PQ — the encoding FAISS's IndexIVFPQ actually
+    * uses (Jégou et al. 2011 §V): PQ codes the RESIDUAL v − centroid
+    * (cell), whose variance is what the coarse quantizer leaves behind,
+    * so the same m bytes reconstruct tighter than raw-vector PQ.
+    * Scoring decomposes exactly: q·(c + r̂) = q·c (one per probed
+    * (query, cell), computed on the broadcast side from the centroid
+    * literal) + Σₛ lut_r[s][codeₛ] (the residual ADC lookups) — the
+    * IVFADC precomputation. The search scan reads (vec_id, cell,
+    * pqr_codes, pqr_dn) — codes persisted at build time, raw vector
+    * column excluded (PlanSpec-pinned). Hash-graded by [[annPqrSql]]:
+    * the oracle replays the full-corpus assignment, the residual
+    * subtraction, the residual per-subspace Lloyd fits, and the
+    * decomposed score with the same fold tree. */
+  def annPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val art = graft.similarity.IvfStore.artifactFor(s, dir, k = 8, iters = 2)
+    val m = art.pqr
+    require(m.dim == dim, s"artifact pqr dim ${m.dim} != $dim")
+    val ivfFlat = typedLit(art.ivf.centroids.flatten.toSeq)
+    val comp = art.index.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("cell"), col("pqr_codes"),
+        col("pqr_dn").as("dn"))
+      .withColumn("codes", graft.similarity.Codes.unpack(col("pqr_codes"), m.m))
+    val q = graft.similarity.IvfIndex
+      .probedCells(t(s, dir, "embeddings").filter(col("vec_id") < 10), art.ivf,
+        nprobe = 2)
+      .drop("cell_rank")
+      .withColumn("lut", pqLut(m, col("qv")))
+      .withColumn("qc", dot(col("qv"),
+        slice(ivfFlat, col("cell") * lit(dim) + lit(1), lit(dim))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    comp.join(broadcast(q), "cell")
+      .withColumn("cos",
+        (col("qc") + pqAdcDot(m, col("lut"), col("codes"))) /
+          (col("qn") * col("dn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Two-stage PQ deployment shape — how production stacks run PQ: a
     * cheap shortlist over the WHOLE compressed corpus (ADC from m-byte
     * codes, top-50 per query), then an exact full-precision re-rank of
@@ -423,13 +464,15 @@ object Quantization {
     * concatenated in s order so the dot-product fold visits dims in the
     * engine's order). Every CTE name takes prefix `p` so the chain
     * composes with [[VectorOps.ivfReplayCtes]] (which owns the shared
-    * `e` and its own samp/c0../c2 names) for the IVF+PQ oracle. */
-  private def pqFit(p: String): String = {
+    * `e` and its own samp/c0../c2 names) for the IVF+PQ oracle; `src`
+    * picks the (vec_id, v) table the fit reads — `e` for raw vectors,
+    * the residual CTE for the IndexIVFPQ replay. */
+  private def pqFit(p: String, src: String = "e"): String = {
     val ew = "list_transform(range(1, 9), d -> acc[d] + x[d])"
     s"""${p}sub AS (SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS u
-       |  FROM e, range(0, 8) ts(s)),
+       |  FROM $src, range(0, 8) ts(s)),
        |${p}samp AS (SELECT * FROM ${p}sub WHERE vec_id IN
-       |  (SELECT vec_id FROM e ORDER BY vec_id LIMIT 2048)),
+       |  (SELECT vec_id FROM $src ORDER BY vec_id LIMIT 2048)),
        |${p}c0 AS (SELECT s, cell, u AS c FROM (
        |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cell, u
        |  FROM ${p}samp) WHERE cell < 16),
@@ -546,6 +589,40 @@ object Quantization {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
        |  FROM ex) WHERE rn <= 5""".stripMargin
 
+  /** Residual IVF+PQ replay: IVF fit CTEs, then (1) full-corpus
+    * assignment `rasg` (idx covers only the corpus side; the residual
+    * FIT samples the whole table, exactly like the engine's build), (2)
+    * residual vectors `res` = v − centroid(cell), (3) the prefixed PQ
+    * fit chain over `res`, (4) full reconstructions `rrec` = centroid +
+    * decoded residual with their norms, (5) the decomposed IVFADC score
+    * q·c + subspace-grouped q·r̂ over the probed cells. */
+  val annPqrSql: String =
+    s"""${VectorOps.ivfReplayCtes},
+       |rall AS (SELECT e.vec_id, e.v, c.cell, ${sqdSql("e.v", "c.c")} AS dist
+       |  FROM e, c2 c),
+       |rasg AS (SELECT vec_id, v, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |  FROM rall) WHERE rn = 1),
+       |res AS (SELECT a.vec_id, list_transform(range(1, $dim + 1), d -> a.v[d] - c.c[d]) AS v
+       |  FROM rasg a JOIN c2 c USING (cell)),
+       |${pqFit("r_", "res")},
+       |rrec AS (SELECT a.vec_id, a.cell,
+       |  list_transform(range(1, $dim + 1), d -> c.c[d] + r.dv[d]) AS dv
+       |  FROM rasg a JOIN r_rv r USING (vec_id) JOIN c2 c ON c.cell = a.cell
+       |  WHERE a.vec_id >= 10),
+       |ddr AS (SELECT vec_id, cell, sqrt(${dotSql("dv", "dv")}) AS dn FROM rrec),
+       |probe AS (SELECT query_id, qv, qn, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+       |  FROM dq) WHERE rn <= 2),
+       |scored AS (SELECT p.query_id, i.vec_id,
+       |  (${dotSql("p.qv", "c.c")} + ${pqDotSql("p.qv", "r.dv")}) / (p.qn * i.dn) AS cos
+       |  FROM probe p JOIN ddr i USING (cell)
+       |  JOIN c2 c ON c.cell = i.cell
+       |  JOIN r_rv r ON r.vec_id = i.vec_id)
+       |SELECT query_id, vec_id AS neighbor_id, round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) WHERE rn <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> annPq _,
     "q_sq8_codes" -> sq8Codes _,
@@ -555,7 +632,8 @@ object Quantization {
     "q_pq_codes" -> pqCodes _,
     "q_pq_error" -> pqError _,
     "q_pq_topk" -> pqTopK _,
-    "q_pq_rerank" -> pqRerank _)
+    "q_pq_rerank" -> pqRerank _,
+    "q_ann_pqr" -> annPqResidual _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_pq" -> annPqSql,
@@ -566,5 +644,6 @@ object Quantization {
     "q_pq_codes" -> pqCodesSql,
     "q_pq_error" -> pqErrorSql,
     "q_pq_topk" -> pqTopKSql,
-    "q_pq_rerank" -> pqRerankSql)
+    "q_pq_rerank" -> pqRerankSql,
+    "q_ann_pqr" -> annPqrSql)
 }

@@ -10,10 +10,12 @@ import graft.Tables
 import IvfIndex.Model
 
 /** A loaded index artifact: the IVF centroid model, the SQ8/PQ codec
-  * models fit over the same corpus version, and the persisted index
-  * table (vec_id, v, cell, nrm, sq8_codes, sq8_dn, pq_codes, pq_dn). */
+  * models fit over the same corpus version, the RESIDUAL-PQ model (fit
+  * on v − centroid(cell) — FAISS IndexIVFPQ's encoding), and the
+  * persisted index table (vec_id, v, cell, nrm, sq8_codes, sq8_dn,
+  * pq_codes, pq_dn, pqr_codes, pqr_dn). */
 final case class IvfArtifact(ivf: Model, sq8: Sq8Model, pq: PqModel,
-                             index: DataFrame)
+                             pqr: PqModel, index: DataFrame)
 
 /** Persisted IVF index artifacts: the centroid model (text) plus the
   * assigned, norm-precomputed corpus table (parquet), fit ONCE per corpus
@@ -46,8 +48,9 @@ final case class IvfArtifact(ivf: Model, sq8: Sq8Model, pq: PqModel,
 object IvfStore {
 
   /** Artifact layout generation — bump when the persisted schema or the
-    * codec fit recipe changes so stale artifacts are never served. */
-  private val Layout = 2
+    * codec fit recipe changes so stale artifacts are never served.
+    * 2 = persisted SQ8/PQ codes + norms; 3 = + residual-PQ (IndexIVFPQ). */
+  private val Layout = 3
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -153,24 +156,49 @@ object IvfStore {
         sampleSize = sampleSize)
       def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         graft.functions.GraftFunctions.dot_double(a, b)
+      // the assigned corpus is the base for BOTH the raw index row and
+      // the residual encoding (v − centroid(cell) — what IndexIVFPQ
+      // actually codes); checkpointed so the residual FIT's bounded
+      // sample and the encode pass read one materialization
+      val assigned = IvfIndex.withNorm(IvfIndex.assign(emb, model))
+        .localCheckpoint()
+      val dim = model.centroids.head.length
+      val ivfFlat = typedLit(model.centroids.flatten.toSeq)
+      def centD(cell: org.apache.spark.sql.Column,
+                d: org.apache.spark.sql.Column) =
+        element_at(ivfFlat, cell * lit(dim) + d)
+      val residual = transform(col("v"), (x, i) => x - centD(col("cell"), i + 1))
+      val residuals = assigned
+        .select(col("vec_id"), residual.as("embedding"), col("cell"))
+      val pqr = Pq.fit(residuals.select(col("vec_id"), col("embedding")),
+        sampleSize = sampleSize)
       // codes + reconstruction norms computed once at build time with the
       // SAME expressions the pre-persistence search evaluated per query,
-      // so persisted state is bit-identical to the on-the-fly values
-      IvfIndex.withNorm(IvfIndex.assign(emb, model))
+      // so persisted state is bit-identical to the on-the-fly values.
+      // pqr_dn is the norm of centroid + decoded residual — the full
+      // reconstruction the ADC score dots against.
+      assigned
         .withColumn("sq8_arr", Sq8.encode(sq8)(col("v")))
         .withColumn("sq8_dv", Sq8.decode(sq8)(col("sq8_arr")))
         .withColumn("pq_arr", Pq.encode(pq)(col("v")))
         .withColumn("pq_dv", Pq.decode(pq)(col("pq_arr")))
+        .withColumn("pqr_arr", Pq.encode(pqr)(residual))
+        .withColumn("pqr_dv",
+          transform(Pq.decode(pqr)(col("pqr_arr")),
+            (r, i) => centD(col("cell"), i + 1) + r))
         .select(col("vec_id"), col("v"), col("cell"), col("nrm"),
           Codes.pack(col("sq8_arr")).as("sq8_codes"),
           sqrt(dot(col("sq8_dv"), col("sq8_dv"))).as("sq8_dn"),
           Codes.pack(col("pq_arr")).as("pq_codes"),
-          sqrt(dot(col("pq_dv"), col("pq_dv"))).as("pq_dn"))
+          sqrt(dot(col("pq_dv"), col("pq_dv"))).as("pq_dn"),
+          Codes.pack(col("pqr_arr")).as("pqr_codes"),
+          sqrt(dot(col("pqr_dv"), col("pqr_dv"))).as("pqr_dn"))
         .write.mode("overwrite")
         .parquet(new File(staging, "index.parquet").getAbsolutePath)
       saveModel(model, new File(staging, "centroids.txt"))
       saveSq8(sq8, new File(staging, "sq8.txt"))
       savePq(pq, new File(staging, "pq.txt"))
+      savePq(pqr, new File(staging, "pqr.txt"))
       def rm(f: File): Unit = graft.load.Scratch.rm(f)
       // atomic publish. A rename blocked by a COMPLETE destination means a
       // concurrent winner published an equivalent artifact — discard ours.
@@ -193,6 +221,7 @@ object IvfStore {
       loadModel(new File(d, "centroids.txt")),
       loadSq8(new File(d, "sq8.txt")),
       loadPq(new File(d, "pq.txt")),
+      loadPq(new File(d, "pqr.txt")),
       s.read.parquet(new File(d, "index.parquet").getAbsolutePath))
   }
 }

@@ -107,6 +107,9 @@ class PlanSpec extends AnyFunSuite {
     val pq = planString(queries.Quantization.annPq(spark, dir))
     assert(pq.contains("pq_codes:binary") && pq.contains("pq_dn:double"), pq)
     assert(!pq.contains(",v:array") && !pq.contains("nrm:double"), pq)
+    val pqr = planString(queries.Quantization.annPqResidual(spark, dir))
+    assert(pqr.contains("pqr_codes:binary") && pqr.contains("pqr_dn:double"), pqr)
+    assert(!pqr.contains(",v:array") && !pqr.contains("nrm:double"), pqr)
     // ADC scoring is m lookups via pure column ops — the only ScalaUDF in
     // the plan is the broadcast-side probe assignment (10 query rows),
     // never a per-candidate decode

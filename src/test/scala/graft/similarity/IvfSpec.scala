@@ -118,4 +118,33 @@ class IvfSpec extends AnyFunSuite {
     assert(joined.filter($"stored_s" =!= $"cs" || $"stored_p" =!= $"ps").count() == 0)
     assert(joined.count() == emb.count())
   }
+
+  test("residual PQ reconstructs tighter than raw PQ (the IndexIVFPQ rationale)") {
+    // Same m bytes per vector; the residual codec spends them on what the
+    // coarse quantizer leaves behind, so its reconstruction must beat
+    // raw-vector PQ on average — the reason FAISS encodes residuals.
+    val art = IvfStore.artifactFor(spark, TestSpark.sf0001, k = 8, iters = 2)
+    val ivfFlat = typedLit(art.ivf.centroids.flatten.toSeq)
+    def meanAbsErr(recon: org.apache.spark.sql.Column): Double =
+      art.index
+        .withColumn("errs", zip_with($"v", recon, (a, b) => abs(a - b)))
+        .select(avg(aggregate($"errs", lit(0.0), (a, x) => a + x) / lit(64.0)))
+        .head().getDouble(0)
+    val rawErr = meanAbsErr(Pq.decode(art.pq)(Codes.unpack($"pq_codes", art.pq.m)))
+    val resErr = meanAbsErr(
+      transform(Pq.decode(art.pqr)(Codes.unpack($"pqr_codes", art.pqr.m)),
+        (r, i) => element_at(ivfFlat, $"cell" * lit(64) + i + 1) + r))
+    info(f"mean abs reconstruction error: raw-PQ $rawErr%.5f residual-PQ $resErr%.5f")
+    assert(resErr < rawErr,
+      f"residual PQ ($resErr%.5f) should reconstruct tighter than raw PQ ($rawErr%.5f)")
+    // and the persisted norm column matches the reconstruction it claims
+    val normOff = art.index
+      .withColumn("recon",
+        transform(Pq.decode(art.pqr)(Codes.unpack($"pqr_codes", art.pqr.m)),
+          (r, i) => element_at(ivfFlat, $"cell" * lit(64) + i + 1) + r))
+      .withColumn("dn2",
+        sqrt(graft.functions.GraftFunctions.dot_double($"recon", $"recon")))
+      .filter(abs($"dn2" - $"pqr_dn") > 1e-12)
+    assert(normOff.count() == 0)
+  }
 }
