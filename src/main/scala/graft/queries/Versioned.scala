@@ -276,6 +276,45 @@ object Versioned {
        |  AND s2.subject = b3.subject AND s2.predicate = b3.predicate
        |  AND s2.obj = b3.obj)""".stripMargin
 
+  /** Time-based retention, oracle-graded: the three-batch lifecycle
+    * (merge, merge@T3, merge@T5 — so closed ranges carry TWO distinct
+    * deprecation stamps), then `compact(olderThan = T4)`. T4 sits
+    * between the stamps, so the purge is PARTIAL: the T3-closed ranges
+    * (which no as-of at or after T4 can ever return) drop, the
+    * T5-closed ranges and every open range survive, and the whole
+    * surviving state re-reads through the purged base the retention
+    * pass wrote. The oracle is the proven three-batch MERGE restatement
+    * filtered by the retention rule — any drift in the purge predicate,
+    * the horizon fold, or the base rewrite hash-mismatches. (The
+    * below-horizon THROW and horizon monotonicity are spec-pinned in
+    * TripletStoreSpec; a refusal cannot be a DataFrame row.) */
+  def versionTtl(s: SparkSession, dir: String): DataFrame = {
+    val (b1, b2) = fixtureBatches(s, dir)
+    val b3 = batch(
+      t(s, dir, "documents").filter(col("doc_id") >= 200 && col("doc_id") < 250),
+      lit("newlang"), lit(T4))
+    Scratch.withScratch("graft_vt_q", dir) { tmp =>
+      val store = new TripletStore(s, tmp.getAbsolutePath)
+      store.merge(b1, new Timestamp(T1 * 1000))
+      store.merge(b2, new Timestamp(T3 * 1000))
+      store.merge(b3, new Timestamp(T5 * 1000))
+      store.compact(olderThan = new Timestamp(T4 * 1000))
+      store.ranges.select(col("subject"), col("predicate"), col("obj"),
+          expr("unix_micros(useStart) div 1000").as("start_ms"),
+          expr("unix_micros(useEnd) div 1000").as("end_ms"),
+          col("deprecated"))
+        .localCheckpoint()
+    }
+  }
+
+  /** The three-batch state filtered by the retention rule: keep open
+    * ranges and closed ranges still answerable at or after the T4
+    * horizon. */
+  val versionTtlSql: String =
+    s"""SELECT * FROM (
+       |${versionCompactedSqlAt(T3 * 1000, T5 * 1000)}
+       |) WHERE NOT deprecated OR end_ms >= ${T4 * 1000}""".stripMargin
+
   /** §2.12 streaming load, oracle-graded end-to-end: the SAME three
     * fixture batches arrive as separate parquet files consumed by a real
     * Structured Streaming file source ([[graft.streaming.StreamingLoad]]),
@@ -329,6 +368,7 @@ object Versioned {
     "q_version_delta" -> versionDelta _,
     "q_version_asof" -> versionAsOf _,
     "q_version_compacted" -> versionCompacted _,
+    "q_version_ttl" -> versionTtl _,
     "q_stream_merge" -> streamMerge _)
 
   val oracles: Map[String, String] = Map(
@@ -336,5 +376,6 @@ object Versioned {
     "q_version_delta" -> versionDeltaSql,
     "q_version_asof" -> versionAsOfSql,
     "q_version_compacted" -> versionCompactedSql,
+    "q_version_ttl" -> versionTtlSql,
     "q_stream_merge" -> streamMergeSql)
 }
