@@ -359,6 +359,41 @@ object Quantization {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Filtered compressed search — the multi-tenant / metadata-predicate
+    * shape every production vector store serves: each query ranks ONLY
+    * candidates satisfying its predicate (here `label = query_id % 3` —
+    * a per-query tenant partition). The index row carries the metadata
+    * column next to the codes (IvfStore layout 4), so the filter
+    * applies inside the probed bucket join with NO join back to the raw
+    * corpus: the scan reads (vec_id, cell, label, sq8_codes, sq8_dn) —
+    * codes + predicate column only, raw vectors excluded
+    * (PlanSpec-pinned). A constant predicate would push to the parquet
+    * scan; the per-query one is a bucket-local join predicate applied
+    * before scoring, so filtered selectivity cuts scoring work
+    * proportionally. Hash-graded by [[annFilteredSql]]. */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val art = graft.similarity.IvfStore.artifactFor(s, dir, k = 8, iters = 2)
+    require(art.sq8.dim == dim, s"artifact sq8 dim ${art.sq8.dim} != $dim")
+    val comp = art.index.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("cell"), col("label"), col("sq8_codes"),
+        col("sq8_dn").as("dn"))
+      .withColumn("dv",
+        Sq8.decode(art.sq8)(graft.similarity.Codes.unpack(col("sq8_codes"), dim)))
+    val q = graft.similarity.IvfIndex
+      .probedCells(t(s, dir, "embeddings").filter(col("vec_id") < 10), art.ivf,
+        nprobe = 2)
+      .drop("cell_rank")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    comp.join(broadcast(q), "cell")
+      .filter(col("label") === (col("query_id") % 3).cast("int"))
+      .withColumn("cos", dot(col("qv"), col("dv")) / (col("qn") * col("dn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Residual-encoded IVF+PQ — the encoding FAISS's IndexIVFPQ actually
     * uses (Jégou et al. 2011 §V): PQ codes the RESIDUAL v − centroid
     * (cell), whose variance is what the coarse quantizer leaves behind,
@@ -589,6 +624,39 @@ object Quantization {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
        |  FROM ex) WHERE rn <= 5""".stripMargin
 
+  /** Filtered-search replay: the [[annSq8Sql]] chain with the metadata
+    * column joined onto the index rows and the per-query predicate
+    * applied before ranking. */
+  val annFilteredSql: String =
+    s"""${VectorOps.ivfReplayCtes},
+       |st AS (SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+       |  FROM e, range(1, $dim + 1) td(d) GROUP BY d),
+       |sl AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM st),
+       |cdx AS (SELECT i.vec_id, i.cell,
+       |  list_transform(range(1, $dim + 1), d ->
+       |    CASE WHEN sl.mxs[d] = sl.mns[d] THEN 0
+       |         ELSE CAST(GREATEST(0, LEAST(255,
+       |           floor((i.v[d] - sl.mns[d]) / (sl.mxs[d] - sl.mns[d]) * 255.0 + 0.5)))
+       |           AS INTEGER) END) AS cs
+       |  FROM idx i, sl),
+       |ddx AS (SELECT c.vec_id, c.cell,
+       |  list_transform(range(1, $dim + 1), d ->
+       |    sl.mns[d] + c.cs[d] * ((sl.mxs[d] - sl.mns[d]) / 255.0)) AS dv
+       |  FROM cdx c, sl),
+       |ddn AS (SELECT x.vec_id, x.cell, x.dv, sqrt(${dotSql("x.dv", "x.dv")}) AS dn,
+       |  lb.label
+       |  FROM ddx x JOIN (SELECT vec_id, label FROM embeddings) lb USING (vec_id)),
+       |probe AS (SELECT query_id, qv, qn, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+       |  FROM dq) WHERE rn <= 2),
+       |scored AS (SELECT p.query_id, i.vec_id, i.label,
+       |  ${dotSql("p.qv", "i.dv")} / (p.qn * i.dn) AS cos
+       |  FROM probe p JOIN ddn i USING (cell)
+       |  WHERE i.label = CAST(p.query_id % 3 AS INTEGER))
+       |SELECT query_id, vec_id AS neighbor_id, label, round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) WHERE rn <= 5""".stripMargin
+
   /** Residual IVF+PQ replay: IVF fit CTEs, then (1) full-corpus
     * assignment `rasg` (idx covers only the corpus side; the residual
     * FIT samples the whole table, exactly like the engine's build), (2)
@@ -633,7 +701,8 @@ object Quantization {
     "q_pq_error" -> pqError _,
     "q_pq_topk" -> pqTopK _,
     "q_pq_rerank" -> pqRerank _,
-    "q_ann_pqr" -> annPqResidual _)
+    "q_ann_pqr" -> annPqResidual _,
+    "q_ann_filtered" -> annFiltered _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_pq" -> annPqSql,
@@ -645,5 +714,6 @@ object Quantization {
     "q_pq_error" -> pqErrorSql,
     "q_pq_topk" -> pqTopKSql,
     "q_pq_rerank" -> pqRerankSql,
-    "q_ann_pqr" -> annPqrSql)
+    "q_ann_pqr" -> annPqrSql,
+    "q_ann_filtered" -> annFilteredSql)
 }

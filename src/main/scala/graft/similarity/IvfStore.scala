@@ -49,8 +49,10 @@ object IvfStore {
 
   /** Artifact layout generation — bump when the persisted schema or the
     * codec fit recipe changes so stale artifacts are never served.
-    * 2 = persisted SQ8/PQ codes + norms; 3 = + residual-PQ (IndexIVFPQ). */
-  private val Layout = 3
+    * 2 = persisted SQ8/PQ codes + norms; 3 = + residual-PQ (IndexIVFPQ);
+    * 4 = + metadata column (`label`) carried into the index row, so a
+    * filtered search never has to join back to the raw corpus. */
+  private val Layout = 4
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -160,7 +162,11 @@ object IvfStore {
       // the residual encoding (v − centroid(cell) — what IndexIVFPQ
       // actually codes); checkpointed so the residual FIT's bounded
       // sample and the encode pass read one materialization
+      // metadata rides the index row (the production filtered-search
+      // shape: predicate columns live NEXT to the codes, so a filtered
+      // probe never joins back to the raw corpus)
       val assigned = IvfIndex.withNorm(IvfIndex.assign(emb, model))
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
         .localCheckpoint()
       val dim = model.centroids.head.length
       val ivfFlat = typedLit(model.centroids.flatten.toSeq)
@@ -186,7 +192,7 @@ object IvfStore {
         .withColumn("pqr_dv",
           transform(Pq.decode(pqr)(col("pqr_arr")),
             (r, i) => centD(col("cell"), i + 1) + r))
-        .select(col("vec_id"), col("v"), col("cell"), col("nrm"),
+        .select(col("vec_id"), col("v"), col("cell"), col("nrm"), col("label"),
           Codes.pack(col("sq8_arr")).as("sq8_codes"),
           sqrt(dot(col("sq8_dv"), col("sq8_dv"))).as("sq8_dn"),
           Codes.pack(col("pq_arr")).as("pq_codes"),

@@ -110,6 +110,11 @@ class PlanSpec extends AnyFunSuite {
     val pqr = planString(queries.Quantization.annPqResidual(spark, dir))
     assert(pqr.contains("pqr_codes:binary") && pqr.contains("pqr_dn:double"), pqr)
     assert(!pqr.contains(",v:array") && !pqr.contains("nrm:double"), pqr)
+    // filtered search: the predicate column rides the index row — codes +
+    // label in the scan, still no raw vector, no join back to the corpus
+    val fl = planString(queries.Quantization.annFiltered(spark, dir))
+    assert(fl.contains("label:int") && fl.contains("sq8_codes:binary"), fl)
+    assert(!fl.contains(",v:array") && !fl.contains("nrm:double"), fl)
     // ADC scoring is m lookups via pure column ops — the only ScalaUDF in
     // the plan is the broadcast-side probe assignment (10 query rows),
     // never a per-candidate decode
