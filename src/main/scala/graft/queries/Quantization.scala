@@ -359,6 +359,88 @@ object Quantization {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Incremental ANN index, graded end-to-end like q_incremental_dedup:
+    * the corpus arrives in TWO batches appended to a scratch
+    * [[graft.similarity.VectorIndex]] — the coarse centroids and SQ8
+    * ranges freeze on batch 1 (even vec_ids), batch 2 encodes under the
+    * frozen models, and the probed search runs over the accumulated code
+    * table. Hash-graded by [[incrementalAnnSql]], which replays the
+    * batch-1-only fits (IVF Lloyd sample AND SQ8 min/max restricted to
+    * the first batch) and the all-rows encode — any drift in the freeze
+    * discipline (e.g. an accidental refit on batch 2) mismatches. */
+  def incrementalAnn(s: SparkSession, dir: String): DataFrame = {
+    val embT = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = embT.filter(col("vec_id") >= 10)
+    graft.load.Scratch.withScratch("graft_vi_q", dir) { tmp =>
+      val idx = new graft.similarity.VectorIndex(s, tmp.getAbsolutePath)
+      idx.ingest(corpus.filter(col("vec_id") % 2 === 0))
+      idx.ingest(corpus.filter(col("vec_id") % 2 =!= 0))
+      idx.search(embT.filter(col("vec_id") < 10), topK = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos"))
+        .localCheckpoint()
+    }
+  }
+
+  /** Replay of the incremental build: the IVF Lloyd chain and the SQ8
+    * min/max both read ONLY batch 1 (even corpus vec_ids — the frozen
+    * models), while assignment/codes cover the whole corpus. */
+  val incrementalAnnSql: String = {
+    val ew = "list_transform(range(1, len(acc)+1), d -> acc[d] + x[d])"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ec AS (SELECT * FROM e WHERE vec_id >= 10),
+       |e1 AS (SELECT * FROM ec WHERE vec_id % 2 = 0),
+       |samp AS (SELECT vec_id, v FROM e1 ORDER BY vec_id LIMIT 2048),
+       |c0 AS (SELECT cell, v AS c FROM (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v FROM samp) WHERE cell < 8),
+       |d1 AS (SELECT s.vec_id, s.v, c.cell, ${sqdSql("s.v", "c.c")} AS dist FROM samp s, c0 c),
+       |a1 AS (SELECT vec_id, v, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1),
+       |m1 AS (SELECT cell, list_reduce(list(v ORDER BY vec_id), (acc, x) -> $ew) AS s,
+       |  count(*) AS n FROM a1 GROUP BY cell),
+       |c1 AS (SELECT c0.cell,
+       |  COALESCE(list_transform(range(1, len(m1.s)+1), d -> m1.s[d] / m1.n), c0.c) AS c
+       |  FROM c0 LEFT JOIN m1 ON m1.cell = c0.cell),
+       |d2 AS (SELECT s.vec_id, s.v, c.cell, ${sqdSql("s.v", "c.c")} AS dist FROM samp s, c1 c),
+       |a2 AS (SELECT vec_id, v, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1),
+       |m2 AS (SELECT cell, list_reduce(list(v ORDER BY vec_id), (acc, x) -> $ew) AS s,
+       |  count(*) AS n FROM a2 GROUP BY cell),
+       |c2 AS (SELECT c1.cell,
+       |  COALESCE(list_transform(range(1, len(m2.s)+1), d -> m2.s[d] / m2.n), c1.c) AS c
+       |  FROM c1 LEFT JOIN m2 ON m2.cell = c1.cell),
+       |di AS (SELECT ec.vec_id, ec.v, c.cell, ${sqdSql("ec.v", "c.c")} AS dist FROM ec, c2 c),
+       |idx AS (SELECT vec_id, v, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM di) WHERE rn = 1),
+       |st AS (SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+       |  FROM e1, range(1, $dim + 1) td(d) GROUP BY d),
+       |sl AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM st),
+       |cdx AS (SELECT i.vec_id, i.cell,
+       |  list_transform(range(1, $dim + 1), d ->
+       |    CASE WHEN sl.mxs[d] = sl.mns[d] THEN 0
+       |         ELSE CAST(GREATEST(0, LEAST(255,
+       |           floor((i.v[d] - sl.mns[d]) / (sl.mxs[d] - sl.mns[d]) * 255.0 + 0.5)))
+       |           AS INTEGER) END) AS cs
+       |  FROM idx i, sl),
+       |ddx AS (SELECT c.vec_id, c.cell,
+       |  list_transform(range(1, $dim + 1), d ->
+       |    sl.mns[d] + c.cs[d] * ((sl.mxs[d] - sl.mns[d]) / 255.0)) AS dv
+       |  FROM cdx c, sl),
+       |ddn AS (SELECT vec_id, cell, dv, sqrt(${dotSql("dv", "dv")}) AS dn FROM ddx),
+       |qq AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS qn FROM e WHERE vec_id < 10),
+       |dq AS (SELECT q.vec_id AS query_id, q.v AS qv, q.qn, c.cell, ${sqdSql("q.v", "c.c")} AS dist
+       |  FROM qq q, c2 c),
+       |probe AS (SELECT query_id, qv, qn, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+       |  FROM dq) WHERE rn <= 2),
+       |scored AS (SELECT p.query_id, i.vec_id,
+       |  ${dotSql("p.qv", "i.dv")} / (p.qn * i.dn) AS cos
+       |  FROM probe p JOIN ddn i USING (cell))
+       |SELECT query_id, vec_id AS neighbor_id, round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) WHERE rn <= 5""".stripMargin
+  }
+
   /** Filtered compressed search — the multi-tenant / metadata-predicate
     * shape every production vector store serves: each query ranks ONLY
     * candidates satisfying its predicate (here `label = query_id % 3` —
@@ -702,7 +784,8 @@ object Quantization {
     "q_pq_topk" -> pqTopK _,
     "q_pq_rerank" -> pqRerank _,
     "q_ann_pqr" -> annPqResidual _,
-    "q_ann_filtered" -> annFiltered _)
+    "q_ann_filtered" -> annFiltered _,
+    "q_incremental_ann" -> incrementalAnn _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_pq" -> annPqSql,
@@ -715,5 +798,6 @@ object Quantization {
     "q_pq_topk" -> pqTopKSql,
     "q_pq_rerank" -> pqRerankSql,
     "q_ann_pqr" -> annPqrSql,
-    "q_ann_filtered" -> annFilteredSql)
+    "q_ann_filtered" -> annFilteredSql,
+    "q_incremental_ann" -> incrementalAnnSql)
 }

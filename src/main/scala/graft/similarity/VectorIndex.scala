@@ -1,0 +1,143 @@
+package graft.similarity
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental compressed vector index — the ANN leg of the intake
+  * family next to [[DedupIndex]]/[[SemanticDedupIndex]]: embedding
+  * micro-batches append to a standing table of SEARCH-READY rows
+  * (vec_id, cell, 1-byte/dim SQ8 codes, reconstruction norm) instead of
+  * the corpus being re-indexed per batch. Storage/visibility/compaction
+  * ride [[BatchedSignatureStore]] (`b=N` committed dirs, crash-safe
+  * consolidation); the codec state rides the index directory.
+  *
+  * Model lifecycle — the production IVF discipline: the coarse
+  * centroids and the SQ8 ranges are fit ONCE, on the first ingested
+  * batch (deterministic sampled fit, exact text roundtrip), and FROZEN;
+  * later batches assign+encode under the frozen models, so previously
+  * written codes never need rewriting and a search is consistent across
+  * the whole accumulated table. The cost is drift: if the embedding
+  * distribution moves past the first batch's ranges, codes saturate at
+  * the clamp and cells skew — [[codecDrift]] measures both so an
+  * operator can decide when to rebuild into a fresh index (the same
+  * rebuild-vs-extend call FAISS deployments make; an in-place refit
+  * would silently invalidate every persisted code).
+  *
+  * Scale shape: ingest is one map stage over the batch (broadcast
+  * centroids + plan-literal codec) plus one committed append — cost
+  * tracks the BATCH, never the standing index. A search reads codes
+  * only (1 byte/dim) and touches ~nprobe/k of the table via the probed
+  * bucket join, exactly like the immutable [[IvfStore]] artifact path.
+  */
+class VectorIndex(spark: SparkSession, path: String,
+                  k: Int = 8, iters: Int = 2, sampleSize: Int = 2048)
+    extends BatchedSignatureStore(spark, path) {
+
+  override protected def schema: StructType = VectorIndex.rowSchema
+
+  private def fs = new java.io.File(path)
+  private def ivfFile = new java.io.File(fs, "ivf_centroids.txt")
+  private def sq8File = new java.io.File(fs, "sq8.txt")
+
+  private def writeLines(rows: Seq[Array[Double]], f: java.io.File): Unit =
+    Files.writeString(f.toPath,
+      rows.map(_.map(java.lang.Double.toString).mkString(",")).mkString("\n"))
+
+  private def readLines(f: java.io.File): Array[Array[Double]] =
+    Files.readString(f.toPath).split("\n")
+      .map(_.split(",").map(java.lang.Double.parseDouble))
+
+  /** Frozen models, present once the first batch landed. */
+  def models: Option[(IvfIndex.Model, Sq8Model)] =
+    if (ivfFile.exists() && sq8File.exists()) {
+      val s = readLines(sq8File)
+      Some((IvfIndex.Model(readLines(ivfFile)), Sq8Model(s(0), s(1))))
+    } else None
+
+  private def fitOrLoad(emb: DataFrame): (IvfIndex.Model, Sq8Model) =
+    models.getOrElse {
+      val ivf = IvfIndex.fitSample(emb, k, iters, sampleSize)
+      val sq8 = Sq8.fit(emb)
+      fs.mkdirs()
+      writeLines(ivf.centroids.toSeq, ivfFile)
+      writeLines(Seq(sq8.mins, sq8.maxs), sq8File)
+      (ivf, sq8)
+    }
+
+  /** Ingest one batch of (vec_id, embedding): assign + encode under the
+    * frozen models, append as a committed batch dir. Returns rows added.
+    * vec_id uniqueness across batches is the caller's contract (an
+    * index, not a dedup filter — compose with [[SemanticDedupIndex]]
+    * upstream when near-dup suppression is wanted). */
+  def ingest(emb: DataFrame): Long = {
+    val (ivf, sq8) = fitOrLoad(emb)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.GraftFunctions.dot_double(a, b)
+    val rows = IvfIndex.assign(emb, ivf)
+      .withColumn("sq8_arr", Sq8.encode(sq8)(col("v")))
+      .withColumn("dv", Sq8.decode(sq8)(col("sq8_arr")))
+      .select(col("vec_id"), col("cell"),
+        Codes.pack(col("sq8_arr")).as("sq8_codes"),
+        sqrt(dot(col("dv"), col("dv"))).as("dn"))
+      .localCheckpoint()
+    val n = rows.count()
+    append(rows, n)
+    n
+  }
+
+  /** Probed top-k over the accumulated code table — same plan as the
+    * artifact search: broadcast probed cells, codes-only scan, bucket-
+    * local asymmetric cosine. */
+  def search(queries: DataFrame, topK: Int, nprobe: Int): DataFrame = {
+    val (ivf, sq8) = models.getOrElse(
+      throw new IllegalStateException(s"VectorIndex at $path has no batches"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.GraftFunctions.dot_double(a, b)
+    val q = IvfIndex.probedCells(queries, ivf, nprobe).drop("cell_rank")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    table
+      .withColumn("dv", Sq8.decode(sq8)(Codes.unpack(col("sq8_codes"), sq8.dim)))
+      .join(broadcast(q), "cell")
+      .withColumn("cos", dot(col("qv"), col("dv")) / (col("qn") * col("dn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Drift instruments for the frozen models over a candidate batch:
+    * fraction of (row, dim) values OUTSIDE the frozen SQ8 range (codes
+    * there saturate at the clamp) and the max cell share under the
+    * frozen centroids (skew — 1/k is perfectly balanced). Cheap one-pass
+    * aggregates; an operator alerts on them and rebuilds into a fresh
+    * index when they cross policy. */
+  def codecDrift(emb: DataFrame): (Double, Double) = {
+    val (ivf, sq8) = models.getOrElse(
+      throw new IllegalStateException(s"VectorIndex at $path has no batches"))
+    val mins = typedLit(sq8.mins.toSeq)
+    val maxs = typedLit(sq8.maxs.toSeq)
+    val v = col("embedding").cast("array<double>")
+    val outOfRange = emb.select(
+        aggregate(zip_with(v, sequence(lit(1), lit(sq8.dim)), (x, i) =>
+          when(x < element_at(mins, i) || x > element_at(maxs, i), 1).otherwise(0)),
+          lit(0), (a, x) => a + x).as("oor"))
+      .agg(sum("oor").cast("double").as("n_oor"), count(lit(1)).as("n"))
+      .head()
+    val oorFrac = outOfRange.getDouble(0) / (outOfRange.getLong(1) * sq8.dim)
+    val cellShare = IvfIndex.assign(emb, ivf)
+      .groupBy("cell").count()
+      .agg(max(col("count")).cast("double").as("mx"), sum(col("count")).as("n"))
+      .head()
+    (oorFrac, cellShare.getDouble(0) / cellShare.getLong(1))
+  }
+}
+
+object VectorIndex {
+  val rowSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType), StructField("cell", IntegerType),
+    StructField("sq8_codes", BinaryType), StructField("dn", DoubleType)))
+}

@@ -76,6 +76,21 @@ object StreamingCorpus {
         ()
       }
 
+  /** ANN-index intake: arriving embedding micro-batches append to the
+    * standing compressed [[graft.similarity.VectorIndex]] (frozen coarse
+    * centroids + SQ8 codec from the first batch; each batch is one
+    * assign+encode map stage plus a committed append) — the streaming
+    * build path of the search state the probed-cell queries read. */
+  def vectorIntake(emb: DataFrame, indexPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    emb.select(col("vec_id"), col("embedding"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        new graft.similarity.VectorIndex(batch.sparkSession, indexPath)
+          .ingest(batch.toDF())
+        ()
+      }
+
   /** The semantic twin of [[dedupIntake]]: arriving embedding micro-batches
     * ingest into the persisted
     * [[graft.similarity.SemanticDedupIndex]] — near-duplicate vectors
