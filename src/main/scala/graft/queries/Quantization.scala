@@ -359,6 +359,82 @@ object Quantization {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Binary quantization prescreen + exact re-rank — the 1-bit end of
+    * the compression ladder (SQ8 8×, PQ 64×, BQ 512×: 64 dims → 8
+    * bytes), the shape Qdrant/Milvus ship as "binary quantization":
+    * sign bits against per-dim midrange thresholds ((min+max)/2 —
+    * order-independent, so the fit is bit-stable under any
+    * partitioning), packed into two 32-bit words so neither engine's
+    * BIGINT arithmetic can overflow; candidates rank by Hamming
+    * distance = two XOR+popcounts per pair (pure codegen arithmetic),
+    * top-50 per query re-rank by exact cosine → top-5. Hamming ties
+    * break on vec_id, so the shortlist is deterministic in both
+    * engines. */
+  def bqRerank(s: SparkSession, dir: String): DataFrame = {
+    val m = fitModel(s, dir)
+    val th = typedLit(m.mins.zip(m.maxs).map { case (a, b) => (a + b) / 2.0 }.toSeq)
+    def bits32(v: Column, off: Int): Column =
+      aggregate(sequence(lit(1), lit(32)), lit(0L), (acc, d) =>
+        acc * lit(2L) + when(element_at(v, d + lit(off)) >
+          element_at(th, d + lit(off)), lit(1L)).otherwise(lit(0L)))
+    val e = emb(s, dir)
+    val c = e.filter(col("vec_id") >= 10)
+      .withColumn("b0", bits32(col("v"), 0))
+      .withColumn("b1", bits32(col("v"), 32))
+      .withColumn("vn", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < 10)
+      .withColumn("qn", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qn"),
+        bits32(col("v"), 0).as("qb0"), bits32(col("v"), 32).as("qb1"))
+    val wh = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("vec_id"))
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    c.join(broadcast(q))
+      .withColumn("ham",
+        bit_count(col("b0").bitwiseXOR(col("qb0"))) +
+          bit_count(col("b1").bitwiseXOR(col("qb1"))))
+      .withColumn("rn", row_number().over(wh))
+      .filter(col("rn") <= 50)
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("vn")))
+      .withColumn("rn2", row_number().over(we))
+      .filter(col("rn2") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("ham").cast("long").as("hamming"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** BQ replay: midrange thresholds from the shared min/max CTEs, the
+    * same two 32-bit left-fold packings, XOR+popcount Hamming, top-50 by
+    * (hamming, vec_id), exact-cosine re-rank. */
+  val bqRerankSql: String = {
+    def bits32(src: String, off: Int): String =
+      s"list_reduce(list_transform(range(1, 33), d -> " +
+        s"CASE WHEN $src[d + $off] > (sl.mns[d + $off] + sl.mxs[d + $off]) / 2.0 " +
+        s"THEN 1::BIGINT ELSE 0::BIGINT END), (a, x) -> a * 2 + x)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |st AS (SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+       |  FROM e, range(1, $dim + 1) td(d) GROUP BY d),
+       |sl AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM st),
+       |cc AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS vn,
+       |  ${bits32("v", 0)} AS b0, ${bits32("v", 32)} AS b1
+       |  FROM e, sl WHERE vec_id >= 10),
+       |qq AS (SELECT vec_id AS query_id, v AS qv, sqrt(${dotSql("v", "v")}) AS qn,
+       |  ${bits32("v", 0)} AS qb0, ${bits32("v", 32)} AS qb1
+       |  FROM e, sl WHERE vec_id < 10),
+       |short AS (SELECT query_id, vec_id, qv, qn, v, vn, ham FROM (
+       |  SELECT q.query_id, c.vec_id, q.qv, q.qn, c.v, c.vn,
+       |    bit_count(xor(c.b0, q.qb0)) + bit_count(xor(c.b1, q.qb1)) AS ham,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY bit_count(xor(c.b0, q.qb0)) + bit_count(xor(c.b1, q.qb1)), c.vec_id) AS rn
+       |  FROM qq q, cc c) WHERE rn <= 50),
+       |ex AS (SELECT query_id, vec_id, ham,
+       |  ${dotSql("qv", "v")} / (qn * vn) AS cos FROM short)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(ham AS BIGINT) AS hamming,
+       |  round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM ex) WHERE rn <= 5""".stripMargin
+  }
+
   /** Incremental ANN index, graded end-to-end like q_incremental_dedup:
     * the corpus arrives in TWO batches appended to a scratch
     * [[graft.similarity.VectorIndex]] — the coarse centroids and SQ8
@@ -785,7 +861,8 @@ object Quantization {
     "q_pq_rerank" -> pqRerank _,
     "q_ann_pqr" -> annPqResidual _,
     "q_ann_filtered" -> annFiltered _,
-    "q_incremental_ann" -> incrementalAnn _)
+    "q_incremental_ann" -> incrementalAnn _,
+    "q_bq_rerank" -> bqRerank _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_pq" -> annPqSql,
@@ -799,5 +876,6 @@ object Quantization {
     "q_pq_rerank" -> pqRerankSql,
     "q_ann_pqr" -> annPqrSql,
     "q_ann_filtered" -> annFilteredSql,
-    "q_incremental_ann" -> incrementalAnnSql)
+    "q_incremental_ann" -> incrementalAnnSql,
+    "q_bq_rerank" -> bqRerankSql)
 }

@@ -78,4 +78,20 @@ class Sq8Spec extends AnyFunSuite {
     // should recover nearly all true neighbors
     assert(recall >= 0.9, s"recall=$recall")
   }
+
+  test("BQ prescreen + exact re-rank: honest 1-bit quality ledger") {
+    // 1 bit/dim is the coarse end of the ladder: a pure sign-bit ranking
+    // is weak on structureless vectors, but the production deployment —
+    // Hamming prescreen to top-50, exact re-rank — recovers a usable
+    // fraction of the true top-5, and the spec records the floor so a
+    // codec regression is visible. (sf0.01 measured 0.68; the smaller
+    // sf0.001 corpus is noisier, so the pin is conservative.)
+    val got = graft.queries.Quantization.bqRerank(spark, TestSpark.sf0001)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = graft.queries.VectorOps.cosineTopK(spark, TestSpark.sf0001)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"BQ rerank recall@5 = $recall%.2f")
+    assert(recall >= 0.4, s"recall=$recall")
+  }
 }
