@@ -111,7 +111,8 @@ object ScaleTenProbe {
       // (ann_sq8), bounded-cell aggregation (cms), two-level rank
       // (interleave) — each with a distinct expected scaling shape
       "q_sq8_topk", "q_ann_sq8", "q_cms_sketch", "q_cms_heavy_hitters",
-      "q_interleave", "q_pq_topk", "q_ann_pq", "q_pq_rerank")
+      "q_interleave", "q_pq_topk", "q_ann_pq", "q_pq_rerank",
+      "q_ann_pqr", "q_ann_filtered", "q_incremental_ann", "q_bq_rerank")
     // args: [multiplier] [comma-separated query subset] — e.g.
     //   Test/runMain graft.ScaleTenProbe 100 q_dedup_groups,q_common_spans
     // gives a second measured decade on a chosen subset.
