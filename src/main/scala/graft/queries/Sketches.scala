@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Count–min sketch (Cormode & Muthukrishnan 2005) over the document
-  * token stream — fixed-size frequency summaries for heavy-hitter
-  * detection at corpus scale. The sketch is depth×width counters
+/** Fixed-size mergeable sketches: count–min (Cormode & Muthukrishnan
+  * 2005) over the document token stream for heavy-hitter detection, and
+  * HyperLogLog (Flajolet et al. 2007) over the fact-row key stream for
+  * distinct counting — the two standing summaries a pipeline keeps per
+  * source/shard at corpus scale. The CMS is depth×width counters
   * (4×1024 here): build = one partial-aggregated groupBy whose shuffle
   * carries at most depth·width rows per map partition REGARDLESS of
   * corpus size, and sketches of disjoint corpus slices merge by
@@ -144,11 +146,161 @@ object Sketches {
        |FROM probes p JOIN cells c USING (row_i, bucket)
        |GROUP BY p.token, p.freq""".stripMargin
 
+  // ---- HyperLogLog (Flajolet et al. 2007) -----------------------------
+  //
+  // The distinct-count twin of the CMS: m = 1024 registers summarize a
+  // key stream in ≤ m rows, slices merge by register-wise MAX (HllSpec
+  // pins it), so per-source/per-shard cardinality tracking at 100 TB is
+  // one bounded pass + a kilobyte of standing state per shard. Input
+  // here is the lineitem order-key stream — 60k occurrences of ~15k
+  // distinct ids at sf0.01 (the raw-estimator regime); at sf0.001 the
+  // cardinality sits below 2.5m, exercising the linear-counting branch.
+  //
+  // Cross-engine determinism: register index = the md5 key mod m; rho
+  // (position of the first 1-bit) comes from md5 hex chars 9..23
+  // (60 bits) computed ENTIRELY by string ops — count leading '0' hex
+  // chars, then a 4-way CASE on the first nonzero nibble — so there is
+  // no log2/float anywhere and DuckDB replays the exact integer path.
+  // The estimator's harmonic sum is kept exact too: each register
+  // contributes 2^(61-rho) to a DECIMAL(38,0)/HUGEINT accumulator
+  // (absent registers contribute 2^61), and the only float ops are the
+  // final constant/sum division plus the small-range ln — identical
+  // IEEE inputs, equal well inside the comparator's 1e-6.
+
+  private val hllM = 1024L
+  private val two61 = "2305843009213693952" // 2^61 as an integer literal
+
+  /** alpha_m · m² · 2^61 for m = 1024 — the estimator numerator, embedded
+    * as the same double literal in the Spark plan and the SQL replay. */
+  private[queries] val hllC: Double =
+    0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 * math.pow(2.0, 61)
+
+  /** The sketch input: one string key per fact row. Cardinality of order
+    * ids in the fact stream — the "how many distinct docs/users/sessions
+    * did this shard see" question a pipeline answers per source. */
+  private def orderKeys(s: SparkSession, dir: String): DataFrame =
+    keysOf(t(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("k")))
+
+  /** Key any single-string-column frame for the HLL: the same first-8-hex
+    * md5 integer the CMS uses. */
+  def keysOf(vals: DataFrame): DataFrame =
+    vals.withColumn("key",
+      conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long"))
+
+  /** rho of the 60-bit value spelled by a 15-char hex string: leading-zero
+    * bit count + 1, via string ops only (see block comment). */
+  private def rhoCol(hx: Column): Column = {
+    val stripped = ltrim(hx, "0")
+    val nib = substring(stripped, 1, 1)
+    val nibLz = when(nib === "1", 3)
+      .when(nib.isin("2", "3"), 2)
+      .when(nib.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    when(length(stripped) === 0, lit(61))
+      .otherwise((lit(15) - length(stripped)) * 4 + nibLz + 1)
+  }
+
+  /** The register table over a keyed frame ([[keysOf]]): ≤ m rows,
+    * partial-aggregated MAX per map partition, merge unit of the sketch.
+    * Runs unchanged on a streaming frame (update/complete mode). */
+  def buildHll(keys: DataFrame): DataFrame =
+    keys
+      .withColumn("idx", pmod(col("key"), lit(hllM)))
+      .withColumn("rho", rhoCol(substring(md5(col("k")), 9, 15)))
+      .groupBy("idx").agg(max(col("rho")).cast("long").as("maxrho"))
+
+  def hllRegisters(s: SparkSession, dir: String): DataFrame =
+    buildHll(orderKeys(s, dir))
+
+  /** Cardinality estimate from the registers vs the exact distinct count,
+    * with Flajolet's small-range correction: raw E = C / S while
+    * E > 2.5m; below that with empty registers present, linear counting
+    * E = m·ln(m/V). Both engines compute raw E from the SAME exact
+    * integer S, so they take the same branch by construction. */
+  def hllEstimate(s: SparkSession, dir: String): DataFrame = {
+    val keys = orderKeys(s, dir)
+    val agg = buildHll(keys).agg(
+      sum(expr("cast(shiftleft(cast(1 as bigint), cast(61 - maxrho as int)) as decimal(38,0))"))
+        .as("s_present"),
+      count(lit(1)).as("used"))
+    val exact = keys.agg(count_distinct(col("k")).as("n_exact"))
+    agg.crossJoin(exact)
+      .withColumn("s_total",
+        col("s_present") + (lit(hllM) - col("used")) * expr(s"cast($two61 as decimal(38,0))"))
+      .withColumn("raw_est", lit(hllC) / col("s_total").cast("double"))
+      .withColumn("zeros", lit(hllM) - col("used"))
+      .withColumn("hll_est",
+        when(col("raw_est") <= lit(2.5 * hllM) && col("zeros") > 0,
+          lit(hllM.toDouble) * log(lit(hllM.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("raw_est")))
+      .withColumn("branch",
+        when(col("raw_est") <= lit(2.5 * hllM) && col("zeros") > 0, lit("linear"))
+          .otherwise(lit("raw")))
+      .withColumn("rel_err",
+        (col("hll_est") - col("n_exact").cast("double")) / col("n_exact").cast("double"))
+      .select(col("n_exact"), col("hll_est"), col("rel_err"), col("branch"),
+        col("used").cast("long").as("used_registers"))
+  }
+
+  /** Shared CTEs for the SQL replays: keyed order ids + the registers via
+    * the same string-only rho derivation. */
+  private val hllCtes: String =
+    s"""WITH hkeys AS (
+       |  SELECT k,
+       |    CAST(('0x' || substr(md5(k), 1, 8))::UBIGINT AS BIGINT) AS key
+       |  FROM (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem)),
+       |regs AS (
+       |  SELECT key % $hllM AS idx,
+       |    MAX(CASE WHEN stripped = '' THEN 61
+       |        ELSE (15 - length(stripped)) * 4 +
+       |          (CASE WHEN nib = '1' THEN 3
+       |                WHEN nib IN ('2','3') THEN 2
+       |                WHEN nib IN ('4','5','6','7') THEN 1
+       |                ELSE 0 END) + 1 END) AS maxrho
+       |  FROM (SELECT key, stripped, substr(stripped, 1, 1) AS nib
+       |        FROM (SELECT key, ltrim(substr(md5(k), 9, 15), '0') AS stripped
+       |              FROM hkeys))
+       |  GROUP BY 1)""".stripMargin
+
+  val hllRegistersSql: String =
+    s"""$hllCtes
+       |SELECT idx, CAST(maxrho AS BIGINT) AS maxrho FROM regs""".stripMargin
+
+  val hllEstimateSql: String =
+    s"""$hllCtes,
+       |agg AS (
+       |  SELECT SUM(CAST(CAST(1 AS BIGINT) << CAST(61 - maxrho AS INT) AS HUGEINT)) AS s_present,
+       |    COUNT(*) AS used
+       |  FROM regs),
+       |est AS (
+       |  SELECT used,
+       |    ${hllC} / CAST(s_present + ($hllM - used) * CAST($two61 AS HUGEINT) AS DOUBLE) AS raw_est,
+       |    $hllM - used AS zeros
+       |  FROM agg)
+       |SELECT (SELECT COUNT(DISTINCT k) FROM hkeys) AS n_exact,
+       |  CASE WHEN raw_est <= ${2.5 * hllM} AND zeros > 0
+       |    THEN ${hllM.toDouble} * ln(${hllM.toDouble} / CAST(zeros AS DOUBLE))
+       |    ELSE raw_est END AS hll_est,
+       |  (CASE WHEN raw_est <= ${2.5 * hllM} AND zeros > 0
+       |    THEN ${hllM.toDouble} * ln(${hllM.toDouble} / CAST(zeros AS DOUBLE))
+       |    ELSE raw_est END
+       |    - CAST((SELECT COUNT(DISTINCT k) FROM hkeys) AS DOUBLE))
+       |    / CAST((SELECT COUNT(DISTINCT k) FROM hkeys) AS DOUBLE) AS rel_err,
+       |  CASE WHEN raw_est <= ${2.5 * hllM} AND zeros > 0
+       |    THEN 'linear' ELSE 'raw' END AS branch,
+       |  CAST(used AS BIGINT) AS used_registers
+       |FROM est""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cms_sketch" -> cmsSketch _,
-    "q_cms_heavy_hitters" -> cmsHeavyHitters _)
+    "q_cms_heavy_hitters" -> cmsHeavyHitters _,
+    "q_hll_registers" -> hllRegisters _,
+    "q_hll_estimate" -> hllEstimate _)
 
   val oracles: Map[String, String] = Map(
     "q_cms_sketch" -> cmsSketchSql,
-    "q_cms_heavy_hitters" -> cmsHeavyHittersSql)
+    "q_cms_heavy_hitters" -> cmsHeavyHittersSql,
+    "q_hll_registers" -> hllRegistersSql,
+    "q_hll_estimate" -> hllEstimateSql)
 }
