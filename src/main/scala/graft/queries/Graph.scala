@@ -419,7 +419,57 @@ object Graph {
       |  'iri', '' FROM s WHERE doc_id % 5 <> 0
       |UNION ALL SELECT subj, 'https://schema.org/description', substr(text, 1, 40), 'literal', '' FROM s""".stripMargin
 
+  /** PageRank over the same derivation DAG the BFS walks (customer→order
+    * ∪ order→part, deduped): the "which entities does the graph's weight
+    * accumulate on" ranking, in deterministic fixed-point integer
+    * arithmetic ([[graft.operators.PageRank]]) so the DuckDB replay is
+    * bit-exact. 3 rounds, damping 0.85. */
+  def pageRankQ(s: SparkSession, dir: String): DataFrame = {
+    val c2o = t(s, dir, "orders").select(
+      concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+      concat(lit("o"), col("o_orderkey").cast("string")).as("dst"))
+    val o2p = t(s, dir, "lineitem").select(
+      concat(lit("o"), col("l_orderkey").cast("string")).as("src"),
+      concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+    graft.operators.PageRank.run(c2o.unionByName(o2p).distinct(), iters = 3)
+  }
+
+  val pageRankSql: String = {
+    val sc = graft.operators.PageRank.Scale
+    // one iteration template: ranks `$prev` -> ranks `$cur`
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT nodes.id,
+         |    ((($sc // (SELECT n FROM nn)) * 15) // 100)
+         |    + (85 * (COALESCE(c.contrib, 0) +
+         |        ((SELECT COALESCE(SUM(r), 0) FROM $prev JOIN nd USING (id)
+         |          WHERE outdeg = 0) // (SELECT n FROM nn)))) // 100 AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.r // nd.outdeg) AS contrib
+         |    FROM e JOIN $prev p ON e.src = p.id JOIN nd ON e.src = nd.id
+         |    GROUP BY e.dst) c ON nodes.id = c.id)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |      'o' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+       |    UNION ALL
+       |    SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+       |      'p' || CAST(l_partkey AS VARCHAR) FROM lineitem)),
+       |nodes AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |nd AS (SELECT id, COALESCE(outdeg, 0) AS outdeg
+       |  FROM nodes LEFT JOIN od ON id = src),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT id, $sc // (SELECT n FROM nn) AS r FROM nodes),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> pageRankQ _,
     "q_arxiv_triples" -> arxivTriplesQ _,
     "q_keyword_triples" -> keywordTriplesQ _,
     "q_license_triples" -> licenseTriplesQ _,
@@ -433,6 +483,7 @@ object Graph {
     "q_reify_emit" -> reifyEmit _)
 
   val oracles: Map[String, String] = Map(
+    "q_pagerank" -> pageRankSql,
     "q_arxiv_triples" -> arxivTriplesSql,
     "q_keyword_triples" -> keywordTriplesSql,
     "q_license_triples" -> licenseTriplesSql,
