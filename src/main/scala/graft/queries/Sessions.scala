@@ -257,7 +257,27 @@ object Sessions {
        |FROM p JOIN sess s ON p.user_id = s.user_id
        |  AND s.session_start <= p.ms AND p.ms < s.session_end + 1""".stripMargin
 
+  /** View→purchase attribution through the STREAM-STREAM join code path
+    * ([[graft.streaming.EventStreams.attributionJoin]]) run on batch
+    * frames — grading the exact operator the watermarked streaming twin
+    * executes (StreamJoinSpec proves stream == batch on the same files). */
+  def eventAttributionQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.streaming.EventStreams.attributionJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"))
+  }
+
+  val eventAttributionSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |  epoch_ms(v.ts) AS view_ms, epoch_ms(p.ts) AS purchase_ms, p.value
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+      |WHERE v.event_type = 'view' AND p.event_type = 'purchase'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_attribution" -> eventAttributionQ _,
     "q_topk_agg" -> topKAgg _,
     "q_range_join" -> rangeJoinQ _,
     "q_sessionize" -> sessionize _,
@@ -268,6 +288,7 @@ object Sessions {
     "q_simhash_neardup" -> simhashNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q_event_attribution" -> eventAttributionSql,
     "q_topk_agg" -> topKAggSql,
     "q_range_join" -> rangeJoinSql,
     "q_sessionize" -> sessionizeSql,

@@ -49,6 +49,36 @@ object EventStreams {
     }
   }
 
+  /** Stream-stream interval join: each purchase attributed to the views
+    * the same user made in the preceding 30 minutes — the
+    * impression↔conversion correlation every event pipeline runs. Both
+    * sides carry a 2-hour watermark and the join condition bounds
+    * purchase_ts to [view_ts, view_ts + 30 min], which is exactly what
+    * Structured Streaming needs to EVICT state: a buffered view older
+    * than watermark + 30 min can never match again and is dropped, so
+    * state is proportional to the window, not the stream
+    * (StreamJoinSpec pins stream == batch and the state bound). The
+    * same code path runs on batch frames (watermark is a no-op there) —
+    * q_event_attribution grades it against the DuckDB interval join. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    v.join(p, expr(
+        """user_id = p_user_id AND
+          |purchase_ts >= view_ts AND
+          |purchase_ts <= view_ts + interval 30 minutes""".stripMargin))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        expr("unix_micros(view_ts) div 1000").as("view_ms"),
+        expr("unix_micros(purchase_ts) div 1000").as("purchase_ms"),
+        col("value"))
+  }
+
   /** Tumbling 1-hour counts per event type with a 2-hour watermark: late
     * events inside the watermark still land in their window; beyond it
     * they are dropped — the streaming analogue of the reference's
