@@ -292,15 +292,103 @@ object Sketches {
        |  CAST(used AS BIGINT) AS used_registers
        |FROM est""".stripMargin
 
+  // ---- Equi-width histogram quantiles ---------------------------------
+  //
+  // The third standing summary: a fixed-width histogram over a measure
+  // column. Size is bounded by domain/width (not data size), slices
+  // merge by bucket-wise ADDITION like the CMS, and any quantile reads
+  // off the cumulative counts with one interpolation — the one-pass
+  // mergeable alternative to sorting 100 TB for an exact percentile
+  // (and the summary a pipeline keeps per shard/day to watch price or
+  // length distributions drift). Everything before the final
+  // interpolation is integer; the bucket id itself is floor(x/width),
+  // a single IEEE divide+floor both engines share.
+
+  private val histWidth = 1000.0 // price units per bucket
+  private val histPs = Seq(0.5, 0.9, 0.99)
+
+  /** The merge unit: (bucket, cnt) over any slice. */
+  def buildHist(vals: DataFrame): DataFrame =
+    vals.select(floor(col("x") / lit(histWidth)).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  private def prices(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+
+  def histSketch(s: SparkSession, dir: String): DataFrame =
+    buildHist(prices(s, dir))
+
+  /** Quantile estimates from the histogram: rank target = floor(p·n)+1,
+    * walk the cumulative counts to the covering bucket, interpolate
+    * linearly inside it. The window cumsum runs over the BOUNDED
+    * histogram (≤ domain/width rows), not the data — single-partition
+    * there is the point, not a bottleneck. */
+  def histQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s2 = s
+    import s2.implicits._
+    val hist = histSketch(s, dir)
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val total = hist.agg(sum(col("cnt")).as("total"))
+    val targets = histPs.toDF("p").crossJoin(broadcast(total))
+      .select(col("p"),
+        (floor(col("p") * col("total")).cast("long") + 1L).as("target"))
+    val pick = broadcast(targets).as("t")
+      .join(cum.as("c"), expr("c.cum_before + c.cnt >= t.target"))
+      .groupBy(col("t.p").as("p"), col("t.target").as("target"))
+      .agg(min(col("c.bucket")).as("bucket"))
+    pick.join(cum, Seq("bucket"))
+      .select(col("p"),
+        (col("bucket") * lit(histWidth) + lit(histWidth) *
+          (col("target") - col("cum_before")).cast("double") /
+          col("cnt").cast("double")).as("est"))
+  }
+
+  private val histCtes: String =
+    s"""WITH h AS (
+       |  SELECT CAST(floor(l_extendedprice / $histWidth) AS BIGINT) AS bucket,
+       |    COUNT(*) AS cnt
+       |  FROM lineitem GROUP BY 1)""".stripMargin
+
+  val histSketchSql: String =
+    s"""$histCtes
+       |SELECT bucket, cnt FROM h""".stripMargin
+
+  val histQuantilesSql: String =
+    s"""$histCtes,
+       |c AS (
+       |  SELECT bucket, cnt,
+       |    COALESCE(SUM(cnt) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM h),
+       |n AS (SELECT SUM(cnt) AS total FROM h),
+       |tgt AS (
+       |  SELECT p, CAST(floor(p * total) AS BIGINT) + 1 AS target
+       |  FROM (VALUES (0.5), (0.9), (0.99)) ps(p), n),
+       |pick AS (
+       |  SELECT t.p, t.target, MIN(c.bucket) AS bucket
+       |  FROM tgt t JOIN c ON c.cum_before + c.cnt >= t.target
+       |  GROUP BY 1, 2)
+       |SELECT p.p, p.bucket * $histWidth + $histWidth *
+       |    CAST(p.target - c.cum_before AS DOUBLE) / CAST(c.cnt AS DOUBLE) AS est
+       |FROM pick p JOIN c ON p.bucket = c.bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cms_sketch" -> cmsSketch _,
     "q_cms_heavy_hitters" -> cmsHeavyHitters _,
     "q_hll_registers" -> hllRegisters _,
-    "q_hll_estimate" -> hllEstimate _)
+    "q_hll_estimate" -> hllEstimate _,
+    "q_hist_sketch" -> histSketch _,
+    "q_hist_quantiles" -> histQuantiles _)
 
   val oracles: Map[String, String] = Map(
     "q_cms_sketch" -> cmsSketchSql,
     "q_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "q_hll_registers" -> hllRegistersSql,
-    "q_hll_estimate" -> hllEstimateSql)
+    "q_hll_estimate" -> hllEstimateSql,
+    "q_hist_sketch" -> histSketchSql,
+    "q_hist_quantiles" -> histQuantilesSql)
 }
