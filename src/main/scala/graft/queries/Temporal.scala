@@ -213,7 +213,23 @@ object Temporal {
   val minmaxTimeSql: String =
     "SELECT MIN(epoch_ms(ts)) AS min_ms, MAX(epoch_ms(ts)) AS max_ms, COUNT(*) AS n FROM events"
 
+  /** Z-order key derivation over the event stream: the morton code the
+    * layout operator ([[graft.operators.ZOrder]]) clusters files by,
+    * graded bit-exactly (the interleave is pure integer arithmetic in
+    * both engines). user_id × hour-of-day is the canonical box-predicate
+    * pair for this table. */
+  def zorderQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("event_id"),
+      graft.operators.ZOrder.morton(col("user_id"), hour(col("ts")).cast("long"))
+        .as("zcode"))
+
+  val zorderSql: String =
+    s"""SELECT event_id,
+       |  ${graft.operators.ZOrder.mortonSql("user_id", "CAST(hour(ts) AS BIGINT)")} AS zcode
+       |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> zorderQ _,
     "q_dedup_keep_last" -> dedupKeepLast _,
     "q_argmax_per_group" -> argmaxPerGroup _,
     "q_running_sum" -> runningSum _,
@@ -225,6 +241,7 @@ object Temporal {
     "q_minmax_time" -> minmaxTime _)
 
   val oracles: Map[String, String] = Map(
+    "q_zorder" -> zorderSql,
     "q_dedup_keep_last" -> dedupKeepLastSql,
     "q_argmax_per_group" -> argmaxPerGroupSql,
     "q_running_sum" -> runningSumSql,
