@@ -15,7 +15,8 @@ import graft.sinks.Sinks
   *   (clip duplicated spans, keep min-id copy) → source mixture →
   *   temperature (α-power) language flattening → quality floor →
   *   bigram-LM scoring audit → sequence packing → clustered layout
-  *   write → hybrid BM25+cosine RRF retrieval audit.
+  *   write → bounded health sketches (CMS/HLL/histogram) → hybrid
+  *   BM25+cosine RRF retrieval audit → incremental vector index.
   *
   * EtlDemo exercises the reference's harvest→KG lifecycle; this demo
   * exercises the corpus operators the builder prompt adds on top.
@@ -151,6 +152,26 @@ object CorpusDemo {
     val nWritten = spark.read.parquet(s"$out/corpus").count()
     require(nWritten == nSurvivors, s"write lost docs: $nWritten")
 
+    // 10b. standing health summaries over the landed corpus: the three
+    // bounded sketches a pipeline keeps per shard — token CMS (heavy
+    // hitters / vocabulary drift), HLL over content fingerprints
+    // (distinct-content ≈ dedup health), and the n_chars histogram
+    // (length-distribution drift). Each is kilobyte-scale REGARDLESS of
+    // corpus size and merges across shards (CmsSpec/HllSpec/HistSpec pin
+    // the merge laws), so a 100 TB corpus keeps one per shard/day and
+    // diffs them instead of re-scanning.
+    val landed = spark.read.parquet(s"$out/corpus")
+    val cmsCells = queries.Sketches.buildSketch(
+      queries.Sketches.tokensOf(landed)).count()
+    require(cmsCells <= 4 * 1024, s"CMS grew past its bound: $cmsCells")
+    val hllRegs = queries.Sketches.buildHll(
+      queries.Sketches.keysOf(landed.select(md5(col("text")).as("k"))))
+      .count()
+    require(hllRegs <= 1024, s"HLL grew past its bound: $hllRegs")
+    val lenBuckets = queries.Sketches.buildHist(
+      landed.select(col("n_chars").cast("double").as("x"))).count()
+    require(lenBuckets <= 64, s"length histogram grew: $lenBuckets")
+
     // 11. hybrid retrieval audit: BM25 + cosine arms fused by reciprocal
     // rank — the "find me the docs most like this probe" query a data
     // curator runs against the landed corpus
@@ -193,8 +214,9 @@ object CorpusDemo {
       s"temperature=$nTempered → quality survivors=$nSurvivors " +
       s"(worst LM score $lmMin) → $nSeqs sequences ($nPackedDocs docs) " +
       s"→ interleaved over $nSources sources " +
-      s"→ clustered parquet at $out/corpus → rrf top-${fused.length} " +
-      "retrieval audit ok")
+      s"→ clustered parquet at $out/corpus → health sketches " +
+      s"(cms=$cmsCells cells, hll=$hllRegs regs, hist=$lenBuckets buckets) " +
+      s"→ rrf top-${fused.length} retrieval audit ok")
     spark.stop()
   }
 }
