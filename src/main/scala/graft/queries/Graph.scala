@@ -468,7 +468,44 @@ object Graph {
        |SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin
   }
 
+  /** Triangle census of the co-purchase graph (parts linked when they
+    * appear in the same order) — [[graft.operators.Triangles]]: the
+    * pair generation is bounded per order by the line count (≤ 7 lines
+    * → ≤ 21 pairs, never quadratic in the table), and the count itself
+    * uses degree-ordered orientation so wedge fan-out is out-degree
+    * (≤ O(√E)) — a hub part co-purchased with everything produces NO
+    * wedges at its own corner. One summary row, exact integer counts,
+    * hash-graded. */
+  def trianglesQ(s: SparkSession, dir: String): DataFrame = {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = op.as("x").join(op.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+    graft.operators.Triangles.count(pairs)
+  }
+
+  val trianglesSql: String =
+    """WITH pr AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |      FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+      |deg AS (SELECT id, count(*) AS dg FROM
+      |  (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id),
+      |o AS (SELECT CASE WHEN du.dg <= dv.dg THEN e.u ELSE e.v END AS src,
+      |             CASE WHEN du.dg <= dv.dg THEN e.v ELSE e.u END AS dst
+      |      FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+      |tri AS (SELECT count(*) AS t FROM o e1 JOIN o e2 ON e1.dst = e2.src
+      |        WHERE EXISTS (SELECT 1 FROM o e3
+      |                      WHERE e3.src = e1.src AND e3.dst = e2.dst)),
+      |w AS (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS wd,
+      |             count(*) AS nn FROM deg)
+      |SELECT w.nn AS n_nodes, (SELECT count(*) FROM e) AS n_edges,
+      |  w.wd AS n_wedges, CAST(tri.t AS BIGINT) AS n_triangles,
+      |  round(3.0 * tri.t / w.wd, 6) AS clustering
+      |FROM w, tri""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_triangles" -> trianglesQ _,
     "q_pagerank" -> pageRankQ _,
     "q_arxiv_triples" -> arxivTriplesQ _,
     "q_keyword_triples" -> keywordTriplesQ _,
@@ -483,6 +520,7 @@ object Graph {
     "q_reify_emit" -> reifyEmit _)
 
   val oracles: Map[String, String] = Map(
+    "q_triangles" -> trianglesSql,
     "q_pagerank" -> pageRankSql,
     "q_arxiv_triples" -> arxivTriplesSql,
     "q_keyword_triples" -> keywordTriplesSql,

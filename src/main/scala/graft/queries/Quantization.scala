@@ -633,6 +633,78 @@ object Quantization {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** OPQ-permuted PQ reconstruction quality — the dimension-balancing
+    * upgrade on the compression ladder ([[graft.similarity.Opq]]): rank
+    * dimensions by sample variance, snake-deal them to the m subspaces,
+    * fit/encode plain PQ in the permuted space, inverse-permute the
+    * reconstruction, and measure per-vector error in the ORIGINAL space.
+    * The digest pins every permuted code, so the oracle's from-scratch
+    * replay must agree on the variance fold, the ranking, the snake
+    * deal, AND all m per-subspace Lloyd fits over permuted vectors.
+    * OpqSpec pins the balancing law itself (on energy-concentrated
+    * synthetic data OPQ beats contiguous PQ) — this query grades the
+    * pipeline on the shipped corpus. */
+  def opqError(s: SparkSession, dir: String): DataFrame = {
+    val embT = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val p = graft.similarity.Opq.fitPermutation(embT)
+    val permuted = embT.select(col("vec_id"),
+      graft.similarity.Opq.permute(p)(col("embedding").cast("array<double>"))
+        .as("embedding"))
+    val m = graft.similarity.Pq.fit(permuted)
+    emb(s, dir)
+      .withColumn("pv", graft.similarity.Opq.permute(p)(col("v")))
+      .withColumn("cs", graft.similarity.Pq.encode(m)(col("pv")))
+      .withColumn("dv", graft.similarity.Opq.inversePermute(p)(
+        graft.similarity.Pq.decode(m)(col("cs"))))
+      .withColumn("errs", zip_with(col("v"), col("dv"), (a, b) => abs(a - b)))
+      .select(col("vec_id"),
+        round(aggregate(col("errs"), lit(0.0), (acc, x) => greatest(acc, x)), 6)
+          .as("max_err"),
+        round(aggregate(col("errs"), lit(0.0), (acc, x) => acc + x) / lit(64.0), 6)
+          .as("mean_err"),
+        md5(concat_ws(",", col("cs").cast("array<string>"))).as("code_digest"))
+  }
+
+  /** OPQ replay: the variance fold in vec_id order (list_reduce over
+    * ordered lists — the engine's sequential driver loop), the
+    * (variance DESC, dim) ranking, the snake deal, the permuted-space
+    * PQ fit via the proven prefixed chain, and the inverse-permuted
+    * reconstruction error. */
+  val opqErrorSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |osamp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048),
+       |on_ AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM osamp),
+       |ocol AS (SELECT d, list(v[d] ORDER BY vec_id) AS xs
+       |  FROM osamp, range(1, $dim + 1) td(d) GROUP BY d),
+       |omean AS (SELECT d, xs, list_reduce(xs, (a, b) -> a + b) / on_.n AS mu
+       |  FROM ocol, on_),
+       |ovar AS (SELECT d,
+       |  list_reduce(list_transform(xs, x -> (x - mu) * (x - mu)), (a, b) -> a + b)
+       |    / on_.n AS vr
+       |  FROM omean, on_),
+       |oord AS (SELECT d, row_number() OVER (ORDER BY vr DESC, d) - 1 AS pos FROM ovar),
+       |ogrp AS (SELECT d, pos,
+       |  CASE WHEN (pos // 8) % 2 = 0 THEN pos % 8 ELSE 7 - (pos % 8) END AS s
+       |  FROM oord),
+       |opos AS (SELECT d, s, s * 8 + row_number() OVER (PARTITION BY s ORDER BY pos) AS pj
+       |  FROM ogrp),
+       |operm AS (SELECT list(d ORDER BY s, pj) AS perm FROM opos),
+       |oinv AS (SELECT list(pj ORDER BY d) AS inv FROM opos),
+       |opv AS (SELECT e.vec_id, list_transform(operm.perm, pd -> e.v[pd]) AS v
+       |  FROM e, operm),
+       |${pqFit("o_", "opv")},
+       |orec AS (SELECT r.vec_id, list_transform(oinv.inv, pj -> r.dv[pj]) AS dv
+       |  FROM o_rv r, oinv),
+       |ocl AS (SELECT vec_id, list(code ORDER BY s) AS cs FROM o_pq GROUP BY vec_id),
+       |oerrs AS (SELECT e.vec_id,
+       |  list_transform(range(1, $dim + 1), d -> abs(e.v[d] - r.dv[d])) AS es
+       |  FROM e JOIN orec r USING (vec_id))
+       |SELECT er.vec_id,
+       |  round(list_reduce(es, (a, b) -> GREATEST(a, b)), 6) AS max_err,
+       |  round(list_reduce(es, (a, b) -> a + b) / 64.0, 6) AS mean_err,
+       |  md5(array_to_string(list_transform(cl.cs, c -> CAST(c AS VARCHAR)), ',')) AS code_digest
+       |FROM oerrs er JOIN ocl cl USING (vec_id)""".stripMargin
+
   private def sqdSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), " +
       s"d -> ($a[d]-$b[d])*($a[d]-$b[d])), (x,y) -> x+y)"
@@ -862,6 +934,7 @@ object Quantization {
     "q_ann_pqr" -> annPqResidual _,
     "q_ann_filtered" -> annFiltered _,
     "q_incremental_ann" -> incrementalAnn _,
+    "q_opq_error" -> opqError _,
     "q_bq_rerank" -> bqRerank _)
 
   val oracles: Map[String, String] = Map(
@@ -877,5 +950,6 @@ object Quantization {
     "q_ann_pqr" -> annPqrSql,
     "q_ann_filtered" -> annFilteredSql,
     "q_incremental_ann" -> incrementalAnnSql,
+    "q_opq_error" -> opqErrorSql,
     "q_bq_rerank" -> bqRerankSql)
 }

@@ -329,7 +329,51 @@ object Sampling {
       .replace("HEXPR", h)
   }
 
+  /** Weight-proportional sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): each doc draws a content-stable uniform u from the
+    * salted hash and ranks by the exponential-race key ln(u)/w (the
+    * log-monotone twin of u^(1/w)); the global top-n IS a weighted
+    * sample without replacement — the standard one-pass, shuffle-free
+    * way to build a quality- or length-weighted training subset. Weight
+    * here = n_chars (longer docs proportionally likelier), floored at 1.
+    *
+    * Scale: a pure projection followed by orderBy+limit — Catalyst
+    * plans TakeOrderedAndProject (per-partition top-n, then a single
+    * n-row merge on one reducer; NO global sort, NO full shuffle), and
+    * the rank window runs AFTER the limit, over n rows. Determinism:
+    * u is a dyadic rational from the md5 bucket, and ties on the key
+    * break by doc_id. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    weightedSampleOf(t(s, dir, "documents"), "wsample", 100)
+      .select(col("rank"), col("doc_id"), col("source"), col("n_chars"),
+        round(col("r"), 6).as("es_key"))
+
+  /** The reusable core: docs needs (doc_id, n_chars); returns the top-n
+    * rows with their raw exponential-race key `r` and 1-based `rank`. */
+  private[graft] def weightedSampleOf(docs: DataFrame, salt: String,
+                                      n: Int): DataFrame = {
+    val u = (bucket(salt, col("doc_id"), 4294967296L) + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    val wt = greatest(col("n_chars"), lit(1L)).cast("double")
+    val w = Window.orderBy(col("r").desc, col("doc_id"))
+    docs
+      .withColumn("r", log(u) / wt)
+      .orderBy(col("r").desc, col("doc_id")).limit(n)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH w AS (SELECT doc_id, source, n_chars,
+       |  ln((${bucketSql("wsample", "doc_id", 4294967296L)} + 1) / 4294967296.0)
+       |    / GREATEST(n_chars, 1)::DOUBLE AS r
+       |  FROM documents),
+       |top AS (SELECT * FROM w ORDER BY r DESC, doc_id LIMIT 100)
+       |SELECT row_number() OVER (ORDER BY r DESC, doc_id) AS rank,
+       |  doc_id, source, n_chars, round(r, 6) AS es_key
+       |FROM top""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_sample" -> weightedSample _,
     "q_interleave" -> interleave _,
     "q_split_assign" -> splitAssign _,
     "q_stratified_sample" -> stratifiedSample _,
@@ -338,6 +382,7 @@ object Sampling {
     "q_budget_cap" -> budgetCap _)
 
   val oracles: Map[String, String] = Map(
+    "q_weighted_sample" -> weightedSampleSql,
     "q_interleave" -> interleaveSql,
     "q_split_assign" -> splitAssignSql,
     "q_stratified_sample" -> stratifiedSampleSql,

@@ -462,4 +462,24 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("BroadcastHashJoin"), s)
     assert(countShuffles(df) == 0, s)
   }
+
+  test("weighted sample: top-n via TakeOrderedAndProject, window after limit") {
+    // the n-of-corpus draw must be per-partition top-n + one n-row merge
+    // — a global Sort before the limit would shuffle the whole corpus
+    val df = queries.Sampling.weightedSample(spark, dir)
+    val s = planString(df)
+    assert(s.contains("TakeOrderedAndProject"), s)
+    // only the post-limit single-partition exchange for the rank window
+    // (100 rows) — the corpus itself is never shuffled or globally sorted
+    assert(countShuffles(df) <= 1, s)
+  }
+
+  test("triangle census: equi-joins only, never a cartesian wedge product") {
+    val df = queries.Graph.trianglesQ(spark, dir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    // the one-row stats × tri combination stays a broadcast nested loop
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
+      s.contains("BroadcastHashJoin"), s)
+  }
 }
