@@ -596,7 +596,78 @@ object Corpus {
        |       ELSE COALESCE(r.text_rebuilt, '') END AS text_clipped
        |FROM documents d LEFT JOIN reb r USING (doc_id)""".stripMargin
 
+  /** Pointwise mutual information over token co-occurrence — the
+    * association-mining stage of phrase/collocation discovery (Church &
+    * Hanks 1990; tokenizer-vocab induction runs on the same statistic):
+    * PMI(x,y) = ln(P(x,y) / (P(x)·P(y))) over per-document presence,
+    * reported for the top-30 strongest pairs with a count floor.
+    *
+    * The scale story is the CANDIDATE BOUND: pairing every distinct
+    * token per doc is quadratic in document vocabulary (unboundable);
+    * instead each doc contributes pairs only among its top-12 tokens by
+    * in-doc frequency (keyed window, ties broken on the token), so the
+    * pair stage emits ≤ 66 rows/doc whatever the text length, and the
+    * marginals aggregate the SAME bounded presence table — one scan of
+    * the corpus, every downstream row count O(docs). Final top-30 is
+    * orderBy+limit (TakeOrderedAndProject), rank window post-limit.
+    *
+    * Float discipline (the BM25 precedent): one ln per surviving pair,
+    * rounded to 4dp — order-independent, oracle mirrors the same
+    * expression tree. */
+  def pmiPairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val wz = Window.partitionBy("doc_id").orderBy(col("c").desc, col("tok"))
+    val topz = tc.withColumn("rn", row_number().over(wz))
+      .filter(col("rn") <= 12).select("doc_id", "tok")
+      .localCheckpoint() // three consumers: marginals + both pair sides
+    val cx = topz.groupBy("tok").agg(count(lit(1)).as("cx"))
+    val nn = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+    val cp = topz.as("a").join(topz.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("x"), col("b.tok").as("y"))
+      .agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 5)
+    val scored = cp
+      .join(cx.select(col("tok").as("x"), col("cx").as("cx1")), "x")
+      .join(cx.select(col("tok").as("y"), col("cx").as("cx2")), "y")
+      .crossJoin(broadcast(nn)) // one row by construction
+      .select(col("x"), col("y"), col("cxy"),
+        round(log((col("cxy").cast("double") * col("n").cast("double")) /
+          (col("cx1").cast("double") * col("cx2").cast("double"))), 4)
+          .cast("decimal(18,4)").as("pmi"))
+    val top = scored.orderBy(col("pmi").desc, col("x"), col("y")).limit(30)
+    val wr = Window.orderBy(col("pmi").desc, col("x"), col("y"))
+    top.withColumn("rank", row_number().over(wr).cast("long"))
+      .select(col("rank"), col("x").as("tok_x"), col("y").as("tok_y"),
+        col("cxy").as("n_xy"), col("pmi").cast("double").as("pmi"))
+  }
+
+  val pmiPairsSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> ''
+      |  GROUP BY doc_id, tok),
+      |topz AS (SELECT doc_id, tok FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+      |  FROM tc) WHERE rn <= 12),
+      |cx AS (SELECT tok, CAST(count(*) AS BIGINT) AS cx FROM topz GROUP BY tok),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |cp AS (SELECT a.tok AS x, b.tok AS y, CAST(count(*) AS BIGINT) AS cxy
+      |  FROM topz a JOIN topz b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |  GROUP BY 1, 2 HAVING count(*) >= 5),
+      |sc AS (SELECT x, y, cxy,
+      |  CAST(round(ln((CAST(cxy AS DOUBLE) * CAST(nn.n AS DOUBLE)) /
+      |    (CAST(c1.cx AS DOUBLE) * CAST(c2.cx AS DOUBLE))), 4) AS DECIMAL(18,4)) AS pmi
+      |  FROM cp JOIN cx c1 ON c1.tok = cp.x JOIN cx c2 ON c2.tok = cp.y, nn)
+      |SELECT row_number() OVER (ORDER BY pmi DESC, x, y) AS rank,
+      |  x AS tok_x, y AS tok_y, cxy AS n_xy, CAST(pmi AS DOUBLE) AS pmi
+      |FROM (SELECT * FROM sc ORDER BY pmi DESC, x, y LIMIT 30)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pmi_pairs" -> pmiPairs _,
     "q_decontaminate" -> decontaminate _,
     "q_fuzzy_decontaminate" -> fuzzyDecontaminate _,
     "q_bm25_topk" -> bm25TopK _,
@@ -606,6 +677,7 @@ object Corpus {
     "q_span_clip" -> spanClip _)
 
   val oracles: Map[String, String] = Map(
+    "q_pmi_pairs" -> pmiPairsSql,
     "q_decontaminate" -> decontaminateSql,
     "q_fuzzy_decontaminate" -> fuzzyDecontaminateSql,
     "q_bm25_topk" -> bm25TopKSql,

@@ -148,6 +148,33 @@ object StreamSustainProbe {
       q.stop()
     }
 
+    // ---- weighted reservoir: n-row state over 20 batches ---------------
+    // The hardest possible bound: state is EXACTLY n rows forever (the
+    // top-n merge law), so per-batch wall must track the batch alone and
+    // the state column must pin at n from the first batch that fills it.
+    locally {
+      val docSlices = slices(bigDocs, "doc_id", nDocs * mult)
+      val watch = Files.createTempDirectory("sustain_wres")
+      val resPath = Files.createTempDirectory("sustain_wres_state").toString
+      val stream = spark.readStream
+        .schema(streaming.StreamingCorpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+      val q = streaming.WeightedReservoir.intake(
+        stream.select(col("doc_id"), col("n_chars")),
+        resPath, "sustain", 1000).start()
+      docSlices.zipWithIndex.foreach { case (s, i) =>
+        feed(watch, s, i)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val size = new streaming.WeightedReservoir(
+          spark, resPath, "sustain", 1000).size
+        require(size <= 1000, s"reservoir grew past n: $size")
+        println(f"[sustain] wres    batch=$i%2d wall=$dt%6.2fs reservoirRows=$size")
+      }
+      q.stop()
+    }
+
     spark.stop()
   }
 }

@@ -88,8 +88,12 @@ object TriangleScaleProbe {
         val p = similarity.Opq.fitPermutation(emb)
         val model = similarity.Pq.fit(emb.select($"vec_id",
           similarity.Opq.permute(p)($"embedding").as("embedding")))
+        // aggregate OVER the codes so the encode projection cannot be
+        // pruned (a bare count() after a deterministic UDF projection
+        // measures nothing — Catalyst drops the project)
         emb.select(similarity.Pq.encode(model)(
-          similarity.Opq.permute(p)($"embedding")).as("cs")).count()
+            similarity.Opq.permute(p)($"embedding")).as("cs"))
+          .agg(max(element_at($"cs", 1)), sum(element_at($"cs", 8))).head()
       }
       (m, dt)
     })
