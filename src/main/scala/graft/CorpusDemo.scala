@@ -146,6 +146,24 @@ object CorpusDemo {
     require(firstRound.select("source").distinct().count() ==
       firstRound.count(), "first interleave round must round-robin sources")
 
+    // 9c. audit subsets: a per-source Hamilton quota (integer-exact —
+    // quotas sum to the target and every source can serve its quota or
+    // its whole group) plus a length-weighted Efraimidis–Spirakis draw
+    // (the "pull me 50 docs for human review, longer docs likelier"
+    // request) — both content-stable, so tomorrow's audit pulls the
+    // same docs unless the corpus changed
+    val quota = Sampling.groupQuotaOf(survivors, 100L).localCheckpoint()
+    require(quota.agg(sum("quota")).head().getLong(0) == 100L,
+      "quotas must sum exactly to the target")
+    require(quota.filter(col("picked") =!=
+      least(col("quota"), col("n_docs"))).count() == 0,
+      "every source must serve min(quota, group size)")
+    val audit = Sampling.weightedSampleOf(survivors, "audit", 50)
+      .localCheckpoint()
+    require(audit.count() == math.min(50L, nSurvivors))
+    require(audit.join(survivors, "doc_id").count() == audit.count(),
+      "audit sample must draw from the survivors only")
+
     // 10. land the corpus in query-ready layout (disjoint key ranges)
     Sinks.writeClustered(survivors, s"$out/corpus", nFiles = 4,
       maxRecordsPerFile = 1000L, "source", "doc_id")
@@ -171,6 +189,16 @@ object CorpusDemo {
     val lenBuckets = queries.Sketches.buildHist(
       landed.select(col("n_chars").cast("double").as("x"))).count()
     require(lenBuckets <= 64, s"length histogram grew: $lenBuckets")
+    // 10c. collocation audit: strongest PMI pairs over the landed corpus
+    // (bounded candidates: top-12 tokens/doc) — the vocabulary-health
+    // report a curator reads next to the sketches
+    val pmi = Corpus.pmiPairsOf(landed.select(col("doc_id"), col("text")))
+      .collect()
+    require(pmi.length <= 30, s"pmi must cap at 30 rows: ${pmi.length}")
+    require(pmi.forall(r => !r.getAs[Double]("pmi").isNaN &&
+      !r.getAs[Double]("pmi").isInfinite), "pmi scores must be finite")
+    require(pmi.map(_.getAs[Long]("rank")).toSeq ==
+      (1L to pmi.length).toSeq, "pmi ranks must be dense 1..k")
 
     // 11. hybrid retrieval audit: BM25 + cosine arms fused by reciprocal
     // rank — the "find me the docs most like this probe" query a data
@@ -216,6 +244,8 @@ object CorpusDemo {
       s"→ interleaved over $nSources sources " +
       s"→ clustered parquet at $out/corpus → health sketches " +
       s"(cms=$cmsCells cells, hll=$hllRegs regs, hist=$lenBuckets buckets) " +
+      s"→ quota audit (100 exact) + weighted audit draw (${audit.count()}) " +
+      s"→ pmi top-${pmi.length} collocations " +
       s"→ rrf top-${fused.length} retrieval audit ok")
     spark.stop()
   }

@@ -614,8 +614,12 @@ object Corpus {
     * Float discipline (the BM25 precedent): one ln per surviving pair,
     * rounded to 4dp — order-independent, oracle mirrors the same
     * expression tree. */
-  def pmiPairs(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
+  def pmiPairs(s: SparkSession, dir: String): DataFrame =
+    pmiPairsOf(t(s, dir, "documents"))
+
+  /** The reusable core: docs needs (doc_id, text). */
+  private[graft] def pmiPairsOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
     val tc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
@@ -624,7 +628,7 @@ object Corpus {
       .filter(col("rn") <= 12).select("doc_id", "tok")
       .localCheckpoint() // three consumers: marginals + both pair sides
     val cx = topz.groupBy("tok").agg(count(lit(1)).as("cx"))
-    val nn = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+    val nn = docs.agg(count(lit(1)).as("n"))
     val cp = topz.as("a").join(topz.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
       .groupBy(col("a.tok").as("x"), col("b.tok").as("y"))

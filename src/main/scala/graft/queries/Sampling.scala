@@ -372,7 +372,75 @@ object Sampling {
        |  doc_id, source, n_chars, round(r, 6) AS es_key
        |FROM top""".stripMargin
 
+  /** Largest-remainder quota allocation (Hamilton's method) + exact
+    * per-source selection — how a mixture target ("train on T docs
+    * apportioned by source size") becomes per-source integer quotas
+    * that sum EXACTLY to T: base = floor(T·w/W) per source, and the
+    * T − Σbase leftover units go to the largest remainders
+    * ((T·w) mod W, ties on source). Every step is integer arithmetic —
+    * no float apportionment drift in either engine — and the selection
+    * leg then actually PICKS quota docs per source in content-stable
+    * hash order, proving the allocation is realizable (picked =
+    * min(quota, group size)).
+    *
+    * Scale: one groupBy over the corpus for the weights; the remainder
+    * ranking windows over the SOURCE DIMENSION (bounded, ~20 rows —
+    * never the corpus); selection is one keyed window per source. */
+  def groupQuota(s: SparkSession, dir: String): DataFrame =
+    groupQuotaOf(t(s, dir, "documents"), 200L)
+
+  /** The reusable core: docs needs (doc_id, source, n_chars). */
+  private[graft] def groupQuotaOf(docs: DataFrame, T: Long): DataFrame = {
+    val g = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("w"))
+    val tot = g.agg(sum(col("w")).as("wt"))
+    val a = g.crossJoin(broadcast(tot)) // tot is ONE row by construction
+      .withColumn("base", expr(s"($T * w) div wt"))
+      .withColumn("rem", (lit(T) * col("w")) % col("wt"))
+    val lr = a.agg((lit(T) - sum(col("base"))).as("leftover"))
+    val wr = Window.orderBy(col("rem").desc, col("source"))
+    val q = a.withColumn("rk", row_number().over(wr))
+      .crossJoin(broadcast(lr)) // one row
+      .withColumn("quota",
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .cast("long"))
+    val wp = Window.partitionBy("source")
+      .orderBy(bucket("quota", col("doc_id"), 4294967296L), col("doc_id"))
+    val sel = docs.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(wp))
+      .join(q.select(col("source"), col("quota")), "source")
+      .filter(col("rn") <= col("quota"))
+      .groupBy("source").agg(count(lit(1)).as("picked"))
+    q.select(col("source"), col("n_docs"), col("w").as("weight"), col("quota"))
+      .join(sel, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("weight"), col("quota"),
+        coalesce(col("picked"), lit(0L)).as("picked"))
+  }
+
+  val groupQuotaSql: String = {
+    val b = bucketSql("quota", "doc_id", 4294967296L)
+    s"""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS w FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM g),
+       |a AS (SELECT g.*, (200 * w) // tot.wt AS base, (200 * w) % tot.wt AS rem
+       |  FROM g, tot),
+       |lr AS (SELECT CAST(200 - sum(base) AS BIGINT) AS leftover FROM a),
+       |q AS (SELECT source, n_docs, w,
+       |  CAST(base + CASE WHEN rk <= lr.leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |  FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM a), lr),
+       |sel AS (SELECT d.source, CAST(count(*) AS BIGINT) AS picked FROM (
+       |    SELECT doc_id, source,
+       |      row_number() OVER (PARTITION BY source ORDER BY $b, doc_id) AS rn
+       |    FROM documents) d
+       |  JOIN q ON q.source = d.source AND d.rn <= q.quota
+       |  GROUP BY d.source)
+       |SELECT q.source, q.n_docs, q.w AS weight, q.quota,
+       |  COALESCE(sel.picked, 0) AS picked
+       |FROM q LEFT JOIN sel USING (source)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_group_quota" -> groupQuota _,
     "q_weighted_sample" -> weightedSample _,
     "q_interleave" -> interleave _,
     "q_split_assign" -> splitAssign _,
@@ -382,6 +450,7 @@ object Sampling {
     "q_budget_cap" -> budgetCap _)
 
   val oracles: Map[String, String] = Map(
+    "q_group_quota" -> groupQuotaSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_interleave" -> interleaveSql,
     "q_split_assign" -> splitAssignSql,
