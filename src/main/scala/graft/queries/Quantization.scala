@@ -593,6 +593,42 @@ object Quantization {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF+OPQ search — the production form of the dimension-balanced
+    * codec ([[opqError]]): the artifact persists OPQ codes and
+    * permuted-space reconstruction norms at build time (IvfStore layout
+    * 5), and the search scores candidates from codes via the ADC lookup
+    * table built over the PERMUTED query vector — scoring never leaves
+    * permuted space (dot products are permutation-invariant in value,
+    * and the persisted dn is the permuted-order fold, so both engines
+    * agree bit-for-bit). The scan reads (vec_id, cell, opq_codes,
+    * opq_dn); the raw vector column stays out of the search path
+    * (PlanSpec pins the ReadSchema). Hash-graded by [[annOpqSql]]:
+    * IVF fit replay + permutation replay + permuted-space PQ fit replay
+    * + the subspace-grouped ADC dot over the permuted query. */
+  def annOpq(s: SparkSession, dir: String): DataFrame = {
+    val art = graft.similarity.IvfStore.artifactFor(s, dir, k = 8, iters = 2)
+    val m = art.pqo
+    require(m.dim == dim, s"artifact pqo dim ${m.dim} != $dim")
+    val comp = art.index.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("cell"), col("opq_codes"),
+        col("opq_dn").as("dn"))
+      .withColumn("codes", graft.similarity.Codes.unpack(col("opq_codes"), m.m))
+    val q = graft.similarity.IvfIndex
+      .probedCells(t(s, dir, "embeddings").filter(col("vec_id") < 10), art.ivf,
+        nprobe = 2)
+      .drop("cell_rank")
+      .withColumn("lut", pqLut(m, graft.similarity.Opq.permute(art.opq)(col("qv"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    comp.join(broadcast(q), "cell")
+      .withColumn("cos",
+        pqAdcDot(m, col("lut"), col("codes")) / (col("qn") * col("dn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Two-stage PQ deployment shape — how production stacks run PQ: a
     * cheap shortlist over the WHOLE compressed corpus (ADC from m-byte
     * codes, top-50 per query), then an exact full-precision re-rank of
@@ -665,14 +701,14 @@ object Quantization {
         md5(concat_ws(",", col("cs").cast("array<string>"))).as("code_digest"))
   }
 
-  /** OPQ replay: the variance fold in vec_id order (list_reduce over
-    * ordered lists — the engine's sequential driver loop), the
-    * (variance DESC, dim) ranking, the snake deal, the permuted-space
-    * PQ fit via the proven prefixed chain, and the inverse-permuted
-    * reconstruction error. */
-  val opqErrorSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |osamp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048),
+  /** The OPQ permutation replay (composable fragment — assumes CTE `e`
+    * (vec_id, v) is already defined): the variance fold in vec_id order
+    * (list_reduce over ordered lists — the engine's sequential driver
+    * loop), the (variance DESC, dim) ranking, the snake deal, ending in
+    * `operm` (permuted-order dim list), `oinv` (inverse positions) and
+    * `opv` (the permuted vectors). */
+  private val opqPermCtes: String =
+    s"""osamp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048),
        |on_ AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM osamp),
        |ocol AS (SELECT d, list(v[d] ORDER BY vec_id) AS xs
        |  FROM osamp, range(1, $dim + 1) td(d) GROUP BY d),
@@ -691,7 +727,14 @@ object Quantization {
        |operm AS (SELECT list(d ORDER BY s, pj) AS perm FROM opos),
        |oinv AS (SELECT list(pj ORDER BY d) AS inv FROM opos),
        |opv AS (SELECT e.vec_id, list_transform(operm.perm, pd -> e.v[pd]) AS v
-       |  FROM e, operm),
+       |  FROM e, operm)""".stripMargin
+
+  /** OPQ codec replay: permutation fragment + the permuted-space PQ fit
+    * via the proven prefixed chain + the inverse-permuted reconstruction
+    * error. */
+  val opqErrorSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$opqPermCtes,
        |${pqFit("o_", "opv")},
        |orec AS (SELECT r.vec_id, list_transform(oinv.inv, pj -> r.dv[pj]) AS dv
        |  FROM o_rv r, oinv),
@@ -887,6 +930,31 @@ object Quantization {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
        |  FROM scored) WHERE rn <= 5""".stripMargin
 
+  /** IVF+OPQ replay: IVF fit CTEs (own `e`, `idx`, `dq`), the OPQ
+    * permutation fragment, the permuted-space PQ fit, then scoring:
+    * candidates = probed index rows joined to their permuted
+    * reconstructions (`o_rv`), query side permuted with `operm` before
+    * the subspace-grouped ADC dot — everything stays in permuted space,
+    * matching the engine's persisted-code path exactly. */
+  val annOpqSql: String =
+    s"""${VectorOps.ivfReplayCtes},
+       |$opqPermCtes,
+       |${pqFit("o_", "opv")},
+       |ddn AS (SELECT i.vec_id, i.cell, r.dv, sqrt(${dotSql("r.dv", "r.dv")}) AS dn
+       |  FROM idx i JOIN o_rv r USING (vec_id)),
+       |probe AS (SELECT query_id, qv, qn, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+       |  FROM dq) WHERE rn <= 2),
+       |pperm AS (SELECT p.query_id, p.qn, p.cell,
+       |  list_transform(operm.perm, pd -> p.qv[pd]) AS pqv
+       |  FROM probe p, operm),
+       |scored AS (SELECT p.query_id, i.vec_id,
+       |  ${pqDotSql("p.pqv", "i.dv")} / (p.qn * i.dn) AS cos
+       |  FROM pperm p JOIN ddn i USING (cell))
+       |SELECT query_id, vec_id AS neighbor_id, round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) WHERE rn <= 5""".stripMargin
+
   /** Residual IVF+PQ replay: IVF fit CTEs, then (1) full-corpus
     * assignment `rasg` (idx covers only the corpus side; the residual
     * FIT samples the whole table, exactly like the engine's build), (2)
@@ -935,6 +1003,7 @@ object Quantization {
     "q_ann_filtered" -> annFiltered _,
     "q_incremental_ann" -> incrementalAnn _,
     "q_opq_error" -> opqError _,
+    "q_ann_opq" -> annOpq _,
     "q_bq_rerank" -> bqRerank _)
 
   val oracles: Map[String, String] = Map(
@@ -951,5 +1020,6 @@ object Quantization {
     "q_ann_filtered" -> annFilteredSql,
     "q_incremental_ann" -> incrementalAnnSql,
     "q_opq_error" -> opqErrorSql,
+    "q_ann_opq" -> annOpqSql,
     "q_bq_rerank" -> bqRerankSql)
 }

@@ -11,11 +11,13 @@ import IvfIndex.Model
 
 /** A loaded index artifact: the IVF centroid model, the SQ8/PQ codec
   * models fit over the same corpus version, the RESIDUAL-PQ model (fit
-  * on v − centroid(cell) — FAISS IndexIVFPQ's encoding), and the
+  * on v − centroid(cell) — FAISS IndexIVFPQ's encoding), the OPQ
+  * dimension permutation with its permuted-space PQ model, and the
   * persisted index table (vec_id, v, cell, nrm, sq8_codes, sq8_dn,
-  * pq_codes, pq_dn, pqr_codes, pqr_dn). */
+  * pq_codes, pq_dn, pqr_codes, pqr_dn, opq_codes, opq_dn). */
 final case class IvfArtifact(ivf: Model, sq8: Sq8Model, pq: PqModel,
-                             pqr: PqModel, index: DataFrame)
+                             pqr: PqModel, opq: Opq.Permutation,
+                             pqo: PqModel, index: DataFrame)
 
 /** Persisted IVF index artifacts: the centroid model (text) plus the
   * assigned, norm-precomputed corpus table (parquet), fit ONCE per corpus
@@ -51,8 +53,10 @@ object IvfStore {
     * codec fit recipe changes so stale artifacts are never served.
     * 2 = persisted SQ8/PQ codes + norms; 3 = + residual-PQ (IndexIVFPQ);
     * 4 = + metadata column (`label`) carried into the index row, so a
-    * filtered search never has to join back to the raw corpus. */
-  private val Layout = 4
+    * filtered search never has to join back to the raw corpus;
+    * 5 = + OPQ (variance-balanced dimension permutation) codes + norms
+    * and the permutation/permuted-PQ model files. */
+  private val Layout = 5
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -121,6 +125,14 @@ object IvfStore {
     PqModel(cents.grouped(k).toArray.ensuring(_.length == m))
   }
 
+  /** OPQ permutation: one line of comma-separated 0-based dims (integer
+    * text — exact roundtrip trivially). */
+  private def saveOpq(p: Opq.Permutation, f: File): Unit =
+    Files.writeString(f.toPath, p.perm.mkString(","))
+
+  private def loadOpq(f: File): Opq.Permutation =
+    Opq.Permutation(Files.readString(f.toPath).trim.split(",").map(_.toInt))
+
   /** Back-compat surface for raw-vector IVF search: (centroid model,
     * index table). */
   def indexFor(s: SparkSession, dir: String, k: Int, iters: Int,
@@ -155,6 +167,15 @@ object IvfStore {
       val model = IvfIndex.fitSample(emb, k, iters, sampleSize)
       val sq8 = Sq8.fit(emb)
       val pq = Pq.fit(emb.select(col("vec_id"), col("embedding")),
+        sampleSize = sampleSize)
+      // OPQ: the permutation fit shares the sample discipline; the
+      // permuted-space PQ is a plain Pq.fit over the gathered column
+      val opq = Opq.fitPermutation(
+        emb.select(col("vec_id"), col("embedding")), sampleSize = sampleSize)
+      val pqo = Pq.fit(
+        emb.select(col("vec_id"),
+          Opq.permute(opq)(col("embedding").cast("array<double>"))
+            .as("embedding")),
         sampleSize = sampleSize)
       def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         graft.functions.GraftFunctions.dot_double(a, b)
@@ -192,19 +213,29 @@ object IvfStore {
         .withColumn("pqr_dv",
           transform(Pq.decode(pqr)(col("pqr_arr")),
             (r, i) => centD(col("cell"), i + 1) + r))
+        // OPQ rows stay in PERMUTED space end-to-end (codes, recon, norm):
+        // the norm is permutation-invariant in value but NOT in fold
+        // order, and the searches score in permuted space, so the
+        // persisted dn must be the permuted-order fold
+        .withColumn("opq_arr", Pq.encode(pqo)(Opq.permute(opq)(col("v"))))
+        .withColumn("opq_dv", Pq.decode(pqo)(col("opq_arr")))
         .select(col("vec_id"), col("v"), col("cell"), col("nrm"), col("label"),
           Codes.pack(col("sq8_arr")).as("sq8_codes"),
           sqrt(dot(col("sq8_dv"), col("sq8_dv"))).as("sq8_dn"),
           Codes.pack(col("pq_arr")).as("pq_codes"),
           sqrt(dot(col("pq_dv"), col("pq_dv"))).as("pq_dn"),
           Codes.pack(col("pqr_arr")).as("pqr_codes"),
-          sqrt(dot(col("pqr_dv"), col("pqr_dv"))).as("pqr_dn"))
+          sqrt(dot(col("pqr_dv"), col("pqr_dv"))).as("pqr_dn"),
+          Codes.pack(col("opq_arr")).as("opq_codes"),
+          sqrt(dot(col("opq_dv"), col("opq_dv"))).as("opq_dn"))
         .write.mode("overwrite")
         .parquet(new File(staging, "index.parquet").getAbsolutePath)
       saveModel(model, new File(staging, "centroids.txt"))
       saveSq8(sq8, new File(staging, "sq8.txt"))
       savePq(pq, new File(staging, "pq.txt"))
       savePq(pqr, new File(staging, "pqr.txt"))
+      saveOpq(opq, new File(staging, "opq.txt"))
+      savePq(pqo, new File(staging, "pqo.txt"))
       def rm(f: File): Unit = graft.load.Scratch.rm(f)
       // atomic publish. A rename blocked by a COMPLETE destination means a
       // concurrent winner published an equivalent artifact — discard ours.
@@ -228,6 +259,8 @@ object IvfStore {
       loadSq8(new File(d, "sq8.txt")),
       loadPq(new File(d, "pq.txt")),
       loadPq(new File(d, "pqr.txt")),
+      loadOpq(new File(d, "opq.txt")),
+      loadPq(new File(d, "pqo.txt")),
       s.read.parquet(new File(d, "index.parquet").getAbsolutePath))
   }
 }

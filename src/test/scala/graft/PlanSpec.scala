@@ -115,6 +115,12 @@ class PlanSpec extends AnyFunSuite {
     val fl = planString(queries.Quantization.annFiltered(spark, dir))
     assert(fl.contains("label:int") && fl.contains("sq8_codes:binary"), fl)
     assert(!fl.contains(",v:array") && !fl.contains("nrm:double"), fl)
+    // OPQ: same contract — permuted-space codes + norm only; the
+    // permutation gather runs on the broadcast query side, never per
+    // candidate
+    val opq = planString(queries.Quantization.annOpq(spark, dir))
+    assert(opq.contains("opq_codes:binary") && opq.contains("opq_dn:double"), opq)
+    assert(!opq.contains(",v:array") && !opq.contains("nrm:double"), opq)
     // ADC scoring is m lookups via pure column ops — the only ScalaUDF in
     // the plan is the broadcast-side probe assignment (10 query rows),
     // never a per-candidate decode
