@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Byte-pair-encoding merge induction (Sennrich et al. 2016) — the
+  * tokenizer-TRAINING half of the token pipeline (token counting and the
+  * BPE-ish segmenter are consumers of the merge table this produces):
+  * start from character symbols over the word-count table, and each
+  * round (a) counts adjacent symbol pairs weighted by word frequency,
+  * (b) picks the most frequent pair (ties: lexicographic), (c) merges
+  * it everywhere. Six rounds are graded; the output is the merge table
+  * itself — the artifact a tokenizer ships.
+  *
+  * Determinism & oracle parity: the merge application is defined as
+  * THREE passes of leftmost-non-overlapping literal replace over the
+  * space-joined segmentation (' l r ' → ' lr ' on the space-wrapped
+  * string) — the same primitive with the same pass count in both
+  * engines, so parity is unconditional; BpeSpec pins (exhaustively over
+  * two-symbol words ≤ 8 chars) that this policy equals canonical greedy
+  * BPE on every word without a 5+ run of one character, and pins the
+  * one divergence honestly: on " a a a a a " pass-restart merges the
+  * outer pairs ("aa a aa") where greedy merges leftward ("aa aa a") —
+  * same merge count, different placement, identical in both engines
+  * either way. Pair counting folds through an
+  * integer SUM; the argmax is (count DESC, pair ASC) — no floats
+  * anywhere.
+  *
+  * Scale shape: the learner state is the bounded word-count table (here
+  * top-200 words by frequency — production BPE trains on a vocab table
+  * too, not the raw corpus), so each round is one explode + groupBy over
+  * O(vocab · word_len) rows plus a ONE-ROW argmax collect; the corpus
+  * is scanned exactly once, for the word counts. Six rounds = six tiny
+  * jobs, lineage truncated per round.
+  */
+object Bpe {
+
+  private val Rounds = 6
+  private val VocabSize = 200
+
+  /** (word, n, seg) — the top-`VocabSize` word-count table with initial
+    * character segmentation ("join" → "j o i n"). */
+  private def vocab(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(VocabSize)
+      .withColumn("seg", expr(
+        "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')"))
+
+  /** One merge application: three leftmost-non-overlap replace passes of
+    * ' l r ' → ' lr ' over the space-wrapped segmentation. */
+  private[graft] def applyMerge(seg: org.apache.spark.sql.Column, l: String,
+                                r: String): org.apache.spark.sql.Column = {
+    val pat = lit(s" $l $r ")
+    val rep = lit(s" $l$r ")
+    def pass(c: org.apache.spark.sql.Column) = replace(c, pat, rep)
+    trim(pass(pass(pass(concat(lit(" "), seg, lit(" "))))))
+  }
+
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeMergesOf(s, Tables(s, dir, "documents"))
+
+  private[graft] def bpeMergesOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    var seg = vocab(docs).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var exhausted = false
+    (1 to Rounds).foreach { round =>
+      if (!exhausted) {
+      val pairs = seg
+        .withColumn("syms", split(col("seg"), " "))
+        // single-symbol words contribute no pairs; and Spark's
+        // sequence(1, 0) would DESCEND, fabricating a bogus pair
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+        .select(col("n"), col("p.l").as("l"), col("p.r").as("r"))
+        .groupBy("l", "r").agg(sum(col("n")).as("cnt"))
+      // ONE-row argmax collect per round (bounded by construction); a
+      // corpus whose vocabulary is fully merged before `Rounds` simply
+      // stops early (the oracle's empty-round CTEs emit no rows either)
+      pairs.orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect().headOption match {
+        case Some(best) =>
+          val (l, r, cnt) =
+            (best.getString(0), best.getString(1), best.getLong(2))
+          merges += ((round.toLong, l, r, l + r, cnt))
+          seg = seg.withColumn("seg", applyMerge(col("seg"), l, r))
+            .localCheckpoint()
+        case None => exhausted = true
+      }
+      }
+    }
+    import s.implicits._
+    merges.result()
+      .toDF("round", "sym_l", "sym_r", "merged", "pair_count")
+  }
+
+  /** Unrolled six-round replay — the PageRank oracle discipline: each
+    * round is pairs → one-row argmax → three-pass replace, with the
+    * argmax rows unioned at the end. */
+  val bpeMergesSql: String = {
+    def roundCtes(i: Int): String = {
+      val prev = if (i == 1) "w0" else s"r${i - 1}"
+      s"""r${i}p AS (SELECT n, syms[i] AS l, syms[i + 1] AS r FROM (
+         |  SELECT n, syms, unnest(range(1, len(syms))) AS i
+         |  FROM (SELECT n, string_split(seg, ' ') AS syms FROM $prev))),
+         |r${i}b AS (SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM r${i}p
+         |  GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1),
+         |r$i AS (SELECT w.word, w.n,
+         |  trim(replace(replace(replace(' ' || w.seg || ' ',
+         |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+         |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+         |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ')) AS seg
+         |  FROM $prev w, r${i}b b)""".stripMargin
+    }
+    val rounds = (1 to Rounds).map(roundCtes).mkString(",\n")
+    val out = (1 to Rounds).map(i =>
+      s"SELECT $i AS round, l AS sym_l, r AS sym_r, l || r AS merged, cnt AS pair_count FROM r${i}b")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM toks
+       |  WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT $VocabSize),
+       |w0 AS (SELECT word, n,
+       |  array_to_string(list_transform(range(1, length(word) + 1),
+       |    i -> word[i]), ' ') AS seg
+       |  FROM wc),
+       |$rounds
+       |$out""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> bpeMerges _)
+
+  val oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeMergesSql)
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference greedy BPE merge: scan symbols left to right, merging
+    * each (l, r) occurrence as soon as it is seen (the merged symbol is
+    * never reconsidered as a left part in the same pass — standard BPE
+    * application order). */
+  private def greedy(syms: List[String], l: String, r: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var rest = syms
+    while (rest.nonEmpty) rest match {
+      case a :: b :: tail if a == l && b == r => out += (l + r); rest = tail
+      case a :: tail => out += a; rest = tail
+    }
+    out.toList
+  }
+
+  test("three-pass replace equals greedy BPE on words without 5+ runs") {
+    // every word over {a, b} up to length 8, excluding same-char runs of
+    // 5+ — on those the pass-restart policy provably diverges from
+    // canonical greedy (pinned in the next test), everywhere else the
+    // two are equal, and natural words never carry 5 identical chars
+    def maxRun(w: Seq[String]): Int =
+      w.foldLeft(("", 0, 0)) { case ((prev, cur, best), c) =>
+        val n = if (c == prev) cur + 1 else 1
+        (c, n, math.max(best, n))
+      }._3
+    val words = (1 to 8).flatMap(n =>
+      (0 until (1 << n)).map(bits =>
+        (0 until n).map(i => if ((bits >> i & 1) == 0) "a" else "b")))
+      .filter(maxRun(_) <= 4)
+    val merges = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+    val df = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w.mkString(" ")) }.toDF("id", "seg")
+    merges.foreach { case (l, r) =>
+      val got = df.select($"id", Bpe.applyMerge($"seg", l, r).as("m"))
+        .as[(Long, String)].collect().toMap
+      words.zipWithIndex.foreach { case (w, i) =>
+        val want = greedy(w.toList, l, r).mkString(" ")
+        assert(got(i.toLong) == want,
+          s"merge ($l,$r) on '${w.mkString(" ")}': got '${got(i.toLong)}' want '$want'")
+      }
+    }
+  }
+
+  test("the documented divergence: 5-run merges outer pairs, greedy merges left") {
+    // " a a a a a ": replace consumes (1,2) then resumes AFTER the
+    // shared delimiter, next match is (4,5) — canonical greedy takes
+    // (1,2),(3,4). Same merge COUNT, different placement; both engines
+    // implement the same replace policy, so parity is unaffected.
+    val got = Seq(0L -> "a a a a a").toDF("id", "seg")
+      .select(Bpe.applyMerge($"seg", "a", "a")).as[String].head()
+    assert(got == "aa a aa", got)
+    assert(greedy(List("a", "a", "a", "a", "a"), "a", "a") ==
+      List("aa", "aa", "a"))
+  }
+
+  test("merge table on a hand-built corpus: counts and order are exact") {
+    // "abab" x3, "ab" x2: pair (a,b) count = 3*2+2*1 = 8 beats (b,a)=3
+    val docs = Seq("abab abab ab", "abab ab").toDF("text")
+    val merges = Bpe.bpeMergesOf(spark, docs)
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    // the toy vocabulary merges to single symbols after 2 rounds — the
+    // learner must stop early, not crash or fabricate merges
+    assert(merges.length == 2, merges.toSeq)
+    val first = merges.head
+    assert((first._2, first._3, first._4) == ("a", "b", "ab"), first)
+    assert(first._5 == 8L, s"ab pair count: ${first._5}")
+    // round 2: segmentations are "ab ab" (n=3) and "ab" (n=2) → the only
+    // remaining pair is (ab, ab) with count 3
+    val second = merges(1)
+    assert((second._2, second._3, second._4) == ("ab", "ab", "abab"), second)
+    assert(second._5 == 3L, second)
+  }
+
+  test("deterministic across runs") {
+    val docs = Seq("spark scan merge", "scan merge merge spark").toDF("text")
+    val a = Bpe.bpeMergesOf(spark, docs).collect().map(_.toString).sorted
+    val b = Bpe.bpeMergesOf(spark, docs).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+}
