@@ -101,9 +101,11 @@ object Bpe {
   }
 
   /** Unrolled six-round replay — the PageRank oracle discipline: each
-    * round is pairs → one-row argmax → three-pass replace, with the
-    * argmax rows unioned at the end. */
-  val bpeMergesSql: String = {
+    * round is pairs → one-row argmax → three-pass replace. The chain
+    * (everything through `r$Rounds` plus the per-round argmax tables
+    * `r{i}b`) is shared by the merge-table grade and the tokenizer
+    * grade. */
+  private val bpeChain: String = {
     def roundCtes(i: Int): String = {
       val prev = if (i == 1) "w0" else s"r${i - 1}"
       s"""r${i}p AS (SELECT n, syms[i] AS l, syms[i + 1] AS r FROM (
@@ -119,9 +121,6 @@ object Bpe {
          |  FROM $prev w, r${i}b b)""".stripMargin
     }
     val rounds = (1 to Rounds).map(roundCtes).mkString(",\n")
-    val out = (1 to Rounds).map(i =>
-      s"SELECT $i AS round, l AS sym_l, r AS sym_r, l || r AS merged, cnt AS pair_count FROM r${i}b")
-      .mkString("\nUNION ALL\n")
     s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
        |  FROM documents),
        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM toks
@@ -130,13 +129,80 @@ object Bpe {
        |  array_to_string(list_transform(range(1, length(word) + 1),
        |    i -> word[i]), ' ') AS seg
        |  FROM wc),
-       |$rounds
-       |$out""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  val bpeMergesSql: String = {
+    val out = (1 to Rounds).map(i =>
+      s"SELECT $i AS round, l AS sym_l, r AS sym_r, l || r AS merged, cnt AS pair_count FROM r${i}b")
+      .mkString("\nUNION ALL\n")
+    s"$bpeChain\n$out"
+  }
+
+  /** Tokenize the WHOLE corpus under the learned merge table: every
+    * distinct word segments once (dictionary-first — the levenshtein
+    * discipline: the expensive per-word work runs on the distinct-word
+    * table, then one equi-join fans results back to token instances),
+    * and per doc we report word/char-symbol/BPE-symbol counts — the
+    * compression the merge table actually buys. The merge list comes
+    * from ONE bounded 6-row collect; application is the same 3-pass
+    * replace fold, so engine and oracle agree unconditionally. */
+  def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val merges = bpeMergesOf(s, docs)
+      .orderBy("round").collect() // ≤ Rounds rows
+    val dtoks = docs
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val dw0 = dtoks.select("word").distinct()
+      .withColumn("seg", expr(
+        "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')"))
+    val segged = merges.foldLeft(dw0)((df, m) =>
+      df.withColumn("seg",
+        applyMerge(col("seg"), m.getAs[String]("sym_l"), m.getAs[String]("sym_r"))))
+      .withColumn("n_bpe_w", size(split(col("seg"), " ")).cast("long"))
+      .withColumn("n_chars_w", length(col("word")).cast("long"))
+    dtoks.join(segged, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars_w")).as("n_char_syms"),
+        sum(col("n_bpe_w")).as("n_bpe_syms"))
+  }
+
+  /** Tokenizer replay: the shared learner chain, then the distinct-word
+    * dictionary segmented under the six argmax rows in round order
+    * (chained CTEs dw0..dw$Rounds), joined back to token instances. */
+  val bpeTokenizeSql: String = {
+    def applyCte(i: Int): String =
+      s"""dw$i AS (SELECT w.word, trim(replace(replace(replace(' ' || w.seg || ' ',
+         |  ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+         |  ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+         |  ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ')) AS seg
+         |  FROM dw${i - 1} w, r${i}b b)""".stripMargin
+    val applies = (1 to Rounds).map(applyCte).mkString(",\n")
+    s"""$bpeChain,
+       |dtoks AS (SELECT doc_id,
+       |  unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents),
+       |dt AS (SELECT doc_id, word FROM dtoks WHERE word <> ''),
+       |dw0 AS (SELECT DISTINCT word,
+       |  array_to_string(list_transform(range(1, length(word) + 1),
+       |    i -> word[i]), ' ') AS seg
+       |  FROM dt),
+       |$applies,
+       |st AS (SELECT word, CAST(length(word) AS BIGINT) AS n_chars_w,
+       |  CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_bpe_w FROM dw$Rounds)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(st.n_chars_w) AS BIGINT) AS n_char_syms,
+       |  CAST(sum(st.n_bpe_w) AS BIGINT) AS n_bpe_syms
+       |FROM dt d JOIN st USING (word) GROUP BY d.doc_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bpe_merges" -> bpeMerges _)
+    "q_bpe_merges" -> bpeMerges _,
+    "q_bpe_tokenize" -> bpeTokenize _)
 
   val oracles: Map[String, String] = Map(
-    "q_bpe_merges" -> bpeMergesSql)
+    "q_bpe_merges" -> bpeMergesSql,
+    "q_bpe_tokenize" -> bpeTokenizeSql)
 }
