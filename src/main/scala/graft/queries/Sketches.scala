@@ -376,7 +376,102 @@ object Sketches {
        |    CAST(p.target - c.cum_before AS DOUBLE) / CAST(c.cnt AS DOUBLE) AS est
        |FROM pick p JOIN c ON p.bucket = c.bucket""".stripMargin
 
+  /** Sliding-window distinct users via per-hour HLL merge — the reason
+    * sketches are kept PER BUCKET: any window's distinct estimate is a
+    * register-wise MAX over its buckets' sketches (the HllSpec merge
+    * law), so a 3-hour sliding estimate touches ≤ 3·m register rows per
+    * window instead of re-scanning three hours of events — at 100 TB
+    * the events are scanned ONCE (building hourly registers) and every
+    * window after that is sketch algebra. Windows are the observed
+    * hours; each covers [h−2, h]. The exact count (same window algebra
+    * over distinct (hour, user) pairs) rides along, so the estimate's
+    * error is graded per window, branch included. */
+  def hllSliding(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(expr("(unix_micros(ts) div 1000) div 3600000").as("h"),
+        col("user_id").cast("string").as("k"))
+    val hours = ev.select("h").distinct()
+    val regs = buildHllKeyed(ev)
+    val wregs = regs
+      .withColumn("w", explode(array(col("h"), col("h") + 1, col("h") + 2)))
+      .join(hours.select(col("h").as("w")), "w")
+      .groupBy("w", "idx").agg(max(col("maxrho")).as("maxrho"))
+    val agg = wregs.groupBy("w").agg(
+      sum(expr("cast(shiftleft(cast(1 as bigint), cast(61 - maxrho as int)) as decimal(38,0))"))
+        .as("s_present"),
+      count(lit(1)).as("used"))
+    val exact = ev.dropDuplicates("h", "k")
+      .withColumn("w", explode(array(col("h"), col("h") + 1, col("h") + 2)))
+      .join(hours.select(col("h").as("w")), "w")
+      .groupBy("w").agg(count_distinct(col("k")).as("n_exact"))
+    agg.join(exact, "w")
+      .withColumn("s_total",
+        col("s_present") + (lit(hllM) - col("used")) * expr(s"cast($two61 as decimal(38,0))"))
+      .withColumn("raw_est", lit(hllC) / col("s_total").cast("double"))
+      .withColumn("zeros", lit(hllM) - col("used"))
+      .withColumn("hll_est",
+        when(col("raw_est") <= lit(2.5 * hllM) && col("zeros") > 0,
+          lit(hllM.toDouble) * log(lit(hllM.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("raw_est")))
+      .withColumn("branch",
+        when(col("raw_est") <= lit(2.5 * hllM) && col("zeros") > 0, lit("linear"))
+          .otherwise(lit("raw")))
+      .select(col("w").as("window_h"), col("n_exact"),
+        round(col("hll_est"), 4).as("hll_est"), col("branch"),
+        col("used").cast("long").as("used_registers"))
+  }
+
+  /** Per-hour register table: [[buildHll]] keyed by the hour column. */
+  private def buildHllKeyed(ev: DataFrame): DataFrame =
+    ev.withColumn("key",
+        conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long"))
+      .withColumn("idx", pmod(col("key"), lit(hllM)))
+      .withColumn("rho", rhoCol(substring(md5(col("k")), 9, 15)))
+      .groupBy("h", "idx").agg(max(col("rho")).cast("long").as("maxrho"))
+
+  val hllSlidingSql: String =
+    s"""WITH ev AS (SELECT epoch_ms(ts) // 3600000 AS h,
+       |    CAST(user_id AS VARCHAR) AS k FROM events),
+       |hrs AS (SELECT DISTINCT h FROM ev),
+       |hkeys AS (SELECT h, k,
+       |  CAST(('0x' || substr(md5(k), 1, 8))::UBIGINT AS BIGINT) AS key FROM ev),
+       |regs AS (
+       |  SELECT h, key % $hllM AS idx,
+       |    MAX(CASE WHEN stripped = '' THEN 61
+       |        ELSE (15 - length(stripped)) * 4 +
+       |          (CASE WHEN nib = '1' THEN 3
+       |                WHEN nib IN ('2','3') THEN 2
+       |                WHEN nib IN ('4','5','6','7') THEN 1
+       |                ELSE 0 END) + 1 END) AS maxrho
+       |  FROM (SELECT h, key, stripped, substr(stripped, 1, 1) AS nib
+       |        FROM (SELECT h, key, ltrim(substr(md5(k), 9, 15), '0') AS stripped
+       |              FROM hkeys))
+       |  GROUP BY 1, 2),
+       |mreg AS (SELECT w.h AS w, r.idx, MAX(r.maxrho) AS maxrho
+       |  FROM regs r JOIN hrs w ON w.h BETWEEN r.h AND r.h + 2
+       |  GROUP BY 1, 2),
+       |agg AS (SELECT w,
+       |  SUM(CAST(CAST(1 AS BIGINT) << CAST(61 - maxrho AS INT) AS HUGEINT)) AS s_present,
+       |  COUNT(*) AS used FROM mreg GROUP BY w),
+       |ex AS (SELECT w.h AS w, CAST(COUNT(DISTINCT e.k) AS BIGINT) AS n_exact
+       |  FROM (SELECT DISTINCT h, k FROM ev) e
+       |  JOIN hrs w ON w.h BETWEEN e.h AND e.h + 2
+       |  GROUP BY 1),
+       |est AS (SELECT a.w, ex.n_exact, a.used,
+       |  $hllC / CAST(a.s_present + ($hllM - a.used) * CAST($two61 AS HUGEINT) AS DOUBLE) AS raw_est,
+       |  $hllM - a.used AS zeros
+       |  FROM agg a JOIN ex USING (w))
+       |SELECT w AS window_h, n_exact,
+       |  round(CASE WHEN raw_est <= ${2.5 * hllM} AND zeros > 0
+       |    THEN ${hllM.toDouble} * ln(${hllM.toDouble} / CAST(zeros AS DOUBLE))
+       |    ELSE raw_est END, 4) AS hll_est,
+       |  CASE WHEN raw_est <= ${2.5 * hllM} AND zeros > 0
+       |    THEN 'linear' ELSE 'raw' END AS branch,
+       |  CAST(used AS BIGINT) AS used_registers
+       |FROM est""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_sliding" -> hllSliding _,
     "q_cms_sketch" -> cmsSketch _,
     "q_cms_heavy_hitters" -> cmsHeavyHitters _,
     "q_hll_registers" -> hllRegisters _,
@@ -385,6 +480,7 @@ object Sketches {
     "q_hist_quantiles" -> histQuantiles _)
 
   val oracles: Map[String, String] = Map(
+    "q_hll_sliding" -> hllSlidingSql,
     "q_cms_sketch" -> cmsSketchSql,
     "q_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "q_hll_registers" -> hllRegistersSql,
