@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.transform.TripleBuilder
@@ -510,7 +511,184 @@ object Graph {
       |  round(3.0 * tri.t / w.wd, 6) AS clustering
       |FROM w, tri""".stripMargin
 
+  /** The sampled co-purchase graph both census queries share: canonical
+    * undirected part-pair edges from 1-in-10 baskets. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val op = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    op.as("x").join(op.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+  }
+
+  private val coPurchaseEdgesSql: String =
+    """e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      |        WHERE l_orderkey % 10 = 0) a
+      |  JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      |        WHERE l_orderkey % 10 = 0) b ON a.o = b.o AND a.p < b.p)""".stripMargin
+
+  /** Three unrolled peel rounds toward the 3-core (Seidman's k-core —
+    * the degeneracy filter web-graph pipelines run to strip barely-
+    * connected fringe before expensive analysis): each round drops nodes
+    * with degree < 3 and the edges touching them, reporting the
+    * surviving (nodes, edges) per round. Fixed round count like the
+    * graded PageRank — every round is one degree groupBy + two semi
+    * joins, so a 100 TB graph peels in O(rounds) shuffles with no
+    * driver-side graph state. */
+  def kCoreQ(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    var edges = coPurchaseEdges(s, dir).localCheckpoint()
+    val stats = (1 to 3).map { round =>
+      val deg = edges.select(explode(array(col("u"), col("v"))).as("id"))
+        .groupBy("id").agg(org.apache.spark.sql.functions.count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= k).select("id")
+      edges = edges
+        .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint()
+      val n = edges.select(explode(array(col("u"), col("v"))).as("id"))
+        .agg(countDistinct(col("id")).as("n_nodes"))
+      n.crossJoin(edges.agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n_edges")))
+        .select(lit(round.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    stats.reduce(_ unionByName _)
+  }
+
+  val kCoreSql: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""d$i AS (SELECT id, count(*) AS dg FROM
+         |  (SELECT u AS id FROM $prev UNION ALL SELECT v FROM $prev) GROUP BY id),
+         |k$i AS (SELECT id FROM d$i WHERE dg >= 3),
+         |e$i AS (SELECT u, v FROM $prev
+         |  WHERE u IN (SELECT id FROM k$i) AND v IN (SELECT id FROM k$i))""".stripMargin
+    }
+    val rounds = (1 to 3).map(round).mkString(",\n")
+    val out = (1 to 3).map(i =>
+      s"""SELECT $i AS round,
+         |  (SELECT count(DISTINCT id) FROM
+         |    (SELECT u AS id FROM e$i UNION ALL SELECT v FROM e$i)) AS n_nodes,
+         |  (SELECT count(*) FROM e$i) AS n_edges""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"WITH $coPurchaseEdgesSql,\n$rounds\n$out"
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the directed doubling of the edge set — do
+    * hubs link to hubs (r > 0, social shape) or to leaves (r < 0,
+    * technological shape)? Every sum is exact BIGINT arithmetic over
+    * integer degrees (n, Σx, Σxy, Σx²); the only floats are the final
+    * sqrt and divide on identical inputs — one row out, no tolerance
+    * needed. */
+  def assortativityQ(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(s, dir)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(org.apache.spark.sql.functions.count(lit(1)).as("dg"))
+    val both = e.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+    val pairs = both
+      .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")
+    pairs.agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        sum(col("da")).as("sx"),
+        sum(col("da") * col("db")).as("sxy"),
+        sum(col("da") * col("da")).as("sx2"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+          (col("n") * col("sx2") - col("sx") * col("sx")).cast("double"), 6)
+          .as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    s"""WITH $coPurchaseEdgesSql,
+       |deg AS (SELECT id, count(*) AS dg FROM
+       |  (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0) GROUP BY id),
+       |both_dir AS (SELECT u AS a, v AS b FROM e0
+       |  UNION ALL SELECT v, u FROM e0),
+       |pairs AS (SELECT da.dg AS da, db.dg AS db FROM both_dir
+       |  JOIN deg da ON da.id = both_dir.a JOIN deg db ON db.id = both_dir.b),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(da) AS BIGINT) AS sx,
+       |  CAST(sum(da * db) AS BIGINT) AS sxy, CAST(sum(da * da) AS BIGINT) AS sx2
+       |  FROM pairs)
+       |SELECT n, round(CAST(n * sxy - sx * sx AS DOUBLE) /
+       |  CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS assortativity
+       |FROM s""".stripMargin
+
+  /** Deterministic random walks over the co-purchase graph — the
+    * DeepWalk/node2vec corpus generator (Perozzi et al. 2014): graph →
+    * walk sequences → (elsewhere) skip-gram training data. Twenty
+    * hub-seeded walks of four steps; the "random" neighbor choice at
+    * step t is `md5("walk|id|t") mod degree` into the dst-ordered
+    * adjacency — content-stable, so the walk corpus regenerates
+    * identically (the same salted-hash discipline as the samplers).
+    * Each step is ONE equi-join of the walk frontier against the
+    * indexed adjacency (keyed row_number window builds the index); at
+    * 100 TB the frontier is walks-sized, broadcastable, and the
+    * adjacency never shuffles per step. */
+  def randomWalksQ(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(s, dir)
+    val both = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val adj = both
+      .withColumn("idx",
+        row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy("src")))
+      .localCheckpoint() // four step-joins read it
+    val deg = both.groupBy(col("src").as("id")).agg(count(lit(1)).as("dg"))
+    val wr = Window.orderBy(col("dg").desc, col("id"))
+    val starts = deg.orderBy(col("dg").desc, col("id")).limit(20)
+      .withColumn("walk_id", (row_number().over(wr) - 1).cast("long"))
+      .select(col("walk_id"), col("id").as("node"))
+    var frontier = starts
+    var out = starts.withColumn("step", lit(0L))
+    (1 to 4).foreach { t =>
+      val h = conv(substring(md5(concat(lit("walk|"),
+        col("walk_id").cast("string"), lit(s"|$t"))), 1, 8), 16, 10)
+        .cast("long")
+      frontier = frontier.join(adj, frontier("node") === adj("src"))
+        .filter(col("idx") === pmod(h, col("deg")))
+        .select(col("walk_id"), col("dst").as("node"))
+      out = out.unionByName(frontier.withColumn("step", lit(t.toLong)))
+    }
+    out.select(col("walk_id"), col("step"), col("node"))
+  }
+
+  val randomWalksSql: String = {
+    def hashSql(t: Int): String =
+      s"CAST(('0x' || substr(md5('walk|' || CAST(w.walk_id AS VARCHAR) || '|$t'), 1, 8))::UBIGINT AS BIGINT)"
+    def step(t: Int): String =
+      s"""w$t AS (SELECT w.walk_id, a.dst AS node
+         |  FROM w${t - 1} w JOIN adj a ON a.src = w.node
+         |  AND a.idx = ${hashSql(t)} % a.deg)""".stripMargin
+    val steps = (1 to 4).map(step).mkString(",\n")
+    val out = (0 to 4).map(t =>
+      s"SELECT walk_id, $t AS step, node FROM w$t").mkString("\nUNION ALL\n")
+    s"""WITH $coPurchaseEdgesSql,
+       |both_dir AS (SELECT u AS src, v AS dst FROM e0
+       |  UNION ALL SELECT v, u FROM e0),
+       |adj AS (SELECT src, dst,
+       |  row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+       |  count(*) OVER (PARTITION BY src) AS deg FROM both_dir),
+       |nd AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS dg
+       |  FROM both_dir GROUP BY src),
+       |starts AS (SELECT CAST(row_number() OVER (ORDER BY dg DESC, id) - 1 AS BIGINT) AS walk_id,
+       |  id AS node
+       |  FROM (SELECT * FROM nd ORDER BY dg DESC, id LIMIT 20)),
+       |w0 AS (SELECT walk_id, node FROM starts),
+       |$steps
+       |$out""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_random_walks" -> randomWalksQ _,
+    "q_kcore" -> kCoreQ _,
+    "q_assortativity" -> assortativityQ _,
     "q_triangles" -> trianglesQ _,
     "q_pagerank" -> pageRankQ _,
     "q_arxiv_triples" -> arxivTriplesQ _,
@@ -526,6 +704,9 @@ object Graph {
     "q_reify_emit" -> reifyEmit _)
 
   val oracles: Map[String, String] = Map(
+    "q_random_walks" -> randomWalksSql,
+    "q_kcore" -> kCoreSql,
+    "q_assortativity" -> assortativitySql,
     "q_triangles" -> trianglesSql,
     "q_pagerank" -> pageRankSql,
     "q_arxiv_triples" -> arxivTriplesSql,
