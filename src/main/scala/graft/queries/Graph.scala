@@ -513,7 +513,7 @@ object Graph {
 
   /** The sampled co-purchase graph both census queries share: canonical
     * undirected part-pair edges from 1-in-10 baskets. */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val op = t(s, dir, "lineitem")
       .filter(col("l_orderkey") % 10 === 0)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()

@@ -470,7 +470,77 @@ object Sketches {
        |  CAST(used AS BIGINT) AS used_registers
        |FROM est""".stripMargin
 
+  /** Sliding-window quantiles from per-hour histograms — the ADD-merge
+    * twin of [[hllSliding]]: hourly (bucket, cnt) histograms over the
+    * event values merge bucket-wise by ADDITION into every 3-hour
+    * window, and p50/p90/p99 interpolate from each window's cumulative
+    * counts. The events are scanned once; each window is sketch algebra
+    * over ≤ domain/width bucket rows, and the cumsum window is keyed by
+    * (window, bucket) — bounded per key, never a global sort. Together
+    * with [[hllSliding]] both standing-summary merge laws (MAX for HLL
+    * registers, ADD for histogram buckets) are exercised INSIDE graded
+    * queries, not just pinned in specs. */
+  def histSliding(s: SparkSession, dir: String): DataFrame = {
+    val W = 10.0 // value units per bucket (event values span 0..~500)
+    val s2 = s
+    import s2.implicits._
+    val ev = t(s, dir, "events")
+      .select(expr("(unix_micros(ts) div 1000) div 3600000").as("h"),
+        floor(col("value") / lit(W)).cast("long").as("bucket"))
+    val hrs = ev.select("h").distinct()
+    val hh = ev.groupBy("h", "bucket").agg(count(lit(1)).as("cnt"))
+    val merged = hh
+      .withColumn("w", explode(array(col("h"), col("h") + 1, col("h") + 2)))
+      .join(hrs.select(col("h").as("w")), "w")
+      .groupBy("w", "bucket").agg(sum(col("cnt")).as("cnt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("w").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = merged.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(win), lit(0L)))
+    val total = merged.groupBy("w").agg(sum(col("cnt")).as("total"))
+    val targets = total
+      .withColumn("p", explode(array(histPs.map(lit): _*)))
+      .select(col("w"), col("p"),
+        (floor(col("p") * col("total")).cast("long") + 1L).as("target"))
+    val pick = targets.as("t")
+      .join(cum.as("c"),
+        col("t.w") === col("c.w") &&
+          expr("c.cum_before + c.cnt >= t.target"))
+      .groupBy(col("t.w").as("w"), col("t.p").as("p"),
+        col("t.target").as("target"))
+      .agg(min(col("c.bucket")).as("bucket"))
+    pick.join(cum, Seq("w", "bucket"))
+      .select(col("w").as("window_h"), col("p"),
+        (col("bucket") * lit(W) + lit(W) *
+          (col("target") - col("cum_before")).cast("double") /
+          col("cnt").cast("double")).as("est"))
+  }
+
+  val histSlidingSql: String =
+    s"""WITH ev AS (SELECT epoch_ms(ts) // 3600000 AS h,
+       |    CAST(floor(value / 10.0) AS BIGINT) AS bucket FROM events),
+       |hrs AS (SELECT DISTINCT h FROM ev),
+       |hh AS (SELECT h, bucket, count(*) AS cnt FROM ev GROUP BY 1, 2),
+       |m AS (SELECT w.h AS w, x.bucket, CAST(SUM(x.cnt) AS BIGINT) AS cnt
+       |  FROM hh x JOIN hrs w ON w.h BETWEEN x.h AND x.h + 2 GROUP BY 1, 2),
+       |c AS (SELECT w, bucket, cnt,
+       |  COALESCE(SUM(cnt) OVER (PARTITION BY w ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM m),
+       |n AS (SELECT w, SUM(cnt) AS total FROM m GROUP BY w),
+       |tgt AS (SELECT n.w, p, CAST(floor(p * total) AS BIGINT) + 1 AS target
+       |  FROM (VALUES (0.5), (0.9), (0.99)) ps(p), n),
+       |pick AS (SELECT t.w, t.p, t.target, MIN(c.bucket) AS bucket
+       |  FROM tgt t JOIN c ON c.w = t.w AND c.cum_before + c.cnt >= t.target
+       |  GROUP BY 1, 2, 3)
+       |SELECT p.w AS window_h, p.p,
+       |  p.bucket * 10.0 + 10.0 * CAST(p.target - c.cum_before AS DOUBLE)
+       |    / CAST(c.cnt AS DOUBLE) AS est
+       |FROM pick p JOIN c ON c.w = p.w AND c.bucket = p.bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hist_sliding" -> histSliding _,
     "q_hll_sliding" -> hllSliding _,
     "q_cms_sketch" -> cmsSketch _,
     "q_cms_heavy_hitters" -> cmsHeavyHitters _,
@@ -480,6 +550,7 @@ object Sketches {
     "q_hist_quantiles" -> histQuantiles _)
 
   val oracles: Map[String, String] = Map(
+    "q_hist_sliding" -> histSlidingSql,
     "q_hll_sliding" -> hllSlidingSql,
     "q_cms_sketch" -> cmsSketchSql,
     "q_cms_heavy_hitters" -> cmsHeavyHittersSql,
