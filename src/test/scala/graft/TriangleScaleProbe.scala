@@ -64,6 +64,75 @@ object TriangleScaleProbe {
       (m, dt)
     })
 
+    // ---- k-core peel: same basket graph, 3 rounds ---------------------
+    // per round: one degree groupBy + two semi joins — expect the same
+    // near-linear decade as the triangle census's lighter stages
+    report("kcore_3peel", triBase, decades.map { m =>
+      val n = triBase * m
+      val catalog = n * 2
+      val items = spark.range(n * 5).select(
+        ($"id" / 5).cast("long").as("o"),
+        pmod(xxhash64($"id", lit("p")), lit(catalog)).as("p"))
+      val pairs = items.as("x").join(items.as("y"),
+          $"x.o" === $"y.o" && $"x.p" < $"y.p")
+        .select($"x.p".as("u"), $"y.p".as("v")).distinct()
+      var edges = pairs.localCheckpoint()
+      val (_, dt) = time {
+        (1 to 3).foreach { _ =>
+          val deg = edges.select(explode(array($"u", $"v")).as("id"))
+            .groupBy("id").agg(count(lit(1)).as("dg"))
+          val keep = deg.filter($"dg" >= 3).select("id")
+          edges = edges
+            .join(keep.select($"id".as("u")), Seq("u"), "left_semi")
+            .join(keep.select($"id".as("v")), Seq("v"), "left_semi")
+            .select("u", "v").localCheckpoint()
+        }
+        edges.count()
+      }
+      (m, dt)
+    })
+
+    // ---- random walks: frontier-sized joins against a growing graph ---
+    // 1000 walks x 4 steps at every decade: the frontier is constant, so
+    // wall should track the adjacency BUILD (one window over edges),
+    // with the four step-joins frontier-bounded
+    report("random_walks", triBase, decades.map { m =>
+      val n = triBase * m
+      val catalog = n * 2
+      val items = spark.range(n * 5).select(
+        ($"id" / 5).cast("long").as("o"),
+        pmod(xxhash64($"id", lit("p")), lit(catalog)).as("p"))
+      val e = items.as("x").join(items.as("y"),
+          $"x.o" === $"y.o" && $"x.p" < $"y.p")
+        .select($"x.p".as("u"), $"y.p".as("v")).distinct()
+      val both = e.select($"u".as("src"), $"v".as("dst"))
+        .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+      val adjW = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy("dst")
+      val adjC = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      val (rows, dt) = time {
+        val adj = both
+          .withColumn("idx", row_number().over(adjW) - 1)
+          .withColumn("deg", count(lit(1)).over(adjC))
+          .localCheckpoint()
+        val deg = both.groupBy($"src".as("id")).agg(count(lit(1)).as("dg"))
+        var frontier = deg.orderBy($"dg".desc, $"id").limit(1000)
+          .select(monotonically_increasing_id().as("walk_id"), $"id".as("node"))
+          .localCheckpoint()
+        var total = frontier.count()
+        (1 to 4).foreach { t =>
+          val h = pmod(xxhash64($"walk_id", lit(t)), $"deg")
+          frontier = frontier.join(adj, frontier("node") === adj("src"))
+            .filter($"idx" === h)
+            .select($"walk_id", $"dst".as("node")).localCheckpoint()
+          total += frontier.count()
+        }
+        total
+      }
+      require(rows == 5000L, s"walk rows $rows")
+      (m, dt)
+    })
+
     // ---- weighted sample: 1M base docs, top-100 -----------------------
     val wsBase = 1000000L
     report("weighted_sample", wsBase, decades.map { m =>
