@@ -458,10 +458,11 @@ object Quantization {
     }
   }
 
-  /** Replay of the incremental build: the IVF Lloyd chain and the SQ8
-    * min/max both read ONLY batch 1 (even corpus vec_ids — the frozen
-    * models), while assignment/codes cover the whole corpus. */
-  val incrementalAnnSql: String = {
+  /** Frozen-model fit CTEs shared by the incremental-index replays: the
+    * IVF Lloyd chain (`c2`) and the SQ8 min/max (`sl`) both read ONLY
+    * batch 1 (even corpus vec_ids — the models a second batch must not
+    * refit). */
+  private val frozenFitCtes: String = {
     val ew = "list_transform(range(1, len(acc)+1), d -> acc[d] + x[d])"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |ec AS (SELECT * FROM e WHERE vec_id >= 10),
@@ -484,7 +485,13 @@ object Quantization {
        |  count(*) AS n FROM a2 GROUP BY cell),
        |c2 AS (SELECT c1.cell,
        |  COALESCE(list_transform(range(1, len(m2.s)+1), d -> m2.s[d] / m2.n), c1.c) AS c
-       |  FROM c1 LEFT JOIN m2 ON m2.cell = c1.cell),
+       |  FROM c1 LEFT JOIN m2 ON m2.cell = c1.cell)""".stripMargin
+  }
+
+  /** Replay of the incremental build: frozen fits ([[frozenFitCtes]]),
+    * then assignment/codes over the whole corpus. */
+  val incrementalAnnSql: String =
+    s"""$frozenFitCtes,
        |di AS (SELECT ec.vec_id, ec.v, c.cell, ${sqdSql("ec.v", "c.c")} AS dist FROM ec, c2 c),
        |idx AS (SELECT vec_id, v, cell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM di) WHERE rn = 1),
@@ -515,7 +522,80 @@ object Quantization {
        |SELECT query_id, vec_id AS neighbor_id, round(cos, 4) AS cos FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
        |  FROM scored) WHERE rn <= 5""".stripMargin
+
+  /** The rebuild-decision instrument, graded: an incremental vector
+    * index freezes its coarse centroids and SQ8 ranges on batch 1
+    * ([[incrementalAnn]]), so the operational question is WHEN drift
+    * has invalidated the frozen models. [[graft.similarity.VectorIndex]]
+    * `codecDrift` measures the two symptoms — values escaping the
+    * frozen quantizer ranges (clamped codes) and coarse-cell skew
+    * (probe imbalance) — and this query grades both numbers end-to-end
+    * through a real two-batch scratch index: out-of-range value count
+    * over the WHOLE table against the batch-1 ranges, and the max
+    * cell-occupancy share under the batch-1 centroids. The oracle
+    * replays the frozen fits and both measurements exactly; in
+    * production the same two numbers run per ingest and trip the
+    * rebuild-vs-extend decision FAISS deployments make. */
+  def codecDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val embT = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = embT.filter(col("vec_id") >= 10)
+    graft.load.Scratch.withScratch("graft_vd_q", dir) { tmp =>
+      val idx = new graft.similarity.VectorIndex(s, tmp.getAbsolutePath)
+      idx.ingest(corpus.filter(col("vec_id") % 2 === 0))
+      idx.ingest(corpus.filter(col("vec_id") % 2 =!= 0))
+      val (ivf, sq8) = idx.models.get
+      val mins = typedLit(sq8.mins.toSeq)
+      val maxs = typedLit(sq8.maxs.toSeq)
+      val v = col("embedding").cast("array<double>")
+      val oor = embT.select(
+          aggregate(zip_with(v, sequence(lit(1), lit(sq8.dim)), (x, i) =>
+            when(x < element_at(mins, i) || x > element_at(maxs, i), 1)
+              .otherwise(0)),
+            lit(0), (a, x) => a + x).as("oor"))
+        .agg(sum(col("oor")).cast("long").as("n_oor"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n_vecs"))
+      val cells = graft.similarity.IvfIndex.assign(embT, ivf)
+        .groupBy("cell")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .agg(max(col("n")).as("max_cell_n"), sum(col("n")).as("n_assigned"))
+      oor.crossJoin(cells) // two one-row frames
+        .select(col("n_vecs"), col("n_oor"),
+          round(col("n_oor").cast("double") /
+            (col("n_vecs") * lit(64)).cast("double"), 6).as("oor_frac"),
+          col("max_cell_n"),
+          round(col("max_cell_n").cast("double") /
+            col("n_assigned").cast("double"), 6).as("max_cell_share"))
+        .localCheckpoint()
+    }
   }
+
+  /** Drift replay: the frozen fits, then both measurements over the
+    * whole table — out-of-range count vs the batch-1 SQ8 ranges, and
+    * max occupancy share under the batch-1 centroids. */
+  val codecDriftSql: String =
+    s"""$frozenFitCtes,
+       |st AS (SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+       |  FROM e1, range(1, $dim + 1) td(d) GROUP BY d),
+       |sl AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM st),
+       |oorl AS (SELECT e.vec_id,
+       |  list_reduce(list_transform(range(1, $dim + 1), d ->
+       |    CASE WHEN e.v[d] < sl.mns[d] OR e.v[d] > sl.mxs[d] THEN 1 ELSE 0 END),
+       |    (a, b) -> a + b) AS oor
+       |  FROM e, sl),
+       |ot AS (SELECT CAST(sum(oor) AS BIGINT) AS n_oor,
+       |  CAST(count(*) AS BIGINT) AS n_vecs FROM oorl),
+       |dall AS (SELECT e.vec_id, c.cell, ${sqdSql("e.v", "c.c")} AS dist FROM e, c2 c),
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |  FROM dall) WHERE rn = 1),
+       |cn AS (SELECT cell, count(*) AS n FROM asg GROUP BY cell),
+       |cs AS (SELECT CAST(max(n) AS BIGINT) AS max_cell_n,
+       |  CAST(sum(n) AS BIGINT) AS n_assigned FROM cn)
+       |SELECT n_vecs, n_oor,
+       |  round(CAST(n_oor AS DOUBLE) / (n_vecs * 64), 6) AS oor_frac,
+       |  max_cell_n,
+       |  round(CAST(max_cell_n AS DOUBLE) / n_assigned, 6) AS max_cell_share
+       |FROM ot, cs""".stripMargin
 
   /** Filtered compressed search — the multi-tenant / metadata-predicate
     * shape every production vector store serves: each query ranks ONLY
@@ -1002,6 +1082,7 @@ object Quantization {
     "q_ann_pqr" -> annPqResidual _,
     "q_ann_filtered" -> annFiltered _,
     "q_incremental_ann" -> incrementalAnn _,
+    "q_codec_drift" -> codecDriftQ _,
     "q_opq_error" -> opqError _,
     "q_ann_opq" -> annOpq _,
     "q_bq_rerank" -> bqRerank _)
@@ -1019,6 +1100,7 @@ object Quantization {
     "q_ann_pqr" -> annPqrSql,
     "q_ann_filtered" -> annFilteredSql,
     "q_incremental_ann" -> incrementalAnnSql,
+    "q_codec_drift" -> codecDriftSql,
     "q_opq_error" -> opqErrorSql,
     "q_ann_opq" -> annOpqSql,
     "q_bq_rerank" -> bqRerankSql)
