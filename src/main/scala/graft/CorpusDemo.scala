@@ -200,6 +200,20 @@ object CorpusDemo {
     require(pmi.map(_.getAs[Long]("rank")).toSeq ==
       (1L to pmi.length).toSeq, "pmi ranks must be dense 1..k")
 
+    // 10d. tokenizer induction over the landed corpus: learn the BPE
+    // merge table, tokenize everything under it, and assert the merges
+    // actually compress (BPE symbols strictly fewer than character
+    // symbols corpus-wide — the whole point of the merge table)
+    val bpeStats = queries.Bpe.bpeMergesOf(spark,
+      landed.select(col("doc_id"), col("text"))).collect()
+    require(bpeStats.nonEmpty, "BPE learner found no merges")
+    val tok = queries.Bpe.bpeTokenize(spark, sf)
+      .agg(sum("n_char_syms").cast("long"), sum("n_bpe_syms").cast("long"))
+      .head()
+    val (charSyms, bpeSyms) = (tok.getLong(0), tok.getLong(1))
+    require(bpeSyms < charSyms,
+      s"BPE must compress: $bpeSyms !< $charSyms")
+
     // 11. hybrid retrieval audit: BM25 + cosine arms fused by reciprocal
     // rank — the "find me the docs most like this probe" query a data
     // curator runs against the landed corpus
@@ -246,6 +260,7 @@ object CorpusDemo {
       s"(cms=$cmsCells cells, hll=$hllRegs regs, hist=$lenBuckets buckets) " +
       s"→ quota audit (100 exact) + weighted audit draw (${audit.count()}) " +
       s"→ pmi top-${pmi.length} collocations " +
+      s"→ bpe ${bpeStats.length} merges ($charSyms char-syms → $bpeSyms) " +
       s"→ rrf top-${fused.length} retrieval audit ok")
     spark.stop()
   }
