@@ -205,9 +205,13 @@ object CorpusDemo {
     // actually compress (BPE symbols strictly fewer than character
     // symbols corpus-wide — the whole point of the merge table)
     val bpeStats = queries.Bpe.bpeMergesOf(spark,
-      landed.select(col("doc_id"), col("text"))).collect()
+      landed.select(col("doc_id"), col("text")))
+      .orderBy("round").collect()
     require(bpeStats.nonEmpty, "BPE learner found no merges")
-    val tok = queries.Bpe.bpeTokenize(spark, sf)
+    // tokenize the landed corpus under the merge table just induced from
+    // it — the compression assertion exercises THAT table, not a re-learn
+    val tok = queries.Bpe
+      .bpeTokenizeOf(landed.select(col("doc_id"), col("text")), bpeStats)
       .agg(sum("n_char_syms").cast("long"), sum("n_bpe_syms").cast("long"))
       .head()
     val (charSyms, bpeSyms) = (tok.getLong(0), tok.getLong(1))

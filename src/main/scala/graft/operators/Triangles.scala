@@ -50,15 +50,16 @@ object Triangles {
     val stats = und.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_nodes"),
         // dg·(dg−1) is even, so the per-node term is exact as a long;
-        // summing longs (not doubles) keeps the wedge count exact at any
-        // graph size
-        sum((col("dg") * (col("dg") - 1) / lit(2)).cast("long"))
-          .as("n_wedges")))
+        // `div` (integer division) keeps it in long arithmetic — `/`
+        // would round-trip through double and lose exactness past 2^53
+        sum(expr("dg * (dg - 1) div 2")).as("n_wedges")))
     // three one-row frames — the broadcast-cross the plan wants
     stats.crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
-          .as("clustering"))
+        // wedge-free graphs (e.g. a perfect matching) have transitivity 0
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .otherwise(lit(0.0)).as("clustering"))
   }
 }

@@ -149,8 +149,15 @@ object Bpe {
     * replace fold, so engine and oracle agree unconditionally. */
   def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val merges = bpeMergesOf(s, docs)
-      .orderBy("round").collect() // ≤ Rounds rows
+    bpeTokenizeOf(docs, bpeMergesOf(s, docs).orderBy("round").collect())
+  }
+
+  /** Frame-based tokenizer: segment `docs` under an ALREADY-LEARNED merge
+    * table (rows of bpeMergesOf, in round order) — so a caller that just
+    * induced merges over a landed corpus tokenizes under exactly those
+    * merges, not a re-learned set from some other table. */
+  private[graft] def bpeTokenizeOf(docs: DataFrame,
+                                   merges: Array[org.apache.spark.sql.Row]): DataFrame = {
     val dtoks = docs
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("word"))

@@ -508,7 +508,8 @@ object Graph {
       |             count(*) AS nn FROM deg)
       |SELECT w.nn AS n_nodes, (SELECT count(*) FROM e) AS n_edges,
       |  w.wd AS n_wedges, CAST(tri.t AS BIGINT) AS n_triangles,
-      |  round(3.0 * tri.t / w.wd, 6) AS clustering
+      |  CASE WHEN w.wd > 0 THEN round(3.0 * tri.t / w.wd, 6)
+      |       ELSE 0.0 END AS clustering
       |FROM w, tri""".stripMargin
 
   /** The sampled co-purchase graph both census queries share: canonical

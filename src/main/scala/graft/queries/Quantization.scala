@@ -561,7 +561,7 @@ object Quantization {
       oor.crossJoin(cells) // two one-row frames
         .select(col("n_vecs"), col("n_oor"),
           round(col("n_oor").cast("double") /
-            (col("n_vecs") * lit(64)).cast("double"), 6).as("oor_frac"),
+            (col("n_vecs") * lit(sq8.dim)).cast("double"), 6).as("oor_frac"),
           col("max_cell_n"),
           round(col("max_cell_n").cast("double") /
             col("n_assigned").cast("double"), 6).as("max_cell_share"))
