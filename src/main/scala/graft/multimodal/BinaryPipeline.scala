@@ -47,6 +47,55 @@ object BinaryPipeline {
     }
   }
 
+  /** Content-window sketch decoder — the perceptual-fingerprint stand-in:
+    * every DISTINCT 4-byte window of the payload casts one ±1 vote per
+    * signature bit (votes come from the md5 of the window's uppercase-hex
+    * spelling, so any engine can re-derive them); `features(b)` is the
+    * bit-b vote sum. `sign(features)` is then a classic SimHash over the
+    * payload's content windows: a byte-local perturbation touches at most
+    * 4 windows, so each vote sum moves by at most 8 and the signature of
+    * a large payload barely shifts. Vote sums are small integers, exact
+    * in Float. */
+  final class WindowSketchDecoder(bits: Int = 48) extends Decoder {
+    require(bits <= 48, "md5 prefix carries 48 usable bits here")
+    @transient private var md: java.security.MessageDigest = _
+    override def decode(payload: Array[Byte], mediaType: String): Array[Float] = {
+      if (md == null) md = java.security.MessageDigest.getInstance("MD5")
+      val f = new Array[Float](bits)
+      if (payload != null && payload.length >= 4) {
+        val hexd = "0123456789ABCDEF"
+        val seen = new java.util.HashSet[String]()
+        var i = 0
+        while (i <= payload.length - 4) {
+          val sb = new java.lang.StringBuilder(8)
+          var k = 0
+          while (k < 4) {
+            val b = payload(i + k) & 0xff
+            sb.append(hexd.charAt(b >>> 4)).append(hexd.charAt(b & 0xf))
+            k += 1
+          }
+          val w = sb.toString
+          if (seen.add(w)) {
+            md.reset()
+            val dig = md.digest(
+              w.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            // first 6 digest bytes == ('0x' || substr(md5_hex, 1, 12))
+            var h = 0L
+            var j = 0
+            while (j < 6) { h = (h << 8) | (dig(j) & 0xffL); j += 1 }
+            var b = 0
+            while (b < bits) {
+              f(b) += (if (((h >>> b) & 1L) == 1L) 1f else -1f)
+              b += 1
+            }
+          }
+          i += 1
+        }
+      }
+      f
+    }
+  }
+
   /** Decode + featurize in partition batches. Failures yield ok=false rows
     * with empty features (zero-vector fallback, the reference's E1 failure
     * contract). */

@@ -99,6 +99,44 @@ class BinarySpec extends AnyFunSuite {
     assert(f(1L) != f(3L) && f(1L) == f(2L))
   }
 
+  test("window-sketch simhash: a byte-perturbed payload still collides") {
+    val dec = new BinaryPipeline.WindowSketchDecoder(48)
+    def sig(p: Array[Byte]): Long = {
+      val f = dec.decode(p, "application/octet-stream")
+      (0 until 48).map(b => if (f(b) > 0) 1L << b else 0L).sum
+    }
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    def bands(s: Long): Seq[Long] = (0 until 4).map(b => (s >> (b * 12)) & 0xfff)
+    // deterministic 400-byte "media" payload with enough distinct windows
+    // that one changed byte (≤ 4 windows, ≤ ±8 per vote sum) cannot move
+    // many sign bits
+    val base = Array.tabulate(400)(i => ((i * 131 + i / 7) % 251).toByte)
+    val perturbed = base.clone(); perturbed(200) = (perturbed(200) ^ 0x5a).toByte
+    val (s0, s1) = (sig(base), sig(perturbed))
+    assert(s0 != 0L)
+    assert(hamming(s0, s1) <= 6,
+      s"perturbed payload drifted ${hamming(s0, s1)} bits")
+    // ...and it still lands in at least one shared 12-bit band, so the
+    // banded candidate join SURFACES the pair (the near-dup contract)
+    assert(bands(s0).zip(bands(s1)).exists { case (a, b) => a == b })
+    // control: an unrelated payload is far away and shares no band
+    val other = Array.tabulate(400)(i => ((i * 17 + 3) % 239).toByte)
+    assert(hamming(s0, sig(other)) > 6)
+  }
+
+  test("media near-dup pairs: graded query shape on real documents") {
+    val out = graft.queries.MediaDedup.mediaNearDup(spark, TestSpark.sf0001)
+      .collect()
+    assert(out.nonEmpty, "sf0.001 documents must contain near-dup media")
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc1") < r.getAs[Long]("doc2"))
+      assert(r.getAs[Long]("hamming") <= 6)
+    }
+    // pairs are unique
+    val keys = out.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+  }
+
   test("payload shorter than one frame emits zero frames") {
     // regression: sequence(0, n_frames-1) with n_frames = 0 is a DESCENDING
     // [0, -1] in Spark — it used to emit two bogus frames
