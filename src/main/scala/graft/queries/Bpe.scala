@@ -64,22 +64,26 @@ object Bpe {
   def bpeMerges(s: SparkSession, dir: String): DataFrame =
     bpeMergesOf(s, Tables(s, dir, "documents"))
 
+  /** Adjacent-pair counts over a (word, n, seg) table — one explode +
+    * groupBy per round, O(vocab · word_len) rows. Single-symbol words
+    * contribute no pairs; and Spark's sequence(1, 0) would DESCEND,
+    * fabricating a bogus pair, hence the size filter. */
+  private def pairCounts(seg: DataFrame): DataFrame = seg
+    .withColumn("syms", split(col("seg"), " "))
+    .filter(size(col("syms")) >= 2)
+    .select(col("n"), explode(expr(
+      "transform(sequence(1, size(syms) - 1), " +
+        "i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+    .select(col("n"), col("p.l").as("l"), col("p.r").as("r"))
+    .groupBy("l", "r").agg(sum(col("n")).as("cnt"))
+
   private[graft] def bpeMergesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     var seg = vocab(docs).localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var exhausted = false
     (1 to Rounds).foreach { round =>
       if (!exhausted) {
-      val pairs = seg
-        .withColumn("syms", split(col("seg"), " "))
-        // single-symbol words contribute no pairs; and Spark's
-        // sequence(1, 0) would DESCEND, fabricating a bogus pair
-        .filter(size(col("syms")) >= 2)
-        .select(col("n"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
-        .select(col("n"), col("p.l").as("l"), col("p.r").as("r"))
-        .groupBy("l", "r").agg(sum(col("n")).as("cnt"))
+      val pairs = pairCounts(seg)
       // ONE-row argmax collect per round (bounded by construction); a
       // corpus whose vocabulary is fully merged before `Rounds` simply
       // stops early (the oracle's empty-round CTEs emit no rows either)
@@ -98,6 +102,123 @@ object Bpe {
     import s.implicits._
     merges.result()
       .toDF("round", "sym_l", "sym_r", "merged", "pair_count")
+  }
+
+  private val BatchRounds = 3
+  private val BatchN = 4
+  private val TopM = 50
+
+  /** BATCHED merge induction — the scale path the one-merge-per-round
+    * learner can't be (32k merges = 32k sequential Spark jobs there):
+    * each round ranks pair counts once, then selects up to `batchN`
+    * NON-INTERACTING merges from the top-`topM` candidates and applies
+    * them all before recounting.
+    *
+    * Selection rule (deliberately window-expressible so DuckDB replays
+    * it exactly): candidate at rank i survives iff NO higher-ranked
+    * candidate j < i shares a symbol with it, where a candidate's
+    * symbols are {l, r, l||r} — the merged spelling is included so a
+    * pair that would CONSUME another's output (e.g. ("ab","c") after
+    * ("a","b")) can never co-select. Surviving pairs have pairwise
+    * disjoint pattern and output symbols, so their three-pass replaces
+    * commute: applying the batch in rank order equals any order.
+    * BpeSpec pins the exactness ladder: with batchN=1 this learner IS
+    * the sequential one (identical six merges on the graded corpus),
+    * and every selected batch is pairwise disjoint on
+    * {l, r, merged}. The per-round driver traffic is one
+    * bounded `topM`-row collect instead of one row — same discipline,
+    * ~`batchN`× fewer rounds for a production vocabulary. */
+  private[graft] def bpeBatchMergesOf(s: SparkSession, docs: DataFrame,
+                                      rounds: Int = BatchRounds,
+                                      batchN: Int = BatchN,
+                                      topM: Int = TopM): DataFrame = {
+    var seg = vocab(docs).localCheckpoint()
+    val out = Seq.newBuilder[(Long, Long, String, String, String, Long)]
+    var exhausted = false
+    (1 to rounds).foreach { round =>
+      if (!exhausted) {
+        // bounded topM-row collect per round (the batched analog of the
+        // sequential learner's one-row argmax)
+        val ranked = pairCounts(seg)
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(topM).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        if (ranked.isEmpty) exhausted = true
+        else {
+          val syms = ranked.map { case (l, r, _) => Set(l, r, l + r) }
+          val kept = ranked.indices.filter(i =>
+            (0 until i).forall(j => (syms(i) & syms(j)).isEmpty))
+          val sel = kept.take(batchN).map(ranked)
+          sel.zipWithIndex.foreach { case ((l, r, cnt), k) =>
+            out += ((round.toLong, (k + 1).toLong, l, r, l + r, cnt))
+          }
+          seg = sel.foldLeft(seg) { case (df, (l, r, _)) =>
+            df.withColumn("seg", applyMerge(col("seg"), l, r))
+          }.localCheckpoint()
+        }
+      }
+    }
+    import s.implicits._
+    out.result()
+      .toDF("round", "sel_rank", "sym_l", "sym_r", "merged", "pair_count")
+  }
+
+  def bpeBatchMerges(s: SparkSession, dir: String): DataFrame =
+    bpeBatchMergesOf(s, Tables(s, dir, "documents"))
+
+  /** DuckDB replay of the batched selection: per round, rank the pair
+    * counts, drop candidates conflicting with ANY higher-ranked one
+    * ({l, r, l||r} overlap), take the first `BatchN`, and fold the
+    * selected three-pass replaces over the segmentation via LEFT JOINs
+    * (an unselected slot k leaves the segmentation untouched). */
+  val bpeBatchMergesSql: String = {
+    def rep(inner: String, m: String): String =
+      s"""CASE WHEN $m.l IS NULL THEN $inner ELSE
+         |  trim(replace(replace(replace(' ' || $inner || ' ',
+         |    ' ' || $m.l || ' ' || $m.r || ' ', ' ' || $m.l || $m.r || ' '),
+         |    ' ' || $m.l || ' ' || $m.r || ' ', ' ' || $m.l || $m.r || ' '),
+         |    ' ' || $m.l || ' ' || $m.r || ' ', ' ' || $m.l || $m.r || ' ')) END""".stripMargin
+    def roundCtes(i: Int): String = {
+      val prev = if (i == 1) "w0" else s"b${i - 1}"
+      val slotCtes = (1 to BatchN)
+        .map(k => s"b${i}s$k AS (SELECT l, r FROM b${i}keep WHERE sel_rank = $k)")
+        .mkString(",\n")
+      val folded = (1 to BatchN)
+        .foldLeft("w.seg") { case (inner, k) => rep(inner, s"m$k") }
+      val joins = (1 to BatchN)
+        .map(k => s"LEFT JOIN b${i}s$k m$k ON TRUE").mkString(" ")
+      s"""b${i}p AS (SELECT n, syms[i] AS l, syms[i + 1] AS r FROM (
+         |  SELECT n, syms, unnest(range(1, len(syms))) AS i
+         |  FROM (SELECT n, string_split(seg, ' ') AS syms FROM $prev))),
+         |b${i}rk AS (SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt,
+         |  row_number() OVER (ORDER BY sum(n) DESC, l, r) AS rk
+         |  FROM b${i}p GROUP BY l, r QUALIFY rk <= $TopM),
+         |b${i}keep AS (SELECT a.l, a.r, a.cnt,
+         |  row_number() OVER (ORDER BY a.rk) AS sel_rank FROM b${i}rk a
+         |  WHERE NOT EXISTS (SELECT 1 FROM b${i}rk x WHERE x.rk < a.rk
+         |    AND (x.l IN (a.l, a.r, a.l || a.r)
+         |      OR x.r IN (a.l, a.r, a.l || a.r)
+         |      OR x.l || x.r IN (a.l, a.r, a.l || a.r)))
+         |  QUALIFY sel_rank <= $BatchN),
+         |$slotCtes,
+         |b$i AS (SELECT w.word, w.n, $folded AS seg
+         |  FROM $prev w $joins)""".stripMargin
+    }
+    val rounds = (1 to BatchRounds).map(roundCtes).mkString(",\n")
+    val out = (1 to BatchRounds).map(i =>
+      s"SELECT $i AS round, sel_rank, l AS sym_l, r AS sym_r, " +
+        s"l || r AS merged, cnt AS pair_count FROM b${i}keep")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM toks
+       |  WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT $VocabSize),
+       |w0 AS (SELECT word, n,
+       |  array_to_string(list_transform(range(1, length(word) + 1),
+       |    i -> word[i]), ' ') AS seg
+       |  FROM wc),
+       |$rounds
+       |$out""".stripMargin
   }
 
   /** Unrolled six-round replay — the PageRank oracle discipline: each
@@ -207,9 +328,11 @@ object Bpe {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> bpeMerges _,
+    "q_bpe_batch" -> bpeBatchMerges _,
     "q_bpe_tokenize" -> bpeTokenize _)
 
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesSql,
+    "q_bpe_batch" -> bpeBatchMergesSql,
     "q_bpe_tokenize" -> bpeTokenizeSql)
 }

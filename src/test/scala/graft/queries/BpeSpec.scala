@@ -82,6 +82,38 @@ class BpeSpec extends AnyFunSuite {
     assert(second._5 == 3L, second)
   }
 
+  test("batched learner with batchN=1 IS the sequential learner") {
+    // the exactness witness for the batch selection rule: with one slot
+    // per round, "no conflict with any higher-ranked candidate" reduces
+    // to the plain (cnt DESC, l, r) argmax — identical merges, per round
+    val docs = graft.Tables(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val seq6 = Bpe.bpeMergesOf(spark, docs)
+      .select($"round", $"sym_l", $"sym_r", $"merged", $"pair_count")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    val bat6 = Bpe.bpeBatchMergesOf(spark, docs, rounds = 6, batchN = 1)
+      .select($"round", $"sym_l", $"sym_r", $"merged", $"pair_count")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    assert(bat6.toSeq == seq6.toSeq)
+  }
+
+  test("batched rounds select pairwise non-interacting merges") {
+    val docs = graft.Tables(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val rows = Bpe.bpeBatchMergesOf(spark, docs).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("round")).foreach { case (round, batch) =>
+      // sel_rank dense 1..k within the round
+      assert(batch.map(_.getAs[Long]("sel_rank")).sorted.toSeq ==
+        (1L to batch.length).toSeq, s"round $round ranks")
+      val symSets = batch.map(r => Set(r.getAs[String]("sym_l"),
+        r.getAs[String]("sym_r"), r.getAs[String]("merged")))
+      for (i <- symSets.indices; j <- 0 until i)
+        assert((symSets(i) & symSets(j)).isEmpty,
+          s"round $round: merges $i and $j interact: ${symSets(i)} ${symSets(j)}")
+    }
+  }
+
   test("deterministic across runs") {
     val docs = Seq("spark scan merge", "scan merge merge spark").toDF("text")
     val a = Bpe.bpeMergesOf(spark, docs).collect().map(_.toString).sorted
