@@ -6,9 +6,31 @@ import org.apache.spark.sql.SparkSession
   * prints exactly one JSON result line for the driver.
   */
 object Bench {
+  /** 1-minute system load: a contention-skewed timing (two judge reruns
+    * disagreed with committed numbers on a loaded builder box) is
+    * self-identifying in the artifact. */
+  private def loadavg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+    catch { case _: Exception =>
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Contention gate: the committed per-round snapshot has repeatedly
+    // started while the correctness sweep's load was still decaying
+    // (r4/r5/r7 ran at loadavg 3-4.6 and needed an idle companion to
+    // adjudicate). Wait — bounded — for the 1-minute load to drop
+    // before timing anything; the artifact then IS the idle number.
+    val gate = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_GATE", "2.0").toDouble
+    val gateDeadlineNs = System.nanoTime() + 300L * 1000000000L
+    while (loadavg() >= gate && System.nanoTime() < gateDeadlineNs) {
+      System.err.println(f"[bench] loadavg ${loadavg()}%.2f >= $gate%.1f — waiting")
+      Thread.sleep(10000)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,16 +66,6 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       if (ok) dt else FailSentinel
     }
-    // 1-minute system load before/after the run: a contention-skewed
-    // timing (two judge reruns disagreed with committed numbers on a
-    // loaded builder box) is self-identifying in the artifact
-    def loadavg(): Double =
-      try new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
-      catch { case _: Exception =>
-        java.lang.management.ManagementFactory
-          .getOperatingSystemMXBean.getSystemLoadAverage
-      }
     val loadBefore = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
