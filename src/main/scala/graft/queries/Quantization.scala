@@ -1069,8 +1069,62 @@ object Quantization {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
        |  FROM scored) WHERE rn <= 5""".stripMargin
 
+  /** Codec-SELECTION instrument (the other half of q_codec_drift's
+    * rebuild-decision pair): recall@5 vs exact cosine for every
+    * compressed-search arm at the SAME fixed candidate budget — the
+    * IVF nprobe=2 probe for the ADC arms (SQ8/PQ/PQR/OPQ over the one
+    * persisted artifact), the 50-candidate Hamming shortlist for BQ —
+    * one row per codec, the table an operator reads to pick a codec
+    * for a corpus. Each arm IS its graded query (annSq8/annPq/
+    * annPqResidual/annOpq/bqRerank), so this measures the production
+    * paths, not reimplementations; the exact baseline is the
+    * brute-force pass over the raw embeddings (a degraded artifact
+    * degrades the ladder, not the baseline). Driver traffic: five
+    * bounded counts, the q_ann_recall discipline. */
+  def codecRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = VectorOps.cosineTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val nExact = exact.count()
+    val arms: Seq[(String, DataFrame)] = Seq(
+      "sq8" -> annSq8(s, dir),
+      "pq" -> annPq(s, dir),
+      "pqr" -> annPqResidual(s, dir),
+      "opq" -> annOpq(s, dir),
+      "bq" -> bqRerank(s, dir))
+    arms.map { case (codec, df) =>
+      val hits = df.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id")).count()
+      (codec, math.round(hits.toDouble / nExact * 10000) / 10000.0)
+    }.toDF("codec", "recall_at_5")
+  }
+
+  /** Replay: every arm's proven SQL nested as a derived table, unioned
+    * with its codec label, left-joined to the exact top-5. */
+  val codecRecallSql: String = {
+    val armSqls = Seq("sq8" -> annSq8Sql, "pq" -> annPqSql,
+      "pqr" -> annPqrSql, "opq" -> annOpqSql, "bq" -> bqRerankSql)
+    val union = armSqls.map { case (codec, sql) =>
+      s"SELECT '$codec' AS codec, query_id, neighbor_id FROM (\n$sql\n)"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM (
+       |${VectorOps.cosineTopKSql}
+       |)),
+       |nex AS (SELECT count(*) AS n FROM exact),
+       |arms AS (
+       |$union)
+       |SELECT a.codec,
+       |  round(CAST(count(ex.query_id) AS DOUBLE) / nex.n, 4) AS recall_at_5
+       |FROM arms a
+       |LEFT JOIN exact ex
+       |  ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id, nex
+       |GROUP BY a.codec, nex.n""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> annPq _,
+    "q_codec_recall" -> codecRecall _,
     "q_sq8_codes" -> sq8Codes _,
     "q_sq8_error" -> sq8Error _,
     "q_sq8_topk" -> sq8TopK _,
@@ -1089,6 +1143,7 @@ object Quantization {
 
   val oracles: Map[String, String] = Map(
     "q_ann_pq" -> annPqSql,
+    "q_codec_recall" -> codecRecallSql,
     "q_sq8_codes" -> sq8CodesSql,
     "q_sq8_error" -> sq8ErrorSql,
     "q_sq8_topk" -> sq8TopKSql,
