@@ -26,6 +26,10 @@ object StreamSustainProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    // optional third arg: run a single arm (cms|dedup|semantic|wres|attr)
+    val only = args.drop(2).headOption
+    def arm(name: String)(body: => Unit): Unit =
+      if (only.forall(_ == name)) body
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -80,7 +84,7 @@ object StreamSustainProbe {
         StandardCopyOption.REPLACE_EXISTING)
 
     // ---- CMS stream: bounded-state aggregation over 20 batches --------
-    locally {
+    arm("cms") {
       val docSlices = slices(bigDocs, "doc_id", nDocs * mult)
       val watch = Files.createTempDirectory("sustain_cms")
       val stream = spark.readStream
@@ -102,7 +106,7 @@ object StreamSustainProbe {
     }
 
     // ---- dedup intake: standing signature index over 20 batches -------
-    locally {
+    arm("dedup") {
       val docSlices = slices(bigDocs, "doc_id", nDocs * mult)
       val watch = Files.createTempDirectory("sustain_dedup")
       val idxPath = Files.createTempDirectory("sustain_dedup_idx").toString
@@ -122,7 +126,7 @@ object StreamSustainProbe {
     }
 
     // ---- semantic intake: standing vector index over 20 batches -------
-    locally {
+    arm("semantic") {
       import org.apache.spark.sql.types._
       val embSlices = slices(bigEmb, "vec_id", nVec * mult)
       val watch = Files.createTempDirectory("sustain_sem")
@@ -152,7 +156,7 @@ object StreamSustainProbe {
     // The hardest possible bound: state is EXACTLY n rows forever (the
     // top-n merge law), so per-batch wall must track the batch alone and
     // the state column must pin at n from the first batch that fills it.
-    locally {
+    arm("wres") {
       val docSlices = slices(bigDocs, "doc_id", nDocs * mult)
       val watch = Files.createTempDirectory("sustain_wres")
       val resPath = Files.createTempDirectory("sustain_wres_state").toString
@@ -171,6 +175,64 @@ object StreamSustainProbe {
           spark, resPath, "sustain", 1000).size
         require(size <= 1000, s"reservoir grew past n: $size")
         println(f"[sustain] wres    batch=$i%2d wall=$dt%6.2fs reservoirRows=$size")
+      }
+      q.stop()
+    }
+
+    // ---- stream-stream attribution join: watermark-evicted state -------
+    // Claim under test (SCALE.md): join state is proportional to
+    // watermark (2 h) + match window (30 min), NOT stream history. Each
+    // micro-batch advances event time by 3 h, so the watermark passes
+    // old buffered rows every batch — numRowsTotal must PLATEAU at
+    // ~one time-window's worth of rows while numRowsRemoved stays hot,
+    // and per-batch wall must track the batch.
+    arm("attr") {
+      import org.apache.spark.sql.types._
+      val nPerBatch = 50000L
+      val users = 2000L
+      val spanMs = 3L * 3600 * 1000 // 3 h of event time per batch
+      val base = 1700000000000L
+      val ev = spark.range(nPerBatch * nBatches).select(
+        col("id").as("event_id"),
+        pmod(xxhash64(col("id"), lit("u")), lit(users)).as("user_id"),
+        when(pmod(xxhash64(col("id"), lit("t")), lit(5)) === 0, "purchase")
+          .otherwise("view").as("event_type"),
+        timestamp_millis(lit(base) +
+          (col("id") / nPerBatch).cast("long") * spanMs +
+          pmod(xxhash64(col("id"), lit("ms")), lit(spanMs))).as("ts"),
+        lit(1.0).as("value"),
+        (col("id") / nPerBatch).cast("int").as("batch"))
+        .localCheckpoint()
+      val attrSlices = (0 until nBatches).map { b =>
+        val stage = Files.createTempDirectory(s"sustain_attr_$b")
+        ev.filter(col("batch") === b).drop("batch")
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+      }
+      val watch = Files.createTempDirectory("sustain_attr_watch")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("ts", TimestampType), StructField("value", DoubleType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+      val joined = streaming.EventStreams.attributionJoin(
+        stream.filter(col("event_type") === "view"),
+        stream.filter(col("event_type") === "purchase"))
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName("sustain_attr").start()
+      attrSlices.zipWithIndex.foreach { case (s, i) =>
+        feed(watch, s, i)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val (state, removed) = Option(q.lastProgress)
+          .map(p => (p.stateOperators.map(_.numRowsTotal).sum,
+            p.stateOperators.map(_.numRowsRemoved).sum))
+          .getOrElse((-1L, -1L))
+        val out = spark.table("sustain_attr").count()
+        println(f"[sustain] attr    batch=$i%2d wall=$dt%6.2fs stateRows=$state removed=$removed outRows=$out")
       }
       q.stop()
     }
