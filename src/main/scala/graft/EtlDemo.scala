@@ -396,6 +396,48 @@ object EtlDemo {
       s"$closedBefore -> $closedAfter, in-horizon as-of intact (mit @Mar); " +
       s"below-horizon read errors: '$ttlError...'")
 
+    // Multi-writer arm: two pipelines land batches into ONE store via
+    // mergeWithRetry (autoCompactEvery = 0 — the multi-writer contract:
+    // compaction runs from one owner). Barrier-synced so both compute
+    // against the same snapshot and race the version rename; the loser
+    // re-reads and re-merges. Every batch must land, versions dense.
+    locally {
+      import spark.implicits._
+      val mwDir = s"$out/store_mw"
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val writers = (0 until 2).map { w =>
+        new Thread(() => {
+          try {
+            val st = new TripletStore(spark, mwDir, autoCompactEvery = 0)
+            (0 until 2).foreach { s =>
+              val t = Timestamp.valueOf(f"2024-0${s + 1}-0${w + 1} 00:00:00")
+              val inc = Seq((s"pipeline$w", "emitted", s"batch$s"))
+                .toDF("subject", "predicate", "obj")
+                .withColumn("objKind", lit("literal"))
+                .withColumn("datatype", lit(""))
+                .withColumn("extractionMethod", lit(s"demo-w$w"))
+                .withColumn("confidence", lit(1.0))
+                .withColumn("extractionTime", lit(t))
+              barrier.await(120, java.util.concurrent.TimeUnit.SECONDS)
+              st.mergeWithRetry(inc, t,
+                onRetry = _ => retries.incrementAndGet())
+            }
+          } catch { case e: Throwable => failures.add(e) }
+        })
+      }
+      writers.foreach(_.start())
+      writers.foreach(_.join(300000))
+      require(failures.isEmpty, s"multi-writer leg failed: ${failures.peek()}")
+      val mw = new TripletStore(spark, mwDir, autoCompactEvery = 0)
+      require(mw.currentVersion == 3,
+        s"expected 4 dense versions from 2x2 merges, got v${mw.currentVersion}")
+      println(s"[etl] multi-writer: 2 pipelines x 2 batches -> " +
+        s"v0..v${mw.currentVersion}, ${retries.get()} lost race(s) retried, " +
+        s"${mw.currentTriples.count()} triples")
+    }
+
     val current = store.currentTriples
     println(s"[etl] current graph: ${current.count()} triples, " +
       s"${store.distinctSubjectCount} subjects, store v${store.currentVersion}")

@@ -70,7 +70,9 @@ import org.apache.spark.sql.functions._
   * to `v=N` — of two writers racing the same version, exactly one
   * rename wins and the loser throws ConcurrentModificationException
   * (never a silent overwrite; its MERGE was computed against a stale
-  * snapshot, so the caller re-reads and re-merges). A crash at any
+  * snapshot, so the caller re-reads and re-merges —
+  * [[TripletStore!.mergeWithRetry]] does exactly that with bounded
+  * attempts, yielding a serializable history). A crash at any
   * point leaves only `.tmp-` garbage invisible to readers (swept by
   * compaction after [[TripletStore.TmpSweepAgeMs]]); a torn `v=N` dir
   * cannot arise from this writer. Deletions (compaction) are NOT
@@ -337,10 +339,23 @@ class TripletStore(spark: SparkSession, path: String,
     val v = currentVersion + 1
     // marker BEFORE the delta commit: written after, a crash between
     // the two would brick a correctly-keyed store (the format check only
-    // fires once a committed snapshot exists, so the early write is safe)
+    // fires once a committed snapshot exists, so the early write is safe).
+    // Published ATOMICALLY (temp + rename) and only when absent/stale: a
+    // plain writeString truncates in place, and the two-writer fuzz
+    // caught a concurrent reader observing the EMPTY mid-write marker
+    // and refusing a perfectly healthy store.
     fs.mkdirs()
-    java.nio.file.Files.writeString(
-      new java.io.File(fs, FormatMarker).toPath, IdentityFormat.toString)
+    val marker = new java.io.File(fs, FormatMarker)
+    val markerCurrent = marker.exists() &&
+      java.nio.file.Files.readString(marker.toPath).trim == IdentityFormat.toString
+    if (!markerCurrent) {
+      val mtmp = new java.io.File(fs,
+        s".tmp-marker-${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.writeString(mtmp.toPath, IdentityFormat.toString)
+      java.nio.file.Files.move(mtmp.toPath, marker.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     // Optimistic concurrency on the version commit ([[AtomicDirCommit]]):
     // the delta is written to a process-unique temp dir, then committed
     // with ONE atomic rename to `v=N`. Two writers that both read
@@ -366,6 +381,48 @@ class TripletStore(spark: SparkSession, path: String,
     if (autoCompactEvery > 0 && levelCount > autoCompactEvery)
       compact(autoCompactKeep)
     stats
+  }
+
+  /** Optimistic-retry MERGE — the multi-writer discipline: [[merge]]
+    * always computes against the newest committed snapshot (nothing is
+    * cached across calls) and loses the version-rename race to at most
+    * one concurrent writer per attempt; this wrapper catches the loss,
+    * backs off briefly, re-reads, re-merges, and retries up to
+    * `maxAttempts`. The committed history is then a SERIAL order of the
+    * contending merges — every winner's delta was computed against
+    * exactly the store state its version number names, so replaying the
+    * batches single-writer in commit order reproduces the store
+    * bit-for-bit (VersioningLawsSpec fuzzes two barrier-synchronized
+    * writers and proves that equality).
+    *
+    * Requires `autoCompactEvery = 0`: compaction deletes level dirs and
+    * is deliberately NOT coordinated across writers (class doc) — and a
+    * compaction race loss after a SUCCESSFUL delta commit must not look
+    * like a merge loss, or the retry would re-apply the batch. Run
+    * compaction from one owner. `onRetry` surfaces each lost race (for
+    * metrics); attempts beyond `maxAttempts` rethrow. */
+  def mergeWithRetry(incoming: DataFrame, now: Timestamp,
+                     maxAttempts: Int = 5,
+                     onRetry: Throwable => Unit = _ => ()): MergeStats = {
+    require(autoCompactEvery == 0,
+      "mergeWithRetry requires a store with autoCompactEvery = 0 " +
+        "(multi-writer deployments run compaction from one owner; an " +
+        "uncoordinated auto-compaction race could masquerade as a merge " +
+        "loss and re-apply the batch)")
+    val rnd = new scala.util.Random()
+    var attempt = 1
+    var out: Option[MergeStats] = None
+    while (out.isEmpty) {
+      try out = Some(merge(incoming, now))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          onRetry(e)
+          attempt += 1
+          Thread.sleep(25L + rnd.nextInt(100))
+      }
+    }
+    out.get
   }
 
   /** Range-partition file count for `rows` at `targetRowsPerFile`. */

@@ -102,4 +102,99 @@ class VersioningLawsSpec extends AnyFunSuite {
       assert(s5.nExtended == finalRows.size)
     }
   }
+
+  test("two interleaved writers with mergeWithRetry serialize (fuzzed)") {
+    // Two writers race the SAME store through barrier-synchronized
+    // merges: every step both compute their MERGE against the same
+    // snapshot and race the version rename — one loses and must retry
+    // via mergeWithRetry. Proof of serializability: replay the batches
+    // single-writer in COMMIT order (recovered from each version's
+    // delta tags) into a fresh store and require the full range tables
+    // to be identical.
+    val dir = Files.createTempDirectory("laws_mw").toString
+    val steps = 4
+    // each batch tags extractionMethod w{w}s{s} and asserts a unique
+    // meta fact, so every committed delta carries >= 1 fresh row naming
+    // its batch; writers contend on the SHARED subject too, so commit
+    // order is semantically visible, not just structurally
+    def wbatch(w: Int, s: Int): (DataFrame, Timestamp) = {
+      val t = Timestamp.valueOf(f"2024-0${s + 1}-0${w + 1} 00:00:00")
+      val rows = Seq(
+        (s"w${w}meta", "step", s"s$s"),
+        (s"w${w}sub", "val", s"v${(s * 7 + w) % 3}"),
+        ("shared", "owner", s"w$w-s$s"))
+      val df = rows.toDF("subject", "predicate", "obj")
+        .withColumn("objKind", lit("literal"))
+        .withColumn("datatype", lit(""))
+        .withColumn("extractionMethod", lit(s"w${w}s$s"))
+        .withColumn("confidence", lit(1.0))
+        .withColumn("extractionTime", lit(t))
+      (df, t)
+    }
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        try {
+          val store = new TripletStore(spark, dir, autoCompactEvery = 0)
+          (0 until steps).foreach { s =>
+            val (df, t) = wbatch(w, s)
+            // line both writers up on the same snapshot; time-boxed so a
+            // dead peer breaks the barrier instead of hanging the suite
+            barrier.await(120, java.util.concurrent.TimeUnit.SECONDS)
+            store.mergeWithRetry(df, t,
+              onRetry = _ => retries.incrementAndGet())
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(600000))
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+
+    info(s"lost-race retries observed: ${retries.get()}")
+    val store = new TripletStore(spark, dir, autoCompactEvery = 0)
+    // every merge landed: dense versions 0..2*steps-1, one per batch
+    assert(store.currentVersion == 2 * steps - 1,
+      s"expected ${2 * steps} committed versions, " +
+        s"newest is v=${store.currentVersion} (retries=${retries.get()})")
+    // recover the commit order from each version's fresh meta row
+    val order = (0 to store.currentVersion).map { v =>
+      val tags = spark.read.parquet(s"$dir/v=$v")
+        .filter(col("subject").endsWith("meta") && !col("deprecated"))
+        .select("extractionMethod").as[String].collect().distinct
+      assert(tags.length == 1, s"v=$v carries ${tags.toSeq}")
+      tags.head
+    }
+    assert(order.distinct.length == 2 * steps, s"order not a permutation: $order")
+    // a writer's own batches must appear in its program order
+    (0 until 2).foreach { w =>
+      val own = order.filter(_.startsWith(s"w$w"))
+      assert(own.toSeq == (0 until steps).map(s => s"w${w}s$s"),
+        s"writer $w program order broken: ${own.toSeq}")
+    }
+    // serial replay in commit order == the concurrent history, bit for bit
+    val replayDir = Files.createTempDirectory("laws_mw_replay").toString
+    val replay = new TripletStore(spark, replayDir, autoCompactEvery = 0)
+    order.foreach { tag =>
+      val w = tag.charAt(1).asDigit
+      val s = tag.charAt(3).asDigit
+      val (df, t) = wbatch(w, s)
+      replay.merge(df, t)
+    }
+    val cols = Seq("tripletHash", "infoHash", "subject", "predicate", "obj",
+      "useStart", "useEnd", "deprecated")
+    def dump(st: TripletStore) = st.ranges
+      .select(cols.map(col): _*).collect()
+      .map(_.toString).sorted.toSeq
+    assert(dump(store) == dump(replay),
+      "concurrent history is not the serial replay of its commit order")
+    // the shared subject's final owner is the last committed contender
+    val lastShared = order.last
+    val owner = store.currentTriples
+      .filter(col("subject") === "shared" && col("predicate") === "owner")
+      .select("obj").as[String].collect().toSeq
+    assert(owner == Seq(s"w${lastShared.charAt(1)}-s${lastShared.charAt(3)}"))
+  }
 }
