@@ -44,6 +44,39 @@ class PageRankSpec extends AnyFunSuite {
     assert(ranks("s1") > ranks("a"))
   }
 
+  test("convergence mode equals fixed-round at the iterations it took") {
+    // each round is the same deterministic integer step, so the
+    // converged table must be BIT-IDENTICAL to run(edges, itersTaken)
+    val eps = PageRank.Scale / 1000000 // 1e-6 of total mass
+    val (conv, iters) = PageRank.runUntilConverged(edges, epsilonFp = eps,
+      maxIters = 60, checkEvery = 3)
+    val convM = conv.as[(String, Long)].collect().toMap
+    assert(iters > 3 && iters < 60, s"took $iters rounds")
+    val fixedM = PageRank.run(edges, iters)
+      .as[(String, Long)].collect().toMap
+    assert(convM == fixedM)
+    // ...and it actually converged: one more round moves nothing past eps
+    val nextM = PageRank.run(edges, iters + 1)
+      .as[(String, Long)].collect().toMap
+    val maxDelta = convM.map { case (k, v) => math.abs(nextM(k) - v) }.max
+    assert(maxDelta <= eps, s"maxDelta=$maxDelta > eps=$eps")
+  }
+
+  test("convergence mode on the graded co-purchase graph matches fixed-round") {
+    val e = graft.Tables(spark, TestSpark.sf0001, "lineitem")
+      .filter(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val g = e.as("x").join(e.as("y"),
+        col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
+      .select(col("x.p").cast("string").as("src"),
+        col("y.p").cast("string").as("dst")).distinct()
+    val (conv, iters) = PageRank.runUntilConverged(g,
+      epsilonFp = PageRank.Scale / 100000, maxIters = 40, checkEvery = 4)
+    val fixed = PageRank.run(g, iters).as[(String, Long)].collect().toMap
+    assert(conv.as[(String, Long)].collect().toMap == fixed,
+      s"divergence at iters=$iters")
+  }
+
   test("iters=0 returns the uniform start vector") {
     val ranks = PageRank.run(edges, iters = 0).as[(String, Long)].collect()
     val n = ranks.length
