@@ -112,9 +112,108 @@ object MediaDedup {
        |WHERE bit_count(xor(s1, s2)) <= $MaxHamming""".stripMargin
   }
 
+  /** Near-dup pairs resolved into duplicate GROUPS with one surviving
+    * representative — the media twin of the text family's
+    * q_dedup_groups, through the same alternating large/small-star
+    * [[graft.operators.ConnectedComponents]] (O(log² n) rounds,
+    * checkpointed). Docs that paired with nothing are their own
+    * singleton group, so the output covers the whole table. */
+  def mediaGroups(s: SparkSession, dir: String): DataFrame = {
+    val pairs = mediaNearDup(s, dir).select(col("doc1"), col("doc2"))
+    val comp = graft.operators.ConnectedComponents(pairs)
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    docs.join(comp, docs("doc_id") === comp("node"), "left")
+      .select(docs("doc_id"),
+        coalesce(col("component"), docs("doc_id")).as("group_id"))
+      .withColumn("is_survivor", col("doc_id") === col("group_id"))
+  }
+
+  /** DuckDB replay: the near-dup pair query nested verbatim, then
+    * recursive min-propagation (component = min id over the reachable
+    * set) — the q_dedup_groups oracle discipline. */
+  val mediaGroupsSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc1, doc2 FROM (
+       |$mediaNearDupSql
+       |)),
+       |edges AS (SELECT doc1 AS ea, doc2 AS eb FROM pairs
+       |          UNION SELECT doc2, doc1 FROM pairs),
+       |reach(node, r) AS (
+       |    SELECT ea, ea FROM (SELECT DISTINCT ea FROM edges)
+       |  UNION
+       |    SELECT reach.node, e.eb FROM reach JOIN edges e ON reach.r = e.ea),
+       |comp AS (SELECT node, MIN(r) AS grp FROM reach GROUP BY node)
+       |SELECT d.doc_id, COALESCE(c.grp, d.doc_id) AS group_id,
+       |  (COALESCE(c.grp, d.doc_id) = d.doc_id) AS is_survivor
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin
+
+  private val FrameSize = 32
+  private val FrameStride = 16
+  private val MinSharedFrames = 4
+
+  /** Frame-overlap near-dup — the VIDEO dedup shape: sample fixed-stride
+    * frames from each payload through the REAL
+    * [[BinaryPipeline.sampleFrames]] plumbing, fingerprint each frame,
+    * and call two media near-dups when they share ≥ `MinSharedFrames`
+    * aligned frames. The equi-join on the frame fingerprint is the
+    * whole candidate step — a frame shared by nobody never leaves its
+    * partition, and the per-pair aggregation is a count, so the shape
+    * is the exact-dedup hash-groupBy, not a cross join. `overlap` =
+    * shared / min(frame count) is the containment score a curator
+    * thresholds. */
+  def frameOverlap(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
+      .filter(octet_length(col("payload")) >= FrameSize)
+    val frames = BinaryPipeline
+      .sampleFrames(media, frameSize = FrameSize, stride = FrameStride)
+      .select(col("id").as("doc_id"), md5(hex(col("frame"))).as("sig"))
+      .distinct()
+    val nf = frames.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    frames.as("a")
+      .join(frames.as("b"),
+        col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedFrames)
+      .join(nf.select(col("doc_id").as("doc1"), col("nf").as("nf1")), "doc1")
+      .join(nf.select(col("doc_id").as("doc2"), col("nf").as("nf2")), "doc2")
+      .select(col("doc1"), col("doc2"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("nf1"), col("nf2")).cast("double"), 4).as("overlap"))
+  }
+
+  /** DuckDB replay: hex-sliced frames at the same size/stride (the
+    * sampleFrames window law: n_frames = (len − size) div stride + 1),
+    * md5 fingerprints, pair counts, containment. */
+  val frameOverlapSql: String =
+    s"""WITH pay AS (SELECT doc_id, hex(encode(text)) AS h,
+       |    octet_length(encode(text)) AS len
+       |  FROM documents WHERE octet_length(encode(text)) >= $FrameSize),
+       |fr AS (SELECT DISTINCT doc_id,
+       |    md5(substr(h, ${2 * FrameStride}*i + 1, ${2 * FrameSize})) AS sig
+       |  FROM (SELECT doc_id, h,
+       |          unnest(range(0, (len - $FrameSize) // $FrameStride + 1)) AS i
+       |        FROM pay)),
+       |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM fr GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM fr a JOIN fr b ON a.sig = b.sig AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT p.doc1, p.doc2, p.n_shared,
+       |  round(CAST(p.n_shared AS DOUBLE) /
+       |    CAST(LEAST(n1.nf, n2.nf) AS DOUBLE), 4) AS overlap
+       |FROM pairs p
+       |JOIN nf n1 ON n1.doc_id = p.doc1
+       |JOIN nf n2 ON n2.doc_id = p.doc2
+       |WHERE p.n_shared >= $MinSharedFrames""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_media_neardup" -> mediaNearDup _)
+    "q_media_neardup" -> mediaNearDup _,
+    "q_media_groups" -> mediaGroups _,
+    "q_frame_overlap" -> frameOverlap _)
 
   val oracles: Map[String, String] = Map(
-    "q_media_neardup" -> mediaNearDupSql)
+    "q_media_neardup" -> mediaNearDupSql,
+    "q_media_groups" -> mediaGroupsSql,
+    "q_frame_overlap" -> frameOverlapSql)
 }
