@@ -135,6 +135,21 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("media near-dup candidates are a banded equi-join, never a cross join") {
+    // the whole 100 TB claim of the media dedup family: candidates come
+    // from SortMergeJoin/ShuffledHashJoin on (band, band-value), so a
+    // pair is compared only when a 12-bit band collides
+    val nd = planString(queries.MediaDedup.mediaNearDup(spark, dir))
+    assert(!nd.contains("CartesianProduct") &&
+      !nd.contains("BroadcastNestedLoopJoin"), nd)
+    val fo = planString(queries.MediaDedup.frameOverlap(spark, dir))
+    assert(!fo.contains("CartesianProduct") &&
+      !fo.contains("BroadcastNestedLoopJoin"), fo)
+    // frame fingerprint join is an equi-join on sig
+    assert(fo.contains("SortMergeJoin") || fo.contains("ShuffledHashJoin") ||
+      fo.contains("BroadcastHashJoin"), fo)
+  }
+
   test("hash aggregations use partial (map-side) aggregation") {
     val s = planString(queries.Relational.q1Agg(spark, dir))
     assert(s.contains("HashAggregate"), s)
