@@ -34,28 +34,42 @@ object MediaDedup {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  private val Bits = 48
-  private val Bands = 4
-  private val BandBits = Bits / Bands // 12-bit bands
-  private val MaxHamming = 6
+  private[graft] val Bits = 48
+  private[graft] val Bands = 4
+  private[graft] val BandBits = Bits / Bands // 12-bit bands
+  private[graft] val MaxHamming = 6
 
-  /** Near-dup media pairs: (doc1, doc2, hamming ≤ 6) over 48-bit
-    * feature-SimHash signatures, candidates from 4 × 12-bit bands. */
-  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val media = t(s, dir, "documents")
-      .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"),
-        lit("application/octet-stream").as("mediaType"))
-      .filter(octet_length(col("payload")) >= 4)
-      .as[BinaryPipeline.MediaRow]
-    val feats = BinaryPipeline
-      .extract(media, new BinaryPipeline.WindowSketchDecoder(Bits))
-    val sig = feats.toDF()
+  /** (doc_id, sig): 48-bit sign-SimHash signature per media row, through
+    * the real Decoder seam. Shared by the graded pair query and the
+    * incremental [[graft.similarity.MediaDedupIndex]]. */
+  private[graft] def mediaSignatures(media: org.apache.spark.sql.Dataset[BinaryPipeline.MediaRow]): DataFrame =
+    BinaryPipeline.extract(media, new BinaryPipeline.WindowSketchDecoder(Bits))
+      .toDF()
       .filter(col("ok"))
       .select(col("id").as("doc_id"),
         expr(s"aggregate(sequence(0, ${Bits - 1}), 0L, (acc, b) -> " +
           "acc + IF(element_at(features, b + 1) > 0.0, " +
           "CAST(shiftleft(1L, b) AS BIGINT), 0L))").as("sig"))
+
+  /** The documents table as opaque media payloads. */
+  private[graft] def mediaOf(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[BinaryPipeline.MediaRow] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"),
+        lit("application/octet-stream").as("mediaType"))
+      .filter(octet_length(col("payload")) >= 4)
+      .as[BinaryPipeline.MediaRow]
+  }
+
+  private[graft] def bandCols: Seq[org.apache.spark.sql.Column] =
+    (0 until Bands).map(b =>
+      shiftright(col("sig"), b * BandBits).bitwiseAND(lit((1 << BandBits) - 1))
+        .cast("int").as(s"b$b"))
+
+  /** Near-dup media pairs: (doc1, doc2, hamming ≤ 6) over 48-bit
+    * feature-SimHash signatures, candidates from 4 × 12-bit bands. */
+  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sig = mediaSignatures(mediaOf(s, dir))
     // one banded table, one self-equi-join on (band, value) — the single
     // shuffle key that makes the candidate generation bucket-local
     val banded = sig.select(col("doc_id"), col("sig"),
@@ -207,13 +221,68 @@ object MediaDedup {
        |JOIN nf n2 ON n2.doc_id = p.doc2
        |WHERE p.n_shared >= $MinSharedFrames""".stripMargin
 
+  /** Incremental media dedup, graded end-to-end like q_incremental_dedup:
+    * the payloads arrive in TWO batches through a scratch
+    * [[graft.similarity.MediaDedupIndex]]; the oracle replays the full
+    * one-pass drop rules — exact signature collapse, banded-Hamming vs
+    * smaller-id batch rows (non-cascading) and vs the standing index.
+    * Output = surviving media ids with their arrival batch. */
+  def mediaIncremental(s: SparkSession, dir: String): DataFrame =
+    graft.load.Scratch.withScratch("graft_media_idx_q", dir) { tmp =>
+      val idx = new graft.similarity.MediaDedupIndex(s, tmp.getAbsolutePath)
+      val media = mediaOf(s, dir)
+      idx.ingest(media.filter(col("id") < 250))
+      idx.ingest(media.filter(col("id") >= 250))
+      idx.signatures.select(col("media_id"),
+          when(col("media_id") < 250, 1L).otherwise(2L).as("arrival_batch"))
+        .localCheckpoint()
+    }
+
+  /** DuckDB replay of the index drop rules over the shared signature
+    * chain. `bandEq(x, a)` is the 4-way 12-bit band-collision predicate;
+    * within-batch droppers range over the POST-EXACT set (non-cascading),
+    * exactly like the engine's acceptance plan. */
+  val mediaIncrementalSql: String = {
+    def bandEq(x: String, a: String): String = (0 until Bands)
+      .map(b => s"($x.sig >> ${b * BandBits}) & ${(1 << BandBits) - 1} = " +
+        s"($a.sig >> ${b * BandBits}) & ${(1 << BandBits) - 1}")
+      .mkString("(", " OR ", ")")
+    val sigChain = mediaNearDupSql
+      .substring(0, mediaNearDupSql.indexOf(",\nsig AS (SELECT"))
+    s"""$sigChain,
+       |s1 AS (SELECT doc_id, sig FROM sig0 WHERE doc_id < 250),
+       |s2 AS (SELECT doc_id, sig FROM sig0 WHERE doc_id >= 250),
+       |b1k AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY sig),
+       |b1e AS (SELECT s1.* FROM s1 JOIN b1k USING (doc_id)),
+       |b1s AS (SELECT a.* FROM b1e a WHERE NOT EXISTS (
+       |    SELECT 1 FROM b1e x WHERE x.doc_id < a.doc_id
+       |      AND ${bandEq("x", "a")}
+       |      AND bit_count(xor(x.sig, a.sig)) <= $MaxHamming)),
+       |b2k AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY sig),
+       |b2e0 AS (SELECT s2.* FROM s2 JOIN b2k USING (doc_id)),
+       |b2e AS (SELECT a.* FROM b2e0 a WHERE NOT EXISTS (
+       |    SELECT 1 FROM b1s i WHERE i.sig = a.sig)),
+       |b2s AS (SELECT a.* FROM b2e a WHERE NOT EXISTS (
+       |    SELECT 1 FROM b2e x WHERE x.doc_id < a.doc_id
+       |      AND ${bandEq("x", "a")}
+       |      AND bit_count(xor(x.sig, a.sig)) <= $MaxHamming)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM b1s i WHERE ${bandEq("i", "a")}
+       |      AND bit_count(xor(i.sig, a.sig)) <= $MaxHamming))
+       |SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS arrival_batch FROM b1s
+       |UNION ALL
+       |SELECT doc_id AS media_id, CAST(2 AS BIGINT) AS arrival_batch FROM b2s""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_neardup" -> mediaNearDup _,
     "q_media_groups" -> mediaGroups _,
-    "q_frame_overlap" -> frameOverlap _)
+    "q_frame_overlap" -> frameOverlap _,
+    "q_media_incremental" -> mediaIncremental _)
 
   val oracles: Map[String, String] = Map(
     "q_media_neardup" -> mediaNearDupSql,
     "q_media_groups" -> mediaGroupsSql,
-    "q_frame_overlap" -> frameOverlapSql)
+    "q_frame_overlap" -> frameOverlapSql,
+    "q_media_incremental" -> mediaIncrementalSql)
 }

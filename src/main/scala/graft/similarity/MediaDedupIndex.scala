@@ -1,0 +1,105 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.BinaryPipeline
+import graft.queries.MediaDedup
+
+/** Incremental MEDIA dedup index — the multimodal twin of [[DedupIndex]]:
+  * a persisted table of (media_id, 48-bit feature-SimHash signature) for
+  * every surviving media row is the standing state; each incoming batch
+  * of payloads is checked (a) within itself and (b) against the index —
+  * exact by signature equality, near by banded-Hamming (candidates from
+  * a (band, value) equi-join, verified at Hamming ≤
+  * [[MediaDedup.MaxHamming]]). All probes are equi-joins; the index side
+  * is semi-filtered by the batch's band values first (the standing-state
+  * discipline every index in this repo follows), so the index is scanned
+  * but never shuffled and every downstream join runs against O(batch)
+  * rows.
+  *
+  * Acceptance is ONE-PASS NON-CASCADING like the text index: a batch row
+  * dropped by the near rule still drops larger-id rows it banded with —
+  * the same rule the DuckDB oracle replays (q_media_incremental).
+  */
+class MediaDedupIndex(spark: SparkSession, path: String)
+    extends BatchedSignatureStore(spark, path) {
+
+  import MediaDedupIndex._
+
+  override protected def schema: org.apache.spark.sql.types.StructType = sigSchema
+
+  /** The standing signature table (empty-schema DF for a fresh index). */
+  def signatures: DataFrame = table
+
+  /** Ingest one batch of media payloads; returns stats. One decoder pass
+    * per batch row, ever — accepted rows are never re-decoded. */
+  def ingest(media: Dataset[BinaryPipeline.MediaRow]): DedupIndex.IngestStats = {
+    val batch = MediaDedup.mediaSignatures(media)
+      .select(col("doc_id").as("media_id"), col("sig"))
+      .localCheckpoint()
+    val survivors = acceptancePlan(batch, signatures).localCheckpoint()
+    val nIn = batch.count()
+    val nAdded = survivors.count()
+    append(survivors, nAdded)
+    DedupIndex.IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
+  }
+}
+
+object MediaDedupIndex {
+
+  import org.apache.spark.sql.types._
+
+  val sigSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType), StructField("sig", LongType)))
+
+  /** Exploded (id, sig, band, bv) form — one row per 12-bit band. */
+  private def banded(df: DataFrame, idCol: String): DataFrame =
+    df.select(col("media_id").as(idCol), col("sig"),
+        explode(expr(s"transform(sequence(0, ${MediaDedup.Bands - 1}), b -> " +
+          s"struct(b AS band, CAST(shiftright(sig, b * ${MediaDedup.BandBits}) & " +
+          s"${(1 << MediaDedup.BandBits) - 1} AS INT) AS bv))")).as("bb"))
+      .select(col(idCol), col("sig"), col("bb.band").as("band"),
+        col("bb.bv").as("bv"))
+
+  /** The batch-acceptance dataflow, exposed so PlanSpec can pin its
+    * shape: every join is an equi-join on sig or (band, value). */
+  private[graft] def acceptancePlan(batch: DataFrame, idx: DataFrame): DataFrame = {
+    // (a) exact: smallest id per signature within the batch, then drop
+    // batch signatures the index already holds (semi-filter the index
+    // first — AQE broadcasts the batch's signature list)
+    val exactKeep = batch.groupBy("sig").agg(min(col("media_id")).as("media_id"))
+      .select("media_id")
+    val preExact = batch.join(exactKeep, "media_id").dropDuplicates("sig")
+    val idxSigHits = idx.select("sig")
+      .join(preExact.select("sig"), Seq("sig"), "left_semi").distinct()
+    val afterExact = preExact.join(idxSigHits, Seq("sig"), "left_anti")
+
+    // (b) near: banded candidates, Hamming-verified. Index side is
+    // semi-filtered by the batch's (band, value) pairs before the join.
+    val batchB = banded(afterExact, "media_id")
+    val idxHits = banded(idx, "idx_id")
+      .join(batchB.select("band", "bv").distinct(), Seq("band", "bv"),
+        "left_semi")
+    val vsIndex = batchB.as("b")
+      .join(idxHits.as("i"), Seq("band", "bv"))
+      .filter(bit_count(col("b.sig").bitwiseXOR(col("i.sig")))
+        <= MediaDedup.MaxHamming)
+      .select(col("b.media_id").as("media_id")).distinct()
+
+    // within batch, non-cascading: a band+Hamming hit from ANY smaller-id
+    // post-exact row drops the larger, even if the smaller is itself
+    // dropped by (b)
+    val b1 = batchB.select(col("media_id").as("m1"), col("sig").as("s1"),
+      col("band"), col("bv"))
+    val b2 = batchB.select(col("media_id").as("m2"), col("sig").as("s2"),
+      col("band"), col("bv"))
+    val within = b1.join(b2, Seq("band", "bv"))
+      .filter(col("m1") < col("m2") &&
+        bit_count(col("s1").bitwiseXOR(col("s2"))) <= MediaDedup.MaxHamming)
+      .select(col("m2").as("media_id")).distinct()
+
+    afterExact.join(vsIndex.unionByName(within).distinct(),
+      Seq("media_id"), "left_anti")
+  }
+}

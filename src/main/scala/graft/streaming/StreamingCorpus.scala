@@ -76,6 +76,21 @@ object StreamingCorpus {
         ()
       }
 
+  /** MEDIA intake: arriving payload micro-batches dedup against the
+    * standing [[graft.similarity.MediaDedupIndex]] (exact signature
+    * equality + banded Hamming) — the streaming build path of the
+    * multimodal dedup state; same loop shape as [[dedupIntake]]. */
+  def mediaIntake(media: DataFrame, indexPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.select(col("id"), col("payload"), col("mediaType"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import batch.sparkSession.implicits._
+        new graft.similarity.MediaDedupIndex(batch.sparkSession, indexPath)
+          .ingest(batch.as[graft.multimodal.BinaryPipeline.MediaRow])
+        ()
+      }
+
   /** ANN-index intake: arriving embedding micro-batches append to the
     * standing compressed [[graft.similarity.VectorIndex]] (frozen coarse
     * centroids + SQ8 codec from the first batch; each batch is one
