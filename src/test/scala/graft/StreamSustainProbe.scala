@@ -179,6 +179,43 @@ object StreamSustainProbe {
       q.stop()
     }
 
+    // ---- media intake: standing signature index over 20 batches --------
+    // Same claim as the text dedup intake: per-batch wall must track the
+    // BATCH while the standing (media_id, sig) index grows — acceptance
+    // is signature/band equi-joins against the index, never a re-decode
+    // or rescan of accepted payloads.
+    arm("media") {
+      import org.apache.spark.sql.types._
+      val mediaDocs = bigDocs.select(col("doc_id").as("id"),
+        col("text").cast("binary").as("payload"),
+        lit("application/octet-stream").as("mediaType"))
+      val step = nDocs * mult / nBatches + 1
+      val mediaSlices = (0 until nBatches).map { b =>
+        val stage = Files.createTempDirectory(s"sustain_media_$b")
+        mediaDocs.filter(col("id") >= b * step && col("id") < (b + 1) * step)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+      }
+      val watch = Files.createTempDirectory("sustain_media_watch")
+      val idxPath = Files.createTempDirectory("sustain_media_idx").toString
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("payload", BinaryType),
+        StructField("mediaType", StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+      val q = streaming.StreamingCorpus.mediaIntake(stream, idxPath).start()
+      mediaSlices.zipWithIndex.foreach { case (s, i) =>
+        feed(watch, s, i)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val size = new similarity.MediaDedupIndex(spark, idxPath).size
+        println(f"[sustain] media   batch=$i%2d wall=$dt%6.2fs indexMedia=$size")
+      }
+      q.stop()
+    }
+
     // ---- stream-stream attribution join: watermark-evicted state -------
     // Claim under test (SCALE.md): join state is proportional to
     // watermark (2 h) + match window (30 min), NOT stream history. Each
