@@ -253,6 +253,48 @@ object CorpusDemo {
 
     println(s"[corpus] vector index: ${vidx.size} code rows in 2 batches, " +
       f"top-3 probe hits=${hits.length}, drift oor=$oor%.3f maxCellShare=$maxShare%.2f")
+
+    // 13. multimodal arm: the landed corpus as opaque media payloads
+    // through the incremental media dedup index (two batches, exact +
+    // banded-Hamming near acceptance) — the media twin of step 12's
+    // standing state, plus a frame-overlap audit of what it kept.
+    locally {
+      import spark.implicits._
+      val media = landed
+        .select(col("doc_id").as("id"),
+          col("text").cast("binary").as("payload"),
+          lit("application/octet-stream").as("mediaType"))
+        .filter(octet_length(col("payload")) >= 4)
+        .as[multimodal.BinaryPipeline.MediaRow]
+      val midx = new similarity.MediaDedupIndex(spark,
+        new java.io.File(out, "media_index").getAbsolutePath)
+      val m1 = midx.ingest(media.filter(col("id") % 2 === 0))
+      val m2 = midx.ingest(media.filter(col("id") % 2 =!= 0))
+      val kept = midx.size
+      require(kept == m1.nAdded + m2.nAdded, "index size != accepted rows")
+      require(kept <= m1.nIn + m2.nIn)
+      // the acceptance guarantee, checked on the final state: no two
+      // INDEX signatures share a 12-bit band at Hamming ≤ 6 — exactly
+      // the pair class every ingest (within-batch and vs-index) drops
+      val sigs = midx.signatures
+      val bandExpr = (b: Int) => shiftright(col("sig"), b * 12)
+        .bitwiseAND(lit(4095))
+      val banded = sigs.select(col("media_id"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), bandExpr(b).as("bv"))): _*)).as("bb"))
+        .select(col("media_id"), col("sig"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val residualDups = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.media_id") < col("y.media_id"))
+        .filter(bit_count(col("x.sig").bitwiseXOR(col("y.sig"))) <= 6)
+        .count()
+      require(residualDups == 0,
+        s"$residualDups banded near-dup pairs survived media dedup")
+      println(s"[corpus] media index: $kept payloads kept of " +
+        s"${m1.nIn + m2.nIn} (${m1.nDropped + m2.nDropped} near/exact dups " +
+        "dropped), 0 residual banded near-dup pairs in the index")
+    }
     println(s"[corpus] $nAll docs → split train=$nTrain bench=$nBench → " +
       s"exact-decon dropped $nContaminated (bloom: 0 false negatives, " +
       s"$overDrops over-drops) → fuzzy-decon → span-clip " +

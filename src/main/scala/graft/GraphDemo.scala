@@ -72,6 +72,23 @@ object GraphDemo {
     }
     require(prMax > prMin, "degenerate rank distribution")
 
+    // 4b. convergence mode on the same graph: run to a 1%-of-uniform
+    // tolerance and confirm the terminated table IS the fixed-round one
+    // at the iterations it took (the spec's equality law, exercised on
+    // the demo path too)
+    val doubled = edges.select(col("u").cast("string").as("src"),
+        col("v").cast("string").as("dst"))
+      .unionAll(edges.select(col("v").cast("string").as("src"),
+        col("u").cast("string").as("dst")))
+    val (prConv, prIters) = operators.PageRank.runUntilConverged(doubled,
+      epsilonFp = math.max(1L, operators.PageRank.Scale / nNodes / 100),
+      maxIters = 40, checkEvery = 4)
+    val convMap = prConv.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fixedMap = operators.PageRank.run(doubled, prIters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(convMap == fixedMap,
+      s"convergence-mode ranks diverge from fixed-round at $prIters iters")
+
     // 5. duplicate-group components over the co-purchase edges
     val comps = operators.ConnectedComponents(
       edges.select(col("u").as("a"), col("v").as("b"))).localCheckpoint()
@@ -96,8 +113,8 @@ object GraphDemo {
       f"$nTri triangles (transitivity $clustering%.4f), " +
       f"assortativity $assort%.4f → 3-core after 3 peels: " +
       s"$coreNodes nodes / $coreEdges edges → PageRank spread " +
-      s"[$prMin, $prMax] → $nComps components → " +
-      s"80 validated walk hops over 20 walks")
+      s"[$prMin, $prMax] (converged in $prIters rounds, == fixed-round) → " +
+      s"$nComps components → 80 validated walk hops over 20 walks")
     spark.stop()
   }
 }
