@@ -133,7 +133,12 @@ object MediaDedup {
     * checkpointed). Docs that paired with nothing are their own
     * singleton group, so the output covers the whole table. */
   def mediaGroups(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint the pairs: ConnectedComponents materializes its input
+    // twice (node table + canonical edge set), and the pair lineage
+    // carries the whole decoder pass — without this the payloads are
+    // decoded twice per grouping
     val pairs = mediaNearDup(s, dir).select(col("doc1"), col("doc2"))
+      .localCheckpoint()
     val comp = graft.operators.ConnectedComponents(pairs)
     val docs = t(s, dir, "documents").select(col("doc_id"))
     docs.join(comp, docs("doc_id") === comp("node"), "left")
