@@ -382,6 +382,56 @@ object TextOps {
       |  GROUP BY a.doc_id, b.doc_id, a.n, b.n)
       |WHERE jacc >= 0.02""".stripMargin
 
+  /** CONTAINMENT dedup — the doc-in-doc instrument Jaccard can't be: a
+    * short document quoted whole inside a long one has tiny Jaccard
+    * (union is the long doc) but containment |A∩B| / min(|A|,|B|) ≈ 1.
+    * Same inverted-index shape as [[ngramJaccard]] (explode shingles,
+    * df-capped equi-join on the shingle, count per pair — never
+    * all-pairs), but GLOBAL scope: embedded quotes cross sources. The
+    * smaller-shingle-set doc is reported as the contained side. */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingleTable(s, dir)
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > JaccardDfCap).select("s")
+    val kept = ex.join(hot, Seq("s"), "left_anti")
+    val a = kept.select(col("doc_id").as("doc1"), col("n").as("n1"), col("s"))
+    val b = kept.select(col("doc_id").as("doc2"), col("n").as("n2"), col("s"))
+    a.join(b, Seq("s"))
+      .filter(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2", "n1", "n2")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", round(col("inter").cast("double") /
+        least(col("n1"), col("n2")).cast("double"), 4))
+      .filter(col("containment") >= 0.8)
+      .select(
+        when(col("n1") <= col("n2"), col("doc1")).otherwise(col("doc2"))
+          .as("contained_doc"),
+        when(col("n1") <= col("n2"), col("doc2")).otherwise(col("doc1"))
+          .as("container_doc"),
+        col("containment"))
+  }
+
+  val containmentSql: String = shinglesSqlCte +
+    s"""
+      |, ex AS (
+      |  SELECT doc_id, len(sh) AS n, unnest(sh) AS s
+      |  FROM sh WHERE len(sh) > 0)
+      |, dfreq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s)
+      |, kept AS (
+      |  SELECT ex.* FROM ex JOIN dfreq USING (s)
+      |  WHERE dfreq.df <= $JaccardDfCap)
+      |, pr AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.n AS n1, b.n AS n2,
+      |    round(CAST(COUNT(*) AS DOUBLE) / LEAST(a.n, b.n), 4) AS containment
+      |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.n, b.n)
+      |SELECT
+      |  CASE WHEN n1 <= n2 THEN doc1 ELSE doc2 END AS contained_doc,
+      |  CASE WHEN n1 <= n2 THEN doc2 ELSE doc1 END AS container_doc,
+      |  containment
+      |FROM pr WHERE containment >= 0.8""".stripMargin
+
   /** MinHash hash function j over a shingle — the HOF column form (first
     * 8 hex digits of md5(shingle + "|" + j) as a 32-bit value in a
     * BIGINT), kept as the ExpressionsSpec parity reference for the native
@@ -797,6 +847,7 @@ object TextOps {
     "q_fingerprint" -> fingerprint _,
     "q_dedup_exact" -> dedupExact _,
     "q_ngram_jaccard" -> ngramJaccard _,
+    "q_containment" -> containment _,
     "q_minhash_signature" -> minhashSignature _,
     "q_minhash_band_pairs" -> minhashBandPairs _,
     "q_dedup_groups" -> dedupGroups _,
@@ -817,6 +868,7 @@ object TextOps {
     "q_fingerprint" -> fingerprintSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_containment" -> containmentSql,
     "q_minhash_signature" -> minhashSignatureSql,
     "q_minhash_band_pairs" -> minhashBandPairsSql,
     "q_dedup_groups" -> dedupGroupsSql,

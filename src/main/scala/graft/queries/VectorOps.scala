@@ -513,8 +513,57 @@ object VectorOps {
        |  floor(CAST(COALESCE(h.h, 0) AS DOUBLE) / n * 10000 + 0.5) / 10000.0 AS recall_at_5
        |FROM arms a LEFT JOIN hits h ON h.np = a.np CROSS JOIN nex""".stripMargin
 
+  /** Corpus CLUSTERING profile over the persisted IVF fit — the
+    * "partition my corpus and describe each cluster" curation read of
+    * the same artifact the ANN queries search: per cell, its size, its
+    * share of the corpus, and its dominant label with purity (top-label
+    * fraction). All counts integer-exact; the two shares are single
+    * final divisions, so both engines agree bit-for-bit. On random
+    * embeddings purity sits near chance (1/10 labels) — the instrument
+    * grades the MACHINERY (deterministic assignment + argmax ties to
+    * the smallest label), not a semantic claim about synthetic data. */
+  def clusterProfile(s: SparkSession, dir: String): DataFrame = {
+    val art = graft.similarity.IvfStore.artifactFor(s, dir, k = 8, iters = 2)
+    val corpus = art.index.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    val lab = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val cl = corpus.join(lab, "vec_id")
+    val byCell = cl.groupBy("cell").agg(count(lit(1)).as("n"))
+    val byLabel = cl.groupBy("cell", "label").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("cell").orderBy(col("c").desc, col("label"))
+    val top = byLabel.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("label").as("top_label"), col("c").as("n_top"))
+    val total = cl.agg(count(lit(1)).as("t"))
+    byCell.join(top, "cell").crossJoin(broadcast(total))
+      .select(col("cell"), col("n"),
+        round(col("n").cast("double") / col("t").cast("double"), 4).as("share"),
+        col("top_label"),
+        round(col("n_top").cast("double") / col("n").cast("double"), 4)
+          .as("purity"))
+  }
+
+  val clusterProfileSql: String =
+    s"""$ivfReplayCtes,
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |cl AS (SELECT i.vec_id, CAST(i.cell AS BIGINT) AS cell, lab.label
+       |  FROM idx i JOIN lab USING (vec_id)),
+       |tot AS (SELECT count(*) AS t FROM cl),
+       |bc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM cl GROUP BY cell),
+       |bl AS (SELECT cell, label, count(*) AS c FROM cl GROUP BY cell, label),
+       |tp AS (SELECT cell, label AS top_label, c AS n_top FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn
+       |  FROM bl) WHERE rn = 1)
+       |SELECT bc.cell, bc.n,
+       |  round(CAST(bc.n AS DOUBLE) / tot.t, 4) AS share,
+       |  tp.top_label,
+       |  round(CAST(tp.n_top AS DOUBLE) / bc.n, 4) AS purity
+       |FROM bc JOIN tp USING (cell), tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rrf_fusion" -> rrfFusion _,
+    "q_cluster_profile" -> clusterProfile _,
     "q_classifier_filter" -> classifierFilter _,
     "q_cosine_topk" -> cosineTopK _,
     "q_embed_neardup" -> embedNearDup _,
@@ -526,6 +575,7 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "q_rrf_fusion" -> rrfFusionSql,
+    "q_cluster_profile" -> clusterProfileSql,
     "q_classifier_filter" -> classifierFilterSql,
     "q_cosine_topk" -> cosineTopKSql,
     "q_embed_neardup" -> embedNearDupSql,
