@@ -226,6 +226,63 @@ object MediaDedup {
        |JOIN nf n2 ON n2.doc_id = p.doc2
        |WHERE p.n_shared >= $MinSharedFrames""".stripMargin
 
+  /** Media SEARCH — the retrieval verb of the family: for each probe
+    * payload (doc_id < 10), the top-5 most-similar corpus payloads by
+    * signature Hamming distance, candidates from the same 4 × 12-bit
+    * banded buckets the dedup path uses. A probe only ever touches
+    * corpus rows it shares a band with (bucket-local, never a scan of
+    * the corpus per probe); ranking is (hamming ASC, media_id) over the
+    * carried 48-bit sigs. Probes with fewer than 5 banded candidates
+    * return what the buckets hold — the honest LSH contract. */
+  def mediaSearch(s: SparkSession, dir: String): DataFrame = {
+    val sig = mediaSignatures(mediaOf(s, dir))
+    def banded(df: DataFrame, idCol: String) =
+      df.select(col("doc_id").as(idCol), col("sig"),
+          explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> " +
+            s"struct(b AS band, CAST(shiftright(sig, b * $BandBits) & " +
+            s"${(1 << BandBits) - 1} AS INT) AS bv))")).as("bb"))
+        .select(col(idCol), col("sig"), col("bb.band").as("band"),
+          col("bb.bv").as("bv"))
+    val probes = banded(sig.filter(col("doc_id") < 10), "query_id")
+      .withColumnRenamed("sig", "qsig")
+    val corpus = banded(sig.filter(col("doc_id") >= 10), "media_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("hamming"), col("media_id"))
+    probes.join(corpus, Seq("band", "bv"))
+      .select(col("query_id"), col("media_id"), col("qsig"), col("sig"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("qsig").bitwiseXOR(col("sig"))).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("media_id"), col("hamming"))
+  }
+
+  /** Replay: the shared signature chain, probe/corpus banded split, one
+    * (band, value) join, distinct pairs, top-5 per probe by
+    * (hamming, media_id). */
+  val mediaSearchSql: String = {
+    val sigChain = mediaNearDupSql
+      .substring(0, mediaNearDupSql.indexOf(",\nsig AS (SELECT"))
+    val bandjoin = (0 until Bands)
+      .map(b => s"""SELECT q.doc_id AS query_id, c.doc_id AS media_id,
+                   |  q.sig AS qsig, c.sig AS csig
+                   |FROM sig0 q JOIN sig0 c
+                   |  ON (q.sig >> ${b * BandBits}) & ${(1 << BandBits) - 1} =
+                   |     (c.sig >> ${b * BandBits}) & ${(1 << BandBits) - 1}
+                   |  AND q.doc_id < 10 AND c.doc_id >= 10""".stripMargin)
+      .mkString("\nUNION\n")
+    s"""$sigChain,
+       |cand AS (
+       |$bandjoin)
+       |SELECT query_id, media_id,
+       |  CAST(bit_count(xor(qsig, csig)) AS BIGINT) AS hamming
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY bit_count(xor(qsig, csig)), media_id) AS rn
+       |  FROM (SELECT DISTINCT query_id, media_id, qsig, csig FROM cand))
+       |WHERE rn <= 5""".stripMargin
+  }
+
   /** Incremental media dedup, graded end-to-end like q_incremental_dedup:
     * the payloads arrive in TWO batches through a scratch
     * [[graft.similarity.MediaDedupIndex]]; the oracle replays the full
@@ -283,11 +340,13 @@ object MediaDedup {
     "q_media_neardup" -> mediaNearDup _,
     "q_media_groups" -> mediaGroups _,
     "q_frame_overlap" -> frameOverlap _,
+    "q_media_search" -> mediaSearch _,
     "q_media_incremental" -> mediaIncremental _)
 
   val oracles: Map[String, String] = Map(
     "q_media_neardup" -> mediaNearDupSql,
     "q_media_groups" -> mediaGroupsSql,
     "q_frame_overlap" -> frameOverlapSql,
+    "q_media_search" -> mediaSearchSql,
     "q_media_incremental" -> mediaIncrementalSql)
 }
