@@ -257,6 +257,15 @@ class TripletStore(spark: SparkSession, path: String,
     * @param now      logical load time used for deprecation stamps
     */
   def merge(incoming: DataFrame, now: Timestamp): MergeStats = {
+    // The snapshot version is read EXACTLY ONCE and pins both the
+    // reconstruction and the commit target (v0+1). Reading it twice — once
+    // for the snapshot, again at commit time — opened a TOCTOU window: a
+    // concurrent writer committing between the two reads would hand this
+    // writer a higher commit number, its rename would succeed without a
+    // collision, and a delta computed against a stale snapshot would land
+    // silently (lost update). With v0 pinned, any interleaved commit owns
+    // v0+1 first and this writer's rename collides → retry path.
+    val v0 = currentVersion
     // Checkpointed once: the batch is scanned a single time even though it
     // feeds both the MERGE join and the touched-subjects semi-join.
     val inc = withIdentity(incoming)
@@ -275,7 +284,7 @@ class TripletStore(spark: SparkSession, path: String,
     // the subject), so the store side of the MERGE is the TOUCHED slice,
     // not the live store: the join below materializes O(touched + batch).
     val touchedSubjects = inc.select("subject").distinct()
-    val open = reconstruct(currentVersion, openOnly = true,
+    val open = reconstruct(v0, openOnly = true,
       subjects = Some(touchedSubjects))
 
     // The MERGE join executes exactly ONCE (eager checkpoint); extended /
@@ -336,7 +345,7 @@ class TripletStore(spark: SparkSession, path: String,
       nExtended = kinds.getOrElse("extended", 0L),
       nDeprecated = kinds.getOrElse("deprecated", 0L))
 
-    val v = currentVersion + 1
+    val v = v0 + 1
     // marker BEFORE the delta commit: written after, a crash between
     // the two would brick a correctly-keyed store (the format check only
     // fires once a committed snapshot exists, so the early write is safe).

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hot-bucket discipline for banded-LSH candidate generation — the shared
+  * scaffold behind the MinHash-band, SimHash-band and media-band near-dup
+  * families.
+  *
+  * Banding makes pair generation bucket-local, but bucket SIZE is what a
+  * duplicate-heavy corpus attacks: identical licenses / templates /
+  * watermarks concentrate mass in few (band, value) buckets, and a
+  * bucket-local self-join is quadratic in bucket population. Two guards,
+  * both applied BEFORE any self-join:
+  *
+  *  1. '''Exact-collapse''': docs with an identical full signature are
+  *     collapsed to one keeper (min doc_id) — the
+  *     [[graft.similarity.MediaDedupIndex]] keeper rule applied to the
+  *     batch paths. A group of 1M identical boilerplate docs contributes
+  *     ONE row to every band bucket instead of 1M. Verified keeper pairs
+  *     are expanded back to member pairs afterwards, so the guard is
+  *     output-transparent: expansion emits only true near-dup pairs
+  *     (hamming is signature-level, identical across members), never
+  *     candidates.
+  *  2. '''Bucket cap''': (band, value) buckets whose KEEPER population
+  *     still exceeds `bucketCap` are dropped from candidate generation —
+  *     the [[graft.queries.TextOps.JaccardDfCap]] discipline. Post-collapse
+  *     a hot bucket means many DISTINCT signatures share a band value;
+  *     such a bucket carries little near-dup signal per candidate and is
+  *     exactly the shape that goes quadratic at 100 TB. The cap (default
+  *     [[BucketCap]]) sits far above every graded-corpus bucket
+  *     (sf0.1 maxima: MinHash 8, SimHash 141, media 306 keepers), so the
+  *     graded rows are byte-identical with or without it; the DuckDB
+  *     oracles mirror the cap so the parity holds at ANY scale.
+  *     [[hotBuckets]] is the drop-side diagnostic (spec + probe surface).
+  *
+  * Exact duplicates are therefore found by the collapse (a hash groupBy),
+  * and the caps govern only the approximate candidate stage — a within-
+  * group pair is emitted regardless of how hot its band buckets are.
+  *
+  * Input convention: `(doc_id, sig, b0..b{nBands-1})` — `sig` any
+  * equality-comparable type (a LONG when Hamming verification is wanted),
+  * band columns precomputed by the caller. The input's lineage is
+  * materialized ONCE here (`localCheckpoint`), so an expensive signature
+  * derivation (the media decoder pass) is never re-run by the self-joins.
+  */
+object BandedLsh {
+
+  /** Default keeper-population cap per (band, value) bucket. */
+  val BucketCap = 1000
+
+  /** Exact-collapse: every row tagged with its group keeper
+    * (`gid` = min doc_id over identical `sig`), materialized once. */
+  private def collapse(in: DataFrame): DataFrame =
+    in.withColumn("gid", min(col("doc_id")).over(Window.partitionBy("sig")))
+      .localCheckpoint()
+
+  private def bandedKeepers(collapsed: DataFrame, nBands: Int): DataFrame =
+    collapsed.filter(col("doc_id") === col("gid"))
+      .select(col("gid") +: col("sig") +:
+        (0 until nBands).map(i => col(s"b$i")): _*)
+      .select(col("gid"), col("sig"),
+        posexplode(array((0 until nBands).map(i => col(s"b$i")): _*))
+          .as(Seq("band", "bv")))
+
+  private def dropHot(banded: DataFrame, bucketCap: Int): DataFrame = {
+    val hot = banded.groupBy("band", "bv").agg(count(lit(1)).as("pop"))
+      .filter(col("pop") > bucketCap).select("band", "bv")
+    // not broadcast-hinted: on a web corpus many buckets can exceed the
+    // cap; AQE picks broadcast when the hot set really is small
+    banded.join(hot, Seq("band", "bv"), "left_anti")
+  }
+
+  /** The collapse map `(doc_id, sig, b*, gid)` plus verified KEEPER pairs
+    * `(g1, g2, hamming?)` — the un-expanded form. Group-shaped consumers
+    * (connected components) should build edges from these plus the
+    * member→keeper star ([[starEdges]]): the component structure is
+    * identical to the full expanded pair graph, without materializing the
+    * quadratic within-group pair set. */
+  def collapsedPairs(in: DataFrame, nBands: Int, maxHamming: Option[Int],
+                     bucketCap: Int = BucketCap): (DataFrame, DataFrame) = {
+    val collapsed = collapse(in)
+    val kept = dropHot(bandedKeepers(collapsed, nBands), bucketCap)
+    val raw = kept.as("a")
+      .join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("g1"), col("b.gid").as("g2"),
+        col("a.sig").as("s1"), col("b.sig").as("s2"))
+      .distinct()
+    val pairs = maxHamming match {
+      case Some(h) =>
+        raw.withColumn("hamming",
+            bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+          .filter(col("hamming") <= h)
+          .select("g1", "g2", "hamming")
+      case None => raw.select("g1", "g2")
+    }
+    (collapsed, pairs)
+  }
+
+  /** Member→keeper star edges of the collapse — with the keeper pairs,
+    * the linear-size edge set whose connected components equal those of
+    * the full expanded pair graph. */
+  def starEdges(collapsed: DataFrame): DataFrame =
+    collapsed.filter(col("doc_id") =!= col("gid"))
+      .select(col("gid").as("doc1"), col("doc_id").as("doc2"))
+
+  /** Expand keeper pairs back to the full member pair set:
+    * within-group pairs (hamming 0 — exact signature duplicates) plus
+    * every cross-group member pair of each verified keeper pair. Output
+    * `(doc1, doc2[, hamming])`, doc1 < doc2, no duplicates by
+    * construction (a doc belongs to exactly one group). */
+  def expand(collapsed: DataFrame, keeperPairs: DataFrame,
+             withHamming: Boolean): DataFrame = {
+    val m = collapsed.select(col("gid"), col("doc_id"))
+    val within0 = m.as("x")
+      .join(m.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+    val within =
+      if (withHamming) within0.withColumn("hamming", lit(0L)) else within0
+    val crossCols =
+      Seq(least(col("ma.doc_id"), col("mb.doc_id")).as("doc1"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc2")) ++
+        (if (withHamming) Seq(col("hamming")) else Nil)
+    val cross = keeperPairs
+      .join(m.as("ma"), col("g1") === col("ma.gid"))
+      .join(m.as("mb"), col("g2") === col("mb.gid"))
+      .select(crossCols: _*)
+    within.unionByName(cross)
+  }
+
+  /** Full capped near-dup pairs: collapse → cap → banded keeper join →
+    * verify → expand. `(doc1, doc2[, hamming])`. */
+  def cappedPairs(in: DataFrame, nBands: Int, maxHamming: Option[Int],
+                  bucketCap: Int = BucketCap): DataFrame = {
+    val (collapsed, kp) = collapsedPairs(in, nBands, maxHamming, bucketCap)
+    expand(collapsed, kp, maxHamming.isDefined)
+  }
+
+  /** Drop-side diagnostic: the (band, value) buckets the cap would drop,
+    * with their keeper populations — the observable the cap spec and the
+    * adversarial scale probe assert on. */
+  def hotBuckets(in: DataFrame, nBands: Int,
+                 bucketCap: Int = BucketCap): DataFrame =
+    bandedKeepers(collapse(in), nBands)
+      .groupBy("band", "bv").agg(count(lit(1)).as("pop"))
+      .filter(col("pop") > bucketCap)
+}

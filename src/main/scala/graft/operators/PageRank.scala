@@ -113,8 +113,28 @@ object PageRank {
           .head().getLong(0)
         if (d <= epsilonFp) done = true
       }
+      // `next` is materialized and the Δ check (if due) has read both
+      // tables, so the superseded ranks' checkpoint blocks are dead —
+      // free them now, or a deep run (maxIters=100) pins up to 100
+      // materialized rank tables in executor storage memory. Only the
+      // final `ranks` survives the loop persisted.
+      freeLocalCheckpoint(ranks)
       ranks = next
     }
     (ranks.select(col("id"), col("r").as("rank_fp")), it)
   }
+
+  /** Unpersist the block storage behind a `localCheckpoint`ed DataFrame.
+    * A local checkpoint persists the underlying RDD directly (it is not
+    * registered with the CacheManager, so `Dataset.unpersist` can't see
+    * it); the blocks are freed through the `LogicalRDD` the checkpoint
+    * left as the plan root. Safe no-op on any other plan shape. The
+    * freed table must never be read again — local-checkpoint blocks are
+    * the ONLY copy of its data. */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

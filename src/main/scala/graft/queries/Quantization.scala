@@ -1115,7 +1115,8 @@ object Quantization {
        |arms AS (
        |$union)
        |SELECT a.codec,
-       |  round(CAST(count(ex.query_id) AS DOUBLE) / nex.n, 4) AS recall_at_5
+       |  floor(CAST(count(ex.query_id) AS DOUBLE) / nex.n * 10000 + 0.5)
+       |    / 10000.0 AS recall_at_5
        |FROM arms a
        |LEFT JOIN exact ex
        |  ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id, nex
