@@ -1,10 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.multimodal.BinaryPipeline
+import graft.operators.BandedLsh
 
 /** Multimodal NEAR-DUP dedup — the image/audio analog of the text SimHash
   * family, composed from the multimodal plumbing that already exists:
@@ -16,12 +17,17 @@ import graft.multimodal.BinaryPipeline
   * brief-level scope, not a reference port.
   *
   * Scale shape: feature extraction is per-row partition-local work (no
-  * shuffle); the candidate join is bucket-local on (band, band-value) —
-  * a doc pair is compared only when a 12-bit band collides, never
-  * all-pairs; the Hamming verify runs on candidates only, via
+  * shuffle); candidate generation is hot-bucket disciplined through
+  * [[BandedLsh]] — identical signatures exact-collapse to one keeper
+  * before banding, the keeper-level (band, value) buckets are capped at
+  * [[BandedLsh.BucketCap]], and only then does the bucket-local self-join
+  * run (a doc pair is compared only when a 12-bit band collides, never
+  * all-pairs). The Hamming verify runs on keeper candidates only, via
   * `bit_count(xor)` on the two 48-bit signatures carried through the
-  * join (no second lookup join). Measured at sf0.01: 3,926 candidates of
-  * 124,750 possible pairs (3.1%), 74 verified.
+  * join (no second lookup join); verified keeper pairs expand back to
+  * member pairs (output-bound true positives, never candidates). The cap
+  * sits far above every graded bucket (sf0.1 max: 306 keepers) and every
+  * oracle mirrors it.
   *
   * Oracle parity: the decoder's votes are md5-derived (uppercase-hex
   * window spelling → md5 → first 48 bits), so DuckDB re-derives the
@@ -38,11 +44,12 @@ object MediaDedup {
   private[graft] val Bands = 4
   private[graft] val BandBits = Bits / Bands // 12-bit bands
   private[graft] val MaxHamming = 6
+  private[graft] val SearchK = 5
 
   /** (doc_id, sig): 48-bit sign-SimHash signature per media row, through
     * the real Decoder seam. Shared by the graded pair query and the
     * incremental [[graft.similarity.MediaDedupIndex]]. */
-  private[graft] def mediaSignatures(media: org.apache.spark.sql.Dataset[BinaryPipeline.MediaRow]): DataFrame =
+  private[graft] def mediaSignatures(media: Dataset[BinaryPipeline.MediaRow]): DataFrame =
     BinaryPipeline.extract(media, new BinaryPipeline.WindowSketchDecoder(Bits))
       .toDF()
       .filter(col("ok"))
@@ -52,7 +59,7 @@ object MediaDedup {
           "CAST(shiftleft(1L, b) AS BIGINT), 0L))").as("sig"))
 
   /** The documents table as opaque media payloads. */
-  private[graft] def mediaOf(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[BinaryPipeline.MediaRow] = {
+  private[graft] def mediaOf(s: SparkSession, dir: String): Dataset[BinaryPipeline.MediaRow] = {
     import s.implicits._
     t(s, dir, "documents")
       .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"),
@@ -66,48 +73,28 @@ object MediaDedup {
       shiftright(col("sig"), b * BandBits).bitwiseAND(lit((1 << BandBits) - 1))
         .cast("int").as(s"b$b"))
 
-  /** Near-dup media pairs: (doc1, doc2, hamming ≤ 6) over 48-bit
-    * feature-SimHash signatures, candidates from 4 × 12-bit bands. */
-  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
-    val sig = mediaSignatures(mediaOf(s, dir))
-    // one banded table, one self-equi-join on (band, value) — the single
-    // shuffle key that makes the candidate generation bucket-local
-    val banded = sig.select(col("doc_id"), col("sig"),
-      explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> " +
-        s"struct(b AS band, CAST(shiftright(sig, b * $BandBits) & " +
-        s"${(1 << BandBits) - 1} AS INT) AS bv))")).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"),
-        col("bb.bv").as("bv"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-        col("a.sig").as("s1"), col("b.sig").as("s2"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
-      .filter(col("hamming") <= MaxHamming)
-      .select(col("doc1"), col("doc2"), col("hamming"))
-  }
+  /** A signature table shaped for [[BandedLsh]]: (doc_id, sig, b0..b3). */
+  private def lshInput(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id") +: col("sig") +: bandCols: _*)
 
-  /** DuckDB replay: hex the payload, enumerate 4-byte windows, md5-vote
-    * the distinct ones per bit, sign-assemble the signature, band-join,
-    * Hamming-verify. */
-  val mediaNearDupSql: String = {
+  /** Near-dup media pairs: (doc1, doc2, hamming ≤ 6) over 48-bit
+    * feature-SimHash signatures, candidates from 4 × 12-bit bands with
+    * the [[BandedLsh]] collapse + cap discipline. */
+  def mediaNearDup(s: SparkSession, dir: String): DataFrame =
+    BandedLsh.cappedPairs(lshInput(mediaSignatures(mediaOf(s, dir))),
+      nBands = Bands, maxHamming = Some(MaxHamming))
+
+  /** Shared DuckDB signature chain: hex the payload, enumerate 4-byte
+    * windows, md5-vote the distinct ones per bit, sign-assemble the
+    * 48-bit signature — ends at `sig0(doc_id, sig)`. Composed (not
+    * string-sliced) into every oracle of the family. */
+  private[graft] val sigChainSql: String = {
     val weights = (0 until Bits)
       .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS w$b")
       .mkString(",\n  ")
     val assemble = (0 until Bits)
       .map(b => s"CASE WHEN w$b > 0 THEN ${1L << b}::BIGINT ELSE 0 END")
       .mkString(" + ")
-    val bandsel = (0 until Bands)
-      .map(b => s"(sig >> ${b * BandBits}) & ${(1 << BandBits) - 1} AS b$b")
-      .mkString(", ")
-    val bandjoin = (0 until Bands)
-      .map(b => s"""SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.sig AS s1, b.sig AS s2
-                   |FROM sig a JOIN sig b ON a.b$b = b.b$b AND a.doc_id < b.doc_id""".stripMargin)
-      .mkString("\nUNION\n")
     s"""WITH pay AS (SELECT doc_id, hex(encode(text)) AS h,
        |    octet_length(encode(text)) AS len
        |  FROM documents WHERE octet_length(encode(text)) >= 4),
@@ -117,29 +104,69 @@ object MediaDedup {
        |sigw AS (SELECT doc_id,
        |  $weights
        |  FROM hs GROUP BY doc_id),
-       |sig0 AS (SELECT doc_id, CAST($assemble AS BIGINT) AS sig FROM sigw),
-       |sig AS (SELECT doc_id, sig, $bandsel FROM sig0),
-       |cand AS (
-       |$bandjoin)
-       |SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
-       |FROM (SELECT DISTINCT doc1, doc2, s1, s2 FROM cand)
-       |WHERE bit_count(xor(s1, s2)) <= $MaxHamming""".stripMargin
+       |sig0 AS (SELECT doc_id, CAST($assemble AS BIGINT) AS sig FROM sigw)""".stripMargin
   }
+
+  /** Keeper-collapse + capped band CTEs over a `(doc_id, sig)` relation
+    * named `src`: emits `grp` (sig, gid), `mem` (doc_id, gid, sig) and
+    * `kkept` (gid, sig, band, bv — cold buckets only). */
+  private def cappedBandCtes(src: String, p: String): String = {
+    val cap = BandedLsh.BucketCap
+    val bands = (0 until Bands)
+      .map(b => s"SELECT gid, sig, $b AS band, " +
+        s"(sig >> ${b * BandBits}) & ${(1 << BandBits) - 1} AS bv FROM ${p}grp")
+      .mkString("\nUNION ALL\n")
+    s"""${p}grp AS (SELECT sig, MIN(doc_id) AS gid FROM $src GROUP BY sig),
+       |${p}mem AS (SELECT s.doc_id, g.gid, s.sig FROM $src s
+       |  JOIN ${p}grp g ON s.sig = g.sig),
+       |${p}kb AS (
+       |$bands),
+       |${p}kkept AS (
+       |  SELECT kb.* FROM ${p}kb kb JOIN (
+       |    SELECT band, bv FROM ${p}kb GROUP BY band, bv HAVING COUNT(*) <= $cap
+       |  ) cold USING (band, bv))""".stripMargin
+  }
+
+  /** DuckDB replay of [[mediaNearDup]]: the shared signature chain, the
+    * keeper collapse + bucket cap, banded keeper join, Hamming verify,
+    * expansion back to member pairs (within-group pairs are hamming-0
+    * exact duplicates and bypass the caps, exactly like the engine). */
+  val mediaNearDupSql: String =
+    s"""$sigChainSql,
+       |${cappedBandCtes("sig0", "")},
+       |kp AS (
+       |  SELECT DISTINCT a.gid AS g1, b.gid AS g2, a.sig AS s1, b.sig AS s2
+       |  FROM kkept a JOIN kkept b
+       |  ON a.band = b.band AND a.bv = b.bv AND a.gid < b.gid),
+       |kpv AS (
+       |  SELECT g1, g2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+       |  FROM kp WHERE bit_count(xor(s1, s2)) <= $MaxHamming)
+       |SELECT x.doc_id AS doc1, y.doc_id AS doc2, CAST(0 AS BIGINT) AS hamming
+       |FROM mem x JOIN mem y ON x.gid = y.gid AND x.doc_id < y.doc_id
+       |UNION ALL
+       |SELECT LEAST(ma.doc_id, mb.doc_id) AS doc1,
+       |  GREATEST(ma.doc_id, mb.doc_id) AS doc2, kpv.hamming
+       |FROM kpv JOIN mem ma ON ma.gid = kpv.g1 JOIN mem mb ON mb.gid = kpv.g2""".stripMargin
 
   /** Near-dup pairs resolved into duplicate GROUPS with one surviving
     * representative — the media twin of the text family's
     * q_dedup_groups, through the same alternating large/small-star
     * [[graft.operators.ConnectedComponents]] (O(log² n) rounds,
     * checkpointed). Docs that paired with nothing are their own
-    * singleton group, so the output covers the whole table. */
+    * singleton group, so the output covers the whole table.
+    *
+    * Group-shaped consumer: CC runs on the LINEAR keeper-pair + star
+    * edge set ([[BandedLsh.collapsedPairs]]/[[BandedLsh.starEdges]]) —
+    * identical components to the expanded pair graph without
+    * materializing the quadratic within-group half; the collapse
+    * checkpoint also means payloads decode ONCE per grouping. */
   def mediaGroups(s: SparkSession, dir: String): DataFrame = {
-    // checkpoint the pairs: ConnectedComponents materializes its input
-    // twice (node table + canonical edge set), and the pair lineage
-    // carries the whole decoder pass — without this the payloads are
-    // decoded twice per grouping
-    val pairs = mediaNearDup(s, dir).select(col("doc1"), col("doc2"))
-      .localCheckpoint()
-    val comp = graft.operators.ConnectedComponents(pairs)
+    val (collapsed, kp) = BandedLsh.collapsedPairs(
+      lshInput(mediaSignatures(mediaOf(s, dir))),
+      nBands = Bands, maxHamming = Some(MaxHamming))
+    val edges = kp.select(col("g1").as("doc1"), col("g2").as("doc2"))
+      .unionByName(BandedLsh.starEdges(collapsed))
+    val comp = graft.operators.ConnectedComponents(edges)
     val docs = t(s, dir, "documents").select(col("doc_id"))
     docs.join(comp, docs("doc_id") === comp("node"), "left")
       .select(docs("doc_id"),
@@ -149,7 +176,8 @@ object MediaDedup {
 
   /** DuckDB replay: the near-dup pair query nested verbatim, then
     * recursive min-propagation (component = min id over the reachable
-    * set) — the q_dedup_groups oracle discipline. */
+    * set) — the q_dedup_groups oracle discipline; the expanded pair
+    * graph has the same components as the engine's keeper+star edges. */
   val mediaGroupsSql: String =
     s"""WITH RECURSIVE pairs AS (SELECT doc1, doc2 FROM (
        |$mediaNearDupSql
@@ -226,62 +254,145 @@ object MediaDedup {
        |JOIN nf n2 ON n2.doc_id = p.doc2
        |WHERE p.n_shared >= $MinSharedFrames""".stripMargin
 
-  /** Media SEARCH — the retrieval verb of the family: for each probe
-    * payload (doc_id < 10), the top-5 most-similar corpus payloads by
-    * signature Hamming distance, candidates from the same 4 × 12-bit
-    * banded buckets the dedup path uses. A probe only ever touches
-    * corpus rows it shares a band with (bucket-local, never a scan of
-    * the corpus per probe); ranking is (hamming ASC, media_id) over the
-    * carried 48-bit sigs. Probes with fewer than 5 banded candidates
-    * return what the buckets hold — the honest LSH contract. */
-  def mediaSearch(s: SparkSession, dir: String): DataFrame = {
-    val sig = mediaSignatures(mediaOf(s, dir))
-    def banded(df: DataFrame, idCol: String) =
-      df.select(col("doc_id").as(idCol), col("sig"),
-          explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> " +
-            s"struct(b AS band, CAST(shiftright(sig, b * $BandBits) & " +
-            s"${(1 << BandBits) - 1} AS INT) AS bv))")).as("bb"))
-        .select(col(idCol), col("sig"), col("bb.band").as("band"),
-          col("bb.bv").as("bv"))
-    val probes = banded(sig.filter(col("doc_id") < 10), "query_id")
-      .withColumnRenamed("sig", "qsig")
-    val corpus = banded(sig.filter(col("doc_id") >= 10), "media_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("hamming"), col("media_id"))
-    probes.join(corpus, Seq("band", "bv"))
-      .select(col("query_id"), col("media_id"), col("qsig"), col("sig"))
+  /** Banded top-k search over two signature tables — the shared core of
+    * [[mediaSearchFor]] and [[mediaRecall]]. The corpus side gets the
+    * full [[BandedLsh]] discipline (exact-collapse, bucket cap); a probe
+    * only ever touches corpus groups it shares a cold band bucket with,
+    * then keeper hits expand to members and rank by (hamming, media_id).
+    * Probes with fewer than k banded candidates return what the buckets
+    * hold — the honest LSH contract. */
+  private[graft] def searchSigs(probeSig: DataFrame, corpusSig: DataFrame,
+                                k: Int = SearchK): DataFrame = {
+    val collapsed = corpusSig.select(col("doc_id"), col("sig"))
+      .withColumn("gid", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sig")))
+      .localCheckpoint()
+    val keepers = lshInput(
+      collapsed.filter(col("doc_id") === col("gid")).select("doc_id", "sig"))
+      .select(col("doc_id").as("gid"), col("sig"),
+        posexplode(array((0 until Bands).map(i => col(s"b$i")): _*))
+          .as(Seq("band", "bv")))
+    val hot = keepers.groupBy("band", "bv").agg(count(lit(1)).as("pop"))
+      .filter(col("pop") > BandedLsh.BucketCap).select("band", "bv")
+    val cold = keepers.join(hot, Seq("band", "bv"), "left_anti")
+    val probes = lshInput(probeSig)
+      .select(col("doc_id").as("query_id"), col("sig").as("qsig"),
+        posexplode(array((0 until Bands).map(i => col(s"b$i")): _*))
+          .as(Seq("band", "bv")))
+    val keeperHits = probes.join(cold, Seq("band", "bv"))
+      .select(col("query_id"), col("qsig"), col("gid"), col("sig"))
       .distinct()
       .withColumn("hamming",
         bit_count(col("qsig").bitwiseXOR(col("sig"))).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("hamming"), col("media_id"))
+    keeperHits
+      .join(collapsed.select(col("gid"), col("doc_id").as("media_id")), "gid")
+      .select(col("query_id"), col("media_id"), col("hamming"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= k)
       .select(col("query_id"), col("media_id"), col("hamming"))
   }
 
-  /** Replay: the shared signature chain, probe/corpus banded split, one
-    * (band, value) join, distinct pairs, top-5 per probe by
-    * (hamming, media_id). */
-  val mediaSearchSql: String = {
-    val sigChain = mediaNearDupSql
-      .substring(0, mediaNearDupSql.indexOf(",\nsig AS (SELECT"))
-    val bandjoin = (0 until Bands)
-      .map(b => s"""SELECT q.doc_id AS query_id, c.doc_id AS media_id,
-                   |  q.sig AS qsig, c.sig AS csig
-                   |FROM sig0 q JOIN sig0 c
-                   |  ON (q.sig >> ${b * BandBits}) & ${(1 << BandBits) - 1} =
-                   |     (c.sig >> ${b * BandBits}) & ${(1 << BandBits) - 1}
-                   |  AND q.doc_id < 10 AND c.doc_id >= 10""".stripMargin)
-      .mkString("\nUNION\n")
-    s"""$sigChain,
-       |cand AS (
-       |$bandjoin)
-       |SELECT query_id, media_id,
-       |  CAST(bit_count(xor(qsig, csig)) AS BIGINT) AS hamming
-       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY bit_count(xor(qsig, csig)), media_id) AS rn
-       |  FROM (SELECT DISTINCT query_id, media_id, qsig, csig FROM cand))
-       |WHERE rn <= 5""".stripMargin
+  /** Query-by-example media SEARCH — the verb a production user calls:
+    * arbitrary EXTERNAL probe payloads (not corpus ids) against a corpus
+    * of media rows, top-k most-similar corpus payloads per probe by
+    * signature Hamming distance, candidates from the capped banded
+    * buckets the dedup path uses. Probe ids only label the output
+    * (`query_id`); they never need to exist in the corpus.
+    * MediaSearchSpec proves an external byte-perturbed copy of a corpus
+    * payload retrieves its original at rank 1. */
+  def mediaSearchFor(probes: Dataset[BinaryPipeline.MediaRow],
+                     corpus: Dataset[BinaryPipeline.MediaRow],
+                     k: Int = SearchK): DataFrame =
+    searchSigs(mediaSignatures(probes), mediaSignatures(corpus), k)
+
+  /** The graded instance of [[mediaSearchFor]]: corpus payloads with
+    * doc_id < 10 acting as the probe set against the rest. */
+  def mediaSearch(s: SparkSession, dir: String): DataFrame = {
+    val media = mediaOf(s, dir)
+    mediaSearchFor(media.filter(col("id") < 10),
+      media.filter(col("id") >= 10))
   }
+
+  /** Replay: the shared signature chain split probe/corpus, corpus-side
+    * collapse + bucket cap, one (band, value) join, keeper hits expanded
+    * to members, top-5 per probe by (hamming, media_id). */
+  val mediaSearchSql: String = {
+    val probeBands = (0 until Bands)
+      .map(b => s"SELECT query_id, qsig, $b AS band, " +
+        s"(qsig >> ${b * BandBits}) & ${(1 << BandBits) - 1} AS bv FROM qs")
+      .mkString("\nUNION ALL\n")
+    s"""$sigChainSql,
+       |qs AS (SELECT doc_id AS query_id, sig AS qsig FROM sig0 WHERE doc_id < 10),
+       |cs AS (SELECT doc_id, sig FROM sig0 WHERE doc_id >= 10),
+       |${cappedBandCtes("cs", "c")},
+       |qb AS (
+       |$probeBands),
+       |khit AS (
+       |  SELECT DISTINCT query_id, qsig, gid, sig
+       |  FROM qb JOIN ckkept USING (band, bv)),
+       |hits AS (
+       |  SELECT k.query_id, m.doc_id AS media_id,
+       |    CAST(bit_count(xor(k.qsig, k.sig)) AS BIGINT) AS hamming
+       |  FROM khit k JOIN cmem m ON m.gid = k.gid)
+       |SELECT query_id, media_id, hamming FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY hamming, media_id) AS rn
+       |  FROM hits)
+       |WHERE rn <= $SearchK""".stripMargin
+  }
+
+  /** Recall instrument for the banded media search — the media twin of
+    * q_ann_recall: recall@5 of [[searchSigs]] (capped banded candidates)
+    * against the exact Hamming top-5 over the SAME signatures
+    * (brute-force broadcast pass, the honest baseline). One corpus-wide
+    * number; gives the hot-bucket caps a quality target — recall must
+    * not drop when they engage. */
+  def mediaRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = mediaSignatures(mediaOf(s, dir)).localCheckpoint()
+    val probeSig = sig.filter(col("doc_id") < 10)
+    val corpusSig = sig.filter(col("doc_id") >= 10)
+    val banded = searchSigs(probeSig, corpusSig)
+      .select(col("query_id"), col("media_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("hamming"), col("media_id"))
+    val exact = corpusSig.select(col("doc_id").as("media_id"), col("sig"))
+      .crossJoin(broadcast(
+        probeSig.select(col("doc_id").as("query_id"), col("sig").as("qsig"))))
+      .withColumn("hamming",
+        bit_count(col("qsig").bitwiseXOR(col("sig"))).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SearchK)
+      .select(col("query_id"), col("media_id"))
+      .localCheckpoint()
+    val nExact = exact.count()
+    val hits = banded.join(exact, Seq("query_id", "media_id")).count()
+    Seq(math.round(hits.toDouble / nExact * 10000) / 10000.0)
+      .toDF("recall_at_5")
+  }
+
+  /** Replay: the banded top-5 (the mediaSearch oracle nested) joined to
+    * the exact Hamming top-5, with the floor-based 4dp rounding that is
+    * bit-identical to the engine's math.round. */
+  val mediaRecallSql: String =
+    s"""WITH lsh AS (SELECT query_id, media_id FROM (
+       |$mediaSearchSql
+       |)),
+       |exacts AS (SELECT query_id, media_id FROM (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS media_id,
+       |    row_number() OVER (PARTITION BY q.doc_id
+       |      ORDER BY bit_count(xor(q.sig, c.sig)), c.doc_id) AS rn
+       |  FROM ($sigChainSql SELECT * FROM sig0) q,
+       |       ($sigChainSql SELECT * FROM sig0) c
+       |  WHERE q.doc_id < 10 AND c.doc_id >= 10)
+       |  WHERE rn <= $SearchK),
+       |nex AS (SELECT count(*) AS n FROM exacts)
+       |SELECT floor(CAST(count(*) AS DOUBLE) / nex.n * 10000 + 0.5)
+       |  / 10000.0 AS recall_at_5
+       |FROM lsh JOIN exacts USING (query_id, media_id), nex
+       |GROUP BY nex.n""".stripMargin
 
   /** Incremental media dedup, graded end-to-end like q_incremental_dedup:
     * the payloads arrive in TWO batches through a scratch
@@ -309,9 +420,7 @@ object MediaDedup {
       .map(b => s"($x.sig >> ${b * BandBits}) & ${(1 << BandBits) - 1} = " +
         s"($a.sig >> ${b * BandBits}) & ${(1 << BandBits) - 1}")
       .mkString("(", " OR ", ")")
-    val sigChain = mediaNearDupSql
-      .substring(0, mediaNearDupSql.indexOf(",\nsig AS (SELECT"))
-    s"""$sigChain,
+    s"""$sigChainSql,
        |s1 AS (SELECT doc_id, sig FROM sig0 WHERE doc_id < 250),
        |s2 AS (SELECT doc_id, sig FROM sig0 WHERE doc_id >= 250),
        |b1k AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY sig),
@@ -341,6 +450,7 @@ object MediaDedup {
     "q_media_groups" -> mediaGroups _,
     "q_frame_overlap" -> frameOverlap _,
     "q_media_search" -> mediaSearch _,
+    "q_media_recall" -> mediaRecall _,
     "q_media_incremental" -> mediaIncremental _)
 
   val oracles: Map[String, String] = Map(
@@ -348,5 +458,6 @@ object MediaDedup {
     "q_media_groups" -> mediaGroupsSql,
     "q_frame_overlap" -> frameOverlapSql,
     "q_media_search" -> mediaSearchSql,
+    "q_media_recall" -> mediaRecallSql,
     "q_media_incremental" -> mediaIncrementalSql)
 }

