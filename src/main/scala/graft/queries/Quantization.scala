@@ -458,16 +458,18 @@ object Quantization {
     }
   }
 
-  /** Frozen-model fit CTEs shared by the incremental-index replays: the
-    * IVF Lloyd chain (`c2`) and the SQ8 min/max (`sl`) both read ONLY
-    * batch 1 (even corpus vec_ids — the models a second batch must not
-    * refit). */
-  private val frozenFitCtes: String = {
+  /** Model-fit CTE chain over a named source relation: the IVF Lloyd
+    * chain (2 rounds over the first-2048-by-vec_id sample, ending at
+    * `c2`) — exactly [[graft.similarity.IvfIndex.fitSample]]. The
+    * incremental replays fit over `e1` (batch 1 only — the FROZEN
+    * models a second batch must not refit); the rebuild replay fits
+    * over `ec` (the accumulated corpus). */
+  private def lloydFitCtes(fitSrc: String): String = {
     val ew = "list_transform(range(1, len(acc)+1), d -> acc[d] + x[d])"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |ec AS (SELECT * FROM e WHERE vec_id >= 10),
        |e1 AS (SELECT * FROM ec WHERE vec_id % 2 = 0),
-       |samp AS (SELECT vec_id, v FROM e1 ORDER BY vec_id LIMIT 2048),
+       |samp AS (SELECT vec_id, v FROM $fitSrc ORDER BY vec_id LIMIT 2048),
        |c0 AS (SELECT cell, v AS c FROM (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v FROM samp) WHERE cell < 8),
        |d1 AS (SELECT s.vec_id, s.v, c.cell, ${sqdSql("s.v", "c.c")} AS dist FROM samp s, c0 c),
@@ -488,15 +490,17 @@ object Quantization {
        |  FROM c1 LEFT JOIN m2 ON m2.cell = c1.cell)""".stripMargin
   }
 
-  /** Replay of the incremental build: frozen fits ([[frozenFitCtes]]),
-    * then assignment/codes over the whole corpus. */
-  val incrementalAnnSql: String =
-    s"""$frozenFitCtes,
-       |di AS (SELECT ec.vec_id, ec.v, c.cell, ${sqdSql("ec.v", "c.c")} AS dist FROM ec, c2 c),
+  private val frozenFitCtes: String = lloydFitCtes("e1")
+
+  /** Assign/encode/search body shared by the incremental and rebuild
+    * replays: corpus assignment under `c2`, SQ8 ranges fit over
+    * `sq8Src`, codes + reconstructions, probed top-5. */
+  private def sq8AnnBodySql(sq8Src: String): String =
+    s"""di AS (SELECT ec.vec_id, ec.v, c.cell, ${sqdSql("ec.v", "c.c")} AS dist FROM ec, c2 c),
        |idx AS (SELECT vec_id, v, cell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM di) WHERE rn = 1),
        |st AS (SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
-       |  FROM e1, range(1, $dim + 1) td(d) GROUP BY d),
+       |  FROM $sq8Src, range(1, $dim + 1) td(d) GROUP BY d),
        |sl AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM st),
        |cdx AS (SELECT i.vec_id, i.cell,
        |  list_transform(range(1, $dim + 1), d ->
@@ -522,6 +526,40 @@ object Quantization {
        |SELECT query_id, vec_id AS neighbor_id, round(cos, 4) AS cos FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
        |  FROM scored) WHERE rn <= 5""".stripMargin
+
+  /** Replay of the incremental build: frozen fits ([[lloydFitCtes]] over
+    * batch 1), then assignment/codes over the whole corpus. */
+  val incrementalAnnSql: String =
+    s"$frozenFitCtes,\n${sq8AnnBodySql("e1")}"
+
+  /** The REBUILD act, graded end-to-end: the same two-batch scratch
+    * index as [[incrementalAnn]] — frozen batch-1 models — then
+    * [[graft.similarity.VectorIndex.rebuild]] re-fits centroids and SQ8
+    * ranges on the ACCUMULATED corpus, re-encodes every row (vec_ids
+    * preserved), and atomically swaps the artifact in as a new
+    * generation; the search runs against the SWAPPED artifact. The
+    * oracle replays the REFIT (Lloyd sample and SQ8 min/max over the
+    * whole corpus — `ec`, not `e1`), so serving stale codes under fresh
+    * models, or failing to swap at all, hash-mismatches. */
+  def annRebuild(s: SparkSession, dir: String): DataFrame = {
+    val embT = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = embT.filter(col("vec_id") >= 10)
+    graft.load.Scratch.withScratch("graft_vr_q", dir) { tmp =>
+      val idx = new graft.similarity.VectorIndex(s, tmp.getAbsolutePath)
+      idx.ingest(corpus.filter(col("vec_id") % 2 === 0))
+      idx.ingest(corpus.filter(col("vec_id") % 2 =!= 0))
+      idx.rebuild(corpus)
+      idx.search(embT.filter(col("vec_id") < 10), topK = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos"))
+        .localCheckpoint()
+    }
+  }
+
+  /** Rebuild replay: the SAME fit and search chain, but every model fit
+    * reads the accumulated corpus. */
+  val annRebuildSql: String =
+    s"${lloydFitCtes("ec")},\n${sq8AnnBodySql("ec")}"
 
   /** The rebuild-decision instrument, graded: an incremental vector
     * index freezes its coarse centroids and SQ8 ranges on batch 1
@@ -1137,6 +1175,7 @@ object Quantization {
     "q_ann_pqr" -> annPqResidual _,
     "q_ann_filtered" -> annFiltered _,
     "q_incremental_ann" -> incrementalAnn _,
+    "q_ann_rebuild" -> annRebuild _,
     "q_codec_drift" -> codecDriftQ _,
     "q_opq_error" -> opqError _,
     "q_ann_opq" -> annOpq _,
@@ -1156,6 +1195,7 @@ object Quantization {
     "q_ann_pqr" -> annPqrSql,
     "q_ann_filtered" -> annFilteredSql,
     "q_incremental_ann" -> incrementalAnnSql,
+    "q_ann_rebuild" -> annRebuildSql,
     "q_codec_drift" -> codecDriftSql,
     "q_opq_error" -> opqErrorSql,
     "q_ann_opq" -> annOpqSql,

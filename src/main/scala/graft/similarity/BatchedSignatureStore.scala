@@ -16,16 +16,26 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
   protected def schema: StructType
 
   private val fs = new java.io.File(path)
-  private val pendingMarker = new java.io.File(fs, "_COMPACT_PENDING")
+
+  /** Root the batch dirs live under. Defaults to the store path;
+    * subclasses with swap/versioning semantics ([[VectorIndex]]'s
+    * `g=N` generations) point this at the ACTIVE generation — every
+    * batch/compaction accessor resolves through it, so a generation
+    * swap atomically retargets reads, appends and compaction. */
+  protected def storageRoot: java.io.File = fs
+
+  private def pendingMarker =
+    new java.io.File(storageRoot, "_COMPACT_PENDING")
   recoverCompaction()
 
-  protected def batches: Seq[Int] = graft.load.CommittedDirs.list(fs, "b=")
+  protected def batches: Seq[Int] =
+    graft.load.CommittedDirs.list(storageRoot, "b=")
 
   private def rmTree(f: java.io.File): Unit = graft.load.Scratch.rm(f)
 
   /** All `b=N` dirs (committed or torn) with id < `next`. */
   private def dirsBelow(next: Int): Seq[java.io.File] =
-    Option(fs.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    Option(storageRoot.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("b=") &&
         f.getName.drop(2).toIntOption.exists(_ < next))
 
@@ -38,9 +48,10 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     if (pendingMarker.exists()) {
       new String(java.nio.file.Files.readAllBytes(pendingMarker.toPath),
         "UTF-8").trim.toIntOption.foreach { next =>
-        if (new java.io.File(new java.io.File(fs, s"b=$next"), "_SUCCESS").exists())
+        if (new java.io.File(new java.io.File(storageRoot, s"b=$next"),
+            "_SUCCESS").exists())
           dirsBelow(next).foreach(rmTree)
-        else rmTree(new java.io.File(fs, s"b=$next"))
+        else rmTree(new java.io.File(storageRoot, s"b=$next"))
       }
       pendingMarker.delete()
     }
@@ -50,7 +61,8 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     if (batches.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.parquet(batches.map(b => s"$path/b=$b"): _*)
+    else spark.read.parquet(
+      batches.map(b => s"${storageRoot.getPath}/b=$b"): _*)
 
   def size: Long = table.count()
 
@@ -64,11 +76,12 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     * other's Overwrite. */
   protected def append(survivors: DataFrame, nAdded: Long): Unit =
     if (nAdded > 0) {
+      val root = storageRoot
       val next = batches.lastOption.getOrElse(-1) + 1
-      val tmp = graft.load.AtomicDirCommit.tmpFor(fs, s"b$next")
+      val tmp = graft.load.AtomicDirCommit.tmpFor(root, s"b$next")
       survivors.select(schema.fieldNames.map(col): _*)
         .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
-      graft.load.AtomicDirCommit.commit(tmp, new java.io.File(fs, s"b=$next"))
+      graft.load.AtomicDirCommit.commit(tmp, new java.io.File(root, s"b=$next"))
     }
 
   /** Rewrite all committed batches into one directory — after many small
@@ -81,6 +94,7 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     * before the commit is rolled back. dropDuplicates heals any
     * duplication a pre-recovery reader-instance crash left behind. */
   def compact(): Int = {
+    val root = storageRoot
     val bs = batches
     if (bs.length > 1) {
       val next = bs.last + 1
@@ -88,11 +102,11 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
         String.valueOf(next).getBytes("UTF-8"))
       table.dropDuplicates(schema.fieldNames.toIndexedSeq)
         .select(schema.fieldNames.map(col): _*)
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/b=$next")
-      bs.foreach(b => rmTree(new java.io.File(s"$path/b=$b")))
+        .write.mode(SaveMode.Overwrite).parquet(s"${root.getPath}/b=$next")
+      bs.foreach(b => rmTree(new java.io.File(s"${root.getPath}/b=$b")))
       pendingMarker.delete()
     }
-    graft.load.AtomicDirCommit.sweepTmp(fs,
+    graft.load.AtomicDirCommit.sweepTmp(root,
       graft.load.TripletStore.TmpSweepAgeMs)
     batches.length
   }

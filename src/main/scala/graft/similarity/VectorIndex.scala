@@ -39,9 +39,22 @@ class VectorIndex(spark: SparkSession, path: String,
 
   override protected def schema: StructType = VectorIndex.rowSchema
 
-  private def fs = new java.io.File(path)
-  private def ivfFile = new java.io.File(fs, "ivf_centroids.txt")
-  private def sq8File = new java.io.File(fs, "sq8.txt")
+  private def fsRoot = new java.io.File(path)
+
+  /** Committed rebuild generations (`g=N`). Generation -1 is the
+    * original flat layout at the store root (back-compat: an index that
+    * was never rebuilt has no `g=` dirs and keeps its old shape). */
+  private def generations: Seq[Int] =
+    graft.load.CommittedDirs.list(fsRoot, "g=")
+
+  /** The active generation dir — models AND batch dirs live together
+    * under it, so a [[rebuild]] swap retargets both with one rename. */
+  override protected def storageRoot: java.io.File =
+    generations.lastOption.map(g => new java.io.File(fsRoot, s"g=$g"))
+      .getOrElse(fsRoot)
+
+  private def ivfFile = new java.io.File(storageRoot, "ivf_centroids.txt")
+  private def sq8File = new java.io.File(storageRoot, "sq8.txt")
 
   private def writeLines(rows: Seq[Array[Double]], f: java.io.File): Unit =
     Files.writeString(f.toPath,
@@ -62,11 +75,25 @@ class VectorIndex(spark: SparkSession, path: String,
     models.getOrElse {
       val ivf = IvfIndex.fitSample(emb, k, iters, sampleSize)
       val sq8 = Sq8.fit(emb)
-      fs.mkdirs()
+      storageRoot.mkdirs()
       writeLines(ivf.centroids.toSeq, ivfFile)
       writeLines(Seq(sq8.mins, sq8.maxs), sq8File)
       (ivf, sq8)
     }
+
+  /** Assign + SQ8-encode `(vec_id, embedding)` rows under the given
+    * models — the one encode pass shared by [[ingest]] and [[rebuild]]. */
+  private def encodeRows(emb: DataFrame, ivf: IvfIndex.Model,
+                         sq8: Sq8Model): DataFrame = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.GraftFunctions.dot_double(a, b)
+    IvfIndex.assign(emb, ivf)
+      .withColumn("sq8_arr", Sq8.encode(sq8)(col("v")))
+      .withColumn("dv", Sq8.decode(sq8)(col("sq8_arr")))
+      .select(col("vec_id"), col("cell"),
+        Codes.pack(col("sq8_arr")).as("sq8_codes"),
+        sqrt(dot(col("dv"), col("dv"))).as("dn"))
+  }
 
   /** Ingest one batch of (vec_id, embedding): assign + encode under the
     * frozen models, append as a committed batch dir. Returns rows added.
@@ -75,18 +102,54 @@ class VectorIndex(spark: SparkSession, path: String,
     * upstream when near-dup suppression is wanted). */
   def ingest(emb: DataFrame): Long = {
     val (ivf, sq8) = fitOrLoad(emb)
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      graft.functions.GraftFunctions.dot_double(a, b)
-    val rows = IvfIndex.assign(emb, ivf)
-      .withColumn("sq8_arr", Sq8.encode(sq8)(col("v")))
-      .withColumn("dv", Sq8.decode(sq8)(col("sq8_arr")))
-      .select(col("vec_id"), col("cell"),
-        Codes.pack(col("sq8_arr")).as("sq8_codes"),
-        sqrt(dot(col("dv"), col("dv"))).as("dn"))
-      .localCheckpoint()
+    val rows = encodeRows(emb, ivf, sq8).localCheckpoint()
     val n = rows.count()
     append(rows, n)
     n
+  }
+
+  /** The REBUILD act — what [[codecDrift]] decides to trigger: re-fit
+    * the coarse centroids and SQ8 ranges on the ACCUMULATED corpus (the
+    * raw embeddings are the caller's source of truth; the index stores
+    * only codes), re-encode every row under the fresh models, and
+    * atomically swap the whole artifact in as generation `g=N+1` via
+    * [[graft.load.AtomicDirCommit]] — models and codes live in the same
+    * generation dir, so a reader can never observe fresh centroids over
+    * stale codes (the corruption an in-place refit would produce), and
+    * a crash at any point leaves the previous generation intact and
+    * serving. vec_ids are preserved verbatim; prior generations remain
+    * on disk as versioned artifacts until [[pruneGenerations]].
+    * Returns the committed generation number. */
+  def rebuild(emb: DataFrame): Int = {
+    require(models.isDefined, s"VectorIndex at $path has no batches")
+    val ivf = IvfIndex.fitSample(emb, k, iters, sampleSize)
+    val sq8 = Sq8.fit(emb)
+    val next = generations.lastOption.getOrElse(-1) + 1
+    val tmp = graft.load.AtomicDirCommit.tmpFor(fsRoot, s"g$next")
+    tmp.mkdirs()
+    encodeRows(emb, ivf, sq8)
+      .select(VectorIndex.rowSchema.fieldNames.map(col): _*)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(tmp, "b=0").getAbsolutePath)
+    writeLines(ivf.centroids.toSeq, new java.io.File(tmp, "ivf_centroids.txt"))
+    writeLines(Seq(sq8.mins, sq8.maxs), new java.io.File(tmp, "sq8.txt"))
+    // top-level _SUCCESS last: the generation is only visible/committable
+    // once models AND codes are all on disk
+    Files.writeString(new java.io.File(tmp, "_SUCCESS").toPath, "")
+    graft.load.AtomicDirCommit.commit(tmp,
+      new java.io.File(fsRoot, s"g=$next"))
+    next
+  }
+
+  /** Drop all superseded generation dirs (keeping the active one) plus
+    * the pre-generation flat layout's model/batch files once a rebuild
+    * has superseded them. Time-travel to old generations ends here. */
+  def pruneGenerations(): Unit = generations.lastOption.foreach { live =>
+    generations.dropRight(1)
+      .foreach(g => graft.load.Scratch.rm(new java.io.File(fsRoot, s"g=$g")))
+    Option(fsRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName != s"g=$live" && !f.getName.startsWith("g="))
+      .foreach(graft.load.Scratch.rm)
   }
 
   /** Probed top-k over the accumulated code table — same plan as the
