@@ -561,6 +561,92 @@ object Quantization {
   val annRebuildSql: String =
     s"${lloydFitCtes("ec")},\n${sq8AnnBodySql("ec")}"
 
+  /** Acting on IVF cluster imbalance, graded end-to-end — the companion
+    * act to the q_cluster_profile measurement: a scratch
+    * [[graft.similarity.VectorIndex]] over the corpus, a population cap
+    * of ceil(1.05 × corpus/k) (tight enough that the graded corpus HAS
+    * hot cells — real splits run at every graded SF), then
+    * [[graft.similarity.VectorIndex.splitHotCells]]: k=2 Lloyd refit
+    * INSIDE each hot cell, members reassigned cell-locally between the
+    * two sub-centroids (codes untouched — the SQ8 codec never rewrites),
+    * committed as a fresh generation. Output = the post-split profile
+    * (cell, n_vecs, parent_cell), whose oracle replays the per-cell
+    * 2-means and reassignment exactly; CellSplitSpec proves unsplit-cell
+    * rows byte-identical, recall preserved, and the cap holding after. */
+  def cellSplit(s: SparkSession, dir: String): DataFrame = {
+    val embT = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = embT.filter(col("vec_id") >= 10)
+    graft.load.Scratch.withScratch("graft_cs_q", dir) { tmp =>
+      val idx = new graft.similarity.VectorIndex(s, tmp.getAbsolutePath)
+      idx.ingest(corpus)
+      val n = idx.table.count()
+      val cap = (n * 21 + 159) / 160 // integer ceil(n * 1.05 / 8)
+      val parentOf = idx.splitHotCells(corpus, cap)
+      val parentExpr = parentOf.foldLeft(col("cell")) {
+        case (acc, (newId, parent)) =>
+          when(col("cell") === newId, lit(parent)).otherwise(acc)
+      }
+      idx.table.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+          parentExpr.cast("long").as("parent_cell"))
+        .localCheckpoint()
+    }
+  }
+
+  /** Replay of the split act: the corpus fit + assignment, the cap, the
+    * per-hot-cell 2-means (first-2048 sample, first-2 init, 2 rounds —
+    * grouped by cell, so every hot cell refits in one chain), the
+    * cell-local reassignment of ALL members, and the final profile.
+    * Sub-cell 1 of the i-th hot cell (ranked by id) becomes cell 8+i. */
+  val cellSplitSql: String = {
+    val ew = "list_transform(range(1, len(acc)+1), d -> acc[d] + x[d])"
+    def lloydRound(r: Int): String = {
+      val prev = if (r == 1) "s0" else s"s${r - 1}"
+      s"""sd$r AS (SELECT h.cell, h.vec_id, h.v, s.sub, ${sqdSql("h.v", "s.c")} AS dist
+         |  FROM hsamp h JOIN $prev s USING (cell)),
+         |sa$r AS (SELECT cell, vec_id, v, sub FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cell, vec_id ORDER BY dist, sub) AS rn
+         |  FROM sd$r) WHERE rn = 1),
+         |sm$r AS (SELECT cell, sub, list_reduce(list(v ORDER BY vec_id), (acc, x) -> $ew) AS sv,
+         |  count(*) AS n FROM sa$r GROUP BY cell, sub),
+         |s$r AS (SELECT p.cell, p.sub,
+         |  COALESCE(list_transform(range(1, len(m.sv)+1), d -> m.sv[d] / m.n), p.c) AS c
+         |  FROM $prev p LEFT JOIN sm$r m ON m.cell = p.cell AND m.sub = p.sub)""".stripMargin
+    }
+    s"""${lloydFitCtes("ec")},
+       |di AS (SELECT ec.vec_id, ec.v, c.cell, ${sqdSql("ec.v", "c.c")} AS dist FROM ec, c2 c),
+       |idx AS (SELECT vec_id, v, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM di) WHERE rn = 1),
+       |bc AS (SELECT cell, count(*) AS n FROM idx GROUP BY cell),
+       |tot AS (SELECT sum(n) AS t FROM bc),
+       |capt AS (SELECT (t * 21 + 159) // 160 AS cap FROM tot),
+       |hot AS (SELECT cell, row_number() OVER (ORDER BY cell) - 1 AS hix
+       |  FROM bc, capt WHERE bc.n > capt.cap),
+       |hm AS (SELECT i.cell, i.vec_id, i.v FROM idx i JOIN hot USING (cell)),
+       |hsamp AS (SELECT cell, vec_id, v, r FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS r
+       |  FROM hm) WHERE r < 2048),
+       |s0 AS (SELECT cell, r AS sub, v AS c FROM hsamp WHERE r < 2),
+       |${lloydRound(1)},
+       |${lloydRound(2)},
+       |fd AS (SELECT h.cell, h.vec_id, s.sub, ${sqdSql("h.v", "s.c")} AS dist
+       |  FROM hm h JOIN s2 s USING (cell)),
+       |fa AS (SELECT cell, vec_id, sub FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cell, vec_id ORDER BY dist, sub) AS rn
+       |  FROM fd) WHERE rn = 1),
+       |remap AS (SELECT fa.vec_id,
+       |  CASE WHEN fa.sub = 0 THEN fa.cell ELSE 8 + hot.hix END AS ncell,
+       |  fa.cell AS parent FROM fa JOIN hot USING (cell)),
+       |allrows AS (SELECT i.vec_id,
+       |  COALESCE(r.ncell, i.cell) AS cell,
+       |  COALESCE(r.parent, i.cell) AS parent
+       |  FROM idx i LEFT JOIN remap r USING (vec_id))
+       |SELECT CAST(cell AS BIGINT) AS cell,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(parent AS BIGINT) AS parent_cell
+       |FROM allrows GROUP BY cell, parent""".stripMargin
+  }
+
   /** The rebuild-decision instrument, graded: an incremental vector
     * index freezes its coarse centroids and SQ8 ranges on batch 1
     * ([[incrementalAnn]]), so the operational question is WHEN drift
@@ -1176,6 +1262,7 @@ object Quantization {
     "q_ann_filtered" -> annFiltered _,
     "q_incremental_ann" -> incrementalAnn _,
     "q_ann_rebuild" -> annRebuild _,
+    "q_cell_split" -> cellSplit _,
     "q_codec_drift" -> codecDriftQ _,
     "q_opq_error" -> opqError _,
     "q_ann_opq" -> annOpq _,
@@ -1196,6 +1283,7 @@ object Quantization {
     "q_ann_filtered" -> annFilteredSql,
     "q_incremental_ann" -> incrementalAnnSql,
     "q_ann_rebuild" -> annRebuildSql,
+    "q_cell_split" -> cellSplitSql,
     "q_codec_drift" -> codecDriftSql,
     "q_opq_error" -> opqErrorSql,
     "q_ann_opq" -> annOpqSql,

@@ -27,7 +27,7 @@ object IvfIndex {
     s
   }
 
-  private def nearest(v: Seq[Double], cents: Array[Array[Double]]): Int = {
+  private[similarity] def nearest(v: Seq[Double], cents: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cents.length) {
       val d = sqdist(v, cents(c))

@@ -124,11 +124,18 @@ class VectorIndex(spark: SparkSession, path: String,
     require(models.isDefined, s"VectorIndex at $path has no batches")
     val ivf = IvfIndex.fitSample(emb, k, iters, sampleSize)
     val sq8 = Sq8.fit(emb)
+    commitGeneration(encodeRows(emb, ivf, sq8), ivf, sq8)
+  }
+
+  /** Commit (rows, models) as the next `g=N` generation dir with one
+    * atomic rename — the swap step shared by [[rebuild]] and
+    * [[splitHotCells]]. */
+  private def commitGeneration(rows: DataFrame, ivf: IvfIndex.Model,
+                               sq8: Sq8Model): Int = {
     val next = generations.lastOption.getOrElse(-1) + 1
     val tmp = graft.load.AtomicDirCommit.tmpFor(fsRoot, s"g$next")
     tmp.mkdirs()
-    encodeRows(emb, ivf, sq8)
-      .select(VectorIndex.rowSchema.fieldNames.map(col): _*)
+    rows.select(VectorIndex.rowSchema.fieldNames.map(col): _*)
       .write.mode("overwrite")
       .parquet(new java.io.File(tmp, "b=0").getAbsolutePath)
     writeLines(ivf.centroids.toSeq, new java.io.File(tmp, "ivf_centroids.txt"))
@@ -139,6 +146,71 @@ class VectorIndex(spark: SparkSession, path: String,
     graft.load.AtomicDirCommit.commit(tmp,
       new java.io.File(fsRoot, s"g=$next"))
     next
+  }
+
+  /** Act on coarse-cell imbalance — what the cluster-profile instrument
+    * measures: every cell whose population exceeds `cellCap` is SPLIT by
+    * a k=2 Lloyd refit INSIDE the cell (first-2048-by-vec_id sample,
+    * first-2 init, [[iters]] rounds — the [[IvfIndex.fitSample]]
+    * discipline cell-locally), its members reassigned between the two
+    * sub-centroids only, and the result committed as a fresh generation.
+    * Unsplit cells keep their ids, centroids AND rows byte-identical
+    * (the SQ8 codec is untouched — codes never rewrite), so search
+    * results over unsplit cells cannot change; sub-cell 0 keeps the hot
+    * cell's id, sub-cell 1 gets id `k0 + rank` (hot cells ranked by id).
+    * Returns the (new sub-cell id → parent cell) mapping — empty when no
+    * cell is hot, in which case NO generation is committed. */
+  def splitHotCells(emb: DataFrame, cellCap: Long): Map[Int, Int] = {
+    val (ivf, sq8) = models.getOrElse(
+      throw new IllegalStateException(s"VectorIndex at $path has no batches"))
+    val t = table
+    val hotCells = t.groupBy("cell").count()
+      .filter(col("count") > cellCap)
+      .orderBy("cell").collect().map(_.getInt(0)) // bounded: ≤ k cells
+    if (hotCells.isEmpty) return Map.empty
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val assigned = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .join(t.select(col("vec_id"), col("cell")), "vec_id")
+      .localCheckpoint()
+    val k0 = ivf.centroids.length
+    val newCents = scala.collection.mutable.ArrayBuffer(ivf.centroids.toSeq: _*)
+    val subFor = scala.collection.mutable.Map.empty[Int, (Array[Double], Array[Double], Int)]
+    hotCells.zipWithIndex.foreach { case (c, i) =>
+      val sample = assigned.filter(col("cell") === c)
+        .orderBy("vec_id").limit(sampleSize)
+        .select("v").as[Seq[Double]].collect().map(_.toArray)
+      var cents = sample.take(2)
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(cents.length)(new Array[Double](cents.head.length))
+        val counts = new Array[Int](cents.length)
+        sample.foreach { v =>
+          val s = IvfIndex.nearest(v, cents)
+          counts(s) += 1
+          var j = 0
+          while (j < v.length) { sums(s)(j) += v(j); j += 1 }
+        }
+        cents = cents.indices.map(s =>
+          if (counts(s) == 0) cents(s) else sums(s).map(_ / counts(s))).toArray
+      }
+      val newId = k0 + i
+      newCents(c) = cents(0)
+      newCents += cents(1)
+      subFor(c) = (cents(0), cents(1), newId)
+    }
+    val bc = spark.sparkContext.broadcast(subFor.toMap)
+    val recell = udf((cell: Int, v: Seq[Double]) => bc.value.get(cell) match {
+      case Some((a, b, newId)) =>
+        // ties to sub 0 — the row_number (dist, sub) rule
+        if (IvfIndex.nearest(v, Array(a, b)) == 0) cell else newId
+      case None => cell
+    })
+    val rows = t.join(assigned.select(col("vec_id"), col("v")), "vec_id")
+      .select(col("vec_id"), recell(col("cell"), col("v")).as("cell"),
+        col("sq8_codes"), col("dn"))
+    commitGeneration(rows, IvfIndex.Model(newCents.toArray), sq8)
+    subFor.map { case (c, (_, _, newId)) => newId -> c }.toMap
   }
 
   /** Drop all superseded generation dirs (keeping the active one) plus
