@@ -493,13 +493,17 @@ object TextOps {
     * band buckets capped at [[graft.operators.BandedLsh.BucketCap]],
     * keeper pairs expanded back to member pairs (within-group pairs
     * bypass the caps, exactly like the engine). */
-  private def minhashCappedPairsCtes: String = {
+  private def minhashCappedPairsCtes: String = minhashCappedPairsCtesOver("sh")
+
+  /** Same capped-pair replay over an arbitrary (doc_id, sh) relation —
+    * the v2 pipeline bands the CONTAINMENT SURVIVORS' shingles. */
+  private def minhashCappedPairsCtesOver(src: String): String = {
     val cap = graft.operators.BandedLsh.BucketCap
     s"""
        |, sig AS (
        |  SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
        |    ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
-       |  FROM sh WHERE len(sh) > 0)
+       |  FROM $src WHERE len(sh) > 0)
        |, grp AS (
        |  SELECT mh0, mh1, mh2, mh3, MIN(doc_id) AS gid
        |  FROM sig GROUP BY mh0, mh1, mh2, mh3)
@@ -809,6 +813,155 @@ object TextOps {
       |  k.lang
       |FROM kept k WHERE k.doc_id NOT IN (SELECT doc2 FROM verified)""".stripMargin
 
+  /** The corpus-cleaning chain v2 — every dedup modality the engine
+    * grades, composed with EXPLICIT precedence and per-doc survivor
+    * provenance: quality floor → exact (content hash, keep min id) →
+    * containment (doc-in-doc, df-capped inverted index, the contained
+    * side drops) → near-dup (capped MinHash-LSH candidates through
+    * [[graft.operators.BandedLsh]], Jaccard ≥ 0.5 verify, greater id
+    * drops) → semantic (sign-bucket embedding LSH, cosine ≥ 0.2,
+    * greater id drops; docs without an embedding pass through). Each
+    * stage ranges over the SURVIVORS of the previous one, and each drop
+    * rule is non-cascading (a dropper need not itself survive its own
+    * stage). Output = one row per document: (doc_id, stage) where stage
+    * names the dropper — 'quality', 'exact', 'containment', 'near_dup',
+    * 'semantic' — or 'kept'. The v1 chain (q_corpus_pipeline) stays as
+    * the witness of the original quality→exact→LSH→verify shape. */
+  def corpusPipelineV2(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val qualityOk = docs.filter(col("n_chars") >= 150)
+    val keepEx = qualityOk.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val exOk = qualityOk.join(keepEx, "doc_id")
+    // shingles of the exact survivors, checkpointed BEFORE the size
+    // filter (the HOF re-evaluation trap) — ONE table feeds containment
+    // counting AND the near-dup verify
+    val sh1 = spread(s, exOk).select(col("doc_id"), shingles.as("sh"))
+      .localCheckpoint()
+      .filter(size(col("sh")) > 0)
+    // containment: global-scope df-capped inverted index, contained drops
+    val cex = sh1.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val hotSh = cex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > JaccardDfCap).select("s")
+    val ckept = cex.join(hotSh, Seq("s"), "left_anti")
+    val contained = ckept.select(col("doc_id").as("doc1"), col("n").as("n1"), col("s"))
+      .join(ckept.select(col("doc_id").as("doc2"), col("n").as("n2"), col("s")),
+        Seq("s"))
+      .filter(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2", "n1", "n2").agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") /
+        least(col("n1"), col("n2")).cast("double") >= 0.8)
+      .select(when(col("n1") <= col("n2"), col("doc1")).otherwise(col("doc2"))
+        .as("doc_id"))
+      .distinct()
+    val conOk = exOk.join(contained, Seq("doc_id"), "left_anti")
+    // near-dup: hot-bucket-capped MinHash bands over containment
+    // survivors, Jaccard-verified, greater id drops
+    val sh2 = sh1.join(conOk.select("doc_id"), "doc_id").localCheckpoint()
+    val sig = sh2.select(col("doc_id") +: mhCols: _*)
+    val cand = graft.operators.BandedLsh.cappedPairs(
+      minhashLshInput(sig), nBands = 2, maxHamming = None)
+    val ndrop = cand
+      .join(sh2.select(col("doc_id").as("doc1"), col("sh").as("sha")), "doc1")
+      .join(sh2.select(col("doc_id").as("doc2"), col("sh").as("shb")), "doc2")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .filter(col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")) >= 0.5)
+      .select(col("doc2").as("doc_id")).distinct()
+    val ndOk = conOk.join(ndrop, Seq("doc_id"), "left_anti")
+    // semantic: sign-bucket LSH over near-dup survivors' embeddings
+    def dot(a: Column, b: Column) = graft.functions.GraftFunctions.dot_double(a, b)
+    val embN = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .join(ndOk.select(col("doc_id").as("vec_id")), "vec_id")
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bucket", (1 to 8)
+        .map(i => when(element_at(col("v"), i) > 0, 1 << (i - 1)).otherwise(0))
+        .reduce(_ + _))
+      .localCheckpoint()
+    val sdrop = embN.select(col("vec_id").as("vec1"), col("v").as("v1"),
+        col("nrm").as("na"), col("bucket"))
+      .join(embN.select(col("vec_id").as("vec2"), col("v").as("v2"),
+        col("nrm").as("nb"), col("bucket")), "bucket")
+      .filter(col("vec1") < col("vec2"))
+      .filter(dot(col("v1"), col("v2")) / (col("na") * col("nb")) >= 0.2)
+      .select(col("vec2").as("doc_id")).distinct()
+    // provenance: one row per doc, stage = its dropper (or 'kept')
+    val drops =
+      docs.filter(col("n_chars") < 150)
+        .select(col("doc_id"), lit("quality").as("stage"))
+        .unionByName(qualityOk.join(keepEx, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit("exact").as("stage")))
+        .unionByName(contained.select(col("doc_id"), lit("containment").as("stage")))
+        .unionByName(ndrop.select(col("doc_id"), lit("near_dup").as("stage")))
+        .unionByName(sdrop.select(col("doc_id"), lit("semantic").as("stage")))
+    docs.select("doc_id").join(drops.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("kept").as("stage"))
+      .unionByName(drops)
+  }
+
+  /** DuckDB replay of the full precedence chain: every stage's drop set
+    * as a CTE over the previous stage's survivors, the capped MinHash
+    * pair replay over the containment survivors' shingles, and one CASE
+    * per doc naming its dropper. */
+  val corpusPipelineV2Sql: String = {
+    val bucket = (1 to 8)
+      .map(i => s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END")
+      .mkString(" +\n     ")
+    s"""WITH q_ok AS (SELECT doc_id, text FROM documents WHERE n_chars >= 150),
+       |keep_ids AS (SELECT MIN(doc_id) AS doc_id FROM q_ok GROUP BY md5(text)),
+       |ex_ok AS (SELECT q.* FROM q_ok q JOIN keep_ids k USING (doc_id)),
+       |sh0 AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(w) >= 3
+       |      THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |      ELSE []::VARCHAR[] END) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM ex_ok)),
+       |sh1 AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+       |cex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh1),
+       |cdf AS (SELECT s, COUNT(*) AS df FROM cex GROUP BY s),
+       |ckept AS (SELECT cex.* FROM cex JOIN cdf USING (s) WHERE cdf.df <= $JaccardDfCap),
+       |cpr AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.n AS n1, b.n AS n2,
+       |    COUNT(*) AS inter
+       |  FROM ckept a JOIN ckept b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.n, b.n),
+       |contained AS (
+       |  SELECT DISTINCT CASE WHEN n1 <= n2 THEN doc1 ELSE doc2 END AS doc_id
+       |  FROM cpr WHERE CAST(inter AS DOUBLE) / LEAST(n1, n2) >= 0.8),
+       |con_ok AS (SELECT * FROM ex_ok
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contained)),
+       |sh2 AS (SELECT sh1.* FROM sh1 JOIN con_ok USING (doc_id))
+       |${minhashCappedPairsCtesOver("sh2")}
+       |, ndrop AS (
+       |  SELECT DISTINCT p.doc2 AS doc_id FROM pairs p
+       |  JOIN sh2 s1 ON s1.doc_id = p.doc1
+       |  JOIN sh2 s2 ON s2.doc_id = p.doc2
+       |  WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+       |        (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) >= 0.5),
+       |nd_ok AS (SELECT * FROM con_ok
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+       |e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b)) AS nrm,
+       |    ($bucket) AS bucket
+       |  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM nd_ok)),
+       |sdrop AS (
+       |  SELECT DISTINCT b.vec_id AS doc_id
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+       |        / (a.nrm * b.nrm) >= 0.2)
+       |SELECT d.doc_id, CASE
+       |  WHEN d.n_chars < 150 THEN 'quality'
+       |  WHEN d.doc_id NOT IN (SELECT doc_id FROM keep_ids) THEN 'exact'
+       |  WHEN d.doc_id IN (SELECT doc_id FROM contained) THEN 'containment'
+       |  WHEN d.doc_id IN (SELECT doc_id FROM ndrop) THEN 'near_dup'
+       |  WHEN d.doc_id IN (SELECT doc_id FROM sdrop) THEN 'semantic'
+       |  ELSE 'kept' END AS stage
+       |FROM documents d""".stripMargin
+  }
+
   /** In-corpus bigram language-model scoring (the n-gram-LM half of
     * perplexity-style quality filtering — CCNet filters on a KenLM
     * n-gram model the same way; the embedding-classifier half is
@@ -874,6 +1027,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_pipeline" -> corpusPipeline _,
+    "q_corpus_pipeline_v2" -> corpusPipelineV2 _,
     "q_lm_score" -> lmScore _,
     "q_repetition_score" -> repetitionScore _,
     "q_pii_redact" -> piiRedact _,
@@ -895,6 +1049,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q_corpus_pipeline" -> corpusPipelineSql,
+    "q_corpus_pipeline_v2" -> corpusPipelineV2Sql,
     "q_lm_score" -> lmScoreSql,
     "q_repetition_score" -> repetitionScoreSql,
     "q_pii_redact" -> piiRedactSql,
