@@ -40,14 +40,14 @@ object Bpe {
   private val Rounds = 6
   private val VocabSize = 200
 
-  /** (word, n, seg) — the top-`VocabSize` word-count table with initial
+  /** (word, n, seg) — the top-`vocabSize` word-count table with initial
     * character segmentation ("join" → "j o i n"). */
-  private def vocab(docs: DataFrame): DataFrame =
+  private def vocab(docs: DataFrame, vocabSize: Int = VocabSize): DataFrame =
     docs
       .select(explode(split(trim(col("text")), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("word")).limit(VocabSize)
+      .orderBy(col("n").desc, col("word")).limit(vocabSize)
       .withColumn("seg", expr(
         "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')"))
 
@@ -65,10 +65,12 @@ object Bpe {
     bpeMergesOf(s, Tables(s, dir, "documents"))
 
   /** Adjacent-pair counts over a (word, n, seg) table — one explode +
-    * groupBy per round, O(vocab · word_len) rows. Single-symbol words
-    * contribute no pairs; and Spark's sequence(1, 0) would DESCEND,
-    * fabricating a bogus pair, hence the size filter. */
-  private def pairCounts(seg: DataFrame): DataFrame = seg
+    * groupBy, O(vocab · word_len) rows. Single-symbol words contribute
+    * no pairs; and Spark's sequence(1, 0) would DESCEND, fabricating a
+    * bogus pair, hence the size filter. The full-recount form; the
+    * learners call it ONCE to seed the standing pair-count table, then
+    * maintain it by [[applyWithDelta]]. */
+  private[graft] def pairCounts(seg: DataFrame): DataFrame = seg
     .withColumn("syms", split(col("seg"), " "))
     .filter(size(col("syms")) >= 2)
     .select(col("n"), explode(expr(
@@ -77,24 +79,56 @@ object Bpe {
     .select(col("n"), col("p.l").as("l"), col("p.r").as("r"))
     .groupBy("l", "r").agg(sum(col("n")).as("cnt"))
 
+  /** INCREMENTAL pair-count maintenance — apply the (pairwise-disjoint)
+    * selected merges and adjust ONLY the counts of pairs inside words
+    * that actually contain a selected pattern: subtract the affected
+    * words' old pairs, add their new ones. The adjusted table equals a
+    * full recount EXACTLY (integer arithmetic; pairs in unaffected words
+    * are untouched by a merge), so the argmax — and thus every learned
+    * merge — is identical; what changes is the per-round count cost,
+    * which now tracks the AFFECTED words instead of the whole
+    * vocabulary (on a production vocab one merge touches a small
+    * fraction of words — BpeBatchProbe measures the gap at 10×).
+    * Returns the advanced (seg, pairCounts), both checkpointed. */
+  private[graft] def applyWithDelta(seg: DataFrame, pc: DataFrame,
+                                    sel: Seq[(String, String)]): (DataFrame, DataFrame) = {
+    val isAffected = sel.map { case (l, r) =>
+      concat(lit(" "), col("seg"), lit(" ")).contains(lit(s" $l $r ")) }
+      .reduce(_ || _)
+    val folded = sel.foldLeft(col("seg")) { case (c, (l, r)) =>
+      applyMerge(c, l, r) }
+    val aff = seg.filter(isAffected).withColumn("nseg", folded)
+    val delta = pairCounts(
+        aff.select(col("word"), (-col("n")).as("n"), col("seg")))
+      .unionByName(pairCounts(
+        aff.select(col("word"), col("n"), col("nseg").as("seg"))))
+    val npc = pc.unionByName(delta)
+      .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") > 0)
+      .localCheckpoint()
+    (seg.withColumn("seg", folded).localCheckpoint(), npc)
+  }
+
   private[graft] def bpeMergesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     var seg = vocab(docs).localCheckpoint()
+    // standing pair-count table: seeded by ONE full recount, then
+    // delta-maintained — each later round counts only affected words
+    var pc = pairCounts(seg).localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var exhausted = false
     (1 to Rounds).foreach { round =>
       if (!exhausted) {
-      val pairs = pairCounts(seg)
       // ONE-row argmax collect per round (bounded by construction); a
       // corpus whose vocabulary is fully merged before `Rounds` simply
       // stops early (the oracle's empty-round CTEs emit no rows either)
-      pairs.orderBy(col("cnt").desc, col("l"), col("r"))
+      pc.orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect().headOption match {
         case Some(best) =>
           val (l, r, cnt) =
             (best.getString(0), best.getString(1), best.getLong(2))
           merges += ((round.toLong, l, r, l + r, cnt))
-          seg = seg.withColumn("seg", applyMerge(col("seg"), l, r))
-            .localCheckpoint()
+          val adv = applyWithDelta(seg, pc, Seq((l, r)))
+          seg = adv._1; pc = adv._2
         case None => exhausted = true
       }
       }
@@ -131,15 +165,21 @@ object Bpe {
   private[graft] def bpeBatchMergesOf(s: SparkSession, docs: DataFrame,
                                       rounds: Int = BatchRounds,
                                       batchN: Int = BatchN,
-                                      topM: Int = TopM): DataFrame = {
-    var seg = vocab(docs).localCheckpoint()
+                                      topM: Int = TopM,
+                                      incremental: Boolean = true,
+                                      vocabSize: Int = VocabSize): DataFrame = {
+    var seg = vocab(docs, vocabSize).localCheckpoint()
+    // standing pair-count table (incremental mode): one seed recount,
+    // then per-round deltas over affected words only. The recount mode
+    // stays selectable so BpeBatchProbe can measure the gap honestly.
+    var pc = if (incremental) pairCounts(seg).localCheckpoint() else null
     val out = Seq.newBuilder[(Long, Long, String, String, String, Long)]
     var exhausted = false
     (1 to rounds).foreach { round =>
       if (!exhausted) {
         // bounded topM-row collect per round (the batched analog of the
         // sequential learner's one-row argmax)
-        val ranked = pairCounts(seg)
+        val ranked = (if (incremental) pc else pairCounts(seg))
           .orderBy(col("cnt").desc, col("l"), col("r"))
           .limit(topM).collect()
           .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -152,9 +192,14 @@ object Bpe {
           sel.zipWithIndex.foreach { case ((l, r, cnt), k) =>
             out += ((round.toLong, (k + 1).toLong, l, r, l + r, cnt))
           }
-          seg = sel.foldLeft(seg) { case (df, (l, r, _)) =>
-            df.withColumn("seg", applyMerge(col("seg"), l, r))
-          }.localCheckpoint()
+          if (incremental) {
+            val adv = applyWithDelta(seg, pc, sel.map { case (l, r, _) => (l, r) })
+            seg = adv._1; pc = adv._2
+          } else {
+            seg = sel.foldLeft(seg) { case (df, (l, r, _)) =>
+              df.withColumn("seg", applyMerge(col("seg"), l, r))
+            }.localCheckpoint()
+          }
         }
       }
     }

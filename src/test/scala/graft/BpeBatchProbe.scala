@@ -49,6 +49,44 @@ object BpeBatchProbe {
           batchN = n, topM = 50).count())
       println(f"[bpeprobe] batch n=$n%-3d merges=$rows%3d rounds=$rounds dt=$dt%6.2fs rate=${rows / dt}%5.2f merges/s")
     }
+
+    // Recount vs delta-maintained pair counts (r8 VERDICT #7): same
+    // learner, same merges — the only difference is whether each round
+    // re-explodes the whole vocabulary or adjusts only affected words'
+    // pairs. The graded corpus has 31 distinct words (vocab-scale cost
+    // is invisible there), so this arm runs a PRODUCTION-SIZED synthetic
+    // vocabulary: 50k distinct 10-char words, one merge affecting a few
+    // percent of them — the shape where recount is the bottleneck.
+    val bigVocab = spark.range(50000)
+      .select(substring(md5(col("id").cast("string")), 1, 10).as("text"))
+      .localCheckpoint()
+    queries.Bpe.bpeBatchMergesOf(spark, bigVocab, rounds = 1, batchN = 1,
+      vocabSize = 50000).count() // warm
+    val (fullRows, fullDt) = time(
+      queries.Bpe.bpeBatchMergesOf(spark, bigVocab, rounds = 12, batchN = 4,
+        incremental = false, vocabSize = 50000).collect())
+    println(f"[bpeprobe] recount 50k-vocab merges=${fullRows.length}%3d rounds=12 dt=$fullDt%6.2fs")
+    val (incrRows, incrDt) = time(
+      queries.Bpe.bpeBatchMergesOf(spark, bigVocab, rounds = 12, batchN = 4,
+        incremental = true, vocabSize = 50000).collect())
+    println(f"[bpeprobe] delta   50k-vocab merges=${incrRows.length}%3d rounds=12 dt=$incrDt%6.2fs speedup=${fullDt / incrDt}%4.2fx")
+    require(fullRows.map(_.toString).toSeq == incrRows.map(_.toString).toSeq,
+      "recount and delta modes must learn IDENTICAL merges")
+
+    // the trend point: 4x the vocabulary again — recount scales with the
+    // vocab, delta with the affected slice
+    val hugeVocab = spark.range(200000)
+      .select(substring(md5(col("id").cast("string")), 1, 10).as("text"))
+      .localCheckpoint()
+    val (f2, fDt2) = time(
+      queries.Bpe.bpeBatchMergesOf(spark, hugeVocab, rounds = 12, batchN = 4,
+        incremental = false, vocabSize = 200000).collect())
+    val (i2, iDt2) = time(
+      queries.Bpe.bpeBatchMergesOf(spark, hugeVocab, rounds = 12, batchN = 4,
+        incremental = true, vocabSize = 200000).collect())
+    println(f"[bpeprobe] recount 200k-vocab merges=${f2.length}%3d rounds=12 dt=$fDt2%6.2fs")
+    println(f"[bpeprobe] delta   200k-vocab merges=${i2.length}%3d rounds=12 dt=$iDt2%6.2fs speedup=${fDt2 / iDt2}%4.2fx")
+    require(f2.map(_.toString).toSeq == i2.map(_.toString).toSeq)
     spark.stop()
   }
 }

@@ -120,4 +120,29 @@ class BpeSpec extends AnyFunSuite {
     val b = Bpe.bpeMergesOf(spark, docs).collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("delta-maintained pair counts equal a full recount after every merge") {
+    // the incremental-maintenance law behind both learners: subtract the
+    // affected words' old pairs, add their new ones, get EXACTLY the
+    // table a full recount would produce (so the argmax — and every
+    // learned merge — cannot drift)
+    val seg0 = Seq(
+      ("banana", 5L, "b a n a n a"),
+      ("bandana", 3L, "b a n d a n a"),
+      ("cab", 7L, "c a b"),
+      ("zzz", 2L, "z z z")).toDF("word", "n", "seg")
+    def counts(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    var seg = seg0.localCheckpoint()
+    var pc = Bpe.pairCounts(seg).localCheckpoint()
+    for (m <- Seq(("a", "n"), ("an", "a"), ("z", "z"))) {
+      val adv = Bpe.applyWithDelta(seg, pc, Seq(m))
+      seg = adv._1; pc = adv._2
+      assert(counts(pc) == counts(Bpe.pairCounts(seg)),
+        s"delta table diverged after merge $m")
+    }
+    // and a batched (disjoint pair) application maintains the law too
+    val adv = Bpe.applyWithDelta(seg, pc, Seq(("b", "ana"), ("c", "a")))
+    assert(counts(adv._2) == counts(Bpe.pairCounts(adv._1)))
+  }
 }
