@@ -109,11 +109,23 @@ object Bpe {
     (seg.withColumn("seg", folded).localCheckpoint(), npc)
   }
 
+  /** Vocabulary size where delta maintenance starts paying: below it the
+    * recount explode is trivial and the delta path's extra per-round
+    * action/shuffle DOMINATES (measured: the 200-word graded vocab ran
+    * 0.9 s recount vs 1.4 s delta, while 50k/200k-word vocabs ran
+    * 1.16×/1.68× FASTER with deltas — SCALE.md). Both modes learn
+    * bit-identical merges (BpeSpec pins the maintenance law), so the
+    * learner picks by measured cost, like any cost-based physical
+    * planner. */
+  private val DeltaMinVocab = 10000L
+
   private[graft] def bpeMergesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     var seg = vocab(docs).localCheckpoint()
-    // standing pair-count table: seeded by ONE full recount, then
-    // delta-maintained — each later round counts only affected words
-    var pc = pairCounts(seg).localCheckpoint()
+    // standing pair-count table (vocabularies >= DeltaMinVocab): seeded
+    // by ONE full recount, then delta-maintained — each later round
+    // counts only affected words. Small vocabs recount (cheaper there).
+    val useDelta = seg.count() >= DeltaMinVocab
+    var pc = if (useDelta) pairCounts(seg).localCheckpoint() else null
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var exhausted = false
     (1 to Rounds).foreach { round =>
@@ -121,14 +133,19 @@ object Bpe {
       // ONE-row argmax collect per round (bounded by construction); a
       // corpus whose vocabulary is fully merged before `Rounds` simply
       // stops early (the oracle's empty-round CTEs emit no rows either)
-      pc.orderBy(col("cnt").desc, col("l"), col("r"))
+      (if (useDelta) pc else pairCounts(seg))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect().headOption match {
         case Some(best) =>
           val (l, r, cnt) =
             (best.getString(0), best.getString(1), best.getLong(2))
           merges += ((round.toLong, l, r, l + r, cnt))
-          val adv = applyWithDelta(seg, pc, Seq((l, r)))
-          seg = adv._1; pc = adv._2
+          if (useDelta) {
+            val adv = applyWithDelta(seg, pc, Seq((l, r)))
+            seg = adv._1; pc = adv._2
+          } else
+            seg = seg.withColumn("seg", applyMerge(col("seg"), l, r))
+              .localCheckpoint()
         case None => exhausted = true
       }
       }
@@ -169,17 +186,19 @@ object Bpe {
                                       incremental: Boolean = true,
                                       vocabSize: Int = VocabSize): DataFrame = {
     var seg = vocab(docs, vocabSize).localCheckpoint()
-    // standing pair-count table (incremental mode): one seed recount,
-    // then per-round deltas over affected words only. The recount mode
-    // stays selectable so BpeBatchProbe can measure the gap honestly.
-    var pc = if (incremental) pairCounts(seg).localCheckpoint() else null
+    // standing pair-count table (incremental mode, vocab >= the
+    // cost-based threshold): one seed recount, then per-round deltas
+    // over affected words only. `incremental = false` forces recount so
+    // BpeBatchProbe can measure the gap honestly.
+    val useDelta = incremental && seg.count() >= DeltaMinVocab
+    var pc = if (useDelta) pairCounts(seg).localCheckpoint() else null
     val out = Seq.newBuilder[(Long, Long, String, String, String, Long)]
     var exhausted = false
     (1 to rounds).foreach { round =>
       if (!exhausted) {
         // bounded topM-row collect per round (the batched analog of the
         // sequential learner's one-row argmax)
-        val ranked = (if (incremental) pc else pairCounts(seg))
+        val ranked = (if (useDelta) pc else pairCounts(seg))
           .orderBy(col("cnt").desc, col("l"), col("r"))
           .limit(topM).collect()
           .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -192,7 +211,7 @@ object Bpe {
           sel.zipWithIndex.foreach { case ((l, r, cnt), k) =>
             out += ((round.toLong, (k + 1).toLong, l, r, l + r, cnt))
           }
-          if (incremental) {
+          if (useDelta) {
             val adv = applyWithDelta(seg, pc, sel.map { case (l, r, _) => (l, r) })
             seg = adv._1; pc = adv._2
           } else {
