@@ -394,6 +394,52 @@ object MediaDedup {
        |FROM lsh JOIN exacts USING (query_id, media_id), nex
        |GROUP BY nex.n""".stripMargin
 
+  /** Band-bucket PROFILE — the measure-side companion of the
+    * [[BandedLsh]] cap, mirroring what q_cluster_profile is to
+    * q_cell_split: per band of the media signature table, the
+    * keeper-bucket occupancy statistics an operator watches to tune the
+    * cap — bucket count, max/total keeper population, and how many
+    * buckets the production cap would currently drop. Keepers (distinct
+    * signatures), not raw rows: the exact-collapse runs before banding,
+    * so bucket population IS keeper count. All integer aggregates. */
+  def bandProfile(s: SparkSession, dir: String): DataFrame = {
+    val keep = mediaSignatures(mediaOf(s, dir)).select(col("sig")).distinct()
+    keep.select(col("sig"),
+        explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> " +
+          s"struct(b AS band, CAST(shiftright(sig, b * $BandBits) & " +
+          s"${(1 << BandBits) - 1} AS INT) AS bv))")).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .groupBy("band", "bv").agg(count(lit(1)).as("pop"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("pop")).as("max_pop"),
+        sum(col("pop")).as("n_keepers"),
+        sum(when(col("pop") > BandedLsh.BucketCap, 1L).otherwise(0L))
+          .as("n_hot"))
+      .select(col("band").cast("long").as("band"), col("n_buckets"),
+        col("max_pop"), col("n_keepers"), col("n_hot"))
+  }
+
+  /** Replay: distinct signatures, the four band projections, per-bucket
+    * counts, per-band stats with the production cap threshold. */
+  val bandProfileSql: String = {
+    val bands = (0 until Bands)
+      .map(b => s"SELECT $b AS band, (sig >> ${b * BandBits}) & " +
+        s"${(1 << BandBits) - 1} AS bv FROM keep")
+      .mkString("\nUNION ALL\n")
+    s"""$sigChainSql,
+       |keep AS (SELECT DISTINCT sig FROM sig0),
+       |kb AS (
+       |$bands),
+       |bp AS (SELECT band, bv, count(*) AS pop FROM kb GROUP BY band, bv)
+       |SELECT CAST(band AS BIGINT) AS band,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(max(pop) AS BIGINT) AS max_pop,
+       |  CAST(sum(pop) AS BIGINT) AS n_keepers,
+       |  CAST(sum(CASE WHEN pop > ${BandedLsh.BucketCap} THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+       |FROM bp GROUP BY band""".stripMargin
+  }
+
   /** Incremental media dedup, graded end-to-end like q_incremental_dedup:
     * the payloads arrive in TWO batches through a scratch
     * [[graft.similarity.MediaDedupIndex]]; the oracle replays the full
@@ -451,6 +497,7 @@ object MediaDedup {
     "q_frame_overlap" -> frameOverlap _,
     "q_media_search" -> mediaSearch _,
     "q_media_recall" -> mediaRecall _,
+    "q_band_profile" -> bandProfile _,
     "q_media_incremental" -> mediaIncremental _)
 
   val oracles: Map[String, String] = Map(
@@ -459,5 +506,6 @@ object MediaDedup {
     "q_frame_overlap" -> frameOverlapSql,
     "q_media_search" -> mediaSearchSql,
     "q_media_recall" -> mediaRecallSql,
+    "q_band_profile" -> bandProfileSql,
     "q_media_incremental" -> mediaIncrementalSql)
 }

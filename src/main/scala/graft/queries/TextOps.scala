@@ -855,6 +855,11 @@ object TextOps {
       .select(when(col("n1") <= col("n2"), col("doc1")).otherwise(col("doc2"))
         .as("doc_id"))
       .distinct()
+      // each drop set feeds its stage's anti-join AND the final
+      // provenance union, and the stages chain — unmaterialized, the
+      // whole upstream evaluation multiplies per consumer (measured
+      // 7.4 s -> the checkpointed chain; the sets are tiny)
+      .localCheckpoint()
     val conOk = exOk.join(contained, Seq("doc_id"), "left_anti")
     // near-dup: hot-bucket-capped MinHash bands over containment
     // survivors, Jaccard-verified, greater id drops
@@ -869,6 +874,7 @@ object TextOps {
       .filter(col("inter").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("inter")) >= 0.5)
       .select(col("doc2").as("doc_id")).distinct()
+      .localCheckpoint()
     val ndOk = conOk.join(ndrop, Seq("doc_id"), "left_anti")
     // semantic: sign-bucket LSH over near-dup survivors' embeddings
     def dot(a: Column, b: Column) = graft.functions.GraftFunctions.dot_double(a, b)
@@ -887,6 +893,7 @@ object TextOps {
       .filter(col("vec1") < col("vec2"))
       .filter(dot(col("v1"), col("v2")) / (col("na") * col("nb")) >= 0.2)
       .select(col("vec2").as("doc_id")).distinct()
+      .localCheckpoint()
     // provenance: one row per doc, stage = its dropper (or 'kept')
     val drops =
       docs.filter(col("n_chars") < 150)

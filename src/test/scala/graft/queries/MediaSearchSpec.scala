@@ -49,6 +49,23 @@ class MediaSearchSpec extends AnyFunSuite {
       s"rank 1 must be the original $targetId, got ${hits.toSeq}")
   }
 
+  test("search drops hot corpus buckets but keeps cold-band hits") {
+    // corpus: 1500 DISTINCT sigs all sharing band-0 value 5 (and band-3
+    // value 0) — both buckets above BucketCap=1000 — plus one cold doc.
+    // The probe shares ONLY the two hot buckets with the hot family and
+    // one cold band (b1) with the control doc: the capped search must
+    // return the control alone, never the 1500 hot-family rows.
+    val hotFam = (0 until 1500).map(i => (1000L + i, ((i + 1).toLong << 12) | 0x5L))
+    val control = (9000L, (0xABCL << 12) | 0x777L) // b1 = 0xABC, cold
+    val corpusSig = (hotFam :+ control).toDF("doc_id", "sig")
+    val probeSig = Seq((1L, (1L << 30) | (0xABCL << 12) | 0x5L))
+      .toDF("doc_id", "sig") // b0=5 (hot), b1=0xABC (cold), b3=0 (hot)
+    val hits = MediaDedup.searchSigs(probeSig, corpusSig)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(hits == Set(9000L),
+      s"hot buckets must be dropped, cold hits kept: $hits")
+  }
+
   test("the graded corpus-id instance goes through the same verb") {
     // mediaSearch == mediaSearchFor(docs<10, docs>=10) by construction;
     // pin the composition so the graded row cannot drift from the verb
