@@ -213,6 +213,20 @@ class VectorIndex(spark: SparkSession, path: String,
     subFor.map { case (c, (_, _, newId)) => newId -> c }.toMap
   }
 
+  /** Iterate [[splitHotCells]] until the profile is under `cellCap` (a
+    * skewed 2-means can leave one sub-cell still hot — e.g. a dense
+    * mode next to a sparse one splits 290/10) or `maxRounds` is spent.
+    * Each round that splits commits its own generation, so the history
+    * stays audit-able and a crash mid-ladder leaves a served, coherent
+    * artifact. Returns the number of splitting rounds. */
+  def splitUntilBalanced(emb: DataFrame, cellCap: Long,
+                         maxRounds: Int = 8): Int = {
+    var rounds = 0
+    while (rounds < maxRounds && splitHotCells(emb, cellCap).nonEmpty)
+      rounds += 1
+    rounds
+  }
+
   /** Drop all superseded generation dirs (keeping the active one) plus
     * the pre-generation flat layout's model/batch files once a rebuild
     * has superseded them. Time-travel to old generations ends here. */

@@ -102,4 +102,36 @@ class CellSplitSpec extends AnyFunSuite {
       assert(idx.splitHotCells(corpus.toDF("vec_id", "embedding"), cap).isEmpty)
     } finally graft.load.Scratch.rm(tmp)
   }
+
+  test("splitUntilBalanced iterates when one 2-means round leaves a hot sub-cell") {
+    // a dense mode (280 points) right next to a sparse one (20 points):
+    // 2-means first separates the MODES (280/20), leaving the dense
+    // sub-cell still hot — the ladder must keep splitting until the cap
+    // holds, committing one generation per round
+    val r2 = new scala.util.Random(23)
+    def dense: Seq[Double] = Seq.fill(dim)(r2.nextDouble() * 0.05)
+    def sparse: Seq[Double] = Seq.fill(dim)(2.0 + r2.nextDouble() * 2.0)
+    val skewed = (100L until 380L).map(id => (id, dense)) ++
+      (380L until 400L).map(id => (id, sparse))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_split_it").toFile
+    try {
+      // k=1: everything starts in ONE cell, so the ladder's first
+      // 2-means must separate the modes (280/20) and iterate on the
+      // still-hot dense side
+      val idx = new VectorIndex(spark, tmp.getAbsolutePath, k = 1)
+      idx.ingest(skewed.toDF("vec_id", "embedding"))
+      val cap = 150L
+      val profile0 = idx.table.groupBy("cell").count()
+        .collect().map(_.getLong(1))
+      assert(profile0.max > cap, s"need a hot start: ${profile0.toSeq}")
+      val rounds = idx.splitUntilBalanced(
+        skewed.toDF("vec_id", "embedding"), cap)
+      assert(rounds >= 2,
+        s"this construction must need more than one round, took $rounds")
+      val profileN = idx.table.groupBy("cell").count()
+        .collect().map(_.getLong(1))
+      assert(profileN.max <= cap, s"cap must hold: ${profileN.toSeq}")
+      assert(profileN.sum == 300L, "no vectors lost across the ladder")
+    } finally graft.load.Scratch.rm(tmp)
+  }
 }
