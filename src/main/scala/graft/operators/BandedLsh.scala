@@ -72,6 +72,16 @@ object BandedLsh {
     banded.join(hot, Seq("band", "bv"), "left_anti")
   }
 
+  /** The collapse map plus the cold (under-cap) banded keeper rows —
+    * the shared pre-join state of every capped consumer: the pair
+    * families self-join the cold keepers; the search path probes them.
+    * `(collapsed, coldKeepers(gid, sig, band, bv))`. */
+  def collapsedColdKeepers(in: DataFrame, nBands: Int,
+                           bucketCap: Int = BucketCap): (DataFrame, DataFrame) = {
+    val collapsed = collapse(in)
+    (collapsed, dropHot(bandedKeepers(collapsed, nBands), bucketCap))
+  }
+
   /** The collapse map `(doc_id, sig, b*, gid)` plus verified KEEPER pairs
     * `(g1, g2, hamming?)` — the un-expanded form. Group-shaped consumers
     * (connected components) should build edges from these plus the
@@ -80,8 +90,7 @@ object BandedLsh {
     * quadratic within-group pair set. */
   def collapsedPairs(in: DataFrame, nBands: Int, maxHamming: Option[Int],
                      bucketCap: Int = BucketCap): (DataFrame, DataFrame) = {
-    val collapsed = collapse(in)
-    val kept = dropHot(bandedKeepers(collapsed, nBands), bucketCap)
+    val (collapsed, kept) = collapsedColdKeepers(in, nBands, bucketCap)
     val raw = kept.as("a")
       .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -142,10 +151,19 @@ object BandedLsh {
 
   /** Drop-side diagnostic: the (band, value) buckets the cap would drop,
     * with their keeper populations — the observable the cap spec and the
-    * adversarial scale probe assert on. */
+    * adversarial scale probe assert on. Re-runs the collapse; a caller
+    * already holding the collapse map from [[collapsedPairs]] /
+    * [[collapsedColdKeepers]] should use [[hotBucketsOf]] instead of
+    * paying the input lineage (the media decoder pass) twice. */
   def hotBuckets(in: DataFrame, nBands: Int,
                  bucketCap: Int = BucketCap): DataFrame =
-    bandedKeepers(collapse(in), nBands)
+    hotBucketsOf(collapse(in), nBands, bucketCap)
+
+  /** [[hotBuckets]] over an ALREADY-COLLAPSED map — the free form of the
+    * diagnostic next to a pair/search computation. */
+  def hotBucketsOf(collapsed: DataFrame, nBands: Int,
+                   bucketCap: Int = BucketCap): DataFrame =
+    bandedKeepers(collapsed, nBands)
       .groupBy("band", "bv").agg(count(lit(1)).as("pop"))
       .filter(col("pop") > bucketCap)
 }

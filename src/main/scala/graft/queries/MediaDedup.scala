@@ -263,18 +263,11 @@ object MediaDedup {
     * hold — the honest LSH contract. */
   private[graft] def searchSigs(probeSig: DataFrame, corpusSig: DataFrame,
                                 k: Int = SearchK): DataFrame = {
-    val collapsed = corpusSig.select(col("doc_id"), col("sig"))
-      .withColumn("gid", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sig")))
-      .localCheckpoint()
-    val keepers = lshInput(
-      collapsed.filter(col("doc_id") === col("gid")).select("doc_id", "sig"))
-      .select(col("doc_id").as("gid"), col("sig"),
-        posexplode(array((0 until Bands).map(i => col(s"b$i")): _*))
-          .as(Seq("band", "bv")))
-    val hot = keepers.groupBy("band", "bv").agg(count(lit(1)).as("pop"))
-      .filter(col("pop") > BandedLsh.BucketCap).select("band", "bv")
-    val cold = keepers.join(hot, Seq("band", "bv"), "left_anti")
+    // corpus side gets the shared BandedLsh pre-join state: collapse to
+    // keepers, band them, drop over-cap buckets — ONE discipline, not a
+    // re-implementation next to the pair path
+    val (collapsed, cold) = BandedLsh.collapsedColdKeepers(
+      lshInput(corpusSig.select(col("doc_id"), col("sig"))), nBands = Bands)
     val probes = lshInput(probeSig)
       .select(col("doc_id").as("query_id"), col("sig").as("qsig"),
         posexplode(array((0 until Bands).map(i => col(s"b$i")): _*))
@@ -369,7 +362,10 @@ object MediaDedup {
       .localCheckpoint()
     val nExact = exact.count()
     val hits = banded.join(exact, Seq("query_id", "media_id")).count()
-    Seq(math.round(hits.toDouble / nExact * 10000) / 10000.0)
+    // zero-hit and empty-slice cases stay engine/oracle symmetric: one
+    // row always, 0.0 when nothing matches (never NaN, never no-rows)
+    Seq(if (nExact == 0) 0.0
+        else math.round(hits.toDouble / nExact * 10000) / 10000.0)
       .toDF("recall_at_5")
   }
 
@@ -388,11 +384,13 @@ object MediaDedup {
        |       ($sigChainSql SELECT * FROM sig0) c
        |  WHERE q.doc_id < 10 AND c.doc_id >= 10)
        |  WHERE rn <= $SearchK),
-       |nex AS (SELECT count(*) AS n FROM exacts)
-       |SELECT floor(CAST(count(*) AS DOUBLE) / nex.n * 10000 + 0.5)
-       |  / 10000.0 AS recall_at_5
-       |FROM lsh JOIN exacts USING (query_id, media_id), nex
-       |GROUP BY nex.n""".stripMargin
+       |nex AS (SELECT count(*) AS n FROM exacts),
+       |hits AS (SELECT count(*) AS h FROM lsh
+       |  JOIN exacts USING (query_id, media_id))
+       |SELECT CASE WHEN nex.n = 0 THEN 0.0
+       |  ELSE floor(CAST(hits.h AS DOUBLE) / nex.n * 10000 + 0.5) / 10000.0
+       |  END AS recall_at_5
+       |FROM nex, hits""".stripMargin
 
   /** Band-bucket PROFILE — the measure-side companion of the
     * [[BandedLsh]] cap, mirroring what q_cluster_profile is to

@@ -567,9 +567,10 @@ object Quantization {
     * of ceil(1.05 × corpus/k) (tight enough that the graded corpus HAS
     * hot cells — real splits run at every graded SF), then
     * [[graft.similarity.VectorIndex.splitHotCells]]: k=2 Lloyd refit
-    * INSIDE each hot cell, members reassigned cell-locally between the
-    * two sub-centroids (codes untouched — the SQ8 codec never rewrites),
-    * committed as a fresh generation. Output = the post-split profile
+    * INSIDE each hot cell (first-2-distinct init; a cell with no two
+    * distinct vectors is unsplittable and skipped), members reassigned
+    * cell-locally between the two sub-centroids (codes untouched — the
+    * SQ8 codec never rewrites), committed as a fresh generation. Output = the post-split profile
     * (cell, n_vecs, parent_cell), whose oracle replays the per-cell
     * 2-means and reassignment exactly; CellSplitSpec proves unsplit-cell
     * rows byte-identical, recall preserved, and the cap holding after. */
@@ -620,13 +621,19 @@ object Quantization {
        |bc AS (SELECT cell, count(*) AS n FROM idx GROUP BY cell),
        |tot AS (SELECT sum(n) AS t FROM bc),
        |capt AS (SELECT (t * 21 + 159) // 160 AS cap FROM tot),
-       |hot AS (SELECT cell, row_number() OVER (ORDER BY cell) - 1 AS hix
-       |  FROM bc, capt WHERE bc.n > capt.cap),
+       |hot AS (SELECT cell FROM bc, capt WHERE bc.n > capt.cap),
        |hm AS (SELECT i.cell, i.vec_id, i.v FROM idx i JOIN hot USING (cell)),
        |hsamp AS (SELECT cell, vec_id, v, r FROM (
        |  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS r
        |  FROM hm) WHERE r < 2048),
-       |s0 AS (SELECT cell, r AS sub, v AS c FROM hsamp WHERE r < 2),
+       |s00 AS (SELECT cell, rn - 1 AS sub, c FROM (
+       |  SELECT cell, c, row_number() OVER (PARTITION BY cell ORDER BY r0) AS rn
+       |  FROM (SELECT cell, v AS c, min(r) AS r0 FROM hsamp GROUP BY cell, v))
+       |  WHERE rn <= 2),
+       |spl AS (SELECT cell FROM s00 GROUP BY cell HAVING count(*) = 2),
+       |hot2 AS (SELECT s.cell, row_number() OVER (ORDER BY s.cell) - 1 AS hix
+       |  FROM spl s),
+       |s0 AS (SELECT s00.* FROM s00 JOIN spl USING (cell)),
        |${lloydRound(1)},
        |${lloydRound(2)},
        |fd AS (SELECT h.cell, h.vec_id, s.sub, ${sqdSql("h.v", "s.c")} AS dist
@@ -635,8 +642,8 @@ object Quantization {
        |  SELECT *, row_number() OVER (PARTITION BY cell, vec_id ORDER BY dist, sub) AS rn
        |  FROM fd) WHERE rn = 1),
        |remap AS (SELECT fa.vec_id,
-       |  CASE WHEN fa.sub = 0 THEN fa.cell ELSE 8 + hot.hix END AS ncell,
-       |  fa.cell AS parent FROM fa JOIN hot USING (cell)),
+       |  CASE WHEN fa.sub = 0 THEN fa.cell ELSE 8 + hot2.hix END AS ncell,
+       |  fa.cell AS parent FROM fa JOIN hot2 USING (cell)),
        |allrows AS (SELECT i.vec_id,
        |  COALESCE(r.ncell, i.cell) AS cell,
        |  COALESCE(r.parent, i.cell) AS parent

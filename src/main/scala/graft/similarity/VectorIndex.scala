@@ -151,8 +151,10 @@ class VectorIndex(spark: SparkSession, path: String,
   /** Act on coarse-cell imbalance — what the cluster-profile instrument
     * measures: every cell whose population exceeds `cellCap` is SPLIT by
     * a k=2 Lloyd refit INSIDE the cell (first-2048-by-vec_id sample,
-    * first-2 init, [[iters]] rounds — the [[IvfIndex.fitSample]]
-    * discipline cell-locally), its members reassigned between the two
+    * first-2-DISTINCT init, [[iters]] rounds — the
+    * [[IvfIndex.fitSample]] discipline cell-locally; a cell with no two
+    * distinct vectors is geometrically unsplittable and is skipped),
+    * its members reassigned between the two
     * sub-centroids only, and the result committed as a fresh generation.
     * Unsplit cells keep their ids, centroids AND rows byte-identical
     * (the SQ8 codec is untouched — codes never rewrite), so search
@@ -177,36 +179,57 @@ class VectorIndex(spark: SparkSession, path: String,
     val k0 = ivf.centroids.length
     val newCents = scala.collection.mutable.ArrayBuffer(ivf.centroids.toSeq: _*)
     val subFor = scala.collection.mutable.Map.empty[Int, (Array[Double], Array[Double], Int)]
-    hotCells.zipWithIndex.foreach { case (c, i) =>
+    hotCells.foreach { c =>
       val sample = assigned.filter(col("cell") === c)
         .orderBy("vec_id").limit(sampleSize)
         .select("v").as[Seq[Double]].collect().map(_.toArray)
-      var cents = sample.take(2)
-      (0 until iters).foreach { _ =>
-        val sums = Array.fill(cents.length)(new Array[Double](cents.head.length))
-        val counts = new Array[Int](cents.length)
-        sample.foreach { v =>
-          val s = IvfIndex.nearest(v, cents)
-          counts(s) += 1
-          var j = 0
-          while (j < v.length) { sums(s)(j) += v(j); j += 1 }
-        }
-        cents = cents.indices.map(s =>
-          if (counts(s) == 0) cents(s) else sums(s).map(_ / counts(s))).toArray
+      // init = first two DISTINCT sample vectors: identical heads (an
+      // exact-duplicate clump — the dup-heavy normal case) would make a
+      // degenerate 2-means whose second sub-cell can never win a tie,
+      // committing a dead centroid and no progress. A cell with no two
+      // distinct vectors is geometrically unsplittable — SKIP it.
+      val init = {
+        val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+        sample.iterator.takeWhile(_ => seen.size < 2)
+          .foreach(v => seen += v.toSeq)
+        seen.toArray.map(_.toArray)
       }
-      val newId = k0 + i
-      newCents(c) = cents(0)
-      newCents += cents(1)
-      subFor(c) = (cents(0), cents(1), newId)
+      if (init.length == 2) {
+        var cents = init
+        (0 until iters).foreach { _ =>
+          val sums = Array.fill(cents.length)(new Array[Double](cents.head.length))
+          val counts = new Array[Int](cents.length)
+          sample.foreach { v =>
+            val s = IvfIndex.nearest(v, cents)
+            counts(s) += 1
+            var j = 0
+            while (j < v.length) { sums(s)(j) += v(j); j += 1 }
+          }
+          cents = cents.indices.map(s =>
+            if (counts(s) == 0) cents(s) else sums(s).map(_ / counts(s))).toArray
+        }
+        val newId = k0 + subFor.size
+        newCents(c) = cents(0)
+        newCents += cents(1)
+        subFor(c) = (cents(0), cents(1), newId)
+      }
     }
+    // nothing splittable: do NOT commit a junk generation
+    if (subFor.isEmpty) return Map.empty
     val bc = spark.sparkContext.broadcast(subFor.toMap)
-    val recell = udf((cell: Int, v: Seq[Double]) => bc.value.get(cell) match {
-      case Some((a, b, newId)) =>
-        // ties to sub 0 — the row_number (dist, sub) rule
-        if (IvfIndex.nearest(v, Array(a, b)) == 0) cell else newId
-      case None => cell
-    })
-    val rows = t.join(assigned.select(col("vec_id"), col("v")), "vec_id")
+    val recell = udf((cell: Int, v: Seq[Double]) =>
+      if (v == null) cell
+      else bc.value.get(cell) match {
+        case Some((a, b, newId)) =>
+          // ties to sub 0 — the row_number (dist, sub) rule
+          if (IvfIndex.nearest(v, Array(a, b)) == 0) cell else newId
+        case None => cell
+      })
+    // LEFT join: an index row whose vec_id is absent from the supplied
+    // corpus slice keeps its cell and codes verbatim (it just cannot be
+    // reassigned without its vector) — never silently dropped
+    val rows = t.join(assigned.select(col("vec_id"), col("v")),
+        Seq("vec_id"), "left")
       .select(col("vec_id"), recell(col("cell"), col("v")).as("cell"),
         col("sq8_codes"), col("dn"))
     commitGeneration(rows, IvfIndex.Model(newCents.toArray), sq8)
@@ -221,9 +244,20 @@ class VectorIndex(spark: SparkSession, path: String,
     * artifact. Returns the number of splitting rounds. */
   def splitUntilBalanced(emb: DataFrame, cellCap: Long,
                          maxRounds: Int = 8): Int = {
+    def profileOf: Map[Int, Long] = table.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ cells rows
     var rounds = 0
-    while (rounds < maxRounds && splitHotCells(emb, cellCap).nonEmpty)
+    var prev = profileOf
+    while (rounds < maxRounds) {
+      if (prev.values.forall(_ <= cellCap)) return rounds
+      if (splitHotCells(emb, cellCap).isEmpty) return rounds // unsplittable
       rounds += 1
+      val now = profileOf
+      // a committed round that moved nothing (degenerate geometry) must
+      // not be retried — the deterministic outcome would repeat forever
+      if (now == prev) return rounds
+      prev = now
+    }
     rounds
   }
 

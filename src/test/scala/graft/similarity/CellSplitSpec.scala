@@ -103,6 +103,46 @@ class CellSplitSpec extends AnyFunSuite {
     } finally graft.load.Scratch.rm(tmp)
   }
 
+  test("an exact-duplicate clump is unsplittable: no-op, no junk generation") {
+    // 200 identical vectors over the cap: 2-means has no geometry to
+    // split on — splitHotCells must SKIP the cell, return empty, and
+    // commit NOTHING (a degenerate dead-centroid generation per retry
+    // was the failure mode), so splitUntilBalanced terminates at once
+    val clumpVec = Seq.tabulate(dim)(_ * 0.25)
+    val clump = (100L until 300L).map(id => (id, clumpVec))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_split_cl").toFile
+    try {
+      val idx = new VectorIndex(spark, tmp.getAbsolutePath, k = 2)
+      idx.ingest(clump.toDF("vec_id", "embedding"))
+      val pre = rowsOf(idx)
+      assert(idx.splitHotCells(clump.toDF("vec_id", "embedding"), 150L).isEmpty)
+      assert(rowsOf(idx) == pre, "no generation must be committed")
+      assert(idx.splitUntilBalanced(clump.toDF("vec_id", "embedding"), 150L) == 0)
+    } finally graft.load.Scratch.rm(tmp)
+  }
+
+  test("index rows absent from the supplied corpus slice survive a split verbatim") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_split_sl").toFile
+    try {
+      val idx = new VectorIndex(spark, tmp.getAbsolutePath, k = 4)
+      idx.ingest(corpus.toDF("vec_id", "embedding"))
+      val pre = rowsOf(idx)
+      // operator mistake: pass only half the corpus to the split
+      val slice = corpus.filter(_._1 % 2 == 0)
+      val parentOf = idx.splitHotCells(slice.toDF("vec_id", "embedding"), 150L)
+      val post = rowsOf(idx)
+      assert(post.keySet == pre.keySet,
+        "rows missing from the slice must never be dropped")
+      // absent ids keep cell AND codes verbatim; present ids keep codes
+      pre.foreach { case (id, (cell, codes, dn)) =>
+        val (pcell, pcodes, pdn) = post(id)
+        assert(pcodes == codes && pdn == dn)
+        if (id % 2 != 0) assert(pcell == cell, s"absent vec $id moved")
+      }
+      assert(parentOf.nonEmpty)
+    } finally graft.load.Scratch.rm(tmp)
+  }
+
   test("splitUntilBalanced iterates when one 2-means round leaves a hot sub-cell") {
     // a dense mode (280 points) right next to a sparse one (20 points):
     // 2-means first separates the MODES (280/20), leaving the dense
