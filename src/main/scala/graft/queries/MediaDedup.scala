@@ -456,33 +456,59 @@ object MediaDedup {
     }
 
   /** DuckDB replay of the index drop rules over the shared signature
-    * chain. `bandEq(x, a)` is the 4-way 12-bit band-collision predicate;
-    * within-batch droppers range over the POST-EXACT set (non-cascading),
-    * exactly like the engine's acceptance plan. */
+    * chain. `bandEqCold(x, a, hots)` is the 4-way 12-bit band-collision
+    * predicate restricted to COLD buckets — a band disjunct only counts
+    * when its (band, value) bucket is under the production cap in every
+    * named hot set (batch-side pop for within-batch, batch + index pops
+    * for vs-index), exactly like the engine's capped acceptance plan.
+    * Within-batch droppers range over the POST-EXACT set
+    * (non-cascading). */
   val mediaIncrementalSql: String = {
-    def bandEq(x: String, a: String): String = (0 until Bands)
-      .map(b => s"($x.sig >> ${b * BandBits}) & ${(1 << BandBits) - 1} = " +
-        s"($a.sig >> ${b * BandBits}) & ${(1 << BandBits) - 1}")
+    val mask = (1 << BandBits) - 1
+    def bandsOf(t: String): String = (0 until Bands)
+      .map(b => s"SELECT $b AS band, (sig >> ${b * BandBits}) & $mask AS bv FROM $t")
+      .mkString("\nUNION ALL\n")
+    def hotOf(kb: String): String =
+      s"""SELECT band, bv FROM (
+         |  SELECT band, bv, count(*) AS pop FROM $kb GROUP BY band, bv)
+         |  WHERE pop > ${graft.operators.BandedLsh.BucketCap}""".stripMargin
+    def bandEqCold(x: String, a: String, hots: Seq[String]): String = (0 until Bands)
+      .map { b =>
+        val av = s"($a.sig >> ${b * BandBits}) & $mask"
+        val eq = s"($x.sig >> ${b * BandBits}) & $mask = $av"
+        val cold = hots.map(h =>
+          s"NOT EXISTS (SELECT 1 FROM $h WHERE $h.band = $b AND $h.bv = $av)")
+        (eq +: cold).mkString("(", " AND ", ")")
+      }
       .mkString("(", " OR ", ")")
     s"""$sigChainSql,
        |s1 AS (SELECT doc_id, sig FROM sig0 WHERE doc_id < 250),
        |s2 AS (SELECT doc_id, sig FROM sig0 WHERE doc_id >= 250),
        |b1k AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY sig),
        |b1e AS (SELECT s1.* FROM s1 JOIN b1k USING (doc_id)),
+       |kb1 AS (
+       |${bandsOf("b1e")}),
+       |h1 AS (${hotOf("kb1")}),
        |b1s AS (SELECT a.* FROM b1e a WHERE NOT EXISTS (
        |    SELECT 1 FROM b1e x WHERE x.doc_id < a.doc_id
-       |      AND ${bandEq("x", "a")}
+       |      AND ${bandEqCold("x", "a", Seq("h1"))}
        |      AND bit_count(xor(x.sig, a.sig)) <= $MaxHamming)),
        |b2k AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY sig),
        |b2e0 AS (SELECT s2.* FROM s2 JOIN b2k USING (doc_id)),
        |b2e AS (SELECT a.* FROM b2e0 a WHERE NOT EXISTS (
        |    SELECT 1 FROM b1s i WHERE i.sig = a.sig)),
+       |kb2 AS (
+       |${bandsOf("b2e")}),
+       |h2 AS (${hotOf("kb2")}),
+       |kbi AS (
+       |${bandsOf("b1s")}),
+       |hi AS (${hotOf("kbi")}),
        |b2s AS (SELECT a.* FROM b2e a WHERE NOT EXISTS (
        |    SELECT 1 FROM b2e x WHERE x.doc_id < a.doc_id
-       |      AND ${bandEq("x", "a")}
+       |      AND ${bandEqCold("x", "a", Seq("h2"))}
        |      AND bit_count(xor(x.sig, a.sig)) <= $MaxHamming)
        |  AND NOT EXISTS (
-       |    SELECT 1 FROM b1s i WHERE ${bandEq("i", "a")}
+       |    SELECT 1 FROM b1s i WHERE ${bandEqCold("i", "a", Seq("h2", "hi"))}
        |      AND bit_count(xor(i.sig, a.sig)) <= $MaxHamming))
        |SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS arrival_batch FROM b1s
        |UNION ALL

@@ -90,10 +90,16 @@ object DedupIndex {
       .join(batchBands.select("band"), Seq("band"), "left_semi").distinct()
     val vsIndex = batchBands.join(idxBandHits, "band")
       .select("doc_id").distinct()
-    val b = bands(afterExact, "doc1")
-    val withinBatch = b.join(bands(afterExact, "doc2"), "band")
-      .filter(col("doc1") < col("doc2"))
-      .select(col("doc2").as("doc_id")).distinct()
+    // within batch, a full-band match alone IS the drop criterion (no
+    // further verification), so "∃ smaller-id doc sharing a band" is
+    // just "doc_id > min(doc_id) of the bucket" — a window min, linear
+    // output, instead of the band self-join whose output is quadratic in
+    // bucket population on a boilerplate-heavy batch
+    val withinBatch = batchBands
+      .withColumn("mn", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band")))
+      .filter(col("doc_id") > col("mn"))
+      .select("doc_id").distinct()
 
     afterExact
       .join(vsIndex.unionByName(withinBatch).distinct(), Seq("doc_id"), "left_anti")

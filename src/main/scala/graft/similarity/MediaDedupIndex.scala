@@ -15,8 +15,21 @@ import graft.queries.MediaDedup
   * [[MediaDedup.MaxHamming]]). All probes are equi-joins; the index side
   * is semi-filtered by the batch's band values first (the standing-state
   * discipline every index in this repo follows), so the index is scanned
-  * but never shuffled and every downstream join runs against O(batch)
-  * rows.
+  * but never shuffled.
+  *
+  * The banded joins carry the [[graft.operators.BandedLsh]] hot-bucket
+  * discipline: the exact stage collapses identical signatures first
+  * (so bucket population counts DISTINCT signatures), and a (band,
+  * value) bucket whose population exceeds the cap — on the batch side
+  * (within-batch join) or the index side (vs-index join) — is dropped
+  * from near-candidate generation. Without the cap the vs-index join's
+  * output per bucket is batch-pop × INDEX-pop, and the index bucket
+  * grows linearly with everything ever accepted (~N/4096 per band value
+  * on a diverse corpus) — the one shape that would make per-batch
+  * intake cost grow with index age. With it, per-bucket candidates are
+  * ≤ cap², and a row whose only collisions sit in hot buckets is
+  * accepted — the honest LSH contract, same as the batch pair paths;
+  * the DuckDB oracle (q_media_incremental) mirrors the cap exactly.
   *
   * Acceptance is ONE-PASS NON-CASCADING like the text index: a batch row
   * dropped by the near rule still drops larger-id rows it banded with —
@@ -63,8 +76,10 @@ object MediaDedupIndex {
         col("bb.bv").as("bv"))
 
   /** The batch-acceptance dataflow, exposed so PlanSpec can pin its
-    * shape: every join is an equi-join on sig or (band, value). */
-  private[graft] def acceptancePlan(batch: DataFrame, idx: DataFrame): DataFrame = {
+    * shape: every join is an equi-join on sig or (band, value), and both
+    * banded joins run over bucket-capped sides (class doc). */
+  private[graft] def acceptancePlan(batch: DataFrame, idx: DataFrame,
+      bucketCap: Int = graft.operators.BandedLsh.BucketCap): DataFrame = {
     // (a) exact: smallest id per signature within the batch, then drop
     // batch signatures the index already holds (semi-filter the index
     // first — AQE broadcasts the batch's signature list)
@@ -75,12 +90,24 @@ object MediaDedupIndex {
       .join(preExact.select("sig"), Seq("sig"), "left_semi").distinct()
     val afterExact = preExact.join(idxSigHits, Seq("sig"), "left_anti")
 
-    // (b) near: banded candidates, Hamming-verified. Index side is
-    // semi-filtered by the batch's (band, value) pairs before the join.
-    val batchB = banded(afterExact, "media_id")
-    val idxHits = banded(idx, "idx_id")
+    // (b) near: banded candidates, Hamming-verified, over bucket-CAPPED
+    // sides. Batch-side cap: (band, value) buckets with more than
+    // `bucketCap` post-exact batch signatures leave candidate generation
+    // (within-batch AND vs-index probes — one capped batch view).
+    val batchB0 = banded(afterExact, "media_id")
+    val batchHot = batchB0.groupBy("band", "bv").agg(count(lit(1)).as("pop"))
+      .filter(col("pop") > bucketCap).select("band", "bv")
+    val batchB = batchB0.join(batchHot, Seq("band", "bv"), "left_anti")
+    // Index side is semi-filtered by the (capped) batch's (band, value)
+    // pairs, then capped by ITS OWN bucket population — the unbounded
+    // side at scale (the semi keeps every index row of a probed value,
+    // so the count below IS the full index bucket population).
+    val idxHitsAll = banded(idx, "idx_id")
       .join(batchB.select("band", "bv").distinct(), Seq("band", "bv"),
         "left_semi")
+    val idxHot = idxHitsAll.groupBy("band", "bv").agg(count(lit(1)).as("pop"))
+      .filter(col("pop") > bucketCap).select("band", "bv")
+    val idxHits = idxHitsAll.join(idxHot, Seq("band", "bv"), "left_anti")
     val vsIndex = batchB.as("b")
       .join(idxHits.as("i"), Seq("band", "bv"))
       .filter(bit_count(col("b.sig").bitwiseXOR(col("i.sig")))

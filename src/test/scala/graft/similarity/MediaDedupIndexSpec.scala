@@ -62,6 +62,47 @@ class MediaDedupIndexSpec extends AnyFunSuite {
     assert(out == Seq(10L), s"survivors $out — the within-batch rule cascaded")
   }
 
+  test("a hot INDEX bucket is capped out of candidate generation") {
+    // index: six signatures sharing band0 = 0x5; r0's high part differs
+    // from the probe by one bit in EACH of bands 1-3 (ham 3 ≤ 6 — a true
+    // near dup reachable ONLY through band0); the other five are ≥ 8 bits
+    // away. Uncapped, the probe drops vs r0. With the band0 bucket over
+    // cap, its only candidate path is gone and the probe is ACCEPTED —
+    // the honest LSH contract under the cap.
+    val aHigh = 1L | (1L << 12) | (1L << 24)
+    val probe = (aHigh << 12) | 0x5L
+    val r0 = 0x5L // high = 0: shares only band0 with the probe
+    val far = Seq(0x7fL, 0xfeL, 0x1fcL, 0x3f8L, 0x7f0L)
+      .map(h => (h << 12) | 0x5L)
+    (far :+ r0).foreach(s => assert(
+      java.lang.Long.bitCount(s ^ probe) <= 6 == (s == r0)))
+    val idx = (far :+ r0).zipWithIndex
+      .map { case (s, i) => (100L + i, s) }.toDF("media_id", "sig")
+    val batch = Seq((500L, probe)).toDF("media_id", "sig")
+    def survivors(cap: Int) = MediaDedupIndex.acceptancePlan(batch, idx, cap)
+      .select("media_id").as[Long].collect().toSet
+    assert(survivors(1000) == Set.empty[Long], "uncapped: near dup must drop")
+    assert(survivors(4) == Set(500L), "capped hot bucket: probe accepted")
+  }
+
+  test("a hot WITHIN-BATCH bucket is capped out of candidate generation") {
+    // six batch rows share band0 = 0x7: five pairwise-far signatures
+    // (disjoint 7-bit runs, ham 14) plus y = x0 with one bit flipped in
+    // each of bands 1-3 (ham 3, shares ONLY band0 with x0). Uncapped, y
+    // drops vs the smaller-id x0; with the bucket over cap it survives.
+    val xs = (0 until 5).map(j => ((0x7fL << (7 * j)) << 12) | 0x7L)
+    val y = ((0x7fL ^ 1L | (1L << 12) | (1L << 24)) << 12) | 0x7L
+    assert(java.lang.Long.bitCount(xs.head ^ y) == 3)
+    val batch = (xs.zipWithIndex.map { case (s, i) => (20L + i, s) } :+
+      (29L, y)).toDF("media_id", "sig")
+    val empty = Seq.empty[(Long, Long)].toDF("media_id", "sig")
+    def survivors(cap: Int) = MediaDedupIndex.acceptancePlan(batch, empty, cap)
+      .select("media_id").as[Long].collect().toSet
+    val keep5 = (20L until 25L).toSet
+    assert(survivors(1000) == keep5, "uncapped: y drops vs x0")
+    assert(survivors(5) == keep5 + 29L, "capped hot bucket: y accepted")
+  }
+
   test("streaming intake equals direct batch ingests") {
     val rows1 = (0 until 20).map(i => MediaRow(i.toLong, payload(i % 7), "x"))
     val rows2 = (20 until 40).map(i => MediaRow(i.toLong, payload(i % 11), "x"))
