@@ -23,27 +23,46 @@ import org.apache.spark.sql.functions._
   *     output-transparent: expansion emits only true near-dup pairs
   *     (hamming is signature-level, identical across members), never
   *     candidates.
-  *  2. '''Bucket cap''': (band, value) buckets whose KEEPER population
-  *     still exceeds `bucketCap` are dropped from candidate generation —
+  *  2. '''Bucket cap + escalation''': (band, value) buckets whose KEEPER
+  *     population still exceeds `bucketCap` leave candidate generation —
   *     the [[graft.queries.TextOps.JaccardDfCap]] discipline. Post-collapse
   *     a hot bucket means many DISTINCT signatures share a band value;
   *     such a bucket carries little near-dup signal per candidate and is
-  *     exactly the shape that goes quadratic at 100 TB. The cap (default
+  *     exactly the shape that goes quadratic at 100 TB. With
+  *     `escLevels` > 0 a hot bucket is not dropped outright: its rows
+  *     RE-BAND by appending the caller's next escalation key (extra
+  *     signature bits, so the refinement is locality-preserving — near-dup
+  *     signatures mostly share them) and re-test against the cap; only a
+  *     bucket still hot after the final level is dropped, which keeps the
+  *     work bound unconditional while recovering the recall a pure drop
+  *     forfeits on boilerplate-heavy corpora. The cap (default
   *     [[BucketCap]]) sits far above every graded-corpus bucket
   *     (sf0.1 maxima: MinHash 8, SimHash 141, media 306 keepers), so the
   *     graded rows are byte-identical with or without it; the DuckDB
-  *     oracles mirror the cap so the parity holds at ANY scale.
-  *     [[hotBuckets]] is the drop-side diagnostic (spec + probe surface).
+  *     oracles mirror cap AND escalation ([[oracleRefineCtes]]) so the
+  *     parity holds at ANY scale. [[hotBuckets]] is the level-0
+  *     diagnostic (the buckets that escalate — or drop, at escLevels=0);
+  *     the refined pipeline also reports the terminally dropped set.
   *
   * Exact duplicates are therefore found by the collapse (a hash groupBy),
   * and the caps govern only the approximate candidate stage — a within-
   * group pair is emitted regardless of how hot its band buckets are.
   *
-  * Input convention: `(doc_id, sig, b0..b{nBands-1})` — `sig` any
-  * equality-comparable type (a LONG when Hamming verification is wanted),
-  * band columns precomputed by the caller. The input's lineage is
-  * materialized ONCE here (`localCheckpoint`), so an expensive signature
-  * derivation (the media decoder pass) is never re-run by the self-joins.
+  * Input convention: `(doc_id, sig, b0..b{nBands-1}[, e0..e{L-1}])` —
+  * `sig` any equality-comparable type (a LONG when Hamming verification
+  * is wanted), band columns precomputed by the caller, and one escalation
+  * key column per requested level (slices of the signature OUTSIDE the
+  * band's own bits, or they refine nothing for that band). The input's
+  * lineage is materialized ONCE here (`localCheckpoint`), so an expensive
+  * signature derivation (the media decoder pass) is never re-run by the
+  * self-joins.
+  *
+  * The incremental indexes ([[graft.similarity.MediaDedupIndex]],
+  * [[graft.similarity.DedupIndex]]) deliberately stay at escLevels=0:
+  * their band buckets are PERSISTED state keyed by value, and escalation
+  * keys depend on current hotness — a bucket going hot in batch k would
+  * re-key rows landed in batches 1..k-1. Batch paths escalate; intake
+  * caps drop.
   */
 object BandedLsh {
 
@@ -56,30 +75,56 @@ object BandedLsh {
     in.withColumn("gid", min(col("doc_id")).over(Window.partitionBy("sig")))
       .localCheckpoint()
 
-  private def bandedKeepers(collapsed: DataFrame, nBands: Int): DataFrame =
+  private def bandedKeepers(collapsed: DataFrame, nBands: Int,
+                            escLevels: Int = 0): DataFrame =
     collapsed.filter(col("doc_id") === col("gid"))
-      .select(col("gid") +: col("sig") +:
-        (0 until nBands).map(i => col(s"b$i")): _*)
-      .select(col("gid"), col("sig"),
+      .select(Seq(col("gid"), col("sig")) ++
+        (0 until escLevels).map(i => col(s"e$i")) :+
         posexplode(array((0 until nBands).map(i => col(s"b$i")): _*))
-          .as(Seq("band", "bv")))
+          .as(Seq("band", "bv")): _*)
 
-  private def dropHot(banded: DataFrame, bucketCap: Int): DataFrame = {
-    val hot = banded.groupBy("band", "bv").agg(count(lit(1)).as("pop"))
-      .filter(col("pop") > bucketCap).select("band", "bv")
-    // not broadcast-hinted: on a web corpus many buckets can exceed the
-    // cap; AQE picks broadcast when the hot set really is small
-    banded.join(hot, Seq("band", "bv"), "left_anti")
+  /** Iterative hot-bucket refinement. Level 0 tests the raw (band, bv)
+    * buckets against the cap; a hot bucket's rows re-key to
+    * `bv '.' e_k` (decimal string concat — injective, and identical to
+    * the oracle's `|| '.' || CAST(e AS VARCHAR)`) and re-test, up to
+    * `escLevels` rounds; buckets still hot after the last round are
+    * dropped. Returns `(kept rows — the union of every level's cold
+    * buckets, e-columns stripped; terminally dropped (band, bv, pop))`.
+    * escLevels = 0 is the pure cap (the historical drop-and-log mode). */
+  private def refineHot(banded: DataFrame, bucketCap: Int,
+                        escLevels: Int): (DataFrame, DataFrame) = {
+    var cur = if (escLevels > 0)
+      banded.withColumn("bv", col("bv").cast("string")) else banded
+    var kept: DataFrame = null
+    var dropped: DataFrame = null
+    for (k <- 0 to escLevels) {
+      val pop = cur.groupBy("band", "bv").agg(count(lit(1)).as("pop"))
+        .filter(col("pop") > bucketCap)
+      val hot = pop.select("band", "bv")
+      // not broadcast-hinted: on a web corpus many buckets can exceed the
+      // cap; AQE picks broadcast when the hot set really is small
+      val cold = cur.join(hot, Seq("band", "bv"), "left_anti")
+      kept = if (kept == null) cold else kept.unionByName(cold)
+      if (k < escLevels)
+        cur = cur.join(hot, Seq("band", "bv"), "left_semi")
+          .withColumn("bv",
+            concat_ws(".", col("bv"), col(s"e$k").cast("string")))
+      else dropped = pop
+    }
+    ((0 until escLevels).foldLeft(kept)((d, i) => d.drop(s"e$i")), dropped)
   }
 
-  /** The collapse map plus the cold (under-cap) banded keeper rows —
-    * the shared pre-join state of every capped consumer: the pair
-    * families self-join the cold keepers; the search path probes them.
-    * `(collapsed, coldKeepers(gid, sig, band, bv))`. */
+  /** The collapse map plus the cold (under-cap, possibly escalated)
+    * banded keeper rows — the shared pre-join state of every capped
+    * consumer: the pair families self-join the cold keepers; the search
+    * path probes them. `(collapsed, coldKeepers(gid, sig, band, bv))`. */
   def collapsedColdKeepers(in: DataFrame, nBands: Int,
-                           bucketCap: Int = BucketCap): (DataFrame, DataFrame) = {
+                           bucketCap: Int = BucketCap,
+                           escLevels: Int = 0): (DataFrame, DataFrame) = {
     val collapsed = collapse(in)
-    (collapsed, dropHot(bandedKeepers(collapsed, nBands), bucketCap))
+    (collapsed,
+      refineHot(bandedKeepers(collapsed, nBands, escLevels), bucketCap,
+        escLevels)._1)
   }
 
   /** The collapse map `(doc_id, sig, b*, gid)` plus verified KEEPER pairs
@@ -89,8 +134,10 @@ object BandedLsh {
     * identical to the full expanded pair graph, without materializing the
     * quadratic within-group pair set. */
   def collapsedPairs(in: DataFrame, nBands: Int, maxHamming: Option[Int],
-                     bucketCap: Int = BucketCap): (DataFrame, DataFrame) = {
-    val (collapsed, kept) = collapsedColdKeepers(in, nBands, bucketCap)
+                     bucketCap: Int = BucketCap,
+                     escLevels: Int = 0): (DataFrame, DataFrame) = {
+    val (collapsed, kept) =
+      collapsedColdKeepers(in, nBands, bucketCap, escLevels)
     val raw = kept.as("a")
       .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -141,18 +188,21 @@ object BandedLsh {
     within.unionByName(cross)
   }
 
-  /** Full capped near-dup pairs: collapse → cap → banded keeper join →
-    * verify → expand. `(doc1, doc2[, hamming])`. */
+  /** Full capped near-dup pairs: collapse → cap/escalate → banded keeper
+    * join → verify → expand. `(doc1, doc2[, hamming])`. */
   def cappedPairs(in: DataFrame, nBands: Int, maxHamming: Option[Int],
-                  bucketCap: Int = BucketCap): DataFrame = {
-    val (collapsed, kp) = collapsedPairs(in, nBands, maxHamming, bucketCap)
+                  bucketCap: Int = BucketCap,
+                  escLevels: Int = 0): DataFrame = {
+    val (collapsed, kp) =
+      collapsedPairs(in, nBands, maxHamming, bucketCap, escLevels)
     expand(collapsed, kp, maxHamming.isDefined)
   }
 
-  /** Drop-side diagnostic: the (band, value) buckets the cap would drop,
-    * with their keeper populations — the observable the cap spec and the
-    * adversarial scale probe assert on. Re-runs the collapse; a caller
-    * already holding the collapse map from [[collapsedPairs]] /
+  /** Level-0 diagnostic: the (band, value) buckets over the cap BEFORE
+    * any escalation — the set that escalates (or, at escLevels=0, drops)
+    * — with their keeper populations; the observable the cap spec and
+    * the adversarial scale probe assert on. Re-runs the collapse; a
+    * caller already holding the collapse map from [[collapsedPairs]] /
     * [[collapsedColdKeepers]] should use [[hotBucketsOf]] instead of
     * paying the input lineage (the media decoder pass) twice. */
   def hotBuckets(in: DataFrame, nBands: Int,
@@ -166,4 +216,51 @@ object BandedLsh {
     bandedKeepers(collapsed, nBands)
       .groupBy("band", "bv").agg(count(lit(1)).as("pop"))
       .filter(col("pop") > bucketCap)
+
+  /** Terminal-drop diagnostic: the refined (band, value) buckets STILL
+    * hot after every escalation level — the rows the discipline actually
+    * forfeits. Empty at escLevels=0 iff [[hotBuckets]] is. */
+  def droppedBuckets(in: DataFrame, nBands: Int,
+                     bucketCap: Int = BucketCap,
+                     escLevels: Int = 0): DataFrame =
+    refineHot(bandedKeepers(collapse(in), nBands, escLevels), bucketCap,
+      escLevels)._2
+
+  /** DuckDB replay of [[refineHot]], kept next to the engine loop so the
+    * two stay in lock-step. Emits CTEs over a caller-defined
+    * `${p}kb(gid, sig, band, bv, e0..e{L-1})` relation — `bv` must
+    * already be VARCHAR (decimal-rendered, matching Spark's
+    * `cast("string")`) — ending in `${p}kkept(gid, sig, band, bv)`:
+    * level-k cold buckets kept, hot ones re-keyed by
+    * `bv || '.' || CAST(e_k AS VARCHAR)`, still-hot-after-last dropped.
+    * At escLevels=0 this is the historical single-cap CTE. */
+  def oracleRefineCtes(p: String, bucketCap: Int, escLevels: Int): String = {
+    val levels = (0 to escLevels).map { k =>
+      val src = if (k == 0) s"${p}kb" else s"${p}r$k"
+      val cold =
+        s"""${p}c$k AS (
+           |  SELECT x.* FROM $src x JOIN (
+           |    SELECT band, bv FROM $src GROUP BY band, bv
+           |    HAVING COUNT(*) <= $bucketCap
+           |  ) cold USING (band, bv))""".stripMargin
+      val next = if (k < escLevels) {
+        val carry = (k + 1 until escLevels).map(i => s", e$i").mkString
+        s""",
+           |${p}r${k + 1} AS (
+           |  SELECT gid, sig, band,
+           |    bv || '.' || CAST(e$k AS VARCHAR) AS bv$carry
+           |  FROM $src JOIN (
+           |    SELECT band, bv FROM $src GROUP BY band, bv
+           |    HAVING COUNT(*) > $bucketCap
+           |  ) hot USING (band, bv))""".stripMargin
+      } else ""
+      cold + next
+    }.mkString(",\n")
+    val union = (0 to escLevels)
+      .map(k => s"SELECT gid, sig, band, bv FROM ${p}c$k")
+      .mkString("\n  UNION ALL\n  ")
+    s"""$levels,
+       |${p}kkept AS (
+       |  $union)""".stripMargin
+  }
 }

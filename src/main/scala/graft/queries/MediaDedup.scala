@@ -73,16 +73,28 @@ object MediaDedup {
       shiftright(col("sig"), b * BandBits).bitwiseAND(lit((1 << BandBits) - 1))
         .cast("int").as(s"b$b"))
 
-  /** A signature table shaped for [[BandedLsh]]: (doc_id, sig, b0..b3). */
+  /** A signature table shaped for [[BandedLsh]]:
+    * (doc_id, sig, b0..b3, e0, e1). The escalation keys are the top and
+    * bottom 12-bit slices (= bands 3 and 0): a hot bucket of band i
+    * re-keys by bits the bucket does NOT already fix for at least one of
+    * the two levels (band 3's buckets gain nothing from e0 but refine at
+    * e1, and symmetrically for band 0; bands 1–2 refine at either). */
   private def lshInput(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id") +: col("sig") +: bandCols: _*)
+    sig.select(col("doc_id") +: col("sig") +: bandCols :+
+      shiftright(col("sig"), (Bands - 1) * BandBits)
+        .bitwiseAND(lit((1 << BandBits) - 1)).as("e0") :+
+      col("sig").bitwiseAND(lit((1 << BandBits) - 1)).as("e1"): _*)
+
+  private[graft] val EscLevels = 2
 
   /** Near-dup media pairs: (doc1, doc2, hamming ≤ 6) over 48-bit
     * feature-SimHash signatures, candidates from 4 × 12-bit bands with
-    * the [[BandedLsh]] collapse + cap discipline. */
+    * the [[BandedLsh]] collapse + cap-and-escalate discipline (hot
+    * buckets re-key by the [[lshInput]] extra slices; only still-hot
+    * refined buckets drop). */
   def mediaNearDup(s: SparkSession, dir: String): DataFrame =
     BandedLsh.cappedPairs(lshInput(mediaSignatures(mediaOf(s, dir))),
-      nBands = Bands, maxHamming = Some(MaxHamming))
+      nBands = Bands, maxHamming = Some(MaxHamming), escLevels = EscLevels)
 
   /** Shared DuckDB signature chain: hex the payload, enumerate 4-byte
     * windows, md5-vote the distinct ones per bit, sign-assemble the
@@ -109,7 +121,9 @@ object MediaDedup {
 
   /** Keeper-collapse + capped band CTEs over a `(doc_id, sig)` relation
     * named `src`: emits `grp` (sig, gid), `mem` (doc_id, gid, sig) and
-    * `kkept` (gid, sig, band, bv — cold buckets only). */
+    * `kkept` (gid, sig, band, bv — cold buckets only). Drop-mode
+    * (escLevels=0) replay — the search and incremental-intake twins,
+    * whose engine paths keep stable (un-escalated) bucket keys. */
   private def cappedBandCtes(src: String, p: String): String = {
     val cap = BandedLsh.BucketCap
     val bands = (0 until Bands)
@@ -127,13 +141,33 @@ object MediaDedup {
        |  ) cold USING (band, bv))""".stripMargin
   }
 
+  /** The escalating twin of [[cappedBandCtes]] — the batch pair/groups
+    * replay: VARCHAR band values plus the [[lshInput]] escalation slices,
+    * refined through the shared [[BandedLsh.oracleRefineCtes]] ladder. */
+  private def escalatedBandCtes(src: String, p: String): String = {
+    val mask = (1 << BandBits) - 1
+    val bands = (0 until Bands)
+      .map(b => s"SELECT gid, sig, $b AS band, " +
+        s"CAST((sig >> ${b * BandBits}) & $mask AS VARCHAR) AS bv, " +
+        s"(sig >> ${(Bands - 1) * BandBits}) & $mask AS e0, " +
+        s"sig & $mask AS e1 FROM ${p}grp")
+      .mkString("\nUNION ALL\n")
+    s"""${p}grp AS (SELECT sig, MIN(doc_id) AS gid FROM $src GROUP BY sig),
+       |${p}mem AS (SELECT s.doc_id, g.gid, s.sig FROM $src s
+       |  JOIN ${p}grp g ON s.sig = g.sig),
+       |${p}kb AS (
+       |$bands),
+       |${BandedLsh.oracleRefineCtes(p, BandedLsh.BucketCap, EscLevels)}""".stripMargin
+  }
+
   /** DuckDB replay of [[mediaNearDup]]: the shared signature chain, the
-    * keeper collapse + bucket cap, banded keeper join, Hamming verify,
-    * expansion back to member pairs (within-group pairs are hamming-0
-    * exact duplicates and bypass the caps, exactly like the engine). */
+    * keeper collapse + cap-and-escalate refine ladder, banded keeper
+    * join, Hamming verify, expansion back to member pairs (within-group
+    * pairs are hamming-0 exact duplicates and bypass the caps, exactly
+    * like the engine). */
   val mediaNearDupSql: String =
     s"""$sigChainSql,
-       |${cappedBandCtes("sig0", "")},
+       |${escalatedBandCtes("sig0", "")},
        |kp AS (
        |  SELECT DISTINCT a.gid AS g1, b.gid AS g2, a.sig AS s1, b.sig AS s2
        |  FROM kkept a JOIN kkept b
@@ -163,7 +197,7 @@ object MediaDedup {
   def mediaGroups(s: SparkSession, dir: String): DataFrame = {
     val (collapsed, kp) = BandedLsh.collapsedPairs(
       lshInput(mediaSignatures(mediaOf(s, dir))),
-      nBands = Bands, maxHamming = Some(MaxHamming))
+      nBands = Bands, maxHamming = Some(MaxHamming), escLevels = EscLevels)
     val edges = kp.select(col("g1").as("doc1"), col("g2").as("doc2"))
       .unionByName(BandedLsh.starEdges(collapsed))
     val comp = graft.operators.ConnectedComponents(edges)

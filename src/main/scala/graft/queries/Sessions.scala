@@ -171,15 +171,20 @@ object Sessions {
     // Hot-bucket discipline (graft.operators.BandedLsh): identical
     // fingerprints exact-collapse to one keeper before the band join, and
     // a 16-bit band value shared by more than BucketCap distinct
-    // fingerprints is dropped from candidate generation — the single band
-    // has only ~65k buckets, so at 1B docs an unguarded bucket holds
-    // ~15k rows (~10⁸ candidate pairs) before the Hamming filter runs.
-    // The cap sits far above every graded bucket (sf0.1 max: 141
-    // keepers) and the oracle mirrors it.
+    // fingerprints ESCALATES — re-keys by the next 8 fingerprint bits
+    // (24-bit band), then 8 more (32-bit) — with only still-hot refined
+    // buckets dropped. The single band has only ~65k buckets, so at 1B
+    // docs an unguarded bucket holds ~15k rows (~10⁸ candidate pairs)
+    // before the Hamming filter runs; escalation bounds that while
+    // keeping the near-dups that agree on the extra bits. The cap sits
+    // far above every graded bucket (sf0.1 max: 141 keepers) and the
+    // oracle mirrors the full refine ladder.
     graft.operators.BandedLsh.cappedPairs(
       fp.select(col("doc_id"), col("fp").as("sig"),
-        shiftright(col("fp"), 44).as("b0")),
-      nBands = 1, maxHamming = Some(12))
+        shiftright(col("fp"), 44).as("b0"),
+        shiftright(col("fp"), 36).bitwiseAND(lit(0xffL)).as("e0"),
+        shiftright(col("fp"), 28).bitwiseAND(lit(0xffL)).as("e1")),
+      nBands = 1, maxHamming = Some(12), escLevels = 2)
   }
 
   val simhashNearDupSql: String = {
@@ -202,11 +207,9 @@ object Sessions {
        |    GROUP BY doc_id)),
        |grp AS (SELECT fp AS sig, MIN(doc_id) AS gid FROM fp GROUP BY fp),
        |mem AS (SELECT f.doc_id, g.gid FROM fp f JOIN grp g ON f.fp = g.sig),
-       |kb AS (SELECT gid, sig, sig >> 44 AS bv FROM grp),
-       |kkept AS (
-       |  SELECT kb.* FROM kb JOIN (
-       |    SELECT bv FROM kb GROUP BY bv HAVING COUNT(*) <= $cap
-       |  ) cold USING (bv)),
+       |kb AS (SELECT gid, sig, 0 AS band, CAST(sig >> 44 AS VARCHAR) AS bv,
+       |  (sig >> 36) & 255 AS e0, (sig >> 28) & 255 AS e1 FROM grp),
+       |${graft.operators.BandedLsh.oracleRefineCtes("", cap, 2)},
        |kp AS (
        |  SELECT a.gid AS g1, b.gid AS g2,
        |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming

@@ -467,38 +467,53 @@ object TextOps {
   /** The MinHash signature table reduced to the [[graft.operators.BandedLsh]]
     * input convention: full 4-permutation signature as the collapse key,
     * the two 2-row bands as b0/b1 (concat_ws over decimal longs is
-    * injective, so string grouping equals tuple grouping). */
+    * injective, so string grouping equals tuple grouping), and the
+    * escalation keys e0=mh2 / e1=mh1 — each band's hot buckets widen by
+    * a minhash row the band does NOT already share (band 0 fixes
+    * mh0/mh1, so +mh2 refines it to a 3-row band; band 1 fixes mh2/mh3,
+    * so the e0 re-key is a no-op for it and +mh1 at the next level does
+    * the refining). */
   private[graft] def minhashLshInput(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
       concat_ws("_", col("mh0"), col("mh1"), col("mh2"), col("mh3")).as("sig"),
       concat_ws("_", col("mh0"), col("mh1")).as("b0"),
-      concat_ws("_", col("mh2"), col("mh3")).as("b1"))
+      concat_ws("_", col("mh2"), col("mh3")).as("b1"),
+      col("mh2").as("e0"), col("mh1").as("e1"))
+
+  private[graft] val MinhashEscLevels = 2
 
   /** MinHash-LSH candidate pairs: 2 bands × 2 rows — docs agreeing on a
     * whole band land in the same bucket and pair up (union over bands).
     * Hot-bucket disciplined ([[graft.operators.BandedLsh]]): identical
     * full signatures exact-collapse to one keeper before banding, and
     * (band, value) buckets above [[graft.operators.BandedLsh.BucketCap]]
-    * keepers are dropped — so candidate generation stays bucket-local
-    * AND bucket-bounded on a duplicate-heavy corpus. The cap sits far
-    * above every graded bucket (sf0.1 max: 8 keepers) and is mirrored in
-    * the oracle. */
+    * keepers ESCALATE — re-band to 3-row bands by the other band's
+    * minhash rows ([[minhashLshInput]]) — with only still-hot refined
+    * buckets dropped, so candidate generation stays bucket-local AND
+    * bucket-bounded on a duplicate-heavy corpus without forfeiting the
+    * tight near-dups inside a hot bucket. The cap sits far above every
+    * graded bucket (sf0.1 max: 8 keepers) and the oracle mirrors the
+    * full refine ladder. */
   def minhashBandPairs(s: SparkSession, dir: String): DataFrame =
     graft.operators.BandedLsh.cappedPairs(
       minhashLshInput(minhashSignature(s, dir)), nBands = 2,
-      maxHamming = None)
+      maxHamming = None, escLevels = MinhashEscLevels)
 
   /** The capped-pair replay shared by [[minhashBandPairsSql]] and the
     * groups oracle: exact-collapse on the 4-tuple signature, keeper-level
-    * band buckets capped at [[graft.operators.BandedLsh.BucketCap]],
-    * keeper pairs expanded back to member pairs (within-group pairs
-    * bypass the caps, exactly like the engine). */
+    * band buckets refined through the [[graft.operators.BandedLsh]]
+    * cap-and-escalate ladder (the shared
+    * [[graft.operators.BandedLsh.oracleRefineCtes]] replay), keeper
+    * pairs expanded back to member pairs (within-group pairs bypass the
+    * caps, exactly like the engine). */
   private def minhashCappedPairsCtes: String = minhashCappedPairsCtesOver("sh")
 
   /** Same capped-pair replay over an arbitrary (doc_id, sh) relation —
     * the v2 pipeline bands the CONTAINMENT SURVIVORS' shingles. */
   private def minhashCappedPairsCtesOver(src: String): String = {
     val cap = graft.operators.BandedLsh.BucketCap
+    val sigStr = "CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || " +
+      "'_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)"
     s"""
        |, sig AS (
        |  SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
@@ -511,13 +526,15 @@ object TextOps {
        |  SELECT s.doc_id, g.gid FROM sig s JOIN grp g
        |  ON s.mh0 = g.mh0 AND s.mh1 = g.mh1 AND s.mh2 = g.mh2 AND s.mh3 = g.mh3)
        |, kb AS (
-       |  SELECT gid, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bv FROM grp
+       |  SELECT gid, $sigStr AS sig,
+       |    0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bv,
+       |    mh2 AS e0, mh1 AS e1 FROM grp
        |  UNION ALL
-       |  SELECT gid, 1 AS band, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bv FROM grp)
-       |, kkept AS (
-       |  SELECT kb.* FROM kb JOIN (
-       |    SELECT band, bv FROM kb GROUP BY band, bv HAVING COUNT(*) <= $cap
-       |  ) cold USING (band, bv))
+       |  SELECT gid, $sigStr AS sig,
+       |    1 AS band, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bv,
+       |    mh2 AS e0, mh1 AS e1 FROM grp)
+       |, ${graft.operators.BandedLsh.oracleRefineCtes("", cap,
+             MinhashEscLevels)}
        |, kp AS (
        |  SELECT DISTINCT a.gid AS g1, b.gid AS g2
        |  FROM kkept a JOIN kkept b
@@ -547,7 +564,7 @@ object TextOps {
     // group_id = component min) are identical by construction.
     val (collapsed, kp) = graft.operators.BandedLsh.collapsedPairs(
       minhashLshInput(minhashSignature(s, dir)), nBands = 2,
-      maxHamming = None)
+      maxHamming = None, escLevels = MinhashEscLevels)
     val edges = kp.select(col("g1").as("doc1"), col("g2").as("doc2"))
       .unionByName(graft.operators.BandedLsh.starEdges(collapsed))
     val comp = graft.operators.ConnectedComponents(edges)
@@ -866,7 +883,8 @@ object TextOps {
     val sh2 = sh1.join(conOk.select("doc_id"), "doc_id").localCheckpoint()
     val sig = sh2.select(col("doc_id") +: mhCols: _*)
     val cand = graft.operators.BandedLsh.cappedPairs(
-      minhashLshInput(sig), nBands = 2, maxHamming = None)
+      minhashLshInput(sig), nBands = 2, maxHamming = None,
+      escLevels = MinhashEscLevels)
     val ndrop = cand
       .join(sh2.select(col("doc_id").as("doc1"), col("sh").as("sha")), "doc1")
       .join(sh2.select(col("doc_id").as("doc2"), col("sh").as("shb")), "doc2")

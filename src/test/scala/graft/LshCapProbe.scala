@@ -92,6 +92,51 @@ object LshCapProbe {
     val big = comp.groupBy("component").count().agg(max("count")).head.getLong(0)
     println(f"[lshcap] groups    largest-component=$big%6d dt=$dtCc%6.2fs")
     require(big >= boiler.toLong, s"boiler component: $big")
+
+    // ── Scenario 2: escalation recall recovery ────────────────────────
+    // A templated corpus where every true near-dup pair agrees ONLY on
+    // HOT bands: 200 templates × 50 variants sig = (t<<36)|(v<<24)|0x5,
+    // so b0=5 (pop 10.1k), b1=0 (pop 10k), each b2=v (pop ~300) and
+    // b3=t (pop ~51) all exceed cap=20. 100 planted near-dups flip one
+    // b1 bit (hamming 1): the b1 buckets differ, every agreeing band is
+    // hot — pure drop-mode forfeits ALL of them. Escalation (media
+    // geometry: e0 = the b3 slice, e1 = the b0 slice) re-keys the hot
+    // b2 buckets by template and goes cold at pop ≈ 2, recovering every
+    // planted pair with the work bound intact.
+    val nT = 200; val nV = 50; val planted = 100
+    val fam = spark.range(nT.toLong * nV).select(col("id").as("doc_id"),
+      (shiftleft((col("id") / nV).cast("long"), 36)
+        .bitwiseOR(shiftleft(col("id") % nV, 24)).bitwiseOR(lit(0x5L)))
+        .as("sig"))
+    val dups = spark.range(planted).select((col("id") + 20000L).as("doc_id"),
+      (shiftleft(col("id"), 36).bitwiseOR(lit(7L << 24))
+        .bitwiseOR(lit(0x5L)).bitwiseXOR(lit(1L << 13))).as("sig"))
+    val esIn = fam.unionByName(dups).select(col("doc_id") +: col("sig") +:
+      ((0 until 4).map(b => shiftright(col("sig"), b * 12)
+        .bitwiseAND(lit(0xfff)).cast("int").as(s"b$b")) ++
+        Seq(shiftright(col("sig"), 36).bitwiseAND(lit(0xfff)).as("e0"),
+          col("sig").bitwiseAND(lit(0xfff)).as("e1"))): _*)
+      .localCheckpoint()
+    val want = (0 until planted)
+      .map(j => (j.toLong * nV + 7, 20000L + j)).toSet
+    def plantedRecall(pairs: DataFrame): Int = {
+      val got = pairs.select("doc1", "doc2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      want.count(p => got.contains(p) || got.contains(p.swap))
+    }
+    val (dropN, dtDrop) = time {
+      plantedRecall(BandedLsh.cappedPairs(esIn, 4, Some(6), bucketCap = 20))
+    }
+    val (escN, dtEsc) = time {
+      plantedRecall(BandedLsh.cappedPairs(esIn, 4, Some(6), bucketCap = 20,
+        escLevels = 2))
+    }
+    val term = BandedLsh.droppedBuckets(esIn, 4, 20, escLevels = 2).count()
+    println(f"[lshcap] recall    planted=$planted drop-mode=$dropN " +
+      f"escalated=$escN terminal-drops=$term dt=$dtDrop%5.2f/$dtEsc%5.2fs")
+    require(dropN == 0, s"drop-mode should forfeit hot-band-only pairs: $dropN")
+    require(escN == planted,
+      s"escalation must recover every planted pair: $escN/$planted")
     spark.stop()
   }
 }

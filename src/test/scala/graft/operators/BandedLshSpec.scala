@@ -75,6 +75,65 @@ class BandedLshSpec extends AnyFunSuite {
     assert(uncapped == naive(rows, 60))
   }
 
+  // Escalation variant of the band geometry: e0 = bits 12-23 (band 0's
+  // co-slice), e1 = bits 0-11 — locality-preserving extra signature bits.
+  private def inEsc(rows: Seq[(Long, Long)]): DataFrame =
+    rows.toDF("doc_id", "sig")
+      .select(col("doc_id"), col("sig"),
+        shiftright(col("sig"), 12).bitwiseAND(lit(0xfff)).cast("int").as("b0"),
+        col("sig").bitwiseAND(lit(0xfff)).cast("int").as("b1"),
+        shiftright(col("sig"), 24).bitwiseAND(lit(0xfff)).cast("int").as("e0"),
+        col("sig").bitwiseAND(lit(0xfff)).cast("int").as("e1"))
+
+  test("a hot bucket escalates by extra signature bits instead of dropping") {
+    // 30 distinct sigs share band b1 value 0x5 AND bits 24-35 differ, so
+    // the level-1 re-key by e0 splits the hot bucket into singletons —
+    // EXCEPT two genuine near-dups that also agree on e0 and meet again
+    // in the refined bucket. Pure drop-mode forfeits that pair.
+    val hot = (0 until 30).map(i => (i + 1L, ((i + 1L) << 24) | 0x5L))
+    val nd = Seq((200L, (7L << 24) | (0xA0L << 12) | 0x5L),
+      (201L, (7L << 24) | (0xA1L << 12) | 0x5L)) // e0 = 7 (matches doc 7's slice)
+    val rows = hot ++ nd
+    val dropped = pairSet(BandedLsh.cappedPairs(in(rows), 2, Some(60), 10))
+    assert(!dropped.exists(p => p._1 == 200L && p._2 == 201L),
+      "drop-mode forfeits the near-dup hidden in the hot bucket")
+    val esc = pairSet(BandedLsh.cappedPairs(inEsc(rows), 2, Some(60), 10,
+      escLevels = 2))
+    assert(esc.exists(p => p._1 == 200L && p._2 == 201L),
+      s"escalation must recover the in-bucket near-dup, got $esc")
+    // the bound still holds: no refined bucket exceeds the cap, and the
+    // candidate volume stays far below the hot bucket's C(32,2)
+    assert(esc.size < 32 * 31 / 2 / 4, s"escalated pairs must stay bounded: ${esc.size}")
+    // terminal-drop diagnostic is empty — every refined bucket went cold
+    assert(BandedLsh.droppedBuckets(inEsc(rows), 2, 10, escLevels = 2).isEmpty)
+  }
+
+  test("a bucket still hot after every escalation level is dropped") {
+    // 40 distinct sigs share band b1 = 0x5, e0 = 0x1, e1 = 0x5 (e1 equals
+    // b1's slice, a no-op re-key) — the refine ladder can never split
+    // them, so the terminal drop must engage and emit zero pairs.
+    val rows = (0 until 40).map(i =>
+      (i + 1L, ((i + 1L) << 36) | (0x1L << 24) | 0x5L))
+    val esc = pairSet(BandedLsh.cappedPairs(inEsc(rows), 2, Some(60), 10,
+      escLevels = 2))
+    // band b0 buckets are singletons (bits 12-23 all zero... b0 = 0 for
+    // all — also one hot bucket, escalated by e0 = 1 (no-op) then e1
+    // (no-op): both bands' buckets terminally drop
+    assert(esc.isEmpty, s"still-hot refined buckets must drop, got $esc")
+    val d = BandedLsh.droppedBuckets(inEsc(rows), 2, 10, escLevels = 2)
+      .collect()
+    assert(d.length == 2 && d.forall(_.getAs[Long]("pop") == 40L),
+      s"terminal-drop diagnostic must report both buckets: ${d.toSeq}")
+  }
+
+  test("escalation is output-transparent when no bucket is hot") {
+    val rnd = new scala.util.Random(11)
+    val base = (1L to 60L).map(i => (i, rnd.nextLong() & 0xFFFFFFFFFL))
+    val rows = base ++ Seq((301L, base(5)._2), (302L, base(5)._2 ^ 1L))
+    assert(pairSet(BandedLsh.cappedPairs(inEsc(rows), 2, Some(8), 1000,
+      escLevels = 2)) == naive(rows, 8))
+  }
+
   test("capped pairs equal the naive banded join on a mixed corpus below cap") {
     val rnd = new scala.util.Random(7)
     val base = (1L to 80L).map(i => (i, rnd.nextLong() & 0xFFFFFFL))
