@@ -90,26 +90,47 @@ object BandedLsh {
     * `escLevels` rounds; buckets still hot after the last round are
     * dropped. Returns `(kept rows — the union of every level's cold
     * buckets, e-columns stripped; terminally dropped (band, bv, pop))`.
-    * escLevels = 0 is the pure cap (the historical drop-and-log mode). */
+    * escLevels = 0 is the pure cap (the historical drop-and-log mode,
+    * a single lazy plan).
+    *
+    * With escLevels > 0 each level's hot set is materialized
+    * (`localCheckpoint` — it holds only over-cap buckets, O(hot)) and
+    * checked eagerly: an EMPTY hot set keeps every remaining row with no
+    * anti-join at all and ends the ladder — so at production caps, where
+    * no bucket is hot, the escalating families pay one small aggregate
+    * instead of `escLevels + 1` join rounds, and when buckets ARE hot
+    * the checkpointed set feeds the anti-join, the semi-join and the
+    * terminal-drop diagnostic without recomputing the aggregate. Output
+    * is identical either way (the union of cold buckets), so the
+    * declarative oracle replay ([[oracleRefineCtes]]) is unaffected. */
   private def refineHot(banded: DataFrame, bucketCap: Int,
                         escLevels: Int): (DataFrame, DataFrame) = {
     var cur = if (escLevels > 0)
       banded.withColumn("bv", col("bv").cast("string")) else banded
     var kept: DataFrame = null
     var dropped: DataFrame = null
-    for (k <- 0 to escLevels) {
-      val pop = cur.groupBy("band", "bv").agg(count(lit(1)).as("pop"))
+    var k = 0
+    while (k <= escLevels) {
+      val pop0 = cur.groupBy("band", "bv").agg(count(lit(1)).as("pop"))
         .filter(col("pop") > bucketCap)
-      val hot = pop.select("band", "bv")
-      // not broadcast-hinted: on a web corpus many buckets can exceed the
-      // cap; AQE picks broadcast when the hot set really is small
-      val cold = cur.join(hot, Seq("band", "bv"), "left_anti")
-      kept = if (kept == null) cold else kept.unionByName(cold)
-      if (k < escLevels)
-        cur = cur.join(hot, Seq("band", "bv"), "left_semi")
-          .withColumn("bv",
-            concat_ws(".", col("bv"), col(s"e$k").cast("string")))
-      else dropped = pop
+      val pop = if (escLevels > 0) pop0.localCheckpoint() else pop0
+      if (escLevels > 0 && pop.isEmpty) {
+        kept = if (kept == null) cur else kept.unionByName(cur)
+        dropped = pop
+        k = escLevels + 1
+      } else {
+        val hot = pop.select("band", "bv")
+        // not broadcast-hinted: on a web corpus many buckets can exceed the
+        // cap; AQE picks broadcast when the hot set really is small
+        val cold = cur.join(hot, Seq("band", "bv"), "left_anti")
+        kept = if (kept == null) cold else kept.unionByName(cold)
+        if (k < escLevels)
+          cur = cur.join(hot, Seq("band", "bv"), "left_semi")
+            .withColumn("bv",
+              concat_ws(".", col("bv"), col(s"e$k").cast("string")))
+        else dropped = pop
+        k += 1
+      }
     }
     ((0 until escLevels).foldLeft(kept)((d, i) => d.drop(s"e$i")), dropped)
   }
