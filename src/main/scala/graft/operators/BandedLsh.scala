@@ -57,12 +57,21 @@ import org.apache.spark.sql.functions._
   * signature derivation (the media decoder pass) is never re-run by the
   * self-joins.
   *
-  * The incremental indexes ([[graft.similarity.MediaDedupIndex]],
-  * [[graft.similarity.DedupIndex]]) deliberately stay at escLevels=0:
-  * their band buckets are PERSISTED state keyed by value, and escalation
-  * keys depend on current hotness — a bucket going hot in batch k would
-  * re-key rows landed in batches 1..k-1. Batch paths escalate; intake
-  * caps drop.
+  * The incremental intakes ([[graft.similarity.MediaDedupIndex]],
+  * [[graft.similarity.DedupIndex]]) and the search path deliberately
+  * stay at escLevels=0. Their caps fail CONSERVATIVELY: a row whose
+  * only collisions sit in hot buckets is ACCEPTED (search: a probe
+  * simply sees fewer candidates, guarded by the recall instrument), so
+  * what a capped intake forfeits is dedup recall inside a hot bucket —
+  * a recoverable extra near-dup in the index, never a lost document.
+  * The escalating batch pair families sweep exactly those in a
+  * periodic full-recall pass over the accumulated corpus — the
+  * ingest-fast / compact-thorough split of an LSM store. A probe-time
+  * ladder at intake IS feasible (escalation keys are signature slices,
+  * derivable at any time) but couples every batch's order-dependent
+  * accept decisions to two-sided (batch + index) hotness and buys
+  * recall only where the conservative accept already bounds the cost;
+  * the sweep gets that recall back without it.
   */
 object BandedLsh {
 
