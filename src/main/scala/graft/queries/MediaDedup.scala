@@ -79,7 +79,7 @@ object MediaDedup {
     * re-keys by bits the bucket does NOT already fix for at least one of
     * the two levels (band 3's buckets gain nothing from e0 but refine at
     * e1, and symmetrically for band 0; bands 1–2 refine at either). */
-  private def lshInput(sig: DataFrame): DataFrame =
+  private[graft] def lshInput(sig: DataFrame): DataFrame =
     sig.select(col("doc_id") +: col("sig") +: bandCols :+
       shiftright(col("sig"), (Bands - 1) * BandBits)
         .bitwiseAND(lit((1 << BandBits) - 1)).as("e0") :+
@@ -107,7 +107,7 @@ object MediaDedup {
     val assemble = (0 until Bits)
       .map(b => s"CASE WHEN w$b > 0 THEN ${1L << b}::BIGINT ELSE 0 END")
       .mkString(" + ")
-    s"""WITH pay AS (SELECT doc_id, hex(encode(text)) AS h,
+    s"""WITH RECURSIVE pay AS (SELECT doc_id, hex(encode(text)) AS h,
        |    octet_length(encode(text)) AS len
        |  FROM documents WHERE octet_length(encode(text)) >= 4),
        |win AS (SELECT DISTINCT doc_id, substr(h, 2*i - 1, 8) AS w
@@ -144,7 +144,8 @@ object MediaDedup {
   /** The escalating twin of [[cappedBandCtes]] — the batch pair/groups
     * replay: VARCHAR band values plus the [[lshInput]] escalation slices,
     * refined through the shared [[BandedLsh.oracleRefineCtes]] ladder. */
-  private def escalatedBandCtes(src: String, p: String): String = {
+  private def escalatedBandCtes(src: String, p: String,
+                                cap: Int = BandedLsh.BucketCap): String = {
     val mask = (1 << BandBits) - 1
     val bands = (0 until Bands)
       .map(b => s"SELECT gid, sig, $b AS band, " +
@@ -157,8 +158,32 @@ object MediaDedup {
        |  JOIN ${p}grp g ON s.sig = g.sig),
        |${p}kb AS (
        |$bands),
-       |${BandedLsh.oracleRefineCtes(p, BandedLsh.BucketCap, EscLevels)}""".stripMargin
+       |${BandedLsh.oracleRefineCtes(p, cap, EscLevels)}""".stripMargin
   }
+
+  /** [[escalatedBandCtes]] plus the keeper self-join, Hamming verify and
+    * member expansion — ends in `${p}pairs(doc1, doc2, hamming)`, the
+    * complete capped-pair replay over a `(doc_id, sig)` relation
+    * (within-group pairs are hamming-0 exact duplicates and bypass the
+    * caps, exactly like the engine). */
+  private def escalatedPairCtes(src: String, p: String,
+                                cap: Int = BandedLsh.BucketCap): String =
+    s"""${escalatedBandCtes(src, p, cap)},
+       |${p}kp AS (
+       |  SELECT DISTINCT a.gid AS g1, b.gid AS g2, a.sig AS s1, b.sig AS s2
+       |  FROM ${p}kkept a JOIN ${p}kkept b
+       |  ON a.band = b.band AND a.bv = b.bv AND a.gid < b.gid),
+       |${p}kpv AS (
+       |  SELECT g1, g2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+       |  FROM ${p}kp WHERE bit_count(xor(s1, s2)) <= $MaxHamming),
+       |${p}pairs AS (
+       |  SELECT x.doc_id AS doc1, y.doc_id AS doc2, CAST(0 AS BIGINT) AS hamming
+       |  FROM ${p}mem x JOIN ${p}mem y ON x.gid = y.gid AND x.doc_id < y.doc_id
+       |  UNION ALL
+       |  SELECT LEAST(ma.doc_id, mb.doc_id) AS doc1,
+       |    GREATEST(ma.doc_id, mb.doc_id) AS doc2, v.hamming
+       |  FROM ${p}kpv v JOIN ${p}mem ma ON ma.gid = v.g1
+       |  JOIN ${p}mem mb ON mb.gid = v.g2)""".stripMargin
 
   /** DuckDB replay of [[mediaNearDup]]: the shared signature chain, the
     * keeper collapse + cap-and-escalate refine ladder, banded keeper
@@ -167,20 +192,8 @@ object MediaDedup {
     * like the engine). */
   val mediaNearDupSql: String =
     s"""$sigChainSql,
-       |${escalatedBandCtes("sig0", "")},
-       |kp AS (
-       |  SELECT DISTINCT a.gid AS g1, b.gid AS g2, a.sig AS s1, b.sig AS s2
-       |  FROM kkept a JOIN kkept b
-       |  ON a.band = b.band AND a.bv = b.bv AND a.gid < b.gid),
-       |kpv AS (
-       |  SELECT g1, g2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
-       |  FROM kp WHERE bit_count(xor(s1, s2)) <= $MaxHamming)
-       |SELECT x.doc_id AS doc1, y.doc_id AS doc2, CAST(0 AS BIGINT) AS hamming
-       |FROM mem x JOIN mem y ON x.gid = y.gid AND x.doc_id < y.doc_id
-       |UNION ALL
-       |SELECT LEAST(ma.doc_id, mb.doc_id) AS doc1,
-       |  GREATEST(ma.doc_id, mb.doc_id) AS doc2, kpv.hamming
-       |FROM kpv JOIN mem ma ON ma.gid = kpv.g1 JOIN mem mb ON mb.gid = kpv.g2""".stripMargin
+       |${escalatedPairCtes("sig0", "")}
+       |SELECT doc1, doc2, hamming FROM pairs""".stripMargin
 
   /** Near-dup pairs resolved into duplicate GROUPS with one surviving
     * representative — the media twin of the text family's
@@ -497,7 +510,12 @@ object MediaDedup {
     * for vs-index), exactly like the engine's capped acceptance plan.
     * Within-batch droppers range over the POST-EXACT set
     * (non-cascading). */
-  val mediaIncrementalSql: String = {
+  /** CTE body replaying the two-batch capped intake at `cap` over the
+    * shared `sig0` chain — ends in `b1s` / `b2s`, the per-batch
+    * survivor relations (doc_id, sig). Shared by
+    * [[mediaIncrementalSql]] (production cap) and [[mediaSweepSql]]
+    * (the demo cap, where the caps actually ENGAGE). */
+  private def intakeSurvivorCtes(cap: Int): String = {
     val mask = (1 << BandBits) - 1
     def bandsOf(t: String): String = (0 until Bands)
       .map(b => s"SELECT $b AS band, (sig >> ${b * BandBits}) & $mask AS bv FROM $t")
@@ -505,7 +523,7 @@ object MediaDedup {
     def hotOf(kb: String): String =
       s"""SELECT band, bv FROM (
          |  SELECT band, bv, count(*) AS pop FROM $kb GROUP BY band, bv)
-         |  WHERE pop > ${graft.operators.BandedLsh.BucketCap}""".stripMargin
+         |  WHERE pop > $cap""".stripMargin
     def bandEqCold(x: String, a: String, hots: Seq[String]): String = (0 until Bands)
       .map { b =>
         val av = s"($a.sig >> ${b * BandBits}) & $mask"
@@ -515,8 +533,7 @@ object MediaDedup {
         (eq +: cold).mkString("(", " AND ", ")")
       }
       .mkString("(", " OR ", ")")
-    s"""$sigChainSql,
-       |s1 AS (SELECT doc_id, sig FROM sig0 WHERE doc_id < 250),
+    s"""s1 AS (SELECT doc_id, sig FROM sig0 WHERE doc_id < 250),
        |s2 AS (SELECT doc_id, sig FROM sig0 WHERE doc_id >= 250),
        |b1k AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY sig),
        |b1e AS (SELECT s1.* FROM s1 JOIN b1k USING (doc_id)),
@@ -543,11 +560,71 @@ object MediaDedup {
        |      AND bit_count(xor(x.sig, a.sig)) <= $MaxHamming)
        |  AND NOT EXISTS (
        |    SELECT 1 FROM b1s i WHERE ${bandEqCold("i", "a", Seq("h2", "hi"))}
-       |      AND bit_count(xor(i.sig, a.sig)) <= $MaxHamming))
+       |      AND bit_count(xor(i.sig, a.sig)) <= $MaxHamming))""".stripMargin
+  }
+
+  val mediaIncrementalSql: String =
+    s"""$sigChainSql,
+       |${intakeSurvivorCtes(graft.operators.BandedLsh.BucketCap)}
        |SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS arrival_batch FROM b1s
        |UNION ALL
        |SELECT doc_id AS media_id, CAST(2 AS BIGINT) AS arrival_batch FROM b2s""".stripMargin
-  }
+
+  /** The cap the sweep demo's INTAKE runs at — LOW ON PURPOSE: at the
+    * graded corpus sizes the production [[BandedLsh.BucketCap]] never
+    * engages, so q_media_sweep runs its intake at this cap, making it
+    * the one graded row where hot buckets actually EXIST and the
+    * conservative capped accept really admits near-dups (sf0.01: 11
+    * rows the production-cap intake would have dropped). The SWEEP then
+    * runs at the production cap — the ingest-fast / compact-thorough
+    * split: intake latency is bounded by a tight cap, the periodic
+    * sweep is thorough (its buckets are cold at the corpus the intake
+    * found hot under the tight cap) and evicts what the intake let
+    * through. The oracle replays both stages at their own caps. */
+  private[graft] val SweepDemoCap = 8
+
+  /** Incremental intake then the SWEEP — the full LSM story graded
+    * end-to-end: the q_media_incremental two-batch contract runs at
+    * [[SweepDemoCap]] (hot buckets engage — see the cap's doc), then
+    * [[graft.similarity.MediaDedupIndex.sweep]] at the production cap
+    * evicts every non-keeper member of a near-dup group among the
+    * accepted signatures. Output = post-sweep survivors with their
+    * arrival batch. */
+  def mediaSweep(s: SparkSession, dir: String): DataFrame =
+    graft.load.Scratch.withScratch("graft_media_sweep_q", dir) { tmp =>
+      val idx = new graft.similarity.MediaDedupIndex(s, tmp.getAbsolutePath)
+      val media = mediaOf(s, dir)
+      idx.ingest(media.filter(col("id") < 250), bucketCap = SweepDemoCap)
+      idx.ingest(media.filter(col("id") >= 250), bucketCap = SweepDemoCap)
+      idx.sweep()
+      idx.signatures.select(col("media_id"),
+          when(col("media_id") < 250, 1L).otherwise(2L).as("arrival_batch"))
+        .localCheckpoint()
+    }
+
+  /** Replay: the capped-intake survivors at [[SweepDemoCap]]
+    * ([[intakeSurvivorCtes]]), the escalated capped-pair ladder over
+    * their signatures at the PRODUCTION cap ([[escalatedPairCtes]]),
+    * recursive min-propagation (the groups-oracle discipline), keepers
+    * = nodes equal to their component min. */
+  val mediaSweepSql: String =
+    s"""$sigChainSql,
+       |${intakeSurvivorCtes(SweepDemoCap)},
+       |surv AS MATERIALIZED (SELECT doc_id, sig FROM b1s UNION ALL
+       |         SELECT doc_id, sig FROM b2s),
+       |${escalatedPairCtes("surv", "w")},
+       |edges AS (SELECT doc1 AS ea, doc2 AS eb FROM wpairs
+       |          UNION SELECT doc2, doc1 FROM wpairs),
+       |reach(node, r) AS (
+       |    SELECT ea, ea FROM (SELECT DISTINCT ea FROM edges)
+       |  UNION
+       |    SELECT reach.node, e.eb FROM reach JOIN edges e ON reach.r = e.ea),
+       |comp AS (SELECT node, MIN(r) AS grp FROM reach GROUP BY node)
+       |SELECT s.doc_id AS media_id,
+       |  CASE WHEN s.doc_id < 250 THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(2 AS BIGINT) END AS arrival_batch
+       |FROM surv s LEFT JOIN comp c ON s.doc_id = c.node
+       |WHERE COALESCE(c.grp, s.doc_id) = s.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_neardup" -> mediaNearDup _,
@@ -556,7 +633,8 @@ object MediaDedup {
     "q_media_search" -> mediaSearch _,
     "q_media_recall" -> mediaRecall _,
     "q_band_profile" -> bandProfile _,
-    "q_media_incremental" -> mediaIncremental _)
+    "q_media_incremental" -> mediaIncremental _,
+    "q_media_sweep" -> mediaSweep _)
 
   val oracles: Map[String, String] = Map(
     "q_media_neardup" -> mediaNearDupSql,
@@ -565,5 +643,6 @@ object MediaDedup {
     "q_media_search" -> mediaSearchSql,
     "q_media_recall" -> mediaRecallSql,
     "q_band_profile" -> bandProfileSql,
-    "q_media_incremental" -> mediaIncrementalSql)
+    "q_media_incremental" -> mediaIncrementalSql,
+    "q_media_sweep" -> mediaSweepSql)
 }

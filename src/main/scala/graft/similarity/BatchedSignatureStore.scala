@@ -110,4 +110,26 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
       graft.load.TripletStore.TmpSweepAgeMs)
     batches.length
   }
+
+  /** Replace the store's contents with `rows` (same schema) as ONE
+    * consolidated batch — the eviction write path (a sweep that drops
+    * rows, unlike [[compact]] which only consolidates). Crash-safe by
+    * the same marker protocol: marker first, then the committed
+    * consolidated write (its plan may still READ the old batch dirs —
+    * the target is a different dir, so the scan is safe), then old-dir
+    * removal; a crash after the commit is finished by
+    * [[recoverCompaction]], a crash before it is rolled back. */
+  protected def rewriteAll(rows: DataFrame): Unit = {
+    val root = storageRoot
+    val bs = batches
+    if (bs.nonEmpty) {
+      val next = bs.last + 1
+      java.nio.file.Files.write(pendingMarker.toPath,
+        String.valueOf(next).getBytes("UTF-8"))
+      rows.select(schema.fieldNames.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"${root.getPath}/b=$next")
+      bs.foreach(b => rmTree(new java.io.File(s"${root.getPath}/b=$b")))
+      pendingMarker.delete()
+    }
+  }
 }

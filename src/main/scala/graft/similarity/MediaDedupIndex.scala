@@ -49,20 +49,59 @@ class MediaDedupIndex(spark: SparkSession, path: String)
     * per batch row, ever — accepted rows are never re-decoded. The two
     * side counts (checkpointed batch, parquet index — both cheap) feed
     * the [[MediaDedupIndex.acceptancePlan]] dominance test. */
-  def ingest(media: Dataset[BinaryPipeline.MediaRow]): DedupIndex.IngestStats = {
+  def ingest(media: Dataset[BinaryPipeline.MediaRow],
+             bucketCap: Int = graft.operators.BandedLsh.BucketCap)
+      : DedupIndex.IngestStats = {
     val batch = MediaDedup.mediaSignatures(media)
       .select(col("doc_id").as("media_id"), col("sig"))
       .localCheckpoint()
     val nIn = batch.count()
-    val survivors = acceptancePlan(batch, signatures,
+    val survivors = acceptancePlan(batch, signatures, bucketCap,
       batchRows = Some(nIn), idxRows = Some(size)).localCheckpoint()
     val nAdded = survivors.count()
     append(survivors, nAdded)
     DedupIndex.IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
   }
+
+  /** Escalating full-recall dedup SWEEP over the standing index — the
+    * compact-thorough half of the LSM split in the class doc. The batch
+    * pair discipline (exact-collapse → cap-and-ESCALATE → banded keeper
+    * join → Hamming verify → connected components) runs over the
+    * PERSISTED signatures — no decode: the signatures ARE the state,
+    * and bands/escalation keys are pure functions of them
+    * ([[MediaDedup.lshInput]]). Every non-keeper member of a near-dup
+    * group (keeper = min media_id of the component) is EVICTED and the
+    * survivors are rewritten as one consolidated batch
+    * ([[BatchedSignatureStore.rewriteAll]], compact-grade crash
+    * safety). This recovers the dedup recall the conservative capped
+    * intake deliberately forfeits inside hot buckets — run it on the
+    * compaction cadence. */
+  def sweep(bucketCap: Int = graft.operators.BandedLsh.BucketCap)
+      : MediaDedupIndex.SweepStats = {
+    val nBefore = size
+    val in = MediaDedup.lshInput(
+      signatures.select(col("media_id").as("doc_id"), col("sig")))
+    val (collapsed, kp) = graft.operators.BandedLsh.collapsedPairs(
+      in, nBands = MediaDedup.Bands, maxHamming = Some(MediaDedup.MaxHamming),
+      bucketCap = bucketCap, escLevels = MediaDedup.EscLevels)
+    val edges = kp.select(col("g1").as("doc1"), col("g2").as("doc2"))
+      .unionByName(graft.operators.BandedLsh.starEdges(collapsed))
+    val comp = graft.operators.ConnectedComponents(edges)
+    val sigs = signatures
+    val keep = sigs.join(comp, sigs("media_id") === comp("node"), "left")
+      .filter(coalesce(col("component"), col("media_id")) === col("media_id"))
+      .select(col("media_id"), col("sig"))
+      .localCheckpoint()
+    rewriteAll(keep)
+    val nKept = size
+    MediaDedupIndex.SweepStats(nBefore, nKept, nBefore - nKept)
+  }
 }
 
 object MediaDedupIndex {
+
+  /** Result of a [[MediaDedupIndex.sweep]]. */
+  case class SweepStats(nBefore: Long, nKept: Long, nEvicted: Long)
 
   import org.apache.spark.sql.types._
 
