@@ -57,9 +57,11 @@ import org.apache.spark.sql.functions._
   * signature derivation (the media decoder pass) is never re-run by the
   * self-joins.
   *
-  * The incremental intakes ([[graft.similarity.MediaDedupIndex]],
-  * [[graft.similarity.DedupIndex]]) and the search path deliberately
-  * stay at escLevels=0. Their caps fail CONSERVATIVELY: a row whose
+  * The media intake ([[graft.similarity.MediaDedupIndex]]) and the
+  * search path deliberately stay at escLevels=0 (the text
+  * [[graft.similarity.DedupIndex]] needs no cap at all: its drop rule
+  * is a full-band match — a linear semi-join with no quadratic
+  * candidate stage). Their caps fail CONSERVATIVELY: a row whose
   * only collisions sit in hot buckets is ACCEPTED (search: a probe
   * simply sees fewer candidates, guarded by the recall instrument), so
   * what a capped intake forfeits is dedup recall inside a hot bucket —
