@@ -113,13 +113,21 @@ object BandedLsh {
     * the checkpointed set feeds the anti-join, the semi-join and the
     * terminal-drop diagnostic without recomputing the aggregate. Output
     * is identical either way (the union of cold buckets), so the
-    * declarative oracle replay ([[oracleRefineCtes]]) is unaffected. */
+    * declarative oracle replay ([[oracleRefineCtes]]) is unaffected.
+    *
+    * Returns `(kept, dropped pop, terminal rows)` — the third element is
+    * the ROWS of the terminally hot refined buckets (still keyed by
+    * their refined band/bv; e-columns stripped), the input to
+    * [[collapsedPairs]]'s terminal-star recovery. It shares the
+    * checkpointed last-level hot set, so requesting it adds one lazy
+    * semi-join, nothing else. */
   private def refineHot(banded: DataFrame, bucketCap: Int,
-                        escLevels: Int): (DataFrame, DataFrame) = {
+                        escLevels: Int): (DataFrame, DataFrame, DataFrame) = {
     var cur = if (escLevels > 0)
       banded.withColumn("bv", col("bv").cast("string")) else banded
     var kept: DataFrame = null
     var dropped: DataFrame = null
+    var terminal: DataFrame = null
     var k = 0
     while (k <= escLevels) {
       val pop0 = cur.groupBy("band", "bv").agg(count(lit(1)).as("pop"))
@@ -128,6 +136,7 @@ object BandedLsh {
       if (escLevels > 0 && pop.isEmpty) {
         kept = if (kept == null) cur else kept.unionByName(cur)
         dropped = pop
+        terminal = cur.limit(0)
         k = escLevels + 1
       } else {
         val hot = pop.select("band", "bv")
@@ -139,11 +148,16 @@ object BandedLsh {
           cur = cur.join(hot, Seq("band", "bv"), "left_semi")
             .withColumn("bv",
               concat_ws(".", col("bv"), col(s"e$k").cast("string")))
-        else dropped = pop
+        else {
+          dropped = pop
+          terminal = cur.join(hot, Seq("band", "bv"), "left_semi")
+        }
         k += 1
       }
     }
-    ((0 until escLevels).foldLeft(kept)((d, i) => d.drop(s"e$i")), dropped)
+    def strip(d: DataFrame) =
+      (0 until escLevels).foldLeft(d)((x, i) => x.drop(s"e$i"))
+    (strip(kept), dropped, strip(terminal))
   }
 
   /** The collapse map plus the cold (under-cap, possibly escalated)
@@ -159,23 +173,60 @@ object BandedLsh {
         escLevels)._1)
   }
 
+  /** Hub-star candidate pairs of the terminally hot refined buckets:
+    * (bucket-min keeper, every other keeper in the bucket), with both
+    * sigs carried for verification. Linear in terminal-bucket
+    * population — the recovery mode for NEVER-SPLITTABLE hot buckets
+    * (a genuinely dense near-dup cluster agrees on the escalation bits
+    * too, so the ladder can't split it and drop-mode forfeits the whole
+    * cluster). Verification filters false stars; a verified star edge
+    * feeds connected components, where a tight cluster collapses
+    * transitively through its hub — partial pair recall by design
+    * (member pairs both >= threshold from each other but < threshold
+    * from the hub are missed), full GROUP recall on clusters whose
+    * members are near the hub, at O(bucket) instead of O(bucket²). */
+  private def terminalStarPairs(terminal: DataFrame): DataFrame = {
+    val w = Window.partitionBy("band", "bv")
+    terminal
+      .withColumn("mn", min(struct(col("gid"), col("sig"))).over(w))
+      .filter(col("gid") =!= col("mn.gid"))
+      .select(col("mn.gid").as("g1"), col("gid").as("g2"),
+        col("mn.sig").as("s1"), col("sig").as("s2"))
+  }
+
   /** The collapse map `(doc_id, sig, b*, gid)` plus verified KEEPER pairs
     * `(g1, g2, hamming?)` — the un-expanded form. Group-shaped consumers
     * (connected components) should build edges from these plus the
     * member→keeper star ([[starEdges]]): the component structure is
     * identical to the full expanded pair graph, without materializing the
-    * quadratic within-group pair set. */
+    * quadratic within-group pair set.
+    *
+    * `terminalStar` (the SWEEP mode): terminally hot refined buckets
+    * contribute hub-star candidates ([[terminalStarPairs]]) instead of
+    * dropping outright — still O(bucket) work, recovering group recall
+    * on never-splittable dense clusters. The batch instruments keep
+    * drop-mode (their bound must not depend on cluster geometry); the
+    * periodic sweeps turn the star on, which is what makes the
+    * ingest-fast / compact-thorough split safe on a cluster-heavy
+    * corpus. Oracles mirror the star via
+    * `oracleRefineCtes(terminalStar = true)`. */
   def collapsedPairs(in: DataFrame, nBands: Int, maxHamming: Option[Int],
                      bucketCap: Int = BucketCap,
-                     escLevels: Int = 0): (DataFrame, DataFrame) = {
-    val (collapsed, kept) =
-      collapsedColdKeepers(in, nBands, bucketCap, escLevels)
-    val raw = kept.as("a")
+                     escLevels: Int = 0,
+                     terminalStar: Boolean = false): (DataFrame, DataFrame) = {
+    val collapsed = collapse(in)
+    val (kept, _, terminal) =
+      refineHot(bandedKeepers(collapsed, nBands, escLevels), bucketCap,
+        escLevels)
+    val banded = kept.as("a")
       .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.gid") < col("b.gid"))
       .select(col("a.gid").as("g1"), col("b.gid").as("g2"),
         col("a.sig").as("s1"), col("b.sig").as("s2"))
+    val raw =
+      (if (terminalStar) banded.unionByName(terminalStarPairs(terminal))
+       else banded)
       .distinct()
     val pairs = maxHamming match {
       case Some(h) =>
@@ -265,8 +316,13 @@ object BandedLsh {
     * `cast("string")`) — ending in `${p}kkept(gid, sig, band, bv)`:
     * level-k cold buckets kept, hot ones re-keyed by
     * `bv || '.' || CAST(e_k AS VARCHAR)`, still-hot-after-last dropped.
-    * At escLevels=0 this is the historical single-cap CTE. */
-  def oracleRefineCtes(p: String, bucketCap: Int, escLevels: Int): String = {
+    * At escLevels=0 this is the historical single-cap CTE.
+    * With `terminalStar` it additionally emits
+    * `${p}tstar(g1, g2, s1, s2)` — the hub-star candidates of the
+    * terminally hot buckets ([[terminalStarPairs]]); sweep consumers
+    * UNION it into their candidate relation before verification. */
+  def oracleRefineCtes(p: String, bucketCap: Int, escLevels: Int,
+                       terminalStar: Boolean = false): String = {
     val levels = (0 to escLevels).map { k =>
       val src = if (k == 0) s"${p}kb" else s"${p}r$k"
       val cold =
@@ -291,8 +347,24 @@ object BandedLsh {
     val union = (0 to escLevels)
       .map(k => s"SELECT gid, sig, band, bv FROM ${p}c$k")
       .mkString("\n  UNION ALL\n  ")
+    val star = if (!terminalStar) "" else {
+      val last = if (escLevels == 0) s"${p}kb" else s"${p}r$escLevels"
+      s""",
+         |${p}tr AS (
+         |  SELECT x.* FROM $last x JOIN (
+         |    SELECT band, bv FROM $last GROUP BY band, bv
+         |    HAVING COUNT(*) > $bucketCap
+         |  ) th USING (band, bv)),
+         |${p}tm AS (
+         |  SELECT band, bv, MIN(gid) AS g1 FROM ${p}tr GROUP BY band, bv),
+         |${p}tstar AS (
+         |  SELECT m.g1, x.gid AS g2, h.sig AS s1, x.sig AS s2
+         |  FROM ${p}tr x JOIN ${p}tm m USING (band, bv)
+         |  JOIN ${p}tr h ON h.band = m.band AND h.bv = m.bv AND h.gid = m.g1
+         |  WHERE x.gid <> m.g1)""".stripMargin
+    }
     s"""$levels,
        |${p}kkept AS (
-       |  $union)""".stripMargin
+       |  $union)$star""".stripMargin
   }
 }

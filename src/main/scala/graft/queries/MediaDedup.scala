@@ -145,7 +145,8 @@ object MediaDedup {
     * replay: VARCHAR band values plus the [[lshInput]] escalation slices,
     * refined through the shared [[BandedLsh.oracleRefineCtes]] ladder. */
   private def escalatedBandCtes(src: String, p: String,
-                                cap: Int = BandedLsh.BucketCap): String = {
+                                cap: Int = BandedLsh.BucketCap,
+                                terminalStar: Boolean = false): String = {
     val mask = (1 << BandBits) - 1
     val bands = (0 until Bands)
       .map(b => s"SELECT gid, sig, $b AS band, " +
@@ -158,7 +159,7 @@ object MediaDedup {
        |  JOIN ${p}grp g ON s.sig = g.sig),
        |${p}kb AS (
        |$bands),
-       |${BandedLsh.oracleRefineCtes(p, cap, EscLevels)}""".stripMargin
+       |${BandedLsh.oracleRefineCtes(p, cap, EscLevels, terminalStar)}""".stripMargin
   }
 
   /** [[escalatedBandCtes]] plus the keeper self-join, Hamming verify and
@@ -167,12 +168,15 @@ object MediaDedup {
     * (within-group pairs are hamming-0 exact duplicates and bypass the
     * caps, exactly like the engine). */
   private def escalatedPairCtes(src: String, p: String,
-                                cap: Int = BandedLsh.BucketCap): String =
-    s"""${escalatedBandCtes(src, p, cap)},
+                                cap: Int = BandedLsh.BucketCap,
+                                terminalStar: Boolean = false): String = {
+    val starArm = if (!terminalStar) ""
+      else s"\n  UNION\n  SELECT g1, g2, s1, s2 FROM ${p}tstar"
+    s"""${escalatedBandCtes(src, p, cap, terminalStar)},
        |${p}kp AS (
        |  SELECT DISTINCT a.gid AS g1, b.gid AS g2, a.sig AS s1, b.sig AS s2
        |  FROM ${p}kkept a JOIN ${p}kkept b
-       |  ON a.band = b.band AND a.bv = b.bv AND a.gid < b.gid),
+       |  ON a.band = b.band AND a.bv = b.bv AND a.gid < b.gid$starArm),
        |${p}kpv AS (
        |  SELECT g1, g2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
        |  FROM ${p}kp WHERE bit_count(xor(s1, s2)) <= $MaxHamming),
@@ -184,6 +188,7 @@ object MediaDedup {
        |    GREATEST(ma.doc_id, mb.doc_id) AS doc2, v.hamming
        |  FROM ${p}kpv v JOIN ${p}mem ma ON ma.gid = v.g1
        |  JOIN ${p}mem mb ON mb.gid = v.g2)""".stripMargin
+  }
 
   /** DuckDB replay of [[mediaNearDup]]: the shared signature chain, the
     * keeper collapse + cap-and-escalate refine ladder, banded keeper
@@ -612,7 +617,7 @@ object MediaDedup {
        |${intakeSurvivorCtes(SweepDemoCap)},
        |surv AS MATERIALIZED (SELECT doc_id, sig FROM b1s UNION ALL
        |         SELECT doc_id, sig FROM b2s),
-       |${escalatedPairCtes("surv", "w")},
+       |${escalatedPairCtes("surv", "w", terminalStar = true)},
        |edges AS (SELECT doc1 AS ea, doc2 AS eb FROM wpairs
        |          UNION SELECT doc2, doc1 FROM wpairs),
        |reach(node, r) AS (

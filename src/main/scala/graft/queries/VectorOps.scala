@@ -234,6 +234,161 @@ object VectorOps {
        |WHERE vec_id NOT IN (SELECT vec1 FROM b2drop)""".stripMargin
   }
 
+  /** The intake cap the semantic sweep demo runs at — LOW ON PURPOSE,
+    * the [[graft.queries.MediaDedup]] SweepDemoCap discipline: at the
+    * graded corpus (500 vectors, max bucket occupancy ~8) the
+    * production per-bucket acceptor cap never truncates, so this row
+    * ingests at maxCandidatesPerVector = 6 (per-bucket cap 2), making
+    * it the one graded row where the semantic cap actually ENGAGES —
+    * at sf0.01 the capped intake admits 16 vectors the uncapped rules
+    * would have dropped. The SWEEP then runs at the production cap
+    * (every bucket cold) and evicts the admitted near-dups. */
+  private[graft] val SemanticSweepCap = 6
+
+  /** Capped two-batch semantic intake then the full-recall SWEEP
+    * ([[graft.similarity.SemanticDedupIndex.sweep]]) — the semantic
+    * LSM story (ingest-fast at a hard candidate bound / compact-
+    * thorough on the compaction cadence) graded end-to-end, the
+    * embedding-space twin of q_media_sweep. Output = post-sweep
+    * surviving vec_ids with their arrival batch; the oracle replays
+    * the per-bucket-ranked capped intake, the sweep's escalation
+    * ladder at the production cap, cosine verification and recursive
+    * min-propagation. */
+  def semanticSweep(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    graft.load.Scratch.withScratch("graft_semsweep_q", dir) { tmp =>
+      val idx = new graft.similarity.SemanticDedupIndex(
+        s, tmp.getAbsolutePath, threshold = 0.2,
+        sketch = graft.similarity.SemanticSketch(
+          maxCandidatesPerVector = SemanticSweepCap))
+      idx.ingest(emb.filter(col("vec_id") < 250))
+      idx.ingest(emb.filter(col("vec_id") >= 250))
+      idx.sweep()
+      idx.vectors.select(col("vec_id"),
+        when(col("vec_id") < 250, 1L).otherwise(2L).as("arrival_batch"))
+        .localCheckpoint()
+    }
+  }
+
+  /** DuckDB replay of the capped intake + sweep. Intake: the
+    * [[semanticDedupSql]] drop rules with the per-(band, bucket)
+    * acceptor RANK cap of [[graft.similarity.SemanticDedupIndex
+    * .cappedCandidatePairs]] — acceptors ranked by (vec_id,
+    * from_index), only ranks <= cap form candidates. Sweep: exact-
+    * collapse by vector equality (the vhash precondition documented at
+    * [[semanticDedupSql]]), keeper bands through the
+    * [[graft.operators.BandedLsh.oracleRefineCtes]] ladder at the
+    * production cap with the two extra hyperplane bands (band ids 3,
+    * 4) as escalation keys, cosine-verified keeper pairs + collapse
+    * star edges, recursive min-propagation, keepers = component
+    * minima. The projs CTE derives all five bands; intake uses only
+    * b < 3, matching the engine's three-band sketch. */
+  val semanticSweepSql: String = {
+    val perBucketCap = math.max(1, SemanticSweepCap / 3)
+    def cos(a: String, c: String) =
+      s"""list_reduce(list_transform(range(1, len($a.v) + 1), i -> $a.v[i] * $c.v[i]), (x, y) -> x + y)
+         |        / nullif($a.nrm * $c.nrm, 0) >= 0.2""".stripMargin
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |projs AS (
+       |  SELECT vec_id, tb.b AS b, tj.j AS j,
+       |    list_reduce(list_transform(range(1, len(v) + 1),
+       |      d -> v[d] * (CASE WHEN ('0x' || substr(md5('hp|' || CAST(tb.b AS VARCHAR) || '|' || CAST(tj.j AS VARCHAR) || '|' || CAST(d - 1 AS VARCHAR)), 1, 8))::UBIGINT % 2 = 1 THEN 1.0 ELSE -1.0 END)),
+       |      (a, b) -> a + b) AS proj
+       |  FROM e, range(0, 5) tb(b), range(0, 8) tj(j)),
+       |allb AS (
+       |  SELECT vec_id, b,
+       |    CAST(SUM(CASE WHEN proj > 0 THEN (1 << j) ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM projs GROUP BY vec_id, b),
+       |buckets AS (SELECT * FROM allb WHERE b < 3),
+       |b1 AS (SELECT * FROM e WHERE vec_id < 250),
+       |b2 AS (SELECT * FROM e WHERE vec_id >= 250),
+       |b1x AS (
+       |  SELECT e1.* FROM b1 e1
+       |  JOIN (SELECT v, MIN(vec_id) AS vec_id FROM b1 GROUP BY v) k
+       |    ON e1.vec_id = k.vec_id),
+       |a1 AS (
+       |  SELECT bk.vec_id, bk.b, bk.bucket,
+       |    row_number() OVER (PARTITION BY bk.b, bk.bucket ORDER BY bk.vec_id) AS arn
+       |  FROM buckets bk JOIN b1x USING (vec_id)),
+       |b1cand AS (
+       |  SELECT DISTINCT px.vec_id AS vec1, a.vec_id AS vec2
+       |  FROM b1x px JOIN buckets p ON p.vec_id = px.vec_id
+       |  JOIN a1 a ON a.b = p.b AND a.bucket = p.bucket
+       |    AND a.vec_id < px.vec_id AND a.arn <= $perBucketCap),
+       |b1drop AS (
+       |  SELECT DISTINCT q.vec1 FROM b1cand q
+       |  JOIN e a ON a.vec_id = q.vec1
+       |  JOIN e c ON c.vec_id = q.vec2
+       |  WHERE ${cos("a", "c")}),
+       |b1s AS (SELECT * FROM b1x WHERE vec_id NOT IN (SELECT vec1 FROM b1drop)),
+       |b2x AS (
+       |  SELECT e2.* FROM b2 e2
+       |  JOIN (SELECT v, MIN(vec_id) AS vec_id FROM b2 GROUP BY v) k
+       |    ON e2.vec_id = k.vec_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM b1s s WHERE s.v = e2.v)),
+       |a2 AS (
+       |  SELECT acc.vec_id, acc.from_index, bk.b, bk.bucket,
+       |    row_number() OVER (PARTITION BY bk.b, bk.bucket
+       |      ORDER BY acc.vec_id, acc.from_index) AS arn
+       |  FROM (SELECT vec_id, TRUE AS from_index FROM b1s
+       |        UNION ALL SELECT vec_id, FALSE FROM b2x) acc
+       |  JOIN buckets bk USING (vec_id)),
+       |b2cand AS (
+       |  SELECT DISTINCT px.vec_id AS vec1, a.vec_id AS vec2
+       |  FROM b2x px JOIN buckets p ON p.vec_id = px.vec_id
+       |  JOIN a2 a ON a.b = p.b AND a.bucket = p.bucket
+       |    AND (a.from_index OR a.vec_id < px.vec_id)
+       |    AND a.arn <= $perBucketCap),
+       |b2drop AS (
+       |  SELECT DISTINCT q.vec1 FROM b2cand q
+       |  JOIN e a ON a.vec_id = q.vec1
+       |  JOIN e c ON c.vec_id = q.vec2
+       |  WHERE ${cos("a", "c")}),
+       |b2s AS (SELECT * FROM b2x WHERE vec_id NOT IN (SELECT vec1 FROM b2drop)),
+       |surv AS MATERIALIZED (
+       |  SELECT vec_id, v, nrm FROM b1s UNION ALL SELECT vec_id, v, nrm FROM b2s),
+       |sk AS (SELECT v, MIN(vec_id) AS gid FROM surv GROUP BY v),
+       |scoll AS (SELECT s.vec_id, k.gid FROM surv s JOIN sk k ON s.v = k.v),
+       |swkb AS (
+       |  SELECT c.gid, CAST(c.gid AS VARCHAR) AS sig, ab.b AS band,
+       |    CAST(ab.bucket AS VARCHAR) AS bv, e0.bucket AS e0, e1.bucket AS e1
+       |  FROM scoll c
+       |  JOIN allb ab ON ab.vec_id = c.gid AND ab.b < 3
+       |  JOIN allb e0 ON e0.vec_id = c.gid AND e0.b = 3
+       |  JOIN allb e1 ON e1.vec_id = c.gid AND e1.b = 4
+       |  WHERE c.vec_id = c.gid),
+       |${graft.operators.BandedLsh.oracleRefineCtes("sw",
+          graft.operators.BandedLsh.BucketCap, 2, terminalStar = true)},
+       |swcand AS (
+       |  SELECT DISTINCT a.gid AS g1, b.gid AS g2
+       |  FROM swkkept a JOIN swkkept b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.gid < b.gid
+       |  UNION
+       |  SELECT g1, g2 FROM swtstar),
+       |swpairs AS (
+       |  SELECT q.g1 AS d1, q.g2 AS d2 FROM swcand q
+       |  JOIN e a ON a.vec_id = q.g1
+       |  JOIN e c ON c.vec_id = q.g2
+       |  WHERE ${cos("a", "c")}),
+       |star AS (SELECT gid AS d1, vec_id AS d2 FROM scoll WHERE vec_id <> gid),
+       |alledges AS (SELECT d1, d2 FROM swpairs UNION ALL SELECT d1, d2 FROM star),
+       |edges AS (SELECT d1 AS ea, d2 AS eb FROM alledges
+       |          UNION SELECT d2, d1 FROM alledges),
+       |reach(node, r) AS (
+       |    SELECT ea, ea FROM (SELECT DISTINCT ea FROM edges)
+       |  UNION
+       |    SELECT reach.node, g.eb FROM reach JOIN edges g ON reach.r = g.ea),
+       |comp AS (SELECT node, MIN(r) AS grp FROM reach GROUP BY node)
+       |SELECT s.vec_id,
+       |  CASE WHEN s.vec_id < 250 THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(2 AS BIGINT) END AS arrival_batch
+       |FROM surv s LEFT JOIN comp c ON s.vec_id = c.node
+       |WHERE COALESCE(c.grp, s.vec_id) = s.vec_id""".stripMargin
+  }
+
   /** IVF-probed ANN top-k, HASH-GRADED against a full DuckDB replay of
     * the engine-defined fit ([[annIvfSql]]): the sampled Lloyd fit is
     * deterministic (seed centroids = first k vectors by vec_id, sample
@@ -568,6 +723,7 @@ object VectorOps {
     "q_cosine_topk" -> cosineTopK _,
     "q_embed_neardup" -> embedNearDup _,
     "q_semantic_dedup" -> semanticDedup _,
+    "q_semantic_sweep" -> semanticSweep _,
     "q_sketch_buckets" -> sketchBuckets _,
     "q_multimodal_meta" -> multimodalMeta _,
     "q_ann_ivf" -> annIvf _,
@@ -580,6 +736,7 @@ object VectorOps {
     "q_cosine_topk" -> cosineTopKSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_semantic_dedup" -> semanticDedupSql,
+    "q_semantic_sweep" -> semanticSweepSql,
     "q_sketch_buckets" -> sketchBucketsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_ann_ivf" -> annIvfSql,

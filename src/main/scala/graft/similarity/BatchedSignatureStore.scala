@@ -133,3 +133,12 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     }
   }
 }
+
+object BatchedSignatureStore {
+
+  /** Result of a full-recall dedup SWEEP over a standing index — the
+    * compact-thorough half of the ingest-fast / compact-thorough split
+    * every conservatively-capped intake pairs with
+    * ([[MediaDedupIndex.sweep]], [[SemanticDedupIndex.sweep]]). */
+  case class SweepStats(nBefore: Long, nKept: Long, nEvicted: Long)
+}

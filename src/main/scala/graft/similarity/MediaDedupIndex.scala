@@ -65,7 +65,8 @@ class MediaDedupIndex(spark: SparkSession, path: String)
 
   /** Escalating full-recall dedup SWEEP over the standing index — the
     * compact-thorough half of the LSM split in the class doc. The batch
-    * pair discipline (exact-collapse → cap-and-ESCALATE → banded keeper
+    * pair discipline (exact-collapse → cap-and-ESCALATE, terminally hot
+    * buckets recovered by hub-STAR candidates → banded keeper
     * join → Hamming verify → connected components) runs over the
     * PERSISTED signatures — no decode: the signatures ARE the state,
     * and bands/escalation keys are pure functions of them
@@ -81,9 +82,13 @@ class MediaDedupIndex(spark: SparkSession, path: String)
     val nBefore = size
     val in = MediaDedup.lshInput(
       signatures.select(col("media_id").as("doc_id"), col("sig")))
+    // terminalStar: the sweep is the thorough half — a never-splittable
+    // hot bucket (a dense cluster agreeing on every escalation slice)
+    // contributes hub-star candidates at O(bucket) instead of dropping
     val (collapsed, kp) = graft.operators.BandedLsh.collapsedPairs(
       in, nBands = MediaDedup.Bands, maxHamming = Some(MediaDedup.MaxHamming),
-      bucketCap = bucketCap, escLevels = MediaDedup.EscLevels)
+      bucketCap = bucketCap, escLevels = MediaDedup.EscLevels,
+      terminalStar = true)
     val edges = kp.select(col("g1").as("doc1"), col("g2").as("doc2"))
       .unionByName(graft.operators.BandedLsh.starEdges(collapsed))
     val comp = graft.operators.ConnectedComponents(edges)
@@ -100,8 +105,11 @@ class MediaDedupIndex(spark: SparkSession, path: String)
 
 object MediaDedupIndex {
 
-  /** Result of a [[MediaDedupIndex.sweep]]. */
-  case class SweepStats(nBefore: Long, nKept: Long, nEvicted: Long)
+  /** Result of a [[MediaDedupIndex.sweep]] (shared shape — the semantic
+    * index's sweep reports the same stats). */
+  type SweepStats = BatchedSignatureStore.SweepStats
+  val SweepStats: BatchedSignatureStore.SweepStats.type =
+    BatchedSignatureStore.SweepStats
 
   import org.apache.spark.sql.types._
 

@@ -266,6 +266,84 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
       .unionByName(drops(capped.filter(!col("from_index")), sides(afterExact, "2")))
       .distinct()
   }
+
+  /** Full-recall dedup SWEEP over the standing index — the semantic twin
+    * of [[MediaDedupIndex.sweep]] and the compact-thorough half of this
+    * index's LSM split: [[ingest]]'s per-bucket acceptor cap fails
+    * CONSERVATIVELY (a probe whose true near-dup acceptor ranks past the
+    * cap in a dense bucket is ACCEPTED — an extra near-dup in the index,
+    * never a lost vector), and this pass recovers exactly that forfeited
+    * recall on the compaction cadence. The batch pair discipline runs
+    * over the PERSISTED rows — no re-embedding: vectors, norms and
+    * buckets are all index columns, and the escalation keys are extra
+    * hyperplane bands (band ids [[SemanticSketch.nBands]]..+escLevels-1,
+    * locality-preserving by the same sign-LSH law as the primary bands)
+    * derived from the stored vector. Exact-collapse keys on `vhash`
+    * (ingest guarantees index-wide uniqueness, so groups are singletons
+    * in practice — the collapse is kept for the discipline's shape and
+    * for stores assembled by other writers), a hot (band, bucket) keeper
+    * set escalates through the extra bands, and a TERMINALLY hot bucket
+    * — the never-splittable dense-cluster shape — contributes hub-star
+    * candidates instead of dropping
+    * ([[graft.operators.BandedLsh]]), keeper candidate pairs are
+    * cosine-verified at the index threshold, and every non-keeper member
+    * of a verified component (keeper = min vec_id) is EVICTED; survivors
+    * rewrite as one consolidated batch
+    * ([[BatchedSignatureStore.rewriteAll]], compact-grade crash safety).
+    * On an index built at the PRODUCTION cap the sweep is a no-op by the
+    * one-pass acceptance law: a surviving pair with cosine >= threshold
+    * would have dropped its larger member at its own ingest (the smaller
+    * member is always an acceptor — non-cascading), so verified pairs
+    * only exist where a cap actually truncated (SemanticSweepSpec pins
+    * both directions). */
+  def sweep(bucketCap: Int = graft.operators.BandedLsh.BucketCap,
+            escLevels: Int = 2): BatchedSignatureStore.SweepStats = {
+    val nBefore = size
+    val vecs = vectors.localCheckpoint()
+    val in = sweepLshInput(vecs, escLevels)
+    // terminalStar: a genuinely dense semantic cluster agrees on the
+    // escalation bands too (near-parallel vectors share every sign
+    // projection), so the ladder can never split its bucket — the star
+    // contributes (hub, member) candidates at O(bucket) and the cosine
+    // verify + connected components collapse the cluster transitively
+    val (collapsed, kp) = graft.operators.BandedLsh.collapsedPairs(
+      in, nBands = sketch.nBands, maxHamming = None,
+      bucketCap = bucketCap, escLevels = escLevels, terminalStar = true)
+    val verified = kp
+      .join(vecs.select(col("vec_id").as("g1"), col("v").as("v1"),
+        col("nrm").as("n1")), "g1")
+      .join(vecs.select(col("vec_id").as("g2"), col("v").as("v2"),
+        col("nrm").as("n2")), "g2")
+      .filter(cosine >= threshold)
+      .select(col("g1").as("doc1"), col("g2").as("doc2"))
+    val edges = verified
+      .unionByName(graft.operators.BandedLsh.starEdges(collapsed))
+    val comp = graft.operators.ConnectedComponents(edges)
+    val keep = vecs.join(comp, vecs("vec_id") === comp("node"), "left")
+      .filter(coalesce(col("component"), col("vec_id")) === col("vec_id"))
+      .select(vecSchema.fieldNames.map(col): _*)
+      .localCheckpoint()
+    rewriteAll(keep)
+    val nKept = size
+    BatchedSignatureStore.SweepStats(nBefore, nKept, nBefore - nKept)
+  }
+
+  /** [[graft.operators.BandedLsh]] input over the persisted rows:
+    * (doc_id, sig = vhash, b0..b{nBands-1} from the STORED buckets,
+    * e0..e{L-1} = the next `escLevels` hyperplane bands computed fresh
+    * from the stored vector — same seed stream, band ids continuing past
+    * the primary bands, so they refine with independent sign bits). */
+  private def sweepLshInput(vecs: DataFrame, escLevels: Int): DataFrame = {
+    val allBands = graft.functions.GraftFunctions.hyperplane_buckets(
+      col("v"), sketch.nBands + escLevels, sketch.bitsPerBand, sketch.dim,
+      sketch.seed)
+    vecs.select(
+      col("vec_id").as("doc_id") +: col("vhash").as("sig") +:
+        ((0 until sketch.nBands)
+          .map(i => element_at(col("buckets"), i + 1).as(s"b$i")) ++
+          (0 until escLevels)
+            .map(k => element_at(allBands, sketch.nBands + k + 1).as(s"e$k"))): _*)
+  }
 }
 
 object SemanticDedupIndex {

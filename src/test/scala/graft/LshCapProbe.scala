@@ -137,6 +137,30 @@ object LshCapProbe {
     require(dropN == 0, s"drop-mode should forfeit hot-band-only pairs: $dropN")
     require(escN == planted,
       s"escalation must recover every planted pair: $escN/$planted")
+
+    // ── Scenario 3: terminal-star sweep mode on the same geometry ─────
+    // The never-splittable buckets of scenario 2 (b0/b1 refine chains
+    // whose every escalation slice is constant across the family) drop
+    // in batch mode; the SWEEP mode recovers them as hub-star
+    // candidates. Measure the candidate count — it must stay LINEAR in
+    // terminal-bucket population (sum of pop per refined bucket), far
+    // under the quadratic bucket-local join those buckets would cost —
+    // and planted recall must be unchanged (the star only ADDS).
+    val termPop = BandedLsh.droppedBuckets(esIn, 4, 20, escLevels = 2)
+      .agg(sum("pop")).head.getLong(0)
+    val ((starN, starCand), dtStar) = time {
+      val (collapsed, kp) = BandedLsh.collapsedPairs(esIn, 4, Some(6),
+        bucketCap = 20, escLevels = 2, terminalStar = true)
+      val full = BandedLsh.expand(collapsed, kp, withHamming = true)
+      (plantedRecall(full), kp.count())
+    }
+    println(f"[lshcap] star      terminal-pop=$termPop%7d " +
+      f"verified-keeper-pairs=$starCand%8d recall=$starN dt=$dtStar%5.2fs")
+    require(starN == planted,
+      s"terminal-star must keep every escalated pair: $starN/$planted")
+    require(starCand <= termPop + 10000L,
+      s"star candidates must stay linear in terminal population: " +
+        s"$starCand vs pop $termPop")
     spark.stop()
   }
 }

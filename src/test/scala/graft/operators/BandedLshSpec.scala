@@ -126,6 +126,37 @@ class BandedLshSpec extends AnyFunSuite {
       s"terminal-drop diagnostic must report both buckets: ${d.toSeq}")
   }
 
+  test("terminal-star recovers a never-splittable bucket as hub pairs") {
+    // the terminal-drop geometry above: 40 distinct sigs whose bucket no
+    // escalation level can split. Drop-mode (the batch instruments)
+    // forfeits the whole cluster; the SWEEP mode's hub-star emits
+    // (bucket-min, member) candidates — O(bucket), Hamming-verified.
+    val rows = (0 until 40).map(i =>
+      (i + 1L, ((i + 1L) << 36) | (0x1L << 24) | 0x5L))
+    val (_, kp) = BandedLsh.collapsedPairs(inEsc(rows), 2, Some(60), 10,
+      escLevels = 2, terminalStar = true)
+    val pairs = kp.select("g1", "g2").as[(Long, Long)].collect().toSet
+    assert(pairs == (2L to 40L).map((1L, _)).toSet,
+      s"hub-star must pair the bucket-min with every member, got $pairs")
+    // verification still gates the star: a tight Hamming budget rejects
+    // members whose sig is far from the hub (1 xor 30 = 31, popcount 5
+    // > 4 rejected; 1 xor 2 = 3, popcount 2 verifies)
+    val (_, kpTight) = BandedLsh.collapsedPairs(inEsc(rows), 2, Some(4), 10,
+      escLevels = 2, terminalStar = true)
+    val tight = kpTight.select("g1", "g2").as[(Long, Long)].collect().toSet
+    assert(tight.contains((1L, 2L)) && !tight.contains((1L, 30L)),
+      s"the star is candidates, not verified pairs: $tight")
+    // and the star changes nothing when no bucket is terminally hot
+    val rnd = new scala.util.Random(7)
+    val cold = (1L to 50L).map(i => (i, rnd.nextLong() & 0xFFFFFFFFFL))
+    val (_, kpCold) = BandedLsh.collapsedPairs(inEsc(cold), 2, Some(8), 1000,
+      escLevels = 2, terminalStar = true)
+    val (_, kpNoStar) = BandedLsh.collapsedPairs(inEsc(cold), 2, Some(8), 1000,
+      escLevels = 2)
+    assert(kpCold.select("g1", "g2").as[(Long, Long)].collect().toSet ==
+      kpNoStar.select("g1", "g2").as[(Long, Long)].collect().toSet)
+  }
+
   test("escalation is output-transparent when no bucket is hot") {
     val rnd = new scala.util.Random(11)
     val base = (1L to 60L).map(i => (i, rnd.nextLong() & 0xFFFFFFFFFL))
