@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** The third bench decade — a MEASURED sf1 run of the 15 most expensive
-  * graded queries (r8 idle ranking), converting the "plans survive
-  * 100×" claim from two-decade probe extrapolation to measurement.
+/** The third bench decade — a MEASURED sf1 run of the most expensive
+  * graded queries (the r8 idle top-15 plus the two r9 sweep rows),
+  * converting the "plans survive 100×" claim from two-decade probe
+  * extrapolation to measurement.
   *
   * Prereq: `python3 tools/gen_sf1.py` (10× sf0.1, key-shifted replicas,
   * text verbatim — a duplicate-heavy corpus by construction, the shape
@@ -24,7 +25,13 @@ object BenchSf1 {
     "q_context_match", "q_incremental_dedup", "q_codec_recall",
     "q_media_incremental", "q_version_ttl", "q_semantic_dedup",
     "q_containment", "q_version_compacted", "q_incremental_ann",
-    "q_dedup_groups", "q_version_delta")
+    "q_dedup_groups", "q_version_delta",
+    // the two LSM sweep rows, landed after the original top-15 ranking
+    // and now the two most expensive graded queries: capped intake at
+    // the demo cap + full-recall sweep (escalation ladder and terminal
+    // star ENGAGE on the verbatim-replicated sf1 corpus — the one place
+    // the hot-bucket machinery is exercised at the third decade)
+    "q_media_sweep", "q_semantic_sweep")
 
   def main(args: Array[String]): Unit = {
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
@@ -60,12 +67,13 @@ object BenchSf1 {
     }
     val qs = rows.map { case (q, a, b) =>
       s""""$q":{"sf01":$a,"sf1":$b,"ratio":${b / a}}""" }.mkString(",")
-    val json = s"""{"metric":"sf1_top15","unit":"sec","sf1_dir":"$sf1Dir",""" +
+    val json = s"""{"metric":"sf1_top${Top15.size}","unit":"sec","sf1_dir":"$sf1Dir",""" +
       s""""total_sf01":${rows.map(_._2).sum},"total_sf1":${rows.map(_._3).sum},""" +
       s""""queries":{$qs}}"""
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("tools/bench_sf1_top15.json"), json + "\n")
+      java.nio.file.Paths.get(s"tools/bench_sf1_top${Top15.size}.json"),
+      json + "\n")
     spark.stop()
   }
 }
