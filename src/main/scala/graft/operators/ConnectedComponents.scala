@@ -90,6 +90,13 @@ object ConnectedComponents {
       val next = signature(small)
       converged = next == sig
       sig = next
+      // `small` is eagerly materialized (localCheckpoint), so the
+      // round's `large` intermediate and the superseded edge set are
+      // dead — free their blocks now, or a deep run pins ~2 edge tables
+      // per round in executor storage (the output joins only the FINAL
+      // edge set and `nodes`). Same discipline as PageRank's loop.
+      Checkpoints.free(large)
+      Checkpoints.free(e)
       e = small
     }
     require(converged, s"connected components did not converge in $maxIter rounds")

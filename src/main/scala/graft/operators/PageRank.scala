@@ -124,17 +124,9 @@ object PageRank {
     (ranks.select(col("id"), col("r").as("rank_fp")), it)
   }
 
-  /** Unpersist the block storage behind a `localCheckpoint`ed DataFrame.
-    * A local checkpoint persists the underlying RDD directly (it is not
-    * registered with the CacheManager, so `Dataset.unpersist` can't see
-    * it); the blocks are freed through the `LogicalRDD` the checkpoint
-    * left as the plan root. Safe no-op on any other plan shape. The
-    * freed table must never be read again — local-checkpoint blocks are
-    * the ONLY copy of its data. */
+  /** See [[Checkpoints.free]] — promoted to a shared util in round 9 so
+    * the index mutators and connected components inherit the same
+    * hygiene this loop pioneered. */
   private def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    Checkpoints.free(df)
 }

@@ -34,14 +34,15 @@ class DedupIndex(spark: SparkSession, path: String)
 
   /** Ingest one batch of (doc_id, text); returns survivors + stats.
     * One signature computation per batch doc, ever. */
-  def ingest(docs: DataFrame): IngestStats = {
-    val batch = signaturesFor(docs).localCheckpoint()
-    val survivors = DedupIndex.acceptancePlan(batch, signatures).localCheckpoint()
-    val nIn = batch.count()
-    val nAdded = survivors.count()
-    append(survivors, nAdded)
-    IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
-  }
+  def ingest(docs: DataFrame): IngestStats =
+    graft.operators.Checkpoints.freeingNew(spark) {
+      val batch = signaturesFor(docs).localCheckpoint()
+      val survivors = DedupIndex.acceptancePlan(batch, signatures).localCheckpoint()
+      val nIn = batch.count()
+      val nAdded = survivors.count()
+      append(survivors, nAdded)
+      IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
+    }
 }
 
 object DedupIndex {

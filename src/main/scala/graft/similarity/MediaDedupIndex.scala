@@ -51,17 +51,18 @@ class MediaDedupIndex(spark: SparkSession, path: String)
     * the [[MediaDedupIndex.acceptancePlan]] dominance test. */
   def ingest(media: Dataset[BinaryPipeline.MediaRow],
              bucketCap: Int = graft.operators.BandedLsh.BucketCap)
-      : DedupIndex.IngestStats = {
-    val batch = MediaDedup.mediaSignatures(media)
-      .select(col("doc_id").as("media_id"), col("sig"))
-      .localCheckpoint()
-    val nIn = batch.count()
-    val survivors = acceptancePlan(batch, signatures, bucketCap,
-      batchRows = Some(nIn), idxRows = Some(size)).localCheckpoint()
-    val nAdded = survivors.count()
-    append(survivors, nAdded)
-    DedupIndex.IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
-  }
+      : DedupIndex.IngestStats =
+    graft.operators.Checkpoints.freeingNew(spark) {
+      val batch = MediaDedup.mediaSignatures(media)
+        .select(col("doc_id").as("media_id"), col("sig"))
+        .localCheckpoint()
+      val nIn = batch.count()
+      val survivors = acceptancePlan(batch, signatures, bucketCap,
+        batchRows = Some(nIn), idxRows = Some(size)).localCheckpoint()
+      val nAdded = survivors.count()
+      append(survivors, nAdded)
+      DedupIndex.IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
+    }
 
   /** Escalating full-recall dedup SWEEP over the standing index — the
     * compact-thorough half of the LSM split in the class doc. The batch
@@ -78,7 +79,8 @@ class MediaDedupIndex(spark: SparkSession, path: String)
     * intake deliberately forfeits inside hot buckets — run it on the
     * compaction cadence. */
   def sweep(bucketCap: Int = graft.operators.BandedLsh.BucketCap)
-      : MediaDedupIndex.SweepStats = {
+      : MediaDedupIndex.SweepStats =
+    graft.operators.Checkpoints.freeingNew(spark) {
     val nBefore = size
     val in = MediaDedup.lshInput(
       signatures.select(col("media_id").as("doc_id"), col("sig")))
@@ -100,7 +102,7 @@ class MediaDedupIndex(spark: SparkSession, path: String)
     rewriteAll(keep)
     val nKept = size
     MediaDedupIndex.SweepStats(nBefore, nKept, nBefore - nKept)
-  }
+    }
 }
 
 object MediaDedupIndex {

@@ -106,7 +106,8 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
   @volatile var lastTruncated: Long = 0L
 
   /** Ingest one batch of (vec_id, embedding: array<float|double>). */
-  def ingest(emb: DataFrame): DedupIndex.IngestStats = {
+  def ingest(emb: DataFrame): DedupIndex.IngestStats =
+    graft.operators.Checkpoints.freeingNew(spark) {
     val batch = withSketch(emb, sketch).localCheckpoint()
     // one stats job: batch size + loud dim guard — a vector WIDER than
     // the sketch would silently lose its tail dimensions from every
@@ -168,7 +169,7 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     val nAdded = survivors.count()
     append(survivors, nAdded)
     DedupIndex.IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
-  }
+    }
 
   /** Candidate-pair formation (package-private so PlanSpec can pin its
     * physical plan): one ID-ONLY (band, bucket) row per band per vector —
@@ -297,7 +298,8 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     * only exist where a cap actually truncated (SemanticSweepSpec pins
     * both directions). */
   def sweep(bucketCap: Int = graft.operators.BandedLsh.BucketCap,
-            escLevels: Int = 2): BatchedSignatureStore.SweepStats = {
+            escLevels: Int = 2): BatchedSignatureStore.SweepStats =
+    graft.operators.Checkpoints.freeingNew(spark) {
     val nBefore = size
     val vecs = vectors.localCheckpoint()
     val in = sweepLshInput(vecs, escLevels)
@@ -326,7 +328,7 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     rewriteAll(keep)
     val nKept = size
     BatchedSignatureStore.SweepStats(nBefore, nKept, nBefore - nKept)
-  }
+    }
 
   /** [[graft.operators.BandedLsh]] input over the persisted rows:
     * (doc_id, sig = vhash, b0..b{nBands-1} from the STORED buckets,

@@ -100,13 +100,14 @@ class VectorIndex(spark: SparkSession, path: String,
     * vec_id uniqueness across batches is the caller's contract (an
     * index, not a dedup filter — compose with [[SemanticDedupIndex]]
     * upstream when near-dup suppression is wanted). */
-  def ingest(emb: DataFrame): Long = {
-    val (ivf, sq8) = fitOrLoad(emb)
-    val rows = encodeRows(emb, ivf, sq8).localCheckpoint()
-    val n = rows.count()
-    append(rows, n)
-    n
-  }
+  def ingest(emb: DataFrame): Long =
+    graft.operators.Checkpoints.freeingNew(spark) {
+      val (ivf, sq8) = fitOrLoad(emb)
+      val rows = encodeRows(emb, ivf, sq8).localCheckpoint()
+      val n = rows.count()
+      append(rows, n)
+      n
+    }
 
   /** The REBUILD act — what [[codecDrift]] decides to trigger: re-fit
     * the coarse centroids and SQ8 ranges on the ACCUMULATED corpus (the

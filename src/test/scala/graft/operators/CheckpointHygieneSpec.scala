@@ -1,0 +1,61 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Long-lived-session block-storage hygiene ([[Checkpoints]]): the
+  * iterative operators and the index mutators must not accumulate
+  * local-checkpoint blocks across calls — on a production pipeline
+  * ingesting thousands of batches per session, each leaked checkpoint
+  * pins executor storage memory forever (the defect class the round-8
+  * review found in PageRank's convergence loop, here pinned for every
+  * owner of the shared fix). */
+class CheckpointHygieneSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def persisted: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  test("connected components frees per-round edge tables") {
+    // a 200-node chain forces many alternating-star rounds (tree height
+    // halves per round); without the per-round frees this pins ~2 edge
+    // tables per round
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val before = persisted
+    val (comp, rounds) = ConnectedComponents.applyWithRounds(edges)
+    assert(comp.agg(org.apache.spark.sql.functions.countDistinct("component"))
+      .head.getLong(0) == 1L)
+    assert(rounds >= 3, s"chain must take multiple rounds, took $rounds")
+    val leaked = (persisted -- before).size
+    // survivors: `nodes` + the final edge set (both back the returned
+    // DF and may not be freed here) — NOT O(rounds)
+    assert(leaked <= 2, s"CC leaked $leaked checkpoints over $rounds rounds")
+  }
+
+  test("index ingests and sweeps leave no persisted blocks behind") {
+    val before = persisted
+
+    val txt = new graft.similarity.DedupIndex(spark,
+      Files.createTempDirectory("ckpt_txt").toString)
+    txt.ingest(Seq((1L, "alpha beta gamma delta"), (2L, "other words here"))
+      .toDF("doc_id", "text"))
+    txt.ingest(Seq((3L, "alpha beta gamma delta")).toDF("doc_id", "text"))
+    assert(txt.size == 2)
+
+    def vec(seed: Int): Seq[Double] =
+      Seq.tabulate(32)(d => math.sin(seed * 100.0 + d))
+    val sem = new graft.similarity.SemanticDedupIndex(spark,
+      Files.createTempDirectory("ckpt_sem").toString, threshold = 0.95,
+      sketch = graft.similarity.SemanticSketch(dim = 32))
+    sem.ingest(Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding"))
+    sem.sweep()
+
+    assert(persisted == before,
+      s"index mutators leaked: ${(persisted -- before).toSeq.sorted}")
+  }
+}
