@@ -91,17 +91,29 @@ class MediaDedupIndex(spark: SparkSession, path: String)
       in, nBands = MediaDedup.Bands, maxHamming = Some(MediaDedup.MaxHamming),
       bucketCap = bucketCap, escLevels = MediaDedup.EscLevels,
       terminalStar = true)
+    // materialized once: CC scans its edge input twice (nodes + the
+    // canonical edge set), which would re-run the banded join + Hamming
+    // verify; and an EMPTY set short-circuits the whole act
     val edges = kp.select(col("g1").as("doc1"), col("g2").as("doc2"))
       .unionByName(graft.operators.BandedLsh.starEdges(collapsed))
-    val comp = graft.operators.ConnectedComponents(edges)
-    val sigs = signatures
-    val keep = sigs.join(comp, sigs("media_id") === comp("node"), "left")
-      .filter(coalesce(col("component"), col("media_id")) === col("media_id"))
-      .select(col("media_id"), col("sig"))
       .localCheckpoint()
-    rewriteAll(keep)
-    val nKept = size
-    MediaDedupIndex.SweepStats(nBefore, nKept, nBefore - nKept)
+    if (edges.isEmpty)
+      // nothing to evict (the provable case on a production-cap index):
+      // skip connected components AND the full-index rewrite — a no-op
+      // sweep on the compaction cadence costs one candidate pass, no
+      // I/O churn, no store-version turnover
+      MediaDedupIndex.SweepStats(nBefore, nBefore, 0L)
+    else {
+      val comp = graft.operators.ConnectedComponents(edges)
+      val sigs = signatures
+      val keep = sigs.join(comp, sigs("media_id") === comp("node"), "left")
+        .filter(coalesce(col("component"), col("media_id")) === col("media_id"))
+        .select(col("media_id"), col("sig"))
+        .localCheckpoint()
+      rewriteAll(keep)
+      val nKept = size
+      MediaDedupIndex.SweepStats(nBefore, nKept, nBefore - nKept)
+    }
     }
 }
 

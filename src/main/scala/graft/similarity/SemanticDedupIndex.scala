@@ -318,16 +318,28 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
         col("nrm").as("n2")), "g2")
       .filter(cosine >= threshold)
       .select(col("g1").as("doc1"), col("g2").as("doc2"))
+    // materialized once: CC scans its edge input twice (nodes + the
+    // canonical edge set), which would re-run the banded join + cosine
+    // verify; and an EMPTY set short-circuits the whole act
     val edges = verified
       .unionByName(graft.operators.BandedLsh.starEdges(collapsed))
-    val comp = graft.operators.ConnectedComponents(edges)
-    val keep = vecs.join(comp, vecs("vec_id") === comp("node"), "left")
-      .filter(coalesce(col("component"), col("vec_id")) === col("vec_id"))
-      .select(vecSchema.fieldNames.map(col): _*)
       .localCheckpoint()
-    rewriteAll(keep)
-    val nKept = size
-    BatchedSignatureStore.SweepStats(nBefore, nKept, nBefore - nKept)
+    if (edges.isEmpty)
+      // nothing to evict (provable on a production-cap index by the
+      // one-pass acceptance law): skip connected components AND the
+      // full-index rewrite — a no-op sweep costs one candidate pass,
+      // no I/O churn, no store-version turnover
+      BatchedSignatureStore.SweepStats(nBefore, nBefore, 0L)
+    else {
+      val comp = graft.operators.ConnectedComponents(edges)
+      val keep = vecs.join(comp, vecs("vec_id") === comp("node"), "left")
+        .filter(coalesce(col("component"), col("vec_id")) === col("vec_id"))
+        .select(vecSchema.fieldNames.map(col): _*)
+        .localCheckpoint()
+      rewriteAll(keep)
+      val nKept = size
+      BatchedSignatureStore.SweepStats(nBefore, nKept, nBefore - nKept)
+    }
     }
 
   /** [[graft.operators.BandedLsh]] input over the persisted rows:

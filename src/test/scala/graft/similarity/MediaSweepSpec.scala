@@ -55,10 +55,15 @@ class MediaSweepSpec extends AnyFunSuite {
       MediaRow(i.toLong, payload(i), "image/png")).toDS())
     val before = idx.signatures.select("media_id", "sig")
       .as[(Long, Long)].collect().toSet
+    val layoutBefore = new java.io.File(dir).listFiles().map(_.getName).toSet
     val st = idx.sweep()
     assert(st.nEvicted == 0L, st)
     val after = idx.signatures.select("media_id", "sig")
       .as[(Long, Long)].collect().toSet
     assert(after == before)
+    // the no-op fast path skips the rewrite entirely: no consolidation,
+    // no store-version turnover — the on-disk layout is untouched
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet ==
+      layoutBefore, "a no-op sweep must not rewrite the store")
   }
 }

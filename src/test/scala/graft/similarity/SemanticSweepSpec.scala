@@ -120,9 +120,14 @@ class SemanticSweepSpec extends AnyFunSuite {
     idx.ingest(emb)
     val before = idx.vectors.select("vec_id", "vhash")
       .as[(Long, String)].collect().toSet
+    val layoutBefore = new java.io.File(dir).listFiles().map(_.getName).toSet
     val st = idx.sweep()
     assert(st.nEvicted == 0L, st)
     assert(idx.vectors.select("vec_id", "vhash")
       .as[(Long, String)].collect().toSet == before)
+    // the no-op fast path skips the rewrite entirely: no consolidation,
+    // no store-version turnover — the on-disk layout is untouched
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet ==
+      layoutBefore, "a no-op sweep must not rewrite the store")
   }
 }
