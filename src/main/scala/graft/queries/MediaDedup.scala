@@ -454,12 +454,7 @@ object MediaDedup {
     * so bucket population IS keeper count. All integer aggregates. */
   def bandProfile(s: SparkSession, dir: String): DataFrame = {
     val keep = mediaSignatures(mediaOf(s, dir)).select(col("sig")).distinct()
-    keep.select(col("sig"),
-        explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> " +
-          s"struct(b AS band, CAST(shiftright(sig, b * $BandBits) & " +
-          s"${(1 << BandBits) - 1} AS INT) AS bv))")).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bv").as("bv"))
-      .groupBy("band", "bv").agg(count(lit(1)).as("pop"))
+    bandPops(keep)
       .groupBy("band").agg(
         count(lit(1)).as("n_buckets"),
         max(col("pop")).as("max_pop"),
@@ -469,6 +464,17 @@ object MediaDedup {
       .select(col("band").cast("long").as("band"), col("n_buckets"),
         col("max_pop"), col("n_keepers"), col("n_hot"))
   }
+
+  /** Per-(band, bucket) population of a `sig` column — the occupancy
+    * table behind [[bandProfile]] and
+    * [[graft.similarity.MediaDedupIndex.sweepDecision]]. */
+  private[graft] def bandPops(sigs: DataFrame): DataFrame =
+    sigs.select(col("sig"),
+        explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> " +
+          s"struct(b AS band, CAST(shiftright(sig, b * $BandBits) & " +
+          s"${(1 << BandBits) - 1} AS INT) AS bv))")).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .groupBy("band", "bv").agg(count(lit(1)).as("pop"))
 
   /** Replay: distinct signatures, the four band projections, per-bucket
     * counts, per-band stats with the production cap threshold. */
@@ -631,6 +637,56 @@ object MediaDedup {
        |FROM surv s LEFT JOIN comp c ON s.doc_id = c.node
        |WHERE COALESCE(c.grp, s.doc_id) = s.doc_id""".stripMargin
 
+  /** The sweep DECISION graded end-to-end — the DECIDE member of the
+    * media LSM triad (measure = q_band_profile, act = q_media_sweep):
+    * the q_media_sweep intake (two batches at [[SweepDemoCap]], where
+    * hot buckets engage and the conservative accept admits near-dups),
+    * then [[graft.similarity.MediaDedupIndex.sweepDecision]] over the
+    * standing index. The graded shape is the instrument's whole story
+    * in two rows: at the intake cap the profile is hot
+    * (sweep_recommended = 1 — schedule the sweep q_media_sweep then
+    * performs), at the production cap it is clean (the sweep's own
+    * ladder will find every bucket cold). */
+  def sweepDecision(s: SparkSession, dir: String): DataFrame =
+    graft.load.Scratch.withScratch("graft_sweep_dec_q", dir) { tmp =>
+      val idx = new graft.similarity.MediaDedupIndex(s, tmp.getAbsolutePath)
+      val media = mediaOf(s, dir)
+      idx.ingest(media.filter(col("id") < 250), bucketCap = SweepDemoCap)
+      idx.ingest(media.filter(col("id") >= 250), bucketCap = SweepDemoCap)
+      idx.sweepDecision(SweepDemoCap).localCheckpoint()
+    }
+
+  /** Replay: the capped-intake survivors at [[SweepDemoCap]]
+    * ([[intakeSurvivorCtes]]), one occupancy table over their four band
+    * projections, both reference-cap aggregate rows. */
+  val sweepDecisionSql: String = {
+    val mask = (1 << BandBits) - 1
+    val bands = (0 until Bands)
+      .map(b => s"SELECT $b AS band, (sig >> ${b * BandBits}) & $mask AS bv FROM idx")
+      .mkString("\nUNION ALL\n")
+    s"""$sigChainSql,
+       |${intakeSurvivorCtes(SweepDemoCap)},
+       |idx AS MATERIALIZED (SELECT doc_id, sig FROM b1s
+       |         UNION ALL SELECT doc_id, sig FROM b2s),
+       |kb AS (
+       |$bands),
+       |pop AS (SELECT band, bv, count(*) AS pop FROM kb GROUP BY band, bv),
+       |caps(cap_name, cap) AS (
+       |  SELECT 'intake', $SweepDemoCap
+       |  UNION ALL SELECT 'production', ${graft.operators.BandedLsh.BucketCap})
+       |SELECT c.cap_name, CAST(c.cap AS BIGINT) AS cap,
+       |  CAST(COALESCE(SUM(CASE WHEN p.pop > c.cap THEN 1 END), 0) AS BIGINT)
+       |    AS hot_buckets,
+       |  CAST(COALESCE(SUM(CASE WHEN p.pop > c.cap THEN p.pop END), 0) AS BIGINT)
+       |    AS hot_mass,
+       |  CAST(MAX(p.pop) AS BIGINT) AS max_pop,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_rows,
+       |  CAST(CASE WHEN COALESCE(SUM(CASE WHEN p.pop > c.cap THEN 1 END), 0) > 0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS sweep_recommended
+       |FROM caps c CROSS JOIN pop p
+       |GROUP BY c.cap_name, c.cap""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_neardup" -> mediaNearDup _,
     "q_media_groups" -> mediaGroups _,
@@ -639,7 +695,8 @@ object MediaDedup {
     "q_media_recall" -> mediaRecall _,
     "q_band_profile" -> bandProfile _,
     "q_media_incremental" -> mediaIncremental _,
-    "q_media_sweep" -> mediaSweep _)
+    "q_media_sweep" -> mediaSweep _,
+    "q_sweep_decision" -> sweepDecision _)
 
   val oracles: Map[String, String] = Map(
     "q_media_neardup" -> mediaNearDupSql,
@@ -649,5 +706,6 @@ object MediaDedup {
     "q_media_recall" -> mediaRecallSql,
     "q_band_profile" -> bandProfileSql,
     "q_media_incremental" -> mediaIncrementalSql,
-    "q_media_sweep" -> mediaSweepSql)
+    "q_media_sweep" -> mediaSweepSql,
+    "q_sweep_decision" -> sweepDecisionSql)
 }

@@ -64,6 +64,44 @@ class MediaDedupIndex(spark: SparkSession, path: String)
       DedupIndex.IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
     }
 
+  /** Decide WHETHER a [[sweep]] is worth scheduling — the DECIDE member
+    * of this family's measure/decide/act triad (measure = the
+    * q_band_profile occupancy instrument; act = [[sweep]]), mirroring
+    * what `codecDrift` is to `VectorIndex.rebuild`. The capped intake
+    * forfeits dedup recall ONLY inside (band, bucket) buckets that were
+    * hot at its cap, so the standing index's bucket populations AT THE
+    * INTAKE CAP locate exactly the sites where near-dups may have been
+    * admitted; a clean profile means the sweep is provably a no-op (the
+    * one-pass acceptance law) and can be skipped outright. Emits one
+    * row per reference cap over the SAME occupancy table — `intake`
+    * (the cap ingests actually ran at: its hot mass is what a sweep
+    * would examine) and `production` (the [[graft.operators.BandedLsh
+    * .BucketCap]] bound: hot mass here means even the sweep's own
+    * ladder will see hot buckets). Columns: cap_name, cap, hot_buckets
+    * (buckets over the cap), hot_mass (rows inside them — the upper
+    * bound on what a sweep can evict beyond exact dups), max_pop,
+    * n_rows, sweep_recommended (1 iff any bucket is hot). All
+    * aggregates are integers off one scan of the persisted signature
+    * table — no decode, no joins. */
+  def sweepDecision(intakeCap: Int,
+                    productionCap: Int = graft.operators.BandedLsh.BucketCap)
+      : DataFrame = {
+    val pops = MediaDedup.bandPops(signatures.select(col("sig")))
+    val n = size
+    def at(name: String, cap: Int): DataFrame =
+      pops.agg(
+        coalesce(sum(when(col("pop") > cap, 1L).otherwise(0L)), lit(0L))
+          .as("hot_buckets"),
+        coalesce(sum(when(col("pop") > cap, col("pop"))), lit(0L))
+          .cast("long").as("hot_mass"),
+        coalesce(max(col("pop")), lit(0L)).cast("long").as("max_pop"))
+        .select(lit(name).as("cap_name"), lit(cap.toLong).as("cap"),
+          col("hot_buckets"), col("hot_mass"), col("max_pop"),
+          lit(n).as("n_rows"),
+          (col("hot_buckets") > 0).cast("long").as("sweep_recommended"))
+    at("intake", intakeCap).unionByName(at("production", productionCap))
+  }
+
   /** Escalating full-recall dedup SWEEP over the standing index — the
     * compact-thorough half of the LSM split in the class doc. The batch
     * pair discipline (exact-collapse → cap-and-ESCALATE, terminally hot

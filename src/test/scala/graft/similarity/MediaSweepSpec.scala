@@ -48,6 +48,33 @@ class MediaSweepSpec extends AnyFunSuite {
     assert(idx.sweep().nEvicted == 0L)
   }
 
+  test("sweepDecision: hot intake-cap profile recommends, the act follows") {
+    // six distinct signatures all sharing band 0 (bv 5) — hot at an
+    // intake cap of 2 — and pairwise near-dups (hamming <= 3 <= MaxHamming)
+    val dir = Files.createTempDirectory("media_dec").toString
+    val idx = new RawIdx(dir)
+    idx.put((0 until 6).map(i => (10L + i, ((i + 1L) << 36) | 0x5L))
+      .toDF("media_id", "sig"))
+    val dec = idx.sweepDecision(intakeCap = 2)
+      .select("cap_name", "hot_buckets", "hot_mass", "sweep_recommended")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(dec("intake")._3 == 1L && dec("intake")._1 >= 1L &&
+      dec("intake")._2 >= 6L, s"intake row must recommend: $dec")
+    assert(dec("production") == ((0L, 0L, 0L)),
+      s"production row must be clean: $dec")
+    // the recommended act performs: the hot bucket's near-dup family
+    // collapses to its min id
+    val st = idx.sweep()
+    assert(st.nEvicted == 5L, st)
+    // and post-sweep the intake-cap profile still flags the residual
+    // occupancy honestly (one survivor per bucket => nothing hot)
+    val after = idx.sweepDecision(intakeCap = 2)
+      .select("cap_name", "sweep_recommended")
+      .as[(String, Long)].collect().toMap
+    assert(after("intake") == 0L && after("production") == 0L, after.toString)
+  }
+
   test("sweep is a no-op on a production-intake index, rows byte-identical") {
     val dir = Files.createTempDirectory("media_sweep_noop").toString
     val idx = new MediaDedupIndex(spark, dir)
@@ -56,6 +83,10 @@ class MediaSweepSpec extends AnyFunSuite {
     val before = idx.signatures.select("media_id", "sig")
       .as[(Long, Long)].collect().toSet
     val layoutBefore = new java.io.File(dir).listFiles().map(_.getName).toSet
+    // a clean decision profile at the cap the intake ran at...
+    assert(idx.sweepDecision(graft.operators.BandedLsh.BucketCap)
+      .agg(max("sweep_recommended")).head.getLong(0) == 0L)
+    // ...is the skip signal: the sweep it would gate is indeed a no-op
     val st = idx.sweep()
     assert(st.nEvicted == 0L, st)
     val after = idx.signatures.select("media_id", "sig")
