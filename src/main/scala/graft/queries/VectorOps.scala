@@ -270,25 +270,22 @@ object VectorOps {
     }
   }
 
-  /** DuckDB replay of the capped intake + sweep. Intake: the
-    * [[semanticDedupSql]] drop rules with the per-(band, bucket)
-    * acceptor RANK cap of [[graft.similarity.SemanticDedupIndex
-    * .cappedCandidatePairs]] — acceptors ranked by (vec_id,
-    * from_index), only ranks <= cap form candidates. Sweep: exact-
-    * collapse by vector equality (the vhash precondition documented at
-    * [[semanticDedupSql]]), keeper bands through the
-    * [[graft.operators.BandedLsh.oracleRefineCtes]] ladder at the
-    * production cap with the two extra hyperplane bands (band ids 3,
-    * 4) as escalation keys, cosine-verified keeper pairs + collapse
-    * star edges, recursive min-propagation, keepers = component
-    * minima. The projs CTE derives all five bands; intake uses only
-    * b < 3, matching the engine's three-band sketch. */
-  val semanticSweepSql: String = {
+  /** Threshold-0.2 cosine predicate between two `(v, nrm)` relations —
+    * shared by the intake replay's drop rules and the sweep's verify. */
+  private def semCos(a: String, c: String) =
+    s"""list_reduce(list_transform(range(1, len($a.v) + 1), i -> $a.v[i] * $c.v[i]), (x, y) -> x + y)
+       |        / nullif($a.nrm * $c.nrm, 0) >= 0.2""".stripMargin
+
+  /** CTE body replaying the two-batch capped semantic intake at
+    * [[SemanticSweepCap]] over the embeddings table — ends in `b1s` /
+    * `b2s` (vec_id, v, nrm), with `buckets` (the three primary band
+    * assignments) and `allb` (all five, incl. the two escalation bands)
+    * in scope. Shared by [[semanticSweepSql]] and
+    * [[semanticSweepDecisionSql]] — a factored val, not string surgery. */
+  private val semanticIntakeCtes: String = {
     val perBucketCap = math.max(1, SemanticSweepCap / 3)
-    def cos(a: String, c: String) =
-      s"""list_reduce(list_transform(range(1, len($a.v) + 1), i -> $a.v[i] * $c.v[i]), (x, y) -> x + y)
-         |        / nullif($a.nrm * $c.nrm, 0) >= 0.2""".stripMargin
-    s"""WITH RECURSIVE e AS (
+    def cos(a: String, c: String) = semCos(a, c)
+    s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b)) AS nrm
        |  FROM embeddings),
@@ -347,7 +344,26 @@ object VectorOps {
        |  JOIN e a ON a.vec_id = q.vec1
        |  JOIN e c ON c.vec_id = q.vec2
        |  WHERE ${cos("a", "c")}),
-       |b2s AS (SELECT * FROM b2x WHERE vec_id NOT IN (SELECT vec1 FROM b2drop)),
+       |b2s AS (SELECT * FROM b2x WHERE vec_id NOT IN (SELECT vec1 FROM b2drop))""".stripMargin
+  }
+
+  /** DuckDB replay of the capped intake + sweep. Intake: the
+    * [[semanticDedupSql]] drop rules with the per-(band, bucket)
+    * acceptor RANK cap of [[graft.similarity.SemanticDedupIndex
+    * .cappedCandidatePairs]] — acceptors ranked by (vec_id,
+    * from_index), only ranks <= cap form candidates
+    * ([[semanticIntakeCtes]]). Sweep: exact-collapse by vector equality
+    * (the vhash precondition documented at [[semanticDedupSql]]),
+    * keeper bands through the
+    * [[graft.operators.BandedLsh.oracleRefineCtes]] ladder at the
+    * production cap with the two extra hyperplane bands (band ids 3,
+    * 4) as escalation keys, cosine-verified keeper pairs + collapse
+    * star edges, recursive min-propagation, keepers = component
+    * minima. The projs CTE derives all five bands; intake uses only
+    * b < 3, matching the engine's three-band sketch. */
+  val semanticSweepSql: String = {
+    def cos(a: String, c: String) = semCos(a, c)
+    s"""WITH RECURSIVE $semanticIntakeCtes,
        |surv AS MATERIALIZED (
        |  SELECT vec_id, v, nrm FROM b1s UNION ALL SELECT vec_id, v, nrm FROM b2s),
        |sk AS (SELECT v, MIN(vec_id) AS gid FROM surv GROUP BY v),
@@ -387,6 +403,57 @@ object VectorOps {
        |       ELSE CAST(2 AS BIGINT) END AS arrival_batch
        |FROM surv s LEFT JOIN comp c ON s.vec_id = c.node
        |WHERE COALESCE(c.grp, s.vec_id) = s.vec_id""".stripMargin
+  }
+
+  /** The semantic sweep DECISION graded end-to-end — the DECIDE member
+    * of the embedding-space LSM triad, the twin of q_sweep_decision:
+    * the q_semantic_sweep intake (two batches at [[SemanticSweepCap]],
+    * where the acceptor cap truncates and near-dups get admitted), then
+    * [[graft.similarity.SemanticDedupIndex.sweepDecision]] over the
+    * standing index — hot at the intake's per-bucket rank cap
+    * (recommended), clean at the production budget. */
+  def semanticSweepDecision(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    graft.load.Scratch.withScratch("graft_semdec_q", dir) { tmp =>
+      val idx = new graft.similarity.SemanticDedupIndex(
+        s, tmp.getAbsolutePath, threshold = 0.2,
+        sketch = graft.similarity.SemanticSketch(
+          maxCandidatesPerVector = SemanticSweepCap))
+      idx.ingest(emb.filter(col("vec_id") < 250))
+      idx.ingest(emb.filter(col("vec_id") >= 250))
+      idx.sweepDecision(SemanticSweepCap).localCheckpoint()
+    }
+  }
+
+  /** Replay: the capped-intake survivors ([[semanticIntakeCtes]]), one
+    * occupancy table over their stored primary-band assignments, both
+    * reference-cap aggregate rows (per-bucket rank caps, the
+    * [[graft.similarity.SemanticDedupIndex.sweepDecision]] translation
+    * of the per-vector budgets). */
+  val semanticSweepDecisionSql: String = {
+    val intakePb = math.max(1, SemanticSweepCap / 3)
+    val prodPb = math.max(1,
+      graft.similarity.SemanticSketch().maxCandidatesPerVector / 3)
+    s"""WITH $semanticIntakeCtes,
+       |idx AS MATERIALIZED (SELECT vec_id FROM b1s
+       |         UNION ALL SELECT vec_id FROM b2s),
+       |pop AS (
+       |  SELECT bk.b AS band, bk.bucket, count(*) AS pop
+       |  FROM buckets bk JOIN idx USING (vec_id)
+       |  GROUP BY bk.b, bk.bucket),
+       |caps(cap_name, cap) AS (
+       |  SELECT 'intake', $intakePb UNION ALL SELECT 'production', $prodPb)
+       |SELECT c.cap_name, CAST(c.cap AS BIGINT) AS cap,
+       |  CAST(COALESCE(SUM(CASE WHEN p.pop > c.cap THEN 1 END), 0) AS BIGINT)
+       |    AS hot_buckets,
+       |  CAST(COALESCE(SUM(CASE WHEN p.pop > c.cap THEN p.pop END), 0) AS BIGINT)
+       |    AS hot_mass,
+       |  CAST(MAX(p.pop) AS BIGINT) AS max_pop,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_rows,
+       |  CAST(CASE WHEN COALESCE(SUM(CASE WHEN p.pop > c.cap THEN 1 END), 0) > 0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS sweep_recommended
+       |FROM caps c CROSS JOIN pop p
+       |GROUP BY c.cap_name, c.cap""".stripMargin
   }
 
   /** IVF-probed ANN top-k, HASH-GRADED against a full DuckDB replay of
@@ -724,6 +791,7 @@ object VectorOps {
     "q_embed_neardup" -> embedNearDup _,
     "q_semantic_dedup" -> semanticDedup _,
     "q_semantic_sweep" -> semanticSweep _,
+    "q_semantic_sweep_decision" -> semanticSweepDecision _,
     "q_sketch_buckets" -> sketchBuckets _,
     "q_multimodal_meta" -> multimodalMeta _,
     "q_ann_ivf" -> annIvf _,
@@ -737,6 +805,7 @@ object VectorOps {
     "q_embed_neardup" -> embedNearDupSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_semantic_sweep" -> semanticSweepSql,
+    "q_semantic_sweep_decision" -> semanticSweepDecisionSql,
     "q_sketch_buckets" -> sketchBucketsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_ann_ivf" -> annIvfSql,

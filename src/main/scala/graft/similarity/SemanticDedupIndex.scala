@@ -268,6 +268,43 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
       .distinct()
   }
 
+  /** Decide WHETHER a [[sweep]] is worth scheduling — the semantic twin
+    * of [[MediaDedupIndex.sweepDecision]] (see its doc for the triad
+    * rationale). Caps are per-VECTOR candidate budgets
+    * (`maxCandidatesPerVector`-style, the unit callers configure);
+    * each is translated to the per-(band, bucket) acceptor RANK cap
+    * the intake actually truncates at (`max(1, cap / nBands)` — the
+    * [[cappedCandidatePairs]] rule), and a bucket whose stored
+    * population exceeds that rank cap is exactly a site where probes
+    * may have been accepted past truncated acceptors. One aggregate
+    * scan of the persisted bucket assignments — no projections
+    * recomputed, no candidate join. The `cap` column reports the
+    * derived per-bucket rank cap. `productionCap` defaults to the
+    * sketch-class default budget, NOT this instance's (a demo-capped
+    * index must contrast against production, not itself). */
+  def sweepDecision(intakeCap: Int,
+                    productionCap: Int =
+                      SemanticSketch().maxCandidatesPerVector): DataFrame = {
+    val pops = vectors
+      .select(posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("pop"))
+    val n = size
+    def at(name: String, perVec: Int): DataFrame = {
+      val cap = math.max(1, perVec / sketch.nBands)
+      pops.agg(
+        coalesce(sum(when(col("pop") > cap, 1L).otherwise(0L)), lit(0L))
+          .as("hot_buckets"),
+        coalesce(sum(when(col("pop") > cap, col("pop"))), lit(0L))
+          .cast("long").as("hot_mass"),
+        coalesce(max(col("pop")), lit(0L)).cast("long").as("max_pop"))
+        .select(lit(name).as("cap_name"), lit(cap.toLong).as("cap"),
+          col("hot_buckets"), col("hot_mass"), col("max_pop"),
+          lit(n).as("n_rows"),
+          (col("hot_buckets") > 0).cast("long").as("sweep_recommended"))
+    }
+    at("intake", intakeCap).unionByName(at("production", productionCap))
+  }
+
   /** Full-recall dedup SWEEP over the standing index — the semantic twin
     * of [[MediaDedupIndex.sweep]] and the compact-thorough half of this
     * index's LSM split: [[ingest]]'s per-bucket acceptor cap fails

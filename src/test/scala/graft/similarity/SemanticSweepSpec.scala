@@ -94,6 +94,15 @@ class SemanticSweepSpec extends AnyFunSuite {
       "the graded demo cap must actually truncate candidates")
     assert(capped.size > uncapped.size,
       "conservative accept: truncation admits vectors the full rules drop")
+    // the decision instrument reads the same story off the index: hot
+    // at the intake's rank cap (schedule the sweep), clean at the
+    // production budget
+    val dec = capped.sweepDecision(graft.queries.VectorOps.SemanticSweepCap)
+      .select("cap_name", "hot_buckets", "sweep_recommended")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(dec("intake")._2 == 1L && dec("intake")._1 > 0L, dec.toString)
+    assert(dec("production") == ((0L, 0L)), dec.toString)
     val st = capped.sweep()
     assert(st.nEvicted > 0, st)
     // residual invariant: no two survivors sharing a band bucket are
