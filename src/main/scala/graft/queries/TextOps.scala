@@ -389,27 +389,85 @@ object TextOps {
     * df-capped equi-join on the shingle, count per pair — never
     * all-pairs), but GLOBAL scope: embedded quotes cross sources. The
     * smaller-shingle-set doc is reported as the contained side. */
-  def containment(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingleTable(s, dir)
-      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-    val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > JaccardDfCap).select("s")
+  def containment(s: SparkSession, dir: String): DataFrame =
+    containmentOf(shingleTable(s, dir), JaccardDfCap)
+
+  /** [[containment]] core over a (doc_id, sh) shingle table, with the
+    * [[graft.operators.BandedLsh]] exact-collapse discipline applied
+    * OUTPUT-TRANSPARENTLY: documents with identical shingle arrays
+    * collapse to one keeper (min doc_id), the inverted-index pair join
+    * runs on keepers only, and verified keeper pairs expand back to the
+    * full member pair set. Replication-safe arithmetic keeps the result
+    * byte-identical to the naive per-doc join (the DuckDB oracle, which
+    * deliberately replays the UNcollapsed form):
+    *
+    *  - the df cap counts MEMBER occurrences (each keeper's exploded
+    *    shingles weighted by its group size), so the kept-shingle set is
+    *    exactly the naive one;
+    *  - within-group expansion emits (min, max, round(kept/n, 4)) —
+    *    identical shingle sets intersect in exactly the keeper's KEPT
+    *    shingles (hot ones leave the naive intersection too, so a group
+    *    whose shingles are all hot yields no pair, same as naive);
+    *  - cross-group expansion carries the keeper pair's containment and
+    *    re-applies the contained-side rule per member pair (fewer
+    *    shingles, ties broken by smaller doc_id — group-constant except
+    *    the tie, which least/greatest reproduces).
+    *
+    * On a duplicate-heavy corpus (verbatim replication — the web-scale
+    * norm) this removes the replica² join blowup: sf1's 10× verbatim
+    * corpus ran 16× the sf0.1 wall naive, ~1× collapsed, same rows. */
+  private[graft] def containmentOf(sh: DataFrame, dfCap: Int): DataFrame = {
+    val base = sh.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+    val groups = base.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("gsize"))
+    val members = base.join(groups, Seq("sh"))
+      .select(col("gid"), col("doc_id")).localCheckpoint()
+    val keepers = groups
+      .select(col("gid"), size(col("sh")).as("n"), col("sh"), col("gsize"))
+    val ex = keepers
+      .select(col("gid"), col("n"), col("gsize"), explode(col("sh")).as("s"))
+    // member-weighted document frequency == the naive per-doc df
+    val hot = ex.groupBy("s").agg(sum(col("gsize")).as("df"))
+      .filter(col("df") > dfCap).select("s")
     val kept = ex.join(hot, Seq("s"), "left_anti")
-    val a = kept.select(col("doc_id").as("doc1"), col("n").as("n1"), col("s"))
-    val b = kept.select(col("doc_id").as("doc2"), col("n").as("n2"), col("s"))
-    a.join(b, Seq("s"))
-      .filter(col("doc1") < col("doc2"))
-      .groupBy("doc1", "doc2", "n1", "n2")
+    val a = kept.select(col("gid").as("g1"), col("n").as("n1"), col("s"))
+    val b = kept.select(col("gid").as("g2"), col("n").as("n2"), col("s"))
+    val kp = a.join(b, Seq("s"))
+      .filter(col("g1") < col("g2"))
+      .groupBy("g1", "g2", "n1", "n2")
       .agg(count(lit(1)).as("inter"))
       .withColumn("containment", round(col("inter").cast("double") /
         least(col("n1"), col("n2")).cast("double"), 4))
       .filter(col("containment") >= 0.8)
+    // within-group containment = kept-shingle share of the (identical)
+    // sets — usually 1.0, less when the df cap dropped shingles, absent
+    // when it dropped them all (exactly the naive join's behavior)
+    val withinC = keepers.select(col("gid"), col("n"))
+      .join(kept.groupBy("gid").agg(count(lit(1)).as("kn")), Seq("gid"))
+      .select(col("gid"), round(col("kn").cast("double") /
+        col("n").cast("double"), 4).as("containment"))
+      .filter(col("containment") >= 0.8)
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .join(withinC.as("wc"), col("x.gid") === col("wc.gid"))
+      .select(col("x.doc_id").as("contained_doc"),
+        col("y.doc_id").as("container_doc"), col("wc.containment").as("containment"))
+    val cross = kp
+      .join(members.as("ma"), col("g1") === col("ma.gid"))
+      .join(members.as("mb"), col("g2") === col("mb.gid"))
       .select(
-        when(col("n1") <= col("n2"), col("doc1")).otherwise(col("doc2"))
+        when(col("n1") < col("n2"), col("ma.doc_id"))
+          .when(col("n2") < col("n1"), col("mb.doc_id"))
+          .otherwise(least(col("ma.doc_id"), col("mb.doc_id")))
           .as("contained_doc"),
-        when(col("n1") <= col("n2"), col("doc2")).otherwise(col("doc1"))
+        when(col("n1") < col("n2"), col("mb.doc_id"))
+          .when(col("n2") < col("n1"), col("ma.doc_id"))
+          .otherwise(greatest(col("ma.doc_id"), col("mb.doc_id")))
           .as("container_doc"),
         col("containment"))
+    within.unionByName(cross)
   }
 
   val containmentSql: String = shinglesSqlCte +
