@@ -31,7 +31,10 @@ object BenchSf1 {
     // the demo cap + full-recall sweep (escalation ladder and terminal
     // star ENGAGE on the verbatim-replicated sf1 corpus — the one place
     // the hot-bucket machinery is exercised at the third decade)
-    "q_media_sweep", "q_semantic_sweep")
+    "q_media_sweep", "q_semantic_sweep",
+    // the decision instruments (same demo-capped intake setup; the
+    // decision itself is one aggregate scan of the standing index)
+    "q_sweep_decision", "q_semantic_sweep_decision")
 
   def main(args: Array[String]): Unit = {
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
