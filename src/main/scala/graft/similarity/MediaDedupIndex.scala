@@ -102,6 +102,21 @@ class MediaDedupIndex(spark: SparkSession, path: String)
     at("intake", intakeCap).unionByName(at("production", productionCap))
   }
 
+  /** The triad as ONE operational verb for the compaction cadence:
+    * consult [[sweepDecision]] at the cap the intakes ran at and run
+    * [[sweep]] only when it recommends. `None` = clean profile, nothing
+    * run (one aggregate scan — with the sweep's own empty-edges
+    * short-circuit this is belt and braces, but the decision skips even
+    * the candidate join). */
+  def sweepIfRecommended(intakeCap: Int,
+                         bucketCap: Int = graft.operators.BandedLsh.BucketCap)
+      : Option[MediaDedupIndex.SweepStats] = {
+    val hot = sweepDecision(intakeCap)
+      .filter(col("cap_name") === "intake")
+      .agg(max(col("sweep_recommended"))).head.getLong(0)
+    if (hot == 0L) None else Some(sweep(bucketCap))
+  }
+
   /** Escalating full-recall dedup SWEEP over the standing index — the
     * compact-thorough half of the LSM split in the class doc. The batch
     * pair discipline (exact-collapse → cap-and-ESCALATE, terminally hot

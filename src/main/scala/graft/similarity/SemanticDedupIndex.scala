@@ -305,6 +305,19 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     at("intake", intakeCap).unionByName(at("production", productionCap))
   }
 
+  /** The triad as ONE operational verb — see
+    * [[MediaDedupIndex.sweepIfRecommended]]. `intakeCap` is the
+    * per-vector candidate budget the intakes ran at. */
+  def sweepIfRecommended(intakeCap: Int,
+                         bucketCap: Int = graft.operators.BandedLsh.BucketCap,
+                         escLevels: Int = 2)
+      : Option[BatchedSignatureStore.SweepStats] = {
+    val hot = sweepDecision(intakeCap)
+      .filter(col("cap_name") === "intake")
+      .agg(max(col("sweep_recommended"))).head.getLong(0)
+    if (hot == 0L) None else Some(sweep(bucketCap, escLevels))
+  }
+
   /** Full-recall dedup SWEEP over the standing index — the semantic twin
     * of [[MediaDedupIndex.sweep]] and the compact-thorough half of this
     * index's LSM split: [[ingest]]'s per-bucket acceptor cap fails

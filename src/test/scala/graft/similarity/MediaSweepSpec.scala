@@ -63,16 +63,18 @@ class MediaSweepSpec extends AnyFunSuite {
       dec("intake")._2 >= 6L, s"intake row must recommend: $dec")
     assert(dec("production") == ((0L, 0L, 0L)),
       s"production row must be clean: $dec")
-    // the recommended act performs: the hot bucket's near-dup family
-    // collapses to its min id
-    val st = idx.sweep()
-    assert(st.nEvicted == 5L, st)
+    // the recommended act performs (through the gated verb): the hot
+    // bucket's near-dup family collapses to its min id
+    val st = idx.sweepIfRecommended(intakeCap = 2)
+    assert(st.map(_.nEvicted).contains(5L), st.toString)
     // and post-sweep the intake-cap profile still flags the residual
-    // occupancy honestly (one survivor per bucket => nothing hot)
+    // occupancy honestly (one survivor per bucket => nothing hot), so
+    // the gated verb now declines to run at all
     val after = idx.sweepDecision(intakeCap = 2)
       .select("cap_name", "sweep_recommended")
       .as[(String, Long)].collect().toMap
     assert(after("intake") == 0L && after("production") == 0L, after.toString)
+    assert(idx.sweepIfRecommended(intakeCap = 2).isEmpty)
   }
 
   test("sweep is a no-op on a production-intake index, rows byte-identical") {

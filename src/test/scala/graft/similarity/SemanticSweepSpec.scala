@@ -103,7 +103,11 @@ class SemanticSweepSpec extends AnyFunSuite {
       .map(r => r._1 -> (r._2, r._3)).toMap
     assert(dec("intake")._2 == 1L && dec("intake")._1 > 0L, dec.toString)
     assert(dec("production") == ((0L, 0L)), dec.toString)
-    val st = capped.sweep()
+    // the gated verb consults the decision, then acts (the decision is
+    // conservative — it locates possible admission sites, so it can
+    // recommend a no-op sweep, but never skips a needed one)
+    val st = capped
+      .sweepIfRecommended(graft.queries.VectorOps.SemanticSweepCap).get
     assert(st.nEvicted > 0, st)
     // residual invariant: no two survivors sharing a band bucket are
     // near-dups — every such pair was a sweep candidate (all buckets
