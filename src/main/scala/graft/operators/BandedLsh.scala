@@ -83,8 +83,8 @@ object BandedLsh {
   /** Exact-collapse: every row tagged with its group keeper
     * (`gid` = min doc_id over identical `sig`), materialized once. */
   private def collapse(in: DataFrame): DataFrame =
-    in.withColumn("gid", min(col("doc_id")).over(Window.partitionBy("sig")))
-      .localCheckpoint()
+    Checkpoints.ck(
+      in.withColumn("gid", min(col("doc_id")).over(Window.partitionBy("sig"))))
 
   private def bandedKeepers(collapsed: DataFrame, nBands: Int,
                             escLevels: Int = 0): DataFrame =
@@ -132,7 +132,7 @@ object BandedLsh {
     while (k <= escLevels) {
       val pop0 = cur.groupBy("band", "bv").agg(count(lit(1)).as("pop"))
         .filter(col("pop") > bucketCap)
-      val pop = if (escLevels > 0) pop0.localCheckpoint() else pop0
+      val pop = if (escLevels > 0) Checkpoints.ck(pop0) else pop0
       if (escLevels > 0 && pop.isEmpty) {
         kept = if (kept == null) cur else kept.unionByName(cur)
         dropped = pop

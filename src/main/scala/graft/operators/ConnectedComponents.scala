@@ -44,15 +44,14 @@ object ConnectedComponents {
     val cast = edges
       .select(col(u).cast("long").as("a"), col(v).cast("long").as("b"))
     // Every endpoint — including self-loop-only nodes — gets an output row.
-    val nodes = cast.select(col("a").as("node"))
-      .union(cast.select(col("b").as("node"))).distinct().localCheckpoint()
+    val nodes = Checkpoints.ck(cast.select(col("a").as("node"))
+      .union(cast.select(col("b").as("node"))).distinct())
     // Canonical start: (hi, lo) directed pairs, self-loops dropped.
-    var e = cast
+    var e = Checkpoints.ck(cast
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     // Order-independent edge-set fingerprint. bit_xor (not sum): the edge
     // set is distinct, XOR is overflow-free under ANSI mode where summing
@@ -72,21 +71,19 @@ object ConnectedComponents {
       // one shuffle; min(N(u) ∪ {u}) via least(min(v), u) on the group.
       val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val lsMin = nbr.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-      val large = nbr.join(lsMin, "u")
+      val large = Checkpoints.ck(nbr.join(lsMin, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       // Small-star: edges already point (hi → lo); attach every smaller
       // neighbor AND the node itself to the neighborhood minimum.
       val ssMin = large.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
       val withMin = large.join(ssMin, "u")
-      val small = withMin.select(col("v").as("n"), col("m"))
+      val small = Checkpoints.ck(withMin.select(col("v").as("n"), col("m"))
         .union(ssMin.select(col("u").as("n"), col("m")))
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       val next = signature(small)
       converged = next == sig
       sig = next

@@ -679,11 +679,11 @@ object MediaDedup {
        |    AS hot_buckets,
        |  CAST(COALESCE(SUM(CASE WHEN p.pop > c.cap THEN p.pop END), 0) AS BIGINT)
        |    AS hot_mass,
-       |  CAST(MAX(p.pop) AS BIGINT) AS max_pop,
+       |  CAST(COALESCE(MAX(p.pop), 0) AS BIGINT) AS max_pop,
        |  (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_rows,
        |  CAST(CASE WHEN COALESCE(SUM(CASE WHEN p.pop > c.cap THEN 1 END), 0) > 0
        |    THEN 1 ELSE 0 END AS BIGINT) AS sweep_recommended
-       |FROM caps c CROSS JOIN pop p
+       |FROM caps c LEFT JOIN pop p ON TRUE
        |GROUP BY c.cap_name, c.cap""".stripMargin
   }
 

@@ -35,9 +35,10 @@ class DedupIndex(spark: SparkSession, path: String)
   /** Ingest one batch of (doc_id, text); returns survivors + stats.
     * One signature computation per batch doc, ever. */
   def ingest(docs: DataFrame): IngestStats =
-    graft.operators.Checkpoints.freeingNew(spark) {
-      val batch = signaturesFor(docs).localCheckpoint()
-      val survivors = DedupIndex.acceptancePlan(batch, signatures).localCheckpoint()
+    graft.operators.Checkpoints.scoped {
+      val batch = graft.operators.Checkpoints.ck(signaturesFor(docs))
+      val survivors =
+        graft.operators.Checkpoints.ck(DedupIndex.acceptancePlan(batch, signatures))
       val nIn = batch.count()
       val nAdded = survivors.count()
       append(survivors, nAdded)

@@ -52,13 +52,14 @@ class MediaDedupIndex(spark: SparkSession, path: String)
   def ingest(media: Dataset[BinaryPipeline.MediaRow],
              bucketCap: Int = graft.operators.BandedLsh.BucketCap)
       : DedupIndex.IngestStats =
-    graft.operators.Checkpoints.freeingNew(spark) {
-      val batch = MediaDedup.mediaSignatures(media)
-        .select(col("doc_id").as("media_id"), col("sig"))
-        .localCheckpoint()
+    graft.operators.Checkpoints.scoped {
+      val batch = graft.operators.Checkpoints.ck(
+        MediaDedup.mediaSignatures(media)
+          .select(col("doc_id").as("media_id"), col("sig")))
       val nIn = batch.count()
-      val survivors = acceptancePlan(batch, signatures, bucketCap,
-        batchRows = Some(nIn), idxRows = Some(size)).localCheckpoint()
+      val survivors = graft.operators.Checkpoints.ck(
+        acceptancePlan(batch, signatures, bucketCap,
+          batchRows = Some(nIn), idxRows = Some(size)))
       val nAdded = survivors.count()
       append(survivors, nAdded)
       DedupIndex.IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
@@ -70,9 +71,16 @@ class MediaDedupIndex(spark: SparkSession, path: String)
     * what `codecDrift` is to `VectorIndex.rebuild`. The capped intake
     * forfeits dedup recall ONLY inside (band, bucket) buckets that were
     * hot at its cap, so the standing index's bucket populations AT THE
-    * INTAKE CAP locate exactly the sites where near-dups may have been
-    * admitted; a clean profile means the sweep is provably a no-op (the
-    * one-pass acceptance law) and can be skipped outright. Emits one
+    * INTAKE CAP locate the likely admission sites. The profile is a
+    * HIGH-RECALL HEURISTIC, not a proof: it reads the index as it
+    * stands, and a bucket hot at intake time can cool below the cap
+    * when its other members were dropped, hiding an admission behind a
+    * clean profile (the semantic index closes that gap with its free
+    * `truncatedSinceSweep` counter; the media intake has no equivalent
+    * signal that doesn't cost a second pass over the probed index
+    * slice, so callers needing certainty run [[sweep]] unconditionally
+    * — the empty-edge short-circuit makes a needless one cheap). Emits
+    * one
     * row per reference cap over the SAME occupancy table — `intake`
     * (the cap ingests actually ran at: its hot mass is what a sweep
     * would examine) and `production` (the [[graft.operators.BandedLsh
@@ -105,9 +113,12 @@ class MediaDedupIndex(spark: SparkSession, path: String)
   /** The triad as ONE operational verb for the compaction cadence:
     * consult [[sweepDecision]] at the cap the intakes ran at and run
     * [[sweep]] only when it recommends. `None` = clean profile, nothing
-    * run (one aggregate scan — with the sweep's own empty-edges
-    * short-circuit this is belt and braces, but the decision skips even
-    * the candidate join). */
+    * run (one aggregate scan — the decision skips even the candidate
+    * join). Inherits the decision's heuristic nature (see its doc): a
+    * clean profile makes a needed sweep unlikely, not impossible, so
+    * latency-insensitive cadences should prefer plain [[sweep]] — its
+    * empty-edge short-circuit bounds the needless case to one candidate
+    * pass. */
   def sweepIfRecommended(intakeCap: Int,
                          bucketCap: Int = graft.operators.BandedLsh.BucketCap)
       : Option[MediaDedupIndex.SweepStats] = {
@@ -133,7 +144,7 @@ class MediaDedupIndex(spark: SparkSession, path: String)
     * compaction cadence. */
   def sweep(bucketCap: Int = graft.operators.BandedLsh.BucketCap)
       : MediaDedupIndex.SweepStats =
-    graft.operators.Checkpoints.freeingNew(spark) {
+    graft.operators.Checkpoints.scoped {
     val nBefore = size
     val in = MediaDedup.lshInput(
       signatures.select(col("media_id").as("doc_id"), col("sig")))
@@ -147,9 +158,9 @@ class MediaDedupIndex(spark: SparkSession, path: String)
     // materialized once: CC scans its edge input twice (nodes + the
     // canonical edge set), which would re-run the banded join + Hamming
     // verify; and an EMPTY set short-circuits the whole act
-    val edges = kp.select(col("g1").as("doc1"), col("g2").as("doc2"))
-      .unionByName(graft.operators.BandedLsh.starEdges(collapsed))
-      .localCheckpoint()
+    val edges = graft.operators.Checkpoints.ck(
+      kp.select(col("g1").as("doc1"), col("g2").as("doc2"))
+        .unionByName(graft.operators.BandedLsh.starEdges(collapsed)))
     if (edges.isEmpty)
       // nothing to evict (the provable case on a production-cap index):
       // skip connected components AND the full-index rewrite — a no-op
@@ -162,7 +173,7 @@ class MediaDedupIndex(spark: SparkSession, path: String)
       val keep = sigs.join(comp, sigs("media_id") === comp("node"), "left")
         .filter(coalesce(col("component"), col("media_id")) === col("media_id"))
         .select(col("media_id"), col("sig"))
-        .localCheckpoint()
+        .transform(graft.operators.Checkpoints.ck)
       rewriteAll(keep)
       val nKept = size
       MediaDedupIndex.SweepStats(nBefore, nKept, nBefore - nKept)

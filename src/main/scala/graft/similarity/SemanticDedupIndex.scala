@@ -105,10 +105,22 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
   @volatile var lastCandidates: Long = 0L
   @volatile var lastTruncated: Long = 0L
 
+  /** [[lastTruncated]] accumulated across every [[ingest]] since the
+    * last [[sweep]] — the SOUND within-session sweep trigger: the
+    * one-pass acceptance law says a verified near-dup pair can survive
+    * ingest ONLY via candidate truncation, so zero accumulated
+    * truncation proves the sweep would be a no-op. (The occupancy
+    * profile alone cannot prove that: a bucket hot at intake time can
+    * cool below the cap when its other members are dropped, hiding the
+    * admission site — see [[sweepIfRecommended]].) Session-local; a
+    * reopened index starts at 0 and falls back to the occupancy
+    * heuristic. */
+  @volatile var truncatedSinceSweep: Long = 0L
+
   /** Ingest one batch of (vec_id, embedding: array<float|double>). */
   def ingest(emb: DataFrame): DedupIndex.IngestStats =
-    graft.operators.Checkpoints.freeingNew(spark) {
-    val batch = withSketch(emb, sketch).localCheckpoint()
+    graft.operators.Checkpoints.scoped {
+    val batch = graft.operators.Checkpoints.ck(withSketch(emb, sketch))
     // one stats job: batch size + loud dim guard — a vector WIDER than
     // the sketch would silently lose its tail dimensions from every
     // projection (the sketch pads the short side with zeros, so narrower
@@ -138,7 +150,7 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
       .join(preExact.select("vhash"), Seq("vhash"), "left_semi").distinct()
     val afterExact = preExact
       .join(idxVhashHits, Seq("vhash"), "left_anti")
-      .localCheckpoint() // consumed 4x: bands, two cosine joins, anti-join
+      .transform(graft.operators.Checkpoints.ck) // consumed 4x: bands, two cosine joins, anti-join
 
     // Candidate cap, enforced BEFORE the pair join ever runs: acceptors
     // are ranked per (band, bucket) and only the perBucketCap smallest
@@ -164,7 +176,7 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     val dropped = cosineDrops(capped, afterExact, idx)
     val survivors = afterExact
       .join(dropped, Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+      .transform(graft.operators.Checkpoints.ck)
 
     val nAdded = survivors.count()
     append(survivors, nAdded)
@@ -226,12 +238,12 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     * bucket) is 16 bytes/vector, not a pair explosion. */
   private[graft] def cappedCandidatePairs(afterExact: DataFrame, idx: DataFrame,
                                           perBucketCap: Int): DataFrame = {
-    val probes = bands(afterExact, "1").localCheckpoint()
+    val probes = graft.operators.Checkpoints.ck(bands(afterExact, "1"))
     val acceptors = acceptorBands(afterExact, idx, probes)
       .withColumn("arn", row_number().over(
         Window.partitionBy("band", "bucket")
           .orderBy(col("vec2"), col("from_index"))))
-      .localCheckpoint()
+      .transform(graft.operators.Checkpoints.ck)
     val pStats = probes.groupBy("band", "bucket").agg(count(lit(1)).as("np"))
     val aStats = acceptors.groupBy("band", "bucket").agg(count(lit(1)).as("na"))
     val stats = pStats.join(aStats, Seq("band", "bucket"))
@@ -241,6 +253,7 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
       .head()
     lastCandidates = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     lastTruncated = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    truncatedSinceSweep += lastTruncated
     if (lastTruncated > 0)
       System.err.println(s"[semantic-dedup] per-bucket acceptor cap " +
         s"$perBucketCap truncated ~$lastTruncated of ~$lastCandidates " +
@@ -306,8 +319,17 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
   }
 
   /** The triad as ONE operational verb — see
-    * [[MediaDedupIndex.sweepIfRecommended]]. `intakeCap` is the
-    * per-vector candidate budget the intakes ran at. */
+    * [[MediaDedupIndex.sweepIfRecommended]] for the shape. `intakeCap`
+    * is the per-vector candidate budget the intakes ran at. The gate
+    * here is SOUND within a session: it sweeps when the occupancy
+    * profile is hot OR when [[truncatedSinceSweep]] is nonzero, and by
+    * the one-pass acceptance law a needed sweep implies truncation
+    * happened — so a skip can only be wrong across a session restart
+    * (counter lost), where the occupancy heuristic alone can miss a
+    * bucket that cooled below the cap after admitting through it.
+    * Restart-heavy deployments should run `sweep()` unconditionally on
+    * their cadence instead — the empty-edge short-circuit makes a
+    * needless one cost one candidate pass. */
   def sweepIfRecommended(intakeCap: Int,
                          bucketCap: Int = graft.operators.BandedLsh.BucketCap,
                          escLevels: Int = 2)
@@ -315,7 +337,8 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     val hot = sweepDecision(intakeCap)
       .filter(col("cap_name") === "intake")
       .agg(max(col("sweep_recommended"))).head.getLong(0)
-    if (hot == 0L) None else Some(sweep(bucketCap, escLevels))
+    if (hot == 0L && truncatedSinceSweep == 0L) None
+    else Some(sweep(bucketCap, escLevels))
   }
 
   /** Full-recall dedup SWEEP over the standing index — the semantic twin
@@ -349,9 +372,9 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     * both directions). */
   def sweep(bucketCap: Int = graft.operators.BandedLsh.BucketCap,
             escLevels: Int = 2): BatchedSignatureStore.SweepStats =
-    graft.operators.Checkpoints.freeingNew(spark) {
+    graft.operators.Checkpoints.scoped {
     val nBefore = size
-    val vecs = vectors.localCheckpoint()
+    val vecs = graft.operators.Checkpoints.ck(vectors)
     val in = sweepLshInput(vecs, escLevels)
     // terminalStar: a genuinely dense semantic cluster agrees on the
     // escalation bands too (near-parallel vectors share every sign
@@ -371,9 +394,11 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     // materialized once: CC scans its edge input twice (nodes + the
     // canonical edge set), which would re-run the banded join + cosine
     // verify; and an EMPTY set short-circuits the whole act
-    val edges = verified
-      .unionByName(graft.operators.BandedLsh.starEdges(collapsed))
-      .localCheckpoint()
+    val edges = graft.operators.Checkpoints.ck(verified
+      .unionByName(graft.operators.BandedLsh.starEdges(collapsed)))
+    // either branch IS a full-recall conclusion over the standing index,
+    // so the accumulated truncation debt is settled
+    truncatedSinceSweep = 0L
     if (edges.isEmpty)
       // nothing to evict (provable on a production-cap index by the
       // one-pass acceptance law): skip connected components AND the
@@ -385,7 +410,7 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
       val keep = vecs.join(comp, vecs("vec_id") === comp("node"), "left")
         .filter(coalesce(col("component"), col("vec_id")) === col("vec_id"))
         .select(vecSchema.fieldNames.map(col): _*)
-        .localCheckpoint()
+        .transform(graft.operators.Checkpoints.ck)
       rewriteAll(keep)
       val nKept = size
       BatchedSignatureStore.SweepStats(nBefore, nKept, nBefore - nKept)

@@ -101,9 +101,9 @@ class VectorIndex(spark: SparkSession, path: String,
     * index, not a dedup filter — compose with [[SemanticDedupIndex]]
     * upstream when near-dup suppression is wanted). */
   def ingest(emb: DataFrame): Long =
-    graft.operators.Checkpoints.freeingNew(spark) {
+    graft.operators.Checkpoints.scoped {
       val (ivf, sq8) = fitOrLoad(emb)
-      val rows = encodeRows(emb, ivf, sq8).localCheckpoint()
+      val rows = graft.operators.Checkpoints.ck(encodeRows(emb, ivf, sq8))
       val n = rows.count()
       append(rows, n)
       n

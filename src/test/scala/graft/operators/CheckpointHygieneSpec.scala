@@ -37,6 +37,37 @@ class CheckpointHygieneSpec extends AnyFunSuite {
     assert(leaked <= 2, s"CC leaked $leaked checkpoints over $rounds rounds")
   }
 
+  test("scoped reclamation is thread-confined: a concurrent caller's checkpoint survives") {
+    // the repo supports overlapping mutators on one session
+    // (TextOpsCapSpec's concurrent incrementalDedup); a session-global
+    // persistent-RDD delta would free B's in-flight checkpoint when A's
+    // scope exits — thread-local registration must not
+    import java.util.concurrent.CountDownLatch
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val aOpen = new CountDownLatch(1)
+    val bMade = new CountDownLatch(1)
+    @volatile var bCkpt: org.apache.spark.sql.DataFrame = null
+    val fA = Future(Checkpoints.scoped {
+      val mine = Checkpoints.ck(spark.range(10).toDF("x"))
+      aOpen.countDown()
+      assert(bMade.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      mine.count()
+    })
+    val fB = Future {
+      assert(aOpen.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      bCkpt = spark.range(7).toDF("y").localCheckpoint()
+      bMade.countDown()
+    }
+    assert(Await.result(fA, 2.minutes) == 10L)
+    Await.result(fB, 2.minutes)
+    // A's scope has exited and freed ITS checkpoint; B's — created while
+    // A's scope was open, on another thread — must still be readable
+    assert(bCkpt.count() == 7L)
+    Checkpoints.free(bCkpt)
+  }
+
   test("index ingests and sweeps leave no persisted blocks behind") {
     val before = persisted
 

@@ -103,12 +103,16 @@ class SemanticSweepSpec extends AnyFunSuite {
       .map(r => r._1 -> (r._2, r._3)).toMap
     assert(dec("intake")._2 == 1L && dec("intake")._1 > 0L, dec.toString)
     assert(dec("production") == ((0L, 0L)), dec.toString)
-    // the gated verb consults the decision, then acts (the decision is
-    // conservative — it locates possible admission sites, so it can
-    // recommend a no-op sweep, but never skips a needed one)
+    // the gated verb consults the decision AND the truncation counter,
+    // then acts — within a session the gate is sound: truncation is the
+    // only admission path (one-pass acceptance law), and truncation
+    // accumulated here
+    assert(capped.truncatedSinceSweep > 0L)
     val st = capped
       .sweepIfRecommended(graft.queries.VectorOps.SemanticSweepCap).get
     assert(st.nEvicted > 0, st)
+    assert(capped.truncatedSinceSweep == 0L,
+      "a sweep settles the accumulated truncation debt")
     // residual invariant: no two survivors sharing a band bucket are
     // near-dups — every such pair was a sweep candidate (all buckets
     // cold at the production cap), so its larger member was evicted
