@@ -216,8 +216,12 @@ object MediaDedup {
     val (collapsed, kp) = BandedLsh.collapsedPairs(
       lshInput(mediaSignatures(mediaOf(s, dir))),
       nBands = Bands, maxHamming = Some(MaxHamming), escLevels = EscLevels)
-    val edges = kp.select(col("g1").as("doc1"), col("g2").as("doc2"))
-      .unionByName(BandedLsh.starEdges(collapsed))
+    // materialized once: CC scans its edge input twice (node table +
+    // canonical edge set), which would re-run the banded keeper join
+    // and the Hamming verify — the candidate stage this family bounds
+    val edges = graft.operators.Checkpoints.ck(
+      kp.select(col("g1").as("doc1"), col("g2").as("doc2"))
+        .unionByName(BandedLsh.starEdges(collapsed)))
     val comp = graft.operators.ConnectedComponents(edges)
     val docs = t(s, dir, "documents").select(col("doc_id"))
     docs.join(comp, docs("doc_id") === comp("node"), "left")

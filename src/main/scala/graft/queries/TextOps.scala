@@ -623,8 +623,12 @@ object TextOps {
     val (collapsed, kp) = graft.operators.BandedLsh.collapsedPairs(
       minhashLshInput(minhashSignature(s, dir)), nBands = 2,
       maxHamming = None, escLevels = MinhashEscLevels)
-    val edges = kp.select(col("g1").as("doc1"), col("g2").as("doc2"))
-      .unionByName(graft.operators.BandedLsh.starEdges(collapsed))
+    // materialized once: CC scans its edge input twice (node table +
+    // canonical edge set), which would re-run the banded keeper join,
+    // distinct and verify — the candidate stage this family bounds
+    val edges = graft.operators.Checkpoints.ck(
+      kp.select(col("g1").as("doc1"), col("g2").as("doc2"))
+        .unionByName(graft.operators.BandedLsh.starEdges(collapsed)))
     val comp = graft.operators.ConnectedComponents(edges)
     val docs = t(s, dir, "documents").select(col("doc_id"))
     docs.join(comp, docs("doc_id") === comp("node"), "left")
@@ -904,7 +908,11 @@ object TextOps {
     * the witness of the original quality→exact→LSH→verify shape. */
   def corpusPipelineV2(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val qualityOk = docs.filter(col("n_chars") >= 150)
+    // a NULL n_chars FAILS quality (both sides define it so): without
+    // the coalesce the engine's two complementary filters both exclude
+    // the row (NULL comparisons), letting an unvetted doc through as
+    // 'kept' while the oracle's CASE falls through to 'exact'
+    val qualityOk = docs.filter(coalesce(col("n_chars"), lit(0L)) >= 150)
     val keepEx = qualityOk.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val exOk = qualityOk.join(keepEx, "doc_id")
@@ -972,7 +980,7 @@ object TextOps {
       .localCheckpoint()
     // provenance: one row per doc, stage = its dropper (or 'kept')
     val drops =
-      docs.filter(col("n_chars") < 150)
+      docs.filter(coalesce(col("n_chars"), lit(0L)) < 150)
         .select(col("doc_id"), lit("quality").as("stage"))
         .unionByName(qualityOk.join(keepEx, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), lit("exact").as("stage")))
@@ -992,7 +1000,8 @@ object TextOps {
     val bucket = (1 to 8)
       .map(i => s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END")
       .mkString(" +\n     ")
-    s"""WITH q_ok AS (SELECT doc_id, text FROM documents WHERE n_chars >= 150),
+    s"""WITH q_ok AS (SELECT doc_id, text FROM documents
+       |  WHERE COALESCE(n_chars, 0) >= 150),
        |keep_ids AS (SELECT MIN(doc_id) AS doc_id FROM q_ok GROUP BY md5(text)),
        |ex_ok AS (SELECT q.* FROM q_ok q JOIN keep_ids k USING (doc_id)),
        |sh0 AS (
@@ -1036,7 +1045,7 @@ object TextOps {
        |  WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
        |        / (a.nrm * b.nrm) >= 0.2)
        |SELECT d.doc_id, CASE
-       |  WHEN d.n_chars < 150 THEN 'quality'
+       |  WHEN COALESCE(d.n_chars, 0) < 150 THEN 'quality'
        |  WHEN d.doc_id NOT IN (SELECT doc_id FROM keep_ids) THEN 'exact'
        |  WHEN d.doc_id IN (SELECT doc_id FROM contained) THEN 'containment'
        |  WHEN d.doc_id IN (SELECT doc_id FROM ndrop) THEN 'near_dup'

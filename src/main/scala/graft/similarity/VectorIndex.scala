@@ -133,6 +133,12 @@ class VectorIndex(spark: SparkSession, path: String,
     * [[splitHotCells]]. */
   private def commitGeneration(rows: DataFrame, ivf: IvfIndex.Model,
                                sq8: Sq8Model): Int = {
+    // generation temps stage at the store ROOT (the rename target's
+    // parent), which the batch-level sweep in compact() never visits
+    // (it sweeps the ACTIVE generation dir) — so a crashed writer's
+    // index-sized temp is reclaimed here, by the next generation writer
+    graft.load.AtomicDirCommit.sweepTmp(fsRoot,
+      graft.load.TripletStore.TmpSweepAgeMs)
     val next = generations.lastOption.getOrElse(-1) + 1
     val tmp = graft.load.AtomicDirCommit.tmpFor(fsRoot, s"g$next")
     tmp.mkdirs()

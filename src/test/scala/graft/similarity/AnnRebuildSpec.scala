@@ -65,8 +65,17 @@ class AnnRebuildSpec extends AnyFunSuite {
       val idsPre = idx.table.select("vec_id").collect().map(_.getLong(0)).toSet
       val recallPre = recallAt5(idx)
 
+      // a crashed predecessor's staged generation (index-sized on disk)
+      // must be reclaimed by the next generation writer: generation
+      // temps live at the store ROOT, which the batch-level sweep in
+      // compact() never visits
+      val stale = graft.load.AtomicDirCommit.tmpFor(tmp, "g0")
+      stale.mkdirs()
+      stale.setLastModified(
+        System.currentTimeMillis() - 2 * graft.load.TripletStore.TmpSweepAgeMs)
       val gen = idx.rebuild((batch1 ++ batch2).toDF("vec_id", "embedding"))
       assert(gen == 0)
+      assert(!stale.exists(), "rebuild must sweep dead writers' temps")
       val idsPost = idx.table.select("vec_id").collect().map(_.getLong(0)).toSet
       assert(idsPost == idsPre, "rebuild must preserve vec_ids verbatim")
       val recallPost = recallAt5(idx)
