@@ -975,7 +975,14 @@ object TextOps {
       .join(embN.select(col("vec_id").as("vec2"), col("v").as("v2"),
         col("nrm").as("nb"), col("bucket")), "bucket")
       .filter(col("vec1") < col("vec2"))
-      .filter(dot(col("v1"), col("v2")) / (col("na") * col("nb")) >= 0.2)
+      // null-safe denominator: an all-zero embedding yields 0/0 = NaN,
+      // and Spark orders NaN above every double (NaN >= 0.2 is TRUE) —
+      // the pair would be dropped while DuckDB's divide-by-zero NULL
+      // keeps it. nullif makes both engines keep zero-norm vectors
+      // (undefined cosine never clears a threshold), matching the
+      // SemanticDedupIndex cosine discipline.
+      .filter(dot(col("v1"), col("v2")) /
+        nullif(col("na") * col("nb"), lit(0.0)) >= 0.2)
       .select(col("vec2").as("doc_id")).distinct()
       .localCheckpoint()
     // provenance: one row per doc, stage = its dropper (or 'kept')
@@ -1043,7 +1050,7 @@ object TextOps {
        |  SELECT DISTINCT b.vec_id AS doc_id
        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |  WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
-       |        / (a.nrm * b.nrm) >= 0.2)
+       |        / nullif(a.nrm * b.nrm, 0) >= 0.2)
        |SELECT d.doc_id, CASE
        |  WHEN COALESCE(d.n_chars, 0) < 150 THEN 'quality'
        |  WHEN d.doc_id NOT IN (SELECT doc_id FROM keep_ids) THEN 'exact'

@@ -373,6 +373,12 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
   def sweep(bucketCap: Int = graft.operators.BandedLsh.BucketCap,
             escLevels: Int = 2): BatchedSignatureStore.SweepStats =
     graft.operators.Checkpoints.scoped {
+    // debt snapshot BEFORE the index is read: only the truncation this
+    // sweep can actually see is settled, and only once the conclusion
+    // (either branch) is reached — a throw mid-sweep keeps the debt, and
+    // a concurrent ingest's fresh truncation (landing after this read)
+    // keeps ITS debt, so a later sweepIfRecommended cannot wrongly skip
+    val debt0 = truncatedSinceSweep
     val nBefore = size
     val vecs = graft.operators.Checkpoints.ck(vectors)
     val in = sweepLshInput(vecs, escLevels)
@@ -396,22 +402,23 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     // verify; and an EMPTY set short-circuits the whole act
     val edges = graft.operators.Checkpoints.ck(verified
       .unionByName(graft.operators.BandedLsh.starEdges(collapsed)))
-    // either branch IS a full-recall conclusion over the standing index,
-    // so the accumulated truncation debt is settled
-    truncatedSinceSweep = 0L
-    if (edges.isEmpty)
+    if (edges.isEmpty) {
       // nothing to evict (provable on a production-cap index by the
       // one-pass acceptance law): skip connected components AND the
       // full-index rewrite — a no-op sweep costs one candidate pass,
-      // no I/O churn, no store-version turnover
+      // no I/O churn, no store-version turnover. This short-circuit IS
+      // a full-recall conclusion, so the snapshot debt is settled.
+      truncatedSinceSweep -= debt0
       BatchedSignatureStore.SweepStats(nBefore, nBefore, 0L)
-    else {
+    } else {
       val comp = graft.operators.ConnectedComponents(edges)
       val keep = vecs.join(comp, vecs("vec_id") === comp("node"), "left")
         .filter(coalesce(col("component"), col("vec_id")) === col("vec_id"))
         .select(vecSchema.fieldNames.map(col): _*)
         .transform(graft.operators.Checkpoints.ck)
       rewriteAll(keep)
+      // debt settled only now that the eviction durably committed
+      truncatedSinceSweep -= debt0
       val nKept = size
       BatchedSignatureStore.SweepStats(nBefore, nKept, nBefore - nKept)
     }

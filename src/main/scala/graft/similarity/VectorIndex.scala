@@ -177,12 +177,16 @@ class VectorIndex(spark: SparkSession, path: String,
       .filter(col("count") > cellCap)
       .orderBy("cell").collect().map(_.getInt(0)) // bounded: ≤ k cells
     if (hotCells.isEmpty) return Map.empty
+    // scoped: the generation write inside commitGeneration completes
+    // before this block exits, so the corpus-sized `assigned` blocks are
+    // dead on return — splitUntilBalanced calls this up to maxRounds
+    // times and must not pin one corpus per round for the session
+    graft.operators.Checkpoints.scoped {
     val spark = emb.sparkSession
     import spark.implicits._
-    val assigned = emb
+    val assigned = graft.operators.Checkpoints.ck(emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .join(t.select(col("vec_id"), col("cell")), "vec_id")
-      .localCheckpoint()
+      .join(t.select(col("vec_id"), col("cell")), "vec_id"))
     val k0 = ivf.centroids.length
     val newCents = scala.collection.mutable.ArrayBuffer(ivf.centroids.toSeq: _*)
     val subFor = scala.collection.mutable.Map.empty[Int, (Array[Double], Array[Double], Int)]
@@ -241,6 +245,7 @@ class VectorIndex(spark: SparkSession, path: String,
         col("sq8_codes"), col("dn"))
     commitGeneration(rows, IvfIndex.Model(newCents.toArray), sq8)
     subFor.map { case (c, (_, _, newId)) => newId -> c }.toMap
+    } // Checkpoints.scoped
   }
 
   /** Iterate [[splitHotCells]] until the profile is under `cellCap` (a
@@ -270,12 +275,20 @@ class VectorIndex(spark: SparkSession, path: String,
 
   /** Drop all superseded generation dirs (keeping the active one) plus
     * the pre-generation flat layout's model/batch files once a rebuild
-    * has superseded them. Time-travel to old generations ends here. */
+    * has superseded them. Time-travel to old generations ends here.
+    * A concurrent rebuild's in-flight `.tmp-g*` staging dir is NOT a
+    * superseded artifact: deleting it would fail that writer's commit,
+    * so temps get the same [[graft.load.AtomicDirCommit.sweepTmp]] age
+    * discipline as commitGeneration — only dead writers' temps (older
+    * than TmpSweepAgeMs) are reclaimed here. */
   def pruneGenerations(): Unit = generations.lastOption.foreach { live =>
     generations.dropRight(1)
       .foreach(g => graft.load.Scratch.rm(new java.io.File(fsRoot, s"g=$g")))
+    val now = System.currentTimeMillis()
     Option(fsRoot.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName != s"g=$live" && !f.getName.startsWith("g="))
+      .filterNot(f => f.getName.startsWith(".tmp-") &&
+        now - f.lastModified() <= graft.load.TripletStore.TmpSweepAgeMs)
       .foreach(graft.load.Scratch.rm)
   }
 

@@ -89,4 +89,30 @@ class CheckpointHygieneSpec extends AnyFunSuite {
     assert(persisted == before,
       s"index mutators leaked: ${(persisted -- before).toSeq.sorted}")
   }
+
+  test("vector-index cell splitting frees its corpus-sized join per round") {
+    // splitUntilBalanced calls splitHotCells up to maxRounds times; each
+    // round localCheckpoints the corpus-sized `assigned` join — unscoped,
+    // that pinned one corpus-sized block set PER ROUND for the session
+    // (the one index mutator the r9 hygiene pass missed)
+    val before = persisted
+    val dim = 8
+    val r = new scala.util.Random(31)
+    def dense: Seq[Double] = Seq.fill(dim)(r.nextDouble() * 0.05)
+    def sparse: Seq[Double] = Seq.fill(dim)(2.0 + r.nextDouble() * 2.0)
+    val skewed = (100L until 380L).map(id => (id, dense)) ++
+      (380L until 400L).map(id => (id, sparse))
+    val tmp = Files.createTempDirectory("ckpt_split").toFile
+    try {
+      val idx = new graft.similarity.VectorIndex(spark,
+        tmp.getAbsolutePath, k = 1)
+      idx.ingest(skewed.toDF("vec_id", "embedding"))
+      val rounds = idx.splitUntilBalanced(
+        skewed.toDF("vec_id", "embedding"), 150L)
+      assert(rounds >= 2, s"need a multi-round ladder, took $rounds")
+      assert(persisted == before,
+        s"splitHotCells leaked over $rounds rounds: " +
+          s"${(persisted -- before).toSeq.sorted}")
+    } finally graft.load.Scratch.rm(tmp)
+  }
 }

@@ -56,4 +56,31 @@ class CorpusPipelineV2Spec extends AnyFunSuite {
       assert(out == expected, s"got $out")
     } finally graft.load.Scratch.rm(tmp)
   }
+
+  test("a zero-norm embedding never semantic-drops (NaN-vs-NULL parity)") {
+    // 0/0 cosine: Spark orders NaN ABOVE every double, so an unguarded
+    // `cos >= 0.2` filter silently drops an all-zero embedding, while
+    // the DuckDB oracle's divide-by-zero NULL keeps it — the nullif
+    // guard must make the engine keep it too (undefined cosine never
+    // clears a threshold). The two zero vectors share sign-bucket 0, so
+    // the pair join genuinely scores the 0/0 pair — unguarded, doc 2
+    // came back 'semantic'.
+    val dim = 8
+    val docs = Seq(
+      (1L, words("aaa", 40)), (2L, words("bbb", 40)), (3L, words("ccc", 40)))
+    val emb = Seq(
+      (1L, Seq.fill(dim)(0.0)), (2L, Seq.fill(dim)(0.0)),
+      (3L, Seq.fill(dim)(1.0)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cpv2z").toFile
+    try {
+      docs.toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")).cast("int"))
+        .write.parquet(s"$tmp/documents.parquet")
+      emb.toDF("vec_id", "embedding").write.parquet(s"$tmp/embeddings.parquet")
+      val out = TextOps.corpusPipelineV2(spark, tmp.getAbsolutePath)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out == Map(1L -> "kept", 2L -> "kept", 3L -> "kept"),
+        s"zero-norm vectors must never drop: $out")
+    } finally graft.load.Scratch.rm(tmp)
+  }
 }

@@ -92,8 +92,21 @@ class AnnRebuildSpec extends AnyFunSuite {
       // ingest after rebuild lands in the new generation under new models
       again.ingest(Seq((900L, vec(1.5))).toDF("vec_id", "embedding"))
       assert(again.table.count() == 601)
-      // prune drops the superseded flat layout but keeps the live gen
+      // prune drops the superseded flat layout but keeps the live gen —
+      // and must NOT touch a live concurrent rebuild's young staging
+      // temp (deleting it would fail that writer's commit); only a dead
+      // writer's aged temp is reclaimed
+      val inflight = graft.load.AtomicDirCommit.tmpFor(tmp, "g1")
+      inflight.mkdirs()
+      val dead = graft.load.AtomicDirCommit.tmpFor(tmp, "g1")
+      dead.mkdirs()
+      dead.setLastModified(
+        System.currentTimeMillis() - 2 * graft.load.TripletStore.TmpSweepAgeMs)
       again.pruneGenerations()
+      assert(inflight.exists(),
+        "prune must not delete a live writer's in-flight staging dir")
+      assert(!dead.exists(), "prune reclaims dead writers' aged temps")
+      graft.load.Scratch.rm(inflight)
       assert(again.table.count() == 601)
       assert(recallAt5(again) == recallPost)
     } finally graft.load.Scratch.rm(tmp)

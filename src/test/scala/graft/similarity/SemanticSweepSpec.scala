@@ -129,6 +129,37 @@ class SemanticSweepSpec extends AnyFunSuite {
     assert(capped.sweep().nEvicted == 0L, "idempotent")
   }
 
+  test("a sweep that fails mid-eviction keeps the truncation debt") {
+    // the gate's within-session soundness rests on the counter: if the
+    // eviction throws after the edge pass, the debt must SURVIVE so a
+    // later sweepIfRecommended cannot wrongly skip the still-needed
+    // sweep (an eager reset-before-rewrite lost it)
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = Files.createTempDirectory("sem_sweep_fail").toString
+    var boom = true
+    val idx = new SemanticDedupIndex(spark, dir, threshold = 0.2,
+      sketch = SemanticSketch(
+        maxCandidatesPerVector = graft.queries.VectorOps.SemanticSweepCap)) {
+      override protected def rewriteAll(rows: DataFrame): Unit = {
+        if (boom) throw new RuntimeException("injected eviction failure")
+        super.rewriteAll(rows)
+      }
+    }
+    idx.ingest(emb.filter(col("vec_id") < 250))
+    idx.ingest(emb.filter(col("vec_id") >= 250))
+    val debt = idx.truncatedSinceSweep
+    assert(debt > 0L, "the demo cap must truncate")
+    intercept[RuntimeException](idx.sweep())
+    assert(idx.truncatedSinceSweep == debt,
+      "a failed sweep must not settle the debt")
+    // the gate still fires, and the retried sweep settles exactly it
+    boom = false
+    assert(idx.sweepIfRecommended(
+      graft.queries.VectorOps.SemanticSweepCap).exists(_.nEvicted > 0))
+    assert(idx.truncatedSinceSweep == 0L)
+  }
+
   test("sweep is a no-op on a production-cap index, rows identical") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 120)
