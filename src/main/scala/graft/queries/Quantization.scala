@@ -464,30 +464,38 @@ object Quantization {
     * incremental replays fit over `e1` (batch 1 only — the FROZEN
     * models a second batch must not refit); the rebuild replay fits
     * over `ec` (the accumulated corpus). */
-  private def lloydFitCtes(fitSrc: String): String = {
-    val ew = "list_transform(range(1, len(acc)+1), d -> acc[d] + x[d])"
+  private def lloydFitCtes(fitSrc: String): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |ec AS (SELECT * FROM e WHERE vec_id >= 10),
        |e1 AS (SELECT * FROM ec WHERE vec_id % 2 = 0),
-       |samp AS (SELECT vec_id, v FROM $fitSrc ORDER BY vec_id LIMIT 2048),
-       |c0 AS (SELECT cell, v AS c FROM (
-       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v FROM samp) WHERE cell < 8),
-       |d1 AS (SELECT s.vec_id, s.v, c.cell, ${sqdSql("s.v", "c.c")} AS dist FROM samp s, c0 c),
-       |a1 AS (SELECT vec_id, v, cell FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1),
-       |m1 AS (SELECT cell, list_reduce(list(v ORDER BY vec_id), (acc, x) -> $ew) AS s,
-       |  count(*) AS n FROM a1 GROUP BY cell),
-       |c1 AS (SELECT c0.cell,
-       |  COALESCE(list_transform(range(1, len(m1.s)+1), d -> m1.s[d] / m1.n), c0.c) AS c
-       |  FROM c0 LEFT JOIN m1 ON m1.cell = c0.cell),
-       |d2 AS (SELECT s.vec_id, s.v, c.cell, ${sqdSql("s.v", "c.c")} AS dist FROM samp s, c1 c),
-       |a2 AS (SELECT vec_id, v, cell FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1),
-       |m2 AS (SELECT cell, list_reduce(list(v ORDER BY vec_id), (acc, x) -> $ew) AS s,
-       |  count(*) AS n FROM a2 GROUP BY cell),
-       |c2 AS (SELECT c1.cell,
-       |  COALESCE(list_transform(range(1, len(m2.s)+1), d -> m2.s[d] / m2.n), c1.c) AS c
-       |  FROM c1 LEFT JOIN m2 ON m2.cell = c1.cell)""".stripMargin
+       |${lloydChainCtes(fitSrc)}""".stripMargin
+
+  /** The bare Lloyd chain (no `WITH`/source prelude), every CTE name
+    * prefixed with `p` so two independent fits can coexist in one
+    * replay (q_rebuild_decision fits frozen-on-batch-1 AND
+    * refit-on-the-accumulated-corpus side by side). The fitted
+    * centroids land in `${p}c2`. */
+  private def lloydChainCtes(fitSrc: String, p: String = ""): String = {
+    val ew = "list_transform(range(1, len(acc)+1), d -> acc[d] + x[d])"
+    s"""${p}samp AS (SELECT vec_id, v FROM $fitSrc ORDER BY vec_id LIMIT 2048),
+       |${p}c0 AS (SELECT cell, v AS c FROM (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v FROM ${p}samp) WHERE cell < 8),
+       |${p}d1 AS (SELECT s.vec_id, s.v, c.cell, ${sqdSql("s.v", "c.c")} AS dist FROM ${p}samp s, ${p}c0 c),
+       |${p}a1 AS (SELECT vec_id, v, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM ${p}d1) WHERE rn = 1),
+       |${p}m1 AS (SELECT cell, list_reduce(list(v ORDER BY vec_id), (acc, x) -> $ew) AS s,
+       |  count(*) AS n FROM ${p}a1 GROUP BY cell),
+       |${p}c1 AS (SELECT ${p}c0.cell,
+       |  COALESCE(list_transform(range(1, len(${p}m1.s)+1), d -> ${p}m1.s[d] / ${p}m1.n), ${p}c0.c) AS c
+       |  FROM ${p}c0 LEFT JOIN ${p}m1 ON ${p}m1.cell = ${p}c0.cell),
+       |${p}d2 AS (SELECT s.vec_id, s.v, c.cell, ${sqdSql("s.v", "c.c")} AS dist FROM ${p}samp s, ${p}c1 c),
+       |${p}a2 AS (SELECT vec_id, v, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM ${p}d2) WHERE rn = 1),
+       |${p}m2 AS (SELECT cell, list_reduce(list(v ORDER BY vec_id), (acc, x) -> $ew) AS s,
+       |  count(*) AS n FROM ${p}a2 GROUP BY cell),
+       |${p}c2 AS (SELECT ${p}c1.cell,
+       |  COALESCE(list_transform(range(1, len(${p}m2.s)+1), d -> ${p}m2.s[d] / ${p}m2.n), ${p}c1.c) AS c
+       |  FROM ${p}c1 LEFT JOIN ${p}m2 ON ${p}m2.cell = ${p}c1.cell)""".stripMargin
   }
 
   private val frozenFitCtes: String = lloydFitCtes("e1")
@@ -727,6 +735,115 @@ object Quantization {
        |  max_cell_n,
        |  round(CAST(max_cell_n AS DOUBLE) / n_assigned, 6) AS max_cell_share
        |FROM ot, cs""".stripMargin
+
+  /** The vector family's LSM triad GATED — measure → decide → act as
+    * one verb ([[graft.similarity.VectorIndex.maintainIfDrifted]]),
+    * graded with the q_sweep_decision two-row shape: a DRIFTED store
+    * (models frozen on the original corpus, then a +4.0-shifted copy
+    * ingested under them — every shifted component escapes the frozen
+    * SQ8 ranges) where the verb must FIRE (rebuild commits generation
+    * 0, post-act out-of-range fraction drops to 0), and a CLEAN store
+    * (one batch, models fit the whole corpus) where it must NO-OP
+    * (artifact generation unchanged at -1, no write). The oracle
+    * replays BOTH fits (frozen-on-originals and
+    * refit-on-the-accumulated-corpus Lloyd chains side by side), both
+    * out-of-range measurements, the frozen-centroid occupancy share,
+    * the 0.05 decision itself, and the post-act profile — a verb that
+    * fails to fire, fires on the clean store, or serves stale codes
+    * after firing hash-mismatches. MaintainSpec proves artifact
+    * idempotence (a second call commits nothing) and the split leg. */
+  def rebuildDecision(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val embT = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = embT.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val shifted = corpus.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x + lit(4.0)).as("embedding"))
+    val allRows = corpus.unionByName(shifted)
+    def f6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    graft.load.Scratch.withScratch("graft_rd_q", dir) { tmp =>
+      def caseRow(name: String, sub: String)
+                 (build: graft.similarity.VectorIndex => Unit) = {
+        val idx = new graft.similarity.VectorIndex(s,
+          new java.io.File(tmp, sub).getAbsolutePath)
+        build(idx)
+        val st = idx.maintainIfDrifted(allRows, oorMax = 0.05)
+        val (oorPost, _) = idx.codecDrift(allRows)
+        val maxPopPost = idx.table.groupBy("cell")
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+          .agg(max(col("n"))).head.getLong(0)
+        (name, f6(st.oorFrac), f6(st.maxCellShare),
+          if (st.rebuilt) 1L else 0L, st.genBefore.toLong,
+          st.genAfter.toLong, f6(oorPost), maxPopPost)
+      }
+      val drifted = caseRow("drifted", "d") { i =>
+        i.ingest(corpus); i.ingest(shifted) }
+      val clean = caseRow("clean", "c")(i => i.ingest(allRows))
+      Seq(drifted, clean).toDF("case_name", "oor_frac", "max_cell_share",
+        "rebuild_fired", "gen_before", "gen_after", "oor_frac_post",
+        "max_pop_post")
+    }
+  }
+
+  /** Replay of the gated verb: both Lloyd fits (z = frozen on the
+    * originals, r = refit on the accumulated corpus), both SQ8 range
+    * sets, the out-of-range fractions, the frozen-centroid share, the
+    * 0.05 gate, and post-act numbers selected BY the replayed decision
+    * (fired → refit profile, not fired → frozen profile). */
+  val rebuildDecisionSql: String = {
+    def oorOver(sl: String): String =
+      s"""SELECT CAST(sum(list_reduce(list_transform(range(1, $dim + 1), d ->
+         |    CASE WHEN cu.v[d] < $sl.mns[d] OR cu.v[d] > $sl.mxs[d] THEN 1 ELSE 0 END),
+         |    (a, b) -> a + b)) AS DOUBLE) / (count(*) * $dim) AS f
+         |  FROM cu, $sl""".stripMargin
+    def profileUnder(p: String): String =
+      s"""SELECT cell, count(*) AS n FROM (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cell) AS rn FROM (
+         |      SELECT cu.vec_id, c.cell, ${sqdSql("cu.v", "c.c")} AS dist
+         |      FROM cu, ${p}c2 c)) WHERE rn = 1) GROUP BY cell""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ec AS (SELECT * FROM e WHERE vec_id >= 10),
+       |cu AS (SELECT * FROM ec UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x + 4.0) AS v FROM ec),
+       |${lloydChainCtes("ec", "z")},
+       |${lloydChainCtes("cu", "r")},
+       |zst AS (SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+       |  FROM ec, range(1, $dim + 1) td(d) GROUP BY d),
+       |zsl AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM zst),
+       |rst AS (SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+       |  FROM cu, range(1, $dim + 1) td(d) GROUP BY d),
+       |rsl AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM rst),
+       |zoor AS (${oorOver("zsl")}),
+       |roor AS (${oorOver("rsl")}),
+       |zcn AS (${profileUnder("z")}),
+       |rcn AS (${profileUnder("r")}),
+       |zprof AS (SELECT CAST(max(n) AS BIGINT) AS max_pop,
+       |  CAST(max(n) AS DOUBLE) / sum(n) AS share FROM zcn),
+       |rprof AS (SELECT CAST(max(n) AS BIGINT) AS max_pop,
+       |  CAST(max(n) AS DOUBLE) / sum(n) AS share FROM rcn)
+       |SELECT 'drifted' AS case_name,
+       |  floor(zoor.f * 1000000 + 0.5) / 1000000.0 AS oor_frac,
+       |  floor(zprof.share * 1000000 + 0.5) / 1000000.0 AS max_cell_share,
+       |  CAST(CASE WHEN zoor.f > 0.05 THEN 1 ELSE 0 END AS BIGINT) AS rebuild_fired,
+       |  CAST(-1 AS BIGINT) AS gen_before,
+       |  CAST(CASE WHEN zoor.f > 0.05 THEN 0 ELSE -1 END AS BIGINT) AS gen_after,
+       |  floor((CASE WHEN zoor.f > 0.05 THEN roor.f ELSE zoor.f END) * 1000000 + 0.5)
+       |    / 1000000.0 AS oor_frac_post,
+       |  CASE WHEN zoor.f > 0.05 THEN rprof.max_pop ELSE zprof.max_pop END AS max_pop_post
+       |FROM zoor, roor, zprof, rprof
+       |UNION ALL
+       |SELECT 'clean',
+       |  floor(roor.f * 1000000 + 0.5) / 1000000.0,
+       |  floor(rprof.share * 1000000 + 0.5) / 1000000.0,
+       |  CAST(CASE WHEN roor.f > 0.05 THEN 1 ELSE 0 END AS BIGINT),
+       |  CAST(-1 AS BIGINT),
+       |  CAST(CASE WHEN roor.f > 0.05 THEN 0 ELSE -1 END AS BIGINT),
+       |  floor(roor.f * 1000000 + 0.5) / 1000000.0,
+       |  rprof.max_pop
+       |FROM roor, rprof""".stripMargin
+  }
 
   /** Filtered compressed search — the multi-tenant / metadata-predicate
     * shape every production vector store serves: each query ranks ONLY
@@ -1271,6 +1388,7 @@ object Quantization {
     "q_ann_rebuild" -> annRebuild _,
     "q_cell_split" -> cellSplit _,
     "q_codec_drift" -> codecDriftQ _,
+    "q_rebuild_decision" -> rebuildDecision _,
     "q_opq_error" -> opqError _,
     "q_ann_opq" -> annOpq _,
     "q_bq_rerank" -> bqRerank _)
@@ -1292,6 +1410,7 @@ object Quantization {
     "q_ann_rebuild" -> annRebuildSql,
     "q_cell_split" -> cellSplitSql,
     "q_codec_drift" -> codecDriftSql,
+    "q_rebuild_decision" -> rebuildDecisionSql,
     "q_opq_error" -> opqErrorSql,
     "q_ann_opq" -> annOpqSql,
     "q_bq_rerank" -> bqRerankSql)

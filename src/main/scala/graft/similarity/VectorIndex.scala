@@ -292,6 +292,55 @@ class VectorIndex(spark: SparkSession, path: String,
       .foreach(graft.load.Scratch.rm)
   }
 
+  /** Committed rebuild generation currently serving (-1 = the original
+    * flat layout, never rebuilt) — the artifact version the maintenance
+    * verbs report so a caller can tell "acted" from "no-op" without
+    * diffing directories. */
+  def activeGeneration: Int = generations.lastOption.getOrElse(-1)
+
+  /** The vector family's LSM maintenance triad as ONE gated verb — the
+    * [[MediaDedupIndex.sweepIfRecommended]] /
+    * [[SemanticDedupIndex.sweepIfRecommended]] discipline on its third
+    * index: measure ([[codecDrift]] + the coarse-cell profile), decide
+    * against the caller's policy, act ([[rebuild]] and/or
+    * [[splitUntilBalanced]]), return what was measured and what fired.
+    * The two symptoms map to the two acts they actually cure:
+    *
+    *  - `oorFrac > oorMax` → [[rebuild]]: values escaping the frozen
+    *    SQ8 ranges saturate at the clamp — only a refit fixes codes;
+    *  - a cell over `cellCap` (profiled AFTER any rebuild, which
+    *    reassigns every cell) → [[splitUntilBalanced]]: skew is a
+    *    probe-cost problem, cured cell-locally without touching codes.
+    *
+    * `maxCellShare` is reported (the skew instrument a dashboard
+    * alerts on) but never triggers a rebuild: a refit of the same
+    * corpus reproduces the same centroids, so a share-triggered
+    * rebuild would re-fire identically on every call — committing an
+    * endless chain of byte-identical generations — while the split act
+    * converges. IDEMPOTENT on artifacts: after a rebuild, the refit
+    * ranges cover `emb` exactly (oorFrac = 0), and after the ladder
+    * either the cap holds or the residue is unsplittable (which
+    * [[splitHotCells]] refuses to commit) — a second call measures,
+    * decides no, and commits NOTHING (MaintainSpec pins generation
+    * numbers across a double call). No-op on a clean store: two cheap
+    * aggregates, no write. */
+  def maintainIfDrifted(emb: DataFrame, oorMax: Double = 0.05,
+                        cellCap: Long = Long.MaxValue,
+                        maxRounds: Int = 8): VectorIndex.MaintainStats = {
+    val genBefore = activeGeneration
+    val (oorFrac, maxShare) = codecDrift(emb)
+    val rebuildNeeded = oorFrac > oorMax
+    if (rebuildNeeded) rebuild(emb)
+    val maxPop = table.groupBy("cell").count()
+      .agg(coalesce(max(col("count")), lit(0L))).head.getLong(0)
+    val rounds =
+      if (maxPop > cellCap) splitUntilBalanced(emb, cellCap, maxRounds)
+      else 0
+    VectorIndex.MaintainStats(oorFrac, maxShare, rebuilt = rebuildNeeded,
+      splitRounds = rounds, genBefore = genBefore,
+      genAfter = activeGeneration)
+  }
+
   /** Probed top-k over the accumulated code table — same plan as the
     * artifact search: broadcast probed cells, codes-only scan, bucket-
     * local asymmetric cosine. */
@@ -343,4 +392,11 @@ object VectorIndex {
   val rowSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType), StructField("cell", IntegerType),
     StructField("sq8_codes", BinaryType), StructField("dn", DoubleType)))
+
+  /** What [[VectorIndex.maintainIfDrifted]] measured and did: the two
+    * drift instruments, which acts fired, and the artifact generation
+    * before/after (equal = nothing was committed). */
+  case class MaintainStats(oorFrac: Double, maxCellShare: Double,
+                           rebuilt: Boolean, splitRounds: Int,
+                           genBefore: Int, genAfter: Int)
 }
