@@ -9,6 +9,16 @@ import org.apache.spark.sql.types.StructType
   * directories (`b=N`, `_SUCCESS`-gated via CommittedDirs) with
   * consolidation. The acceptance logic lives in the subclasses; the
   * storage, visibility and compaction rules live once, here.
+  *
+  * Concurrency contract: INGESTS serialize — each runs as a
+  * [[serialized]] mutation (batch set pinned once, commit to the pinned
+  * next id, lost races collide on the rename and re-run acceptance
+  * against the winner's state), so two concurrent ingests land as some
+  * serial order with full cross-batch dedup (StoreConcurrencySpec).
+  * Compaction, sweeps and generation maintenance remain SINGLE-OWNER:
+  * they renumber or rewrite batch dirs, which no concurrent pin can
+  * survive — run them from one owner on the compaction cadence (the
+  * same split the TripletStore multi-writer demo documents).
   */
 abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
 
@@ -28,8 +38,45 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     new java.io.File(storageRoot, "_COMPACT_PENDING")
   recoverCompaction()
 
-  protected def batches: Seq[Int] =
-    graft.load.CommittedDirs.list(storageRoot, "b=")
+  /** The batch set a [[serialized]] mutation on THIS thread pinned at
+    * its start — [[batches]] (and through it [[table]], [[size]] and
+    * [[append]]'s commit target) all resolve through the pin, so the
+    * whole mutation reads one snapshot and commits to `pin.max + 1`.
+    * Batch ids are dense, so an interleaved commit owns that id first
+    * and the rename COLLIDES (the TripletStore v0-pin discipline) —
+    * never an acceptance computed against a stale snapshot landing
+    * silently. */
+  private val pinned = new ThreadLocal[Seq[Int]]
+
+  protected def batches: Seq[Int] = {
+    val p = pinned.get()
+    if (p != null) p
+    else graft.load.CommittedDirs.list(storageRoot, "b=")
+  }
+
+  /** Run `body` as ONE serialized mutation: pin the committed batch set,
+    * compute and commit against it, and on a lost commit race
+    * (ConcurrentModificationException from the rename) re-run the whole
+    * body against the new state — the ingest twin of
+    * [[graft.load.TripletStore.mergeWithRetry]]. Two concurrent ingests
+    * therefore SERIALIZE: the loser's acceptance re-runs over the
+    * winner's survivors, so cross-batch duplicates are caught whichever
+    * order the commits land. Compaction / sweeps remain single-owner by
+    * contract (the multi-writer rule the TripletStore demo documents):
+    * they renumber batches, which no pin can survive. */
+  protected def serialized[T](body: => T): T = {
+    var attempts = 0
+    while (true) {
+      pinned.set(graft.load.CommittedDirs.list(storageRoot, "b="))
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > BatchedSignatureStore.MaxIngestRetries) throw e
+      } finally pinned.remove()
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def rmTree(f: java.io.File): Unit = graft.load.Scratch.rm(f)
 
@@ -66,14 +113,12 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
 
   def size: Long = table.count()
 
-  /** Append one committed batch of survivor rows (no-op when empty). */
   /** Append one committed batch via the shared rename-commit protocol
-    * ([[graft.load.AtomicDirCommit]]). The index is a single-writer
-    * store BY SEMANTICS (acceptance depends on arrival order), so a
-    * second concurrent ingester is a caller bug — with the rename
-    * commit it surfaces as a loud ConcurrentModificationException
-    * instead of one batch's survivors silently vanishing under the
-    * other's Overwrite. */
+    * ([[graft.load.AtomicDirCommit]]); no-op when empty. Inside a
+    * [[serialized]] mutation the commit target comes from the PIN, so
+    * any commit interleaved since the pin collides on the rename and
+    * throws ConcurrentModificationException — which [[serialized]]
+    * turns into a full acceptance re-run against the new state. */
   protected def append(survivors: DataFrame, nAdded: Long): Unit =
     if (nAdded > 0) {
       val root = storageRoot
@@ -135,6 +180,11 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
 }
 
 object BatchedSignatureStore {
+
+  /** Lost-race retry bound for [[BatchedSignatureStore.serialized]] —
+    * each retry means another writer committed first, so the bound only
+    * trips under pathological contention. */
+  val MaxIngestRetries = 8
 
   /** Result of a full-recall dedup SWEEP over a standing index — the
     * compact-thorough half of the ingest-fast / compact-thorough split

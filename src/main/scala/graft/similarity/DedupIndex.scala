@@ -35,7 +35,7 @@ class DedupIndex(spark: SparkSession, path: String)
   /** Ingest one batch of (doc_id, text); returns survivors + stats.
     * One signature computation per batch doc, ever. */
   def ingest(docs: DataFrame): IngestStats =
-    graft.operators.Checkpoints.scoped {
+    serialized { graft.operators.Checkpoints.scoped {
       val batch = graft.operators.Checkpoints.ck(signaturesFor(docs))
       val survivors =
         graft.operators.Checkpoints.ck(DedupIndex.acceptancePlan(batch, signatures))
@@ -43,7 +43,7 @@ class DedupIndex(spark: SparkSession, path: String)
       val nAdded = survivors.count()
       append(survivors, nAdded)
       IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
-    }
+    } }
 }
 
 object DedupIndex {

@@ -52,7 +52,7 @@ class MediaDedupIndex(spark: SparkSession, path: String)
   def ingest(media: Dataset[BinaryPipeline.MediaRow],
              bucketCap: Int = graft.operators.BandedLsh.BucketCap)
       : DedupIndex.IngestStats =
-    graft.operators.Checkpoints.scoped {
+    serialized { graft.operators.Checkpoints.scoped {
       val batch = graft.operators.Checkpoints.ck(
         MediaDedup.mediaSignatures(media)
           .select(col("doc_id").as("media_id"), col("sig")))
@@ -63,7 +63,7 @@ class MediaDedupIndex(spark: SparkSession, path: String)
       val nAdded = survivors.count()
       append(survivors, nAdded)
       DedupIndex.IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
-    }
+    } }
 
   /** Decide WHETHER a [[sweep]] is worth scheduling — the DECIDE member
     * of this family's measure/decide/act triad (measure = the

@@ -117,9 +117,13 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     * heuristic. */
   @volatile var truncatedSinceSweep: Long = 0L
 
-  /** Ingest one batch of (vec_id, embedding: array<float|double>). */
+  /** Ingest one batch of (vec_id, embedding: array<float|double>).
+    * Serialized (see [[BatchedSignatureStore.serialized]]); a lost-race
+    * retry re-counts its truncation into [[truncatedSinceSweep]], so the
+    * aborted attempt's debt lingers — conservative (at worst one extra
+    * sweep whose empty-edge short-circuit is cheap), never unsound. */
   def ingest(emb: DataFrame): DedupIndex.IngestStats =
-    graft.operators.Checkpoints.scoped {
+    serialized { graft.operators.Checkpoints.scoped {
     val batch = graft.operators.Checkpoints.ck(withSketch(emb, sketch))
     // one stats job: batch size + loud dim guard — a vector WIDER than
     // the sketch would silently lose its tail dimensions from every
@@ -181,7 +185,7 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     val nAdded = survivors.count()
     append(survivors, nAdded)
     DedupIndex.IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
-    }
+    } }
 
   /** Candidate-pair formation (package-private so PlanSpec can pin its
     * physical plan): one ID-ONLY (band, bucket) row per band per vector —

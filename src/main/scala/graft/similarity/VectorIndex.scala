@@ -99,15 +99,19 @@ class VectorIndex(spark: SparkSession, path: String,
     * frozen models, append as a committed batch dir. Returns rows added.
     * vec_id uniqueness across batches is the caller's contract (an
     * index, not a dedup filter — compose with [[SemanticDedupIndex]]
-    * upstream when near-dup suppression is wanted). */
+    * upstream when near-dup suppression is wanted). Appends serialize
+    * ([[BatchedSignatureStore.serialized]]); the FIRST ingest — the one
+    * that fits and freezes the models — remains single-writer by the
+    * freeze contract (two concurrent first batches would race the model
+    * files themselves, not the batch dirs). */
   def ingest(emb: DataFrame): Long =
-    graft.operators.Checkpoints.scoped {
+    serialized { graft.operators.Checkpoints.scoped {
       val (ivf, sq8) = fitOrLoad(emb)
       val rows = graft.operators.Checkpoints.ck(encodeRows(emb, ivf, sq8))
       val n = rows.count()
       append(rows, n)
       n
-    }
+    } }
 
   /** The REBUILD act — what [[codecDrift]] decides to trigger: re-fit
     * the coarse centroids and SQ8 ranges on the ACCUMULATED corpus (the

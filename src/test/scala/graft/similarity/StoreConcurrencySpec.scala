@@ -1,0 +1,98 @@
+package graft.similarity
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The signature stores' concurrency contract
+  * ([[BatchedSignatureStore.serialized]]): concurrent ingests SERIALIZE
+  * — the whole mutation (table read, acceptance, commit target) runs
+  * against one pinned batch set, an interleaved commit collides on the
+  * rename, and the loser re-runs its acceptance against the winner's
+  * survivors. Before the pin, the loser's append re-listed the batch
+  * dirs at commit time and landed its stale acceptance silently — the
+  * cross-batch duplicate survived. The TripletStore v0-pin discipline,
+  * ported (`load/TripletStore.scala:268`). */
+class StoreConcurrencySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("a lost-race ingest re-runs acceptance against the winner's survivors") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_conc_det").toFile
+    try {
+      val reached = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      @volatile var appendCalls = 0
+      // gated instance: its FIRST append parks between acceptance and
+      // commit — the exact window the TOCTOU lived in
+      val gated = new DedupIndex(spark, tmp.getAbsolutePath) {
+        override protected def append(survivors: DataFrame, nAdded: Long): Unit = {
+          appendCalls += 1
+          if (appendCalls == 1) {
+            reached.countDown()
+            assert(release.await(60, TimeUnit.SECONDS))
+          }
+          super.append(survivors, nAdded)
+        }
+      }
+      val plain = new DedupIndex(spark, tmp.getAbsolutePath)
+      val sharedText = "the quick brown fox jumps over the lazy dog again"
+      // A ingests {20 = dup of B's 10, 21 = unique}; it pins the EMPTY
+      // store, accepts both, and parks pre-commit
+      val fA = Future(gated.ingest(
+        Seq((20L, sharedText), (21L, "a genuinely different note"))
+          .toDF("doc_id", "text")))
+      assert(reached.await(60, TimeUnit.SECONDS))
+      // B lands doc 10 with the same text and commits b=0 first
+      val sB = plain.ingest(Seq((10L, sharedText)).toDF("doc_id", "text"))
+      assert(sB.nAdded == 1)
+      release.countDown()
+      // A's commit to b=0 collides; the retry re-pins {b=0}, re-runs
+      // acceptance over B's survivor, and DROPS its duplicate
+      val sA = Await.result(fA, 2.minutes)
+      assert(appendCalls >= 2, "the lost race must retry the append")
+      assert(sA.nAdded == 1 && sA.nDropped == 1,
+        s"retried acceptance must drop the cross-batch duplicate: $sA")
+      val ids = plain.signatures.select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(10L, 21L),
+        s"index must equal the serial B-then-A outcome, got $ids")
+    } finally graft.load.Scratch.rm(tmp)
+  }
+
+  test("barrier fuzz: racing ingests always land a serial-order outcome") {
+    // A ingests {1, 2}, B ingests {3 = exact dup of 1, 4}, barrier-synced
+    // so both pin the same (empty) snapshot. Serial A→B keeps {1,2,4};
+    // serial B→A keeps {2,3,4}. Any other outcome — notably {1,2,3,4},
+    // the silent-TOCTOU result — is a serializability violation.
+    val sharedText = "some repeated card text for the exact duplicate pair"
+    (0 until 3).foreach { round =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_conc_fuzz$round").toFile
+      try {
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        def writer(rows: Seq[(Long, String)]) = Future {
+          val idx = new DedupIndex(spark, tmp.getAbsolutePath)
+          barrier.await(60, TimeUnit.SECONDS)
+          idx.ingest(rows.toDF("doc_id", "text"))
+        }
+        val fA = writer(Seq((1L, sharedText), (2L, "note about evaluation")))
+        val fB = writer(Seq((3L, sharedText), (4L, "note about training")))
+        Await.result(fA, 2.minutes)
+        Await.result(fB, 2.minutes)
+        val ids = new DedupIndex(spark, tmp.getAbsolutePath)
+          .signatures.select("doc_id").as[Long].collect().toSet
+        assert(ids == Set(1L, 2L, 4L) || ids == Set(2L, 3L, 4L),
+          s"round $round: non-serializable outcome $ids")
+      } finally graft.load.Scratch.rm(tmp)
+    }
+  }
+}
