@@ -318,12 +318,14 @@ object MediaDedup {
     * Probes with fewer than k banded candidates return what the buckets
     * hold — the honest LSH contract. */
   private[graft] def searchSigs(probeSig: DataFrame, corpusSig: DataFrame,
-                                k: Int = SearchK): DataFrame = {
+                                k: Int = SearchK,
+                                bucketCap: Int = BandedLsh.BucketCap): DataFrame = {
     // corpus side gets the shared BandedLsh pre-join state: collapse to
     // keepers, band them, drop over-cap buckets — ONE discipline, not a
     // re-implementation next to the pair path
     val (collapsed, cold) = BandedLsh.collapsedColdKeepers(
-      lshInput(corpusSig.select(col("doc_id"), col("sig"))), nBands = Bands)
+      lshInput(corpusSig.select(col("doc_id"), col("sig"))), nBands = Bands,
+      bucketCap = bucketCap)
     val probes = lshInput(probeSig)
       .select(col("doc_id").as("query_id"), col("sig").as("qsig"),
         posexplode(array((0 until Bands).map(i => col(s"b$i")): _*))
