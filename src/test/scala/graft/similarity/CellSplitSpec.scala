@@ -103,6 +103,56 @@ class CellSplitSpec extends AnyFunSuite {
     } finally graft.load.Scratch.rm(tmp)
   }
 
+  /** Rows a probed search must scan per query at `nprobe`: the summed
+    * populations of the query's probed cells — the cost the split act
+    * exists to bound. */
+  private def scanRowsPerProbe(idx: VectorIndex, nprobe: Int): Seq[Long] = {
+    val (ivf, _) = idx.models.get
+    val pops = idx.table.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    IvfIndex.probedCells(queries.toDF("vec_id", "embedding"), ivf, nprobe)
+      .select("query_id", "cell").collect()
+      .groupBy(_.getLong(0))
+      .map { case (_, rows) => rows.map(r => pops(r.getInt(1))).sum }
+      .toSeq
+  }
+
+  test("the split act pays off in search: same nprobe, same recall, cheaper probes") {
+    // the point of splitting — a post-split search at the SAME nprobe
+    // must keep its recall while the per-probe scan cost (rows read from
+    // the probed cells) drops, because the hot cell's mass no longer
+    // rides along with every probe that touches it
+    val tmp = java.nio.file.Files.createTempDirectory("graft_split_cost").toFile
+    try {
+      val idx = new VectorIndex(spark, tmp.getAbsolutePath, k = 4)
+      idx.ingest(corpus.toDF("vec_id", "embedding"))
+      val cap = 150L
+      val recallPre = recallAt5(idx, nprobe = 2)
+      val scansPre = scanRowsPerProbe(idx, nprobe = 2)
+      assert(idx.splitHotCells(corpus.toDF("vec_id", "embedding"), cap).nonEmpty)
+      val recallPost = recallAt5(idx, nprobe = 2)
+      val scansPost = scanRowsPerProbe(idx, nprobe = 2)
+      // "maintained" within one hit in a hundred, not bit-equal: at a
+      // FIXED nprobe the split strictly shrinks the scanned mass (2 of 5
+      // cells cover less than 2 of 4), and cosine is scale-invariant, so
+      // a spread-cell doc in some query's exact top-5 can fall out of the
+      // probed set. The equal-SCAN-BUDGET comparison (nprobe 3 post vs 2
+      // pre) in the first test shows recall non-decreasing; this test
+      // pins the other side of the trade — near-equal recall at HALF the
+      // probe cost.
+      assert(recallPost >= recallPre - 0.02,
+        s"same-nprobe recall must hold within one hit: $recallPre -> $recallPost")
+      // every tight-cluster query probed the 300-row hot cell before; the
+      // split halves what its two nearest centroids now cover
+      assert(scansPost.max < scansPre.max,
+        s"max per-probe scan must drop: ${scansPre.max} -> ${scansPost.max}")
+      assert(scansPost.sum < scansPre.sum,
+        s"total probe scan must drop: ${scansPre.sum} -> ${scansPost.sum}")
+      info(s"nprobe=2 recall $recallPre -> $recallPost, max scan rows " +
+        s"${scansPre.max} -> ${scansPost.max}, total ${scansPre.sum} -> ${scansPost.sum}")
+    } finally graft.load.Scratch.rm(tmp)
+  }
+
   test("an exact-duplicate clump is unsplittable: no-op, no junk generation") {
     // 200 identical vectors over the cap: 2-means has no geometry to
     // split on — splitHotCells must SKIP the cell, return empty, and
