@@ -25,7 +25,7 @@ object Bench {
     // (r4/r5/r7 ran at loadavg 3-4.6 and needed an idle companion to
     // adjudicate). Wait — bounded — for the 1-minute load to drop
     // before timing anything; the artifact then IS the idle number.
-    val gate = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_GATE", "2.0").toDouble
+    val gate = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_GATE", "1.0").toDouble
     val gateDeadlineNs = System.nanoTime() + 300L * 1000000000L
     while (loadavg() >= gate && System.nanoTime() < gateDeadlineNs) {
       System.err.println(f"[bench] loadavg ${loadavg()}%.2f >= $gate%.1f — waiting")
@@ -45,10 +45,12 @@ object Bench {
     Tables(spark, sfDir, "lineitem").count()
     Tables(spark, sfDir, "documents").count()
 
-    // Best-of-2 per query: a single timing is hostage to whatever else the
-    // machine is doing (the round-1 committed bench was contention-skewed
-    // 3.3x); the min of two runs is robust to transient load while still
-    // charging all real work (both runs execute the full query).
+    // Best-of-N per query (default 3): a single timing is hostage to
+    // whatever else the machine is doing (the round-1 committed bench was
+    // contention-skewed 3.3x; this box drifts 1.5-2x on untouched queries
+    // across host sessions); committed values are MINIMA by protocol, and
+    // the full artifact carries per-query median + spread so drift
+    // adjudication is mechanical, not prose.
     // A failed query must not masquerade as a fast one: its slot gets a
     // loud sentinel (and a stderr line), never its time-to-failure.
     val FailSentinel = 9999.0
@@ -67,11 +69,20 @@ object Bench {
       if (ok) dt else FailSentinel
     }
     val loadBefore = loadavg()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
+    val bestOfN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val ts = Seq.fill(bestOfN)(timeOnce(name, fn)).sorted
+      (name, ts.head, ts(ts.size / 2), ts.last / math.max(ts.head, 1e-9))
     }
+    val results = timings.map { case (name, mn, _, _) => name -> mn }
     val loadAfter = loadavg()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // median + spread (max/min) per query, full artifact only: the
+    // driver's "queries" map stays a name->seconds map of MINIMA (its
+    // parser's schema), the drift evidence rides next to it
+    val spreads = timings
+      .map { case (k, _, med, sp) => "\"" + k + s"""":{"med":$med,"spread":$sp}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The driver's per-round snapshot has twice run on a contended box
@@ -91,13 +102,27 @@ object Bench {
           s""","idle_companion":"tools/${f.getName}","idle_total_sec":${m.group(1)}""")
       }.getOrElse("")
     }
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$idleCompanion}"""
+    // Contended-stamp refusal: a committed artifact taken above the gate
+    // is noise a future reader will misread (the r9 headline was 179 s at
+    // loadavg 1.66 vs 93.6 s idle). The run still completes and prints —
+    // the driver contract — but it is flagged AND the full artifact is
+    // diverted to /tmp instead of the committed tools/ path.
+    val contended = loadBefore >= gate
+    val contendedField = if (contended)
+      s""","contended":true,"contended_note":"loadavg_before $loadBefore >= gate $gate; tools/ stamp refused, use the idle companion""""
+      else ""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"best_of_$bestOfN","queries":$qs,"query_spreads":$spreads,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$contendedField$idleCompanion}"""
     // The driver truncates long stdout tails in BENCH_r*.json — two rounds
     // running its artifact ended `parsed: null` because the full per-query
     // map pushed the JSON line past the cut. Persist the complete line to a
     // file (diffable across rounds) and print a SHORT line: totals, counts,
     // the slowest queries, and pointers to the full map + idle companion.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_full_latest.json")
+    val outPath =
+      if (contended) "/tmp/bench_full_contended.json"
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_full_latest.json")
+    if (contended)
+      System.err.println(f"[bench] loadavg_before $loadBefore%.2f >= $gate%.1f" +
+        s" — refusing the committed stamp; full artifact diverted to $outPath")
     val wroteFull = try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -109,7 +134,7 @@ object Bench {
     }
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$slowest,"queries_note":"8 slowest of ${results.size}; full map in queries_full","queries_full":"${if (wroteFull) outPath else ""}","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$idleCompanion}"""
+    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"best_of_$bestOfN","sf":"$sfDir","n_queries":${results.size},"queries":$slowest,"queries_note":"8 slowest of ${results.size}; full map in queries_full","queries_full":"${if (wroteFull) outPath else ""}","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$contendedField$idleCompanion}"""
     println(if (wroteFull) shortLine else fullLine)
     spark.stop()
   }

@@ -3,43 +3,78 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** The third bench decade — a MEASURED sf1 run of the most expensive
-  * graded queries (the r8 idle top-15 plus the two r9 sweep rows),
-  * converting the "plans survive 100×" claim from two-decade probe
-  * extrapolation to measurement.
+  * graded queries, converting the "plans survive 100×" claim from
+  * two-decade probe extrapolation to measurement.
   *
   * Prereq: `python3 tools/gen_sf1.py` (10× sf0.1, key-shifted replicas,
   * text verbatim — a duplicate-heavy corpus by construction, the shape
-  * the r9 hot-bucket discipline targets). Measures each query best-of-2
-  * at sf0.1 AND sf1 in one session (apples-to-apples), prints one JSON
-  * line for tools/bench_sf1_top15.json, and a per-query ratio table for
-  * SCALE.md. Fixed-slice queries (the version family's doc_id∈[200,250)
-  * ingest batches) are expected near 1× — their cost tracks the batch by
-  * design; pair-output queries can exceed 10× where the OUTPUT contract
-  * is quadratic under exact replication (flagged in the table).
+  * the r9 hot-bucket discipline targets). Measures each query
+  * best-of-N (N = SPARK_GRAFT_BENCH_N, default 3) at sf0.1 AND sf1 in
+  * one session (apples-to-apples) and emits min/median/spread per
+  * query — the drift discipline is the PROTOCOL's, not hand
+  * adjudication: committed values are minima by construction, and the
+  * spread column replaces the prose drift notes (this box drifts
+  * 1.5–2× across host sessions on untouched queries; r9 measured
+  * q_pagerank at 5.07/10.05/14.2 s for one binary). Fixed-slice
+  * queries (the version family's doc_id∈[200,250) ingest batches) are
+  * expected near 1× — their cost tracks the batch by design;
+  * pair-output queries can exceed 10× where the OUTPUT contract is
+  * quadratic under exact replication (flagged in the table).
+  *
+  * Stamp gate: a committed artifact taken on a contended host is noise
+  * a future reader will misread (the r9 BENCH headline was 179 s at
+  * loadavg 1.66 vs 93.6 s idle) — when the 1-minute loadavg has not
+  * dropped below 1.0 by the deadline, the run completes but REFUSES to
+  * stamp tools/, writing to /tmp instead.
   *
   * Run idle: sbt "Test/runMain graft.BenchSf1"
   */
 object BenchSf1 {
-  private val Top15 = Seq(
+  private val Top22 = Seq(
     "q_pagerank", "q_media_groups", "q_stream_merge", "q_simhash_neardup",
     "q_context_match", "q_incremental_dedup", "q_codec_recall",
     "q_media_incremental", "q_version_ttl", "q_semantic_dedup",
     "q_containment", "q_version_compacted", "q_incremental_ann",
     "q_dedup_groups", "q_version_delta",
-    // the two LSM sweep rows, landed after the original top-15 ranking
-    // and now the two most expensive graded queries: capped intake at
-    // the demo cap + full-recall sweep (escalation ladder and terminal
-    // star ENGAGE on the verbatim-replicated sf1 corpus — the one place
-    // the hot-bucket machinery is exercised at the third decade)
+    // the two LSM sweep rows: capped intake at the demo cap +
+    // full-recall sweep (escalation ladder and terminal star ENGAGE on
+    // the verbatim-replicated sf1 corpus — the one place the hot-bucket
+    // machinery is exercised at the third decade)
     "q_media_sweep", "q_semantic_sweep",
     // the decision instruments (same demo-capped intake setup; the
     // decision itself is one aggregate scan of the standing index)
-    "q_sweep_decision", "q_semantic_sweep_decision")
+    "q_sweep_decision", "q_semantic_sweep_decision",
+    // r10 additions — the previously unmeasured expensive rows: the
+    // five-stage corpus pipeline (its containment stage should inherit
+    // the collapse-and-expand ~1.45×) and the two ANN maintenance acts
+    "q_corpus_pipeline_v2", "q_ann_rebuild", "q_cell_split")
+
+  private def loadavg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+    catch { case _: Exception =>
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    }
+
+  /** min / median / spread (max/min) of one query's N timings. */
+  final case class Timing(min: Double, med: Double, spread: Double)
 
   def main(args: Array[String]): Unit = {
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
     require(new java.io.File(s"$sf1Dir/documents.parquet").exists(),
       s"run tools/gen_sf1.py first (no corpus at $sf1Dir)")
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    require(n >= 2, s"best-of-N needs N >= 2, got $n")
+    // committed-artifact gate: wait for idle, refuse the tools/ stamp if
+    // the box never settles (the run still completes, to /tmp)
+    val stampGate = 1.0
+    val gateDeadlineNs = System.nanoTime() + 600L * 1000000000L
+    while (loadavg() >= stampGate && System.nanoTime() < gateDeadlineNs) {
+      System.err.println(f"[sf1bench] loadavg ${loadavg()}%.2f >= $stampGate%.1f — waiting")
+      Thread.sleep(10000)
+    }
+    val loadBefore = loadavg()
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -47,7 +82,7 @@ object BenchSf1 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def bestOf2(name: String, dir: String): Double = {
+    def bestOfN(name: String, dir: String): Timing = {
       def once(): Double = {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
@@ -55,28 +90,39 @@ object BenchSf1 {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         dt
       }
-      math.min(once(), once())
+      val ts = Seq.fill(n)(once()).sorted
+      Timing(ts.head, ts(ts.size / 2), ts.last / ts.head)
     }
 
     // warm session machinery
     Tables(spark, "/root/testdata/sf0.1", "documents").count()
     Tables(spark, sf1Dir, "documents").count()
 
-    val rows = Top15.map { q =>
-      val d01 = bestOf2(q, "/root/testdata/sf0.1")
-      val d1 = bestOf2(q, sf1Dir)
-      println(f"[sf1bench] $q%-22s sf0.1=$d01%6.2fs sf1=$d1%7.2fs ratio=${d1 / d01}%5.2fx")
+    val rows = Top22.map { q =>
+      val d01 = bestOfN(q, "/root/testdata/sf0.1")
+      val d1 = bestOfN(q, sf1Dir)
+      println(f"[sf1bench] $q%-26s sf0.1=${d01.min}%6.2fs sf1=${d1.min}%7.2fs " +
+        f"ratio=${d1.min / d01.min}%5.2fx med=${d1.med}%7.2fs spread=${d1.spread}%4.2fx")
       (q, d01, d1)
     }
     val qs = rows.map { case (q, a, b) =>
-      s""""$q":{"sf01":$a,"sf1":$b,"ratio":${b / a}}""" }.mkString(",")
-    val json = s"""{"metric":"sf1_top${Top15.size}","unit":"sec","sf1_dir":"$sf1Dir",""" +
-      s""""total_sf01":${rows.map(_._2).sum},"total_sf1":${rows.map(_._3).sum},""" +
+      f""""$q":{"sf01":${a.min},"sf1":${b.min},"ratio":${b.min / a.min},""" +
+        f""""sf01_med":${a.med},"sf1_med":${b.med},""" +
+        f""""sf01_spread":${a.spread},"sf1_spread":${b.spread}}""" }.mkString(",")
+    val loadAfter = loadavg()
+    val json = s"""{"metric":"sf1_top${Top22.size}","unit":"sec","sf1_dir":"$sf1Dir",""" +
+      s""""protocol":"best_of_$n","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
+      s""""total_sf01":${rows.map(_._2.min).sum},"total_sf1":${rows.map(_._3.min).sum},""" +
       s""""queries":{$qs}}"""
     println(json)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"tools/bench_sf1_top${Top15.size}.json"),
-      json + "\n")
+    val stamp = loadBefore < stampGate
+    val out =
+      if (stamp) s"tools/bench_sf1_top${Top22.size}.json"
+      else s"/tmp/bench_sf1_top${Top22.size}_contended.json"
+    if (!stamp)
+      System.err.println(f"[sf1bench] loadavg_before $loadBefore%.2f >= " +
+        f"$stampGate%.1f — REFUSING the tools/ stamp; wrote $out instead")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     spark.stop()
   }
 }
