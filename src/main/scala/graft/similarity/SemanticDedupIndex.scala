@@ -114,8 +114,11 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     * cool below the cap when its other members are dropped, hiding the
     * admission site — see [[sweepIfRecommended]].) Session-local; a
     * reopened index starts at 0 and falls back to the occupancy
-    * heuristic. */
-  @volatile var truncatedSinceSweep: Long = 0L
+    * heuristic. Atomic: concurrent ingests add and a sweep settles by
+    * subtraction — a plain volatile read-modify-write could lose a
+    * concurrent ingest's debt and wrongly license a sweep skip. */
+  private val truncationDebt = new java.util.concurrent.atomic.AtomicLong(0L)
+  def truncatedSinceSweep: Long = truncationDebt.get()
 
   /** Ingest one batch of (vec_id, embedding: array<float|double>).
     * Serialized (see [[BatchedSignatureStore.serialized]]); a lost-race
@@ -257,7 +260,7 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
       .head()
     lastCandidates = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     lastTruncated = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-    truncatedSinceSweep += lastTruncated
+    truncationDebt.addAndGet(lastTruncated)
     if (lastTruncated > 0)
       System.err.println(s"[semantic-dedup] per-bucket acceptor cap " +
         s"$perBucketCap truncated ~$lastTruncated of ~$lastCandidates " +
@@ -412,7 +415,7 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
       // full-index rewrite — a no-op sweep costs one candidate pass,
       // no I/O churn, no store-version turnover. This short-circuit IS
       // a full-recall conclusion, so the snapshot debt is settled.
-      truncatedSinceSweep -= debt0
+      truncationDebt.addAndGet(-debt0)
       BatchedSignatureStore.SweepStats(nBefore, nBefore, 0L)
     } else {
       val comp = graft.operators.ConnectedComponents(edges)
@@ -422,7 +425,7 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
         .transform(graft.operators.Checkpoints.ck)
       rewriteAll(keep)
       // debt settled only now that the eviction durably committed
-      truncatedSinceSweep -= debt0
+      truncationDebt.addAndGet(-debt0)
       val nKept = size
       BatchedSignatureStore.SweepStats(nBefore, nKept, nBefore - nKept)
     }

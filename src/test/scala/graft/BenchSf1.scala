@@ -49,32 +49,19 @@ object BenchSf1 {
     // the collapse-and-expand ~1.45×) and the two ANN maintenance acts
     "q_corpus_pipeline_v2", "q_ann_rebuild", "q_cell_split")
 
-  private def loadavg(): Double =
-    try new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
-    catch { case _: Exception =>
-      java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-    }
-
-  /** min / median / spread (max/min) of one query's N timings. */
-  final case class Timing(min: Double, med: Double, spread: Double)
+  import BenchProtocol.Timing
 
   def main(args: Array[String]): Unit = {
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
     require(new java.io.File(s"$sf1Dir/documents.parquet").exists(),
       s"run tools/gen_sf1.py first (no corpus at $sf1Dir)")
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
-    require(n >= 2, s"best-of-N needs N >= 2, got $n")
     // committed-artifact gate: wait for idle, refuse the tools/ stamp if
-    // the box never settles (the run still completes, to /tmp)
+    // the box never settles (the run still completes, to /tmp); the
+    // shared protocol samples BEFORE the session so the bench's own
+    // startup load cannot flag an idle run
     val stampGate = 1.0
-    val gateDeadlineNs = System.nanoTime() + 600L * 1000000000L
-    while (loadavg() >= stampGate && System.nanoTime() < gateDeadlineNs) {
-      System.err.println(f"[sf1bench] loadavg ${loadavg()}%.2f >= $stampGate%.1f — waiting")
-      Thread.sleep(10000)
-    }
-    val loadBefore = loadavg()
+    val loadBefore = BenchProtocol.gateWait(stampGate, 600, "sf1bench")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -82,17 +69,14 @@ object BenchSf1 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def bestOfN(name: String, dir: String): Timing = {
-      def once(): Double = {
+    def bestOfN(name: String, dir: String): Timing =
+      BenchProtocol.bestOfN(n) {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         dt
       }
-      val ts = Seq.fill(n)(once()).sorted
-      Timing(ts.head, ts(ts.size / 2), ts.last / ts.head)
-    }
 
     // warm session machinery
     Tables(spark, "/root/testdata/sf0.1", "documents").count()
@@ -109,7 +93,7 @@ object BenchSf1 {
       f""""$q":{"sf01":${a.min},"sf1":${b.min},"ratio":${b.min / a.min},""" +
         f""""sf01_med":${a.med},"sf1_med":${b.med},""" +
         f""""sf01_spread":${a.spread},"sf1_spread":${b.spread}}""" }.mkString(",")
-    val loadAfter = loadavg()
+    val loadAfter = BenchProtocol.loadavg()
     val json = s"""{"metric":"sf1_top${Top22.size}","unit":"sec","sf1_dir":"$sf1Dir",""" +
       s""""protocol":"best_of_$n","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
       s""""total_sf01":${rows.map(_._2.min).sum},"total_sf1":${rows.map(_._3.min).sum},""" +
