@@ -120,11 +120,21 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
   private val truncationDebt = new java.util.concurrent.atomic.AtomicLong(0L)
   def truncatedSinceSweep: Long = truncationDebt.get()
 
+  /** THIS ingest attempt's truncation count, thread-confined: the
+    * `lastTruncated` volatile is a racy latest-ingest observable (two
+    * concurrent ingests overwrite each other — benign for alerting),
+    * but the debt a thread adds after ITS append must be exactly what
+    * ITS candidate pass truncated. */
+  private val myTruncated = new ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = 0L
+  }
+
   /** Ingest one batch of (vec_id, embedding: array<float|double>).
-    * Serialized (see [[BatchedSignatureStore.serialized]]); a lost-race
-    * retry re-counts its truncation into [[truncatedSinceSweep]], so the
-    * aborted attempt's debt lingers — conservative (at worst one extra
-    * sweep whose empty-edge short-circuit is cheap), never unsound. */
+    * Serialized (see [[BatchedSignatureStore.serialized]]); the
+    * truncation debt is added only after the batch durably appends and
+    * only for the attempt that lands, so an aborted lost-race attempt
+    * contributes nothing and a concurrent sweep can never settle debt
+    * for rows it has not seen. */
   def ingest(emb: DataFrame): DedupIndex.IngestStats =
     serialized { graft.operators.Checkpoints.scoped {
     val batch = graft.operators.Checkpoints.ck(withSketch(emb, sketch))
@@ -175,7 +185,7 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
     val cap = sketch.maxCandidatesPerVector
     val capped =
       if (cap == Int.MaxValue) {
-        lastCandidates = -1L; lastTruncated = 0L
+        lastCandidates = -1L; lastTruncated = 0L; myTruncated.set(0L)
         candidatePairs(afterExact, idx)
       } else cappedCandidatePairs(afterExact, idx,
         math.max(1, cap / sketch.nBands))
@@ -187,6 +197,11 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
 
     val nAdded = survivors.count()
     append(survivors, nAdded)
+    // debt lands only AFTER the batch durably committed: a concurrent
+    // sweep that read the pre-append store must not be able to settle
+    // debt for rows it never saw (and a lost-race retry now counts its
+    // truncation exactly once, on the attempt that actually lands)
+    truncationDebt.addAndGet(myTruncated.get())
     DedupIndex.IngestStats(nIn = nIn, nAdded = nAdded, nDropped = nIn - nAdded)
     } }
 
@@ -259,8 +274,12 @@ class SemanticDedupIndex(spark: SparkSession, path: String,
         sum(col("np") * greatest(col("na") - perBucketCap, lit(0))).as("trunc"))
       .head()
     lastCandidates = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    // the DEBT add happens in ingest, after the batch durably appends —
+    // adding here (before the rows exist in the store) let a concurrent
+    // sweep that read the pre-append store settle debt for rows it never
+    // saw, re-opening the wrongly-skipped-sweep hole
     lastTruncated = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-    truncationDebt.addAndGet(lastTruncated)
+    myTruncated.set(lastTruncated)
     if (lastTruncated > 0)
       System.err.println(s"[semantic-dedup] per-bucket acceptor cap " +
         s"$perBucketCap truncated ~$lastTruncated of ~$lastCandidates " +

@@ -56,6 +56,9 @@ object BenchSf1 {
     require(new java.io.File(s"$sf1Dir/documents.parquet").exists(),
       s"run tools/gen_sf1.py first (no corpus at $sf1Dir)")
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    // a committed sf1 stamp from a single timing is meaningless on a box
+    // that drifts 1.5-2x per run — the drift columns would be degenerate
+    require(n >= 2, s"the committed sf1 artifact needs best-of-N >= 2, got $n")
     // committed-artifact gate: wait for idle, refuse the tools/ stamp if
     // the box never settles (the run still completes, to /tmp); the
     // shared protocol samples BEFORE the session so the bench's own
