@@ -160,6 +160,57 @@ class SemanticSweepSpec extends AnyFunSuite {
     assert(idx.truncatedSinceSweep == 0L)
   }
 
+  test("a sweep overlapping an in-flight ingest cannot settle the ingest's debt") {
+    // the race the r10 review found: ingest counts its truncation during
+    // the candidate pass but its rows append later; a sweep that read the
+    // PRE-append store and short-circuited on empty edges must not settle
+    // debt for rows it never saw — else a later sweepIfRecommended can
+    // wrongly skip. The fix adds debt only after the append commits.
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = Files.createTempDirectory("sem_sweep_race").toString
+    val reached = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    @volatile var gateArmed = false
+    val idx = new SemanticDedupIndex(spark, dir, threshold = 0.2,
+      sketch = SemanticSketch(
+        maxCandidatesPerVector = graft.queries.VectorOps.SemanticSweepCap)) {
+      override protected def append(rows: DataFrame, nAdded: Long): Unit = {
+        if (gateArmed) {
+          gateArmed = false
+          reached.countDown()
+          assert(release.await(60, TimeUnit.SECONDS))
+        }
+        super.append(rows, nAdded)
+      }
+    }
+    // batch 1 lands normally and its debt is swept clean
+    idx.ingest(emb.filter(col("vec_id") < 250))
+    idx.sweep()
+    val settled = idx.truncatedSinceSweep
+    // batch 2 (truncates at the demo cap) parks between its candidate
+    // pass and its append — the old code had already added its debt here
+    gateArmed = true
+    val fIngest = Future(idx.ingest(emb.filter(col("vec_id") >= 250)))
+    assert(reached.await(60, TimeUnit.SECONDS))
+    // the overlapping sweep reads the pre-append store: nothing to evict
+    // (batch 1 was just swept), and it must NOT settle batch 2's debt
+    idx.sweep()
+    release.countDown()
+    Await.result(fIngest, 2.minutes)
+    assert(idx.truncatedSinceSweep > settled,
+      "the in-flight ingest's truncation debt must survive the " +
+        "overlapping sweep — a zero here licenses a wrongly-skipped sweep")
+    // and the gate still fires on it
+    assert(idx.sweepIfRecommended(
+      graft.queries.VectorOps.SemanticSweepCap).isDefined)
+    assert(idx.truncatedSinceSweep == 0L)
+  }
+
   test("sweep is a no-op on a production-cap index, rows identical") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 120)
