@@ -128,9 +128,16 @@ object EtlLifecycle {
         when(col("doc_id") % 2 === 0, array(lit("libA"))).otherwise(array(lit("libB")))))
       .withColumn("pipeline_tag",
         when(col("doc_id") % 6 === 0, lit("Translation")))
+    // materialized once: the eight triple arms below each re-execute
+    // their upstream (Spark does not share common subplans across union
+    // children), and that upstream is the per-card typed-map parse — 8
+    // arms × 2 loads re-parsed every card 16× (measured at sf0.1:
+    // 6.2 → 4.9 s same-harness minima; the remainder is the two MERGEs
+    // — the instrument's actual subject)
     val cat = TagCategorizer.categorize(tagged, TagCategorizer.Vocabs(
       languages = LangVocab, libraries = Seq("libA", "libB"),
       tasks = Seq("translation")))
+      .localCheckpoint()
 
     // T1: the FAIR4ML triple arms (P1 known fields inline: name, url)
     val subj = concat(lit("model:"), col("doc_id"))
