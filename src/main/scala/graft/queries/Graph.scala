@@ -153,8 +153,11 @@ object Graph {
     * PlatformPipelines.openmlNestedTriples: each order plays an OpenML run
     * whose dataset/evaluation values expand into 14 triples across four
     * subjects (run, dataset object, estimation procedure, evaluation). */
-  def nestedEntities(s: SparkSession, dir: String): DataFrame = {
-    val runs = t(s, dir, "orders").select(
+  /** The orders-as-OpenML-runs fixture shared by q_nested_entities and
+    * the composed q_openml_lifecycle: each order's DatasetObject /
+    * EvaluationObject content is a pure projection of its columns. */
+  private[queries] def openmlRunsFixture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
       col("o_orderkey"),
       struct(
         concat(lit("ds-"), col("o_custkey").cast("string")).as("name"),
@@ -173,15 +176,20 @@ object Graph {
       map(lit("score"), col("o_totalprice").cast("decimal(18,2)"))
         .as("num_metrics"),
       map(lit("status"), col("o_orderstatus")).as("text_metrics"))
-    graft.extract.PlatformPipelines.openmlNestedTriples(runs, "o_orderkey")
-  }
 
-  val nestedEntitiesSql: String =
-    """WITH base AS (
+  def nestedEntities(s: SparkSession, dir: String): DataFrame =
+    graft.extract.PlatformPipelines.openmlNestedTriples(
+      openmlRunsFixture(s, dir), "o_orderkey")
+
+  /** The nested-tree replay over a filtered orders slice — `where` is a
+    * SQL predicate over the orders columns (TRUE = the whole table, the
+    * q_nested_entities instance). */
+  private[queries] def nestedTreeSql(where: String): String =
+    s"""WITH base AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
       |    CAST(o_orderkey % 100 AS VARCHAR) AS seed_str,
       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS score_str
-      |  FROM orders),
+      |  FROM orders WHERE $where),
       |h1 AS (
       |  SELECT *,
       |    'https://w3id.org/mlentory/mlentory_graph/' AS ns,
@@ -233,6 +241,8 @@ object Graph {
       |  'literal', 'http://www.w3.org/2001/XMLSchema#double' FROM u
       |UNION ALL SELECT ev_s, 'https://w3id.org/fair4ml/status', o_orderstatus,
       |  'literal', 'http://www.w3.org/2001/XMLSchema#string' FROM u""".stripMargin
+
+  val nestedEntitiesSql: String = nestedTreeSql("TRUE")
 
   /** A11 BFS frontier expansion, oracle-graded: seeds = a customer slice,
     * edges = customer→order ∪ order→part (disjoint id namespaces, so the
