@@ -58,8 +58,9 @@ object EtlLifecycle {
 
   private val LangVocab = Seq("en", "de", "fr", "es")
 
-  /** S1 + P3: the snapshot scan with the q_quality_filter predicate. */
-  private def qualityDocs(s: SparkSession, dir: String): DataFrame =
+  /** S1 + P3: the snapshot scan with the q_quality_filter predicate
+    * (package-visible so PlanSpec can pin its pushdown). */
+  private[graft] def qualityDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .filter(col("n_chars") >= 150
         && col("lang").isNotNull

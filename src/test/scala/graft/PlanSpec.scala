@@ -503,4 +503,14 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
       s.contains("BroadcastHashJoin"), s)
   }
+
+  test("etl lifecycle quality scan: pushable half of P3 reaches the reader") {
+    // the length/token predicates compute over text (not pushable), but
+    // the n_chars floor and lang null-rejection must reach the parquet
+    // scan — at 100 TB the snapshot prune is the difference between
+    // reading the corpus and reading the survivors
+    val s = planString(queries.EtlLifecycle.qualityDocs(spark, dir))
+    assert(s.contains("PushedFilters: [IsNotNull(n_chars), IsNotNull(text), " +
+      "GreaterThanOrEqual(n_chars,150), IsNotNull(lang)"), s)
+  }
 }
