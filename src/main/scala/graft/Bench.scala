@@ -83,8 +83,15 @@ object Bench {
       val dir = new java.io.File("tools")
       val cands = Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.matches("bench_r\\d+_idle_full.*\\.json"))
+      val selfTarget = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_full_latest.json"))
+        .getCanonicalFile
       cands.sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
         .reverseIterator
+        // never cite the file THIS run is about to overwrite: the
+        // companion would carry the superseded run's totals under the
+        // new run's name — a self-referential pointer with stale data
+        .filter(_.getCanonicalFile != selfTarget)
         .map(f => (f, new String(
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
         // an idle-NAMED artifact whose content says contended (an

@@ -119,9 +119,7 @@ object PlatformPipelines {
                           numericMetricsCol: String = "num_metrics",
                           textMetricsCol: String = "text_metrics"): DataFrame = {
     import graft.transform.NestedObjects
-    val subj = concat(lit(NestedObjects.Base),
-      sha2(concat_ws("|", lit("platform=openml"), lit("type=run"),
-        col(idColumn).cast("string")), 256))
+    val subj = NestedObjects.runEntityUri("openml", col(idColumn))
     // both trees share ONE materialized pre-projection: the runs frame is
     // scanned once, every entity uri is hashed once
     val pre = runs.select(

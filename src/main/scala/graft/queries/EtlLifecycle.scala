@@ -1,12 +1,10 @@
 package graft.queries
 
-import java.sql.Timestamp
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.load.{Scratch, TripletStore}
 import graft.operators.TagCategorizer
 import graft.transform.TripleBuilder
 
@@ -50,11 +48,9 @@ object EtlLifecycle {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  // Logical clock (epoch seconds, UTC): load-1 extraction base, load-2
-  // extraction base, load-2 merge "now" (deprecation stamp).
-  private val T1 = 1704067200L // 2024-01-01T00:00:00Z
-  private val T2 = 1706745600L // 2024-02-01T00:00:00Z
-  private val T3 = 1709251200L // 2024-03-01T00:00:00Z
+  // Logical clock: the shared lifecycle constants (LifecycleMerge).
+  private val T1 = LifecycleMerge.T1
+  private val T2 = LifecycleMerge.T2
 
   private val LangVocab = Seq("en", "de", "fr", "es")
 
@@ -195,22 +191,9 @@ object EtlLifecycle {
     * start) plus the A9 distinct-subject count and the deprecated-range
     * count as audit columns on every row. */
   def etlLifecycle(s: SparkSession, dir: String): DataFrame =
-    Scratch.withScratch("graft_etl_q", dir) { tmp =>
-      val store = new TripletStore(s, tmp.getAbsolutePath)
-      store.merge(extractionBatch(s, dir, 1), new Timestamp(T1 * 1000))
-      store.merge(extractionBatch(s, dir, 2), new Timestamp(T3 * 1000))
-      val ranges = store.ranges.localCheckpoint()
-      val nDeprecated = ranges.filter(col("deprecated")).count()
-      val nSubjects = store.distinctSubjectCount
-      ranges.filter(!col("deprecated"))
-        .select(col("subject"), col("predicate"), col("obj"),
-          col("objKind").as("objkind"),
-          col("extractionMethod").as("method"), col("confidence"),
-          expr("unix_micros(useStart) div 1000").as("start_ms"),
-          lit(nSubjects).as("n_subjects"),
-          lit(nDeprecated).as("n_deprecated"))
-        .localCheckpoint()
-    }
+    LifecycleMerge.twoVersionCurrentGraph(s, dir, "graft_etl_q",
+      v => extractionBatch(s, dir, v),
+      extra = Seq(col("extractionMethod").as("method"), col("confidence")))
 
   /** Whole-chain replay: quality predicate → card classes → vocabulary
     * rules → triple arms → A7 winner → both merges' arms. The current

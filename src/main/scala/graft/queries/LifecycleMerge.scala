@@ -1,0 +1,48 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.load.{Scratch, TripletStore}
+
+/** The shared load half of the two composed lifecycle rows
+  * (q_etl_lifecycle / q_openml_lifecycle): two extraction passes merged
+  * as versions 0 and 1 of a scratch [[TripletStore]], output = the V8
+  * current graph with `start_ms` separating extended from fresh ranges
+  * and the A9 distinct-subject + deprecated-range audit counts. One
+  * implementation so a fix to the merge mechanics, the
+  * checkpoint-before-scratch-removal discipline, or the audit-count
+  * semantics cannot silently diverge between the two entry points. */
+private[queries] object LifecycleMerge {
+
+  // Logical clock (epoch seconds, UTC): load-1 extraction base, load-2
+  // extraction base, load-2 merge "now" (deprecation stamp).
+  val T1 = 1704067200L // 2024-01-01T00:00:00Z
+  val T2 = 1706745600L // 2024-02-01T00:00:00Z
+  val T3 = 1709251200L // 2024-03-01T00:00:00Z
+
+  /** Merge `batch(1)` @T1 and `batch(2)` @T3 into a scratch store and
+    * project the current graph; `extra` columns slot between `objkind`
+    * and `start_ms` (the per-row provenance each lifecycle grades). */
+  def twoVersionCurrentGraph(s: SparkSession, dir: String,
+                             scratchPrefix: String,
+                             batch: Int => DataFrame,
+                             extra: Seq[Column]): DataFrame =
+    Scratch.withScratch(scratchPrefix, dir) { tmp =>
+      val store = new TripletStore(s, tmp.getAbsolutePath)
+      store.merge(batch(1), new Timestamp(T1 * 1000))
+      store.merge(batch(2), new Timestamp(T3 * 1000))
+      val ranges = store.ranges.localCheckpoint()
+      val nDeprecated = ranges.filter(col("deprecated")).count()
+      val nSubjects = store.distinctSubjectCount
+      ranges.filter(!col("deprecated"))
+        .select(Seq(col("subject"), col("predicate"), col("obj"),
+          col("objKind").as("objkind")) ++ extra ++ Seq(
+          expr("unix_micros(useStart) div 1000").as("start_ms"),
+          lit(nSubjects).as("n_subjects"),
+          lit(nDeprecated).as("n_deprecated")): _*)
+        .localCheckpoint()
+    }
+}

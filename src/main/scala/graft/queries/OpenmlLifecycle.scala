@@ -1,12 +1,10 @@
 package graft.queries
 
-import java.sql.Timestamp
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.load.{Scratch, TripletStore}
 import graft.extract.{PlatformPipelines, SchemaMapping}
 
 /** The reference's SECOND composed ETL entry point as one graded row —
@@ -40,9 +38,9 @@ object OpenmlLifecycle {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  private val T1 = 1704067200L // 2024-01-01T00:00:00Z
-  private val T2 = 1706745600L // 2024-02-01T00:00:00Z
-  private val T3 = 1709251200L // 2024-03-01T00:00:00Z (merge-2 stamp)
+  // Logical clock: the shared lifecycle constants (LifecycleMerge).
+  private val T1 = LifecycleMerge.T1
+  private val T2 = LifecycleMerge.T2
 
   private val SliceSql = "o_orderkey < 500"
 
@@ -72,11 +70,10 @@ object OpenmlLifecycle {
         concat(lit("scr_"), col("o_orderstatus"))).as("scraped_status"))
   }
 
-  /** The run-entity URI — the same hash the nested tree roots at. */
+  /** The run-entity URI — the ONE shared hash the nested tree roots at
+    * ([[graft.transform.NestedObjects.runEntityUri]]). */
   private def runSubject(id: Column): Column =
-    concat(lit(graft.transform.NestedObjects.Base),
-      sha2(concat_ws("|", lit("platform=openml"), lit("type=run"),
-        id.cast("string")), 256))
+    graft.transform.NestedObjects.runEntityUri("openml", id)
 
   /** One extraction pass: S7 flat properties (+J3 coalesce) as triples
     * on the run URI, unioned with the nested child-entity trees, ready
@@ -116,21 +113,9 @@ object OpenmlLifecycle {
     * (incl. the typed nested-literal datatypes) with `start_ms`
     * separating extended from fresh ranges and the A9 audit counts. */
   def openmlLifecycle(s: SparkSession, dir: String): DataFrame =
-    Scratch.withScratch("graft_oml_q", dir) { tmp =>
-      val store = new TripletStore(s, tmp.getAbsolutePath)
-      store.merge(extractionBatch(s, dir, 1), new Timestamp(T1 * 1000))
-      store.merge(extractionBatch(s, dir, 2), new Timestamp(T3 * 1000))
-      val ranges = store.ranges.localCheckpoint()
-      val nDeprecated = ranges.filter(col("deprecated")).count()
-      val nSubjects = store.distinctSubjectCount
-      ranges.filter(!col("deprecated"))
-        .select(col("subject"), col("predicate"), col("obj"),
-          col("objKind").as("objkind"), col("datatype"),
-          expr("unix_micros(useStart) div 1000").as("start_ms"),
-          lit(nSubjects).as("n_subjects"),
-          lit(nDeprecated).as("n_deprecated"))
-        .localCheckpoint()
-    }
+    LifecycleMerge.twoVersionCurrentGraph(s, dir, "graft_oml_q",
+      v => extractionBatch(s, dir, v),
+      extra = Seq(col("datatype")))
 
   /** Whole-chain replay: the S7 rules + J3 coalesce per load, the
     * proven nested-tree replay over the slice (load-invariant), DISTINCT

@@ -33,6 +33,20 @@ object NestedObjects {
 
   val Base: String = EntityBuilders.Base
   val Fair4ml = "https://w3id.org/fair4ml/"
+
+  /** The run-entity URI — ONE definition shared by the nested
+    * child-entity trees and any flat-property arm that must root at the
+    * same subject (q_openml_lifecycle): a drift between two copies of
+    * this hash would silently split one run into disjoint subjects. */
+  def runEntityUri(platform: String, id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.concat(
+      org.apache.spark.sql.functions.lit(Base),
+      org.apache.spark.sql.functions.sha2(
+        org.apache.spark.sql.functions.concat_ws("|",
+          org.apache.spark.sql.functions.lit(s"platform=$platform"),
+          org.apache.spark.sql.functions.lit("type=run"),
+          id.cast("string")), 256))
   val SchemaNs = "https://schema.org/"
   val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
   val XsdString = "http://www.w3.org/2001/XMLSchema#string"
