@@ -30,7 +30,7 @@ import org.apache.spark.sql.SparkSession
   * Run idle: sbt "Test/runMain graft.BenchSf1"
   */
 object BenchSf1 {
-  private val Top22 = Seq(
+  private val TopN = Seq(
     "q_pagerank", "q_media_groups", "q_stream_merge", "q_simhash_neardup",
     "q_context_match", "q_incremental_dedup", "q_codec_recall",
     "q_media_incremental", "q_version_ttl", "q_semantic_dedup",
@@ -47,7 +47,12 @@ object BenchSf1 {
     // r10 additions — the previously unmeasured expensive rows: the
     // five-stage corpus pipeline (its containment stage should inherit
     // the collapse-and-expand ~1.45×) and the two ANN maintenance acts
-    "q_corpus_pipeline_v2", "q_ann_rebuild", "q_cell_split")
+    "q_corpus_pipeline_v2", "q_ann_rebuild", "q_cell_split",
+    // the two composed lifecycle rows, landed r10 among the most
+    // expensive graded queries — measured at the decade the round they
+    // ship (the corpus_pipeline_v2 lesson: never leave a new expensive
+    // row's decade inferred)
+    "q_etl_lifecycle", "q_openml_lifecycle")
 
   import BenchProtocol.Timing
 
@@ -85,7 +90,7 @@ object BenchSf1 {
     Tables(spark, "/root/testdata/sf0.1", "documents").count()
     Tables(spark, sf1Dir, "documents").count()
 
-    val rows = Top22.map { q =>
+    val rows = TopN.map { q =>
       val d01 = bestOfN(q, "/root/testdata/sf0.1")
       val d1 = bestOfN(q, sf1Dir)
       println(f"[sf1bench] $q%-26s sf0.1=${d01.min}%6.2fs sf1=${d1.min}%7.2fs " +
@@ -97,15 +102,15 @@ object BenchSf1 {
         f""""sf01_med":${a.med},"sf1_med":${b.med},""" +
         f""""sf01_spread":${a.spread},"sf1_spread":${b.spread}}""" }.mkString(",")
     val loadAfter = BenchProtocol.loadavg()
-    val json = s"""{"metric":"sf1_top${Top22.size}","unit":"sec","sf1_dir":"$sf1Dir",""" +
+    val json = s"""{"metric":"sf1_top${TopN.size}","unit":"sec","sf1_dir":"$sf1Dir",""" +
       s""""protocol":"best_of_$n","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
       s""""total_sf01":${rows.map(_._2.min).sum},"total_sf1":${rows.map(_._3.min).sum},""" +
       s""""queries":{$qs}}"""
     println(json)
     val stamp = loadBefore < stampGate
     val out =
-      if (stamp) s"tools/bench_sf1_top${Top22.size}.json"
-      else s"/tmp/bench_sf1_top${Top22.size}_contended.json"
+      if (stamp) s"tools/bench_sf1_top${TopN.size}.json"
+      else s"/tmp/bench_sf1_top${TopN.size}_contended.json"
     if (!stamp)
       System.err.println(f"[sf1bench] loadavg_before $loadBefore%.2f >= " +
         f"$stampGate%.1f — REFUSING the tools/ stamp; wrote $out instead")
