@@ -63,6 +63,11 @@ object Bench {
       (name, t.min, t.med, t.spread)
     }
     val results = timings.map { case (name, mn, _, _) => name -> mn }
+    // storage-hygiene evidence: timeOnce frees every finished query's
+    // blocks (including returned eager checkpoints), so the session must
+    // END with an empty persistent-RDD map — recorded in the artifact so
+    // a cross-query storage-pressure suspicion is refutable mechanically
+    val pinnedFinal = spark.sparkContext.getPersistentRDDs.size
     val loadAfter = loadavg()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -112,7 +117,7 @@ object Bench {
     val contendedField = if (contended)
       s""","contended":true,"contended_note":"loadavg_before $loadBefore >= gate $gate; tools/ stamp refused, use the idle companion""""
       else ""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"best_of_$bestOfN","queries":$qs,"query_spreads":$spreads,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$contendedField$idleCompanion}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"best_of_$bestOfN","queries":$qs,"query_spreads":$spreads,"sf":"$sfDir","persistent_rdds_final":$pinnedFinal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter$contendedField$idleCompanion}"""
     // The driver truncates long stdout tails in BENCH_r*.json — two rounds
     // running its artifact ended `parsed: null` because the full per-query
     // map pushed the JSON line past the cut. Persist the complete line to a
@@ -146,7 +151,7 @@ object Bench {
     }
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"best_of_$bestOfN","sf":"$sfDir","n_queries":${results.size},"queries":$slowest,"queries_note":"8 slowest of ${results.size}; full map in queries_full","queries_full":"${if (wroteFull) outPath else ""}","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$contendedField$idleCompanion}"""
+    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"best_of_$bestOfN","sf":"$sfDir","n_queries":${results.size},"queries":$slowest,"queries_note":"8 slowest of ${results.size}; full map in queries_full","queries_full":"${if (wroteFull) outPath else ""}","persistent_rdds_final":$pinnedFinal,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter$contendedField$idleCompanion}"""
     println(if (wroteFull) shortLine else fullLine)
     spark.stop()
   }

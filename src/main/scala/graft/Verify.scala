@@ -25,6 +25,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free the finished query's checkpoint blocks (several queries
+      // return eager localCheckpoints): without this, a 175-query dump
+      // session accumulates every result's block set. Safe as a global
+      // sweep ONLY because this loop is single-threaded — concurrent
+      // mutators must use the thread-confined Checkpoints discipline.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

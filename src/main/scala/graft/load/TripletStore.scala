@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints
+
 /** Temporally versioned triple store — the Spark restatement of the
   * reference's Postgres history schema and its V1-V8 load operators
   * (`code/load/mlentory_load/core/GraphHandler.py:348-714`,
@@ -256,7 +258,15 @@ class TripletStore(spark: SparkSession, path: String,
     *                 extractionMethod, confidence, extractionTime
     * @param now      logical load time used for deprecation stamps
     */
-  def merge(incoming: DataFrame, now: Timestamp): MergeStats = {
+  def merge(incoming: DataFrame, now: Timestamp): MergeStats =
+    // Checkpoint hygiene ([[Checkpoints]] scaladoc): merge returns a
+    // scalar after the durable delta commit, so both internal
+    // checkpoints (the deduped batch and the MERGE join) are dead on
+    // return — and StreamingLoad calls merge once per micro-batch, the
+    // exact unbounded-growth regime local-checkpoint leaks hit hardest.
+    Checkpoints.scoped(mergeImpl(incoming, now))
+
+  private def mergeImpl(incoming: DataFrame, now: Timestamp): MergeStats = {
     // The snapshot version is read EXACTLY ONCE and pins both the
     // reconstruction and the commit target (v0+1). Reading it twice — once
     // for the snapshot, again at commit time — opened a TOCTOU window: a
@@ -268,7 +278,7 @@ class TripletStore(spark: SparkSession, path: String,
     val v0 = currentVersion
     // Checkpointed once: the batch is scanned a single time even though it
     // feeds both the MERGE join and the touched-subjects semi-join.
-    val inc = withIdentity(incoming)
+    val inc = Checkpoints.ck(withIdentity(incoming)
       .groupBy("tripletHash", "infoHash")
       .agg(
         first("subject").as("subject"), first("predicate").as("predicate"),
@@ -276,8 +286,7 @@ class TripletStore(spark: SparkSession, path: String,
         first("datatype").as("datatype"),
         first("extractionMethod").as("extractionMethod"),
         first("confidence").as("confidence"),
-        max("extractionTime").as("extractionTime"))
-      .localCheckpoint()
+        max("extractionTime").as("extractionTime")))
 
     // Only rows of subjects present in the batch can change (extend,
     // deprecate, or collide with a fresh insert — the identity key embeds
@@ -291,10 +300,9 @@ class TripletStore(spark: SparkSession, path: String,
     // fresh / deprecation / stats / delta below all read the
     // materialized result instead of re-running the join lineage — at
     // 100 TB the previous shape re-scanned the ranges table 4x per batch.
-    val j = open.as("o").join(inc.as("i"),
+    val j = Checkpoints.ck(open.as("o").join(inc.as("i"),
       col("o.tripletHash") === col("i.tripletHash") &&
-        col("o.infoHash") === col("i.infoHash"), "full_outer")
-      .localCheckpoint()
+        col("o.infoHash") === col("i.infoHash"), "full_outer"))
 
     val extended = j.filter(col("o.tripletHash").isNotNull && col("i.tripletHash").isNotNull)
       .select(
@@ -448,27 +456,31 @@ class TripletStore(spark: SparkSession, path: String,
   def compact(keep: Int = 2): Seq[Int] = {
     val vs = versions
     val dropped = vs.dropRight(math.max(1, keep))
-    if (dropped.isEmpty) return dropped
-    val cut = vs.takeRight(math.max(1, keep)).head
-    // Retry safety: a prior compaction that crashed after committing
-    // base=cut but before its deletions must NOT rewrite the base —
-    // reconstruct(cut) would then read the very path being overwritten
-    // (Spark refuses) — the committed base is the state; only the
-    // superseded dirs remain to delete.
-    if (!baseVersions.contains(cut)) {
-      val snap = reconstruct(cut, openOnly = false)
-        .withColumn("v", lit(cut)).localCheckpoint()
-      graft.sinks.Sinks.writeClustered(snap, s"$path/base=$cut",
-        nFilesFor(snap.count()), targetRowsPerFile,
-        "tripletHash", "infoHash")
-    }
-    (dropped.flatMap(d => Seq(s"v=$d", s"base=$d")) :+ s"v=$cut")
-      .foreach { nm =>
-        val d = new java.io.File(fs, nm)
-        if (d.exists()) Scratch.rm(d)
+    if (dropped.isEmpty) dropped
+    // scoped: the snapshot checkpoint is dead once the base dir commits
+    // (the return value is a version list, not a plan over `snap`)
+    else Checkpoints.scoped {
+      val cut = vs.takeRight(math.max(1, keep)).head
+      // Retry safety: a prior compaction that crashed after committing
+      // base=cut but before its deletions must NOT rewrite the base —
+      // reconstruct(cut) would then read the very path being overwritten
+      // (Spark refuses) — the committed base is the state; only the
+      // superseded dirs remain to delete.
+      if (!baseVersions.contains(cut)) {
+        val snap = Checkpoints.ck(reconstruct(cut, openOnly = false)
+          .withColumn("v", lit(cut)))
+        graft.sinks.Sinks.writeClustered(snap, s"$path/base=$cut",
+          nFilesFor(snap.count()), targetRowsPerFile,
+          "tripletHash", "infoHash")
       }
-    AtomicDirCommit.sweepTmp(fs, TmpSweepAgeMs)
-    dropped
+      (dropped.flatMap(d => Seq(s"v=$d", s"base=$d")) :+ s"v=$cut")
+        .foreach { nm =>
+          val d = new java.io.File(fs, nm)
+          if (d.exists()) Scratch.rm(d)
+        }
+      AtomicDirCommit.sweepTmp(fs, TmpSweepAgeMs)
+      dropped
+    }
   }
 
   /** Time-based retention: keep every range needed to answer [[asOf]]
@@ -493,25 +505,29 @@ class TripletStore(spark: SparkSession, path: String,
     */
   def compact(olderThan: Timestamp): Seq[Int] = {
     val vs = versions
-    if (vs.isEmpty) return Seq.empty
-    val newHorizon = math.max(horizonMs, olderThan.getTime)
-    fs.mkdirs()
-    java.nio.file.Files.writeString(
-      new java.io.File(fs, HorizonMarker).toPath, newHorizon.toString)
-    val cur = vs.last
-    val nv = cur + 1
-    val snap = reconstruct(cur, openOnly = false)
-      .filter(!col("deprecated") ||
-        col("useEnd") >= lit(new Timestamp(newHorizon)))
-      .withColumn("v", lit(nv)).localCheckpoint()
-    graft.sinks.Sinks.writeClustered(snap, s"$path/base=$nv",
-      nFilesFor(snap.count()), targetRowsPerFile, "tripletHash", "infoHash")
-    vs.flatMap(d => Seq(s"v=$d", s"base=$d")).foreach { nm =>
-      val d = new java.io.File(fs, nm)
-      if (d.exists()) Scratch.rm(d)
+    if (vs.isEmpty) Seq.empty
+    // scoped for the same reason as compact(keep): `snap` is dead once
+    // the purged base commits durably
+    else Checkpoints.scoped {
+      val newHorizon = math.max(horizonMs, olderThan.getTime)
+      fs.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(fs, HorizonMarker).toPath, newHorizon.toString)
+      val cur = vs.last
+      val nv = cur + 1
+      val snap = Checkpoints.ck(reconstruct(cur, openOnly = false)
+        .filter(!col("deprecated") ||
+          col("useEnd") >= lit(new Timestamp(newHorizon)))
+        .withColumn("v", lit(nv)))
+      graft.sinks.Sinks.writeClustered(snap, s"$path/base=$nv",
+        nFilesFor(snap.count()), targetRowsPerFile, "tripletHash", "infoHash")
+      vs.flatMap(d => Seq(s"v=$d", s"base=$d")).foreach { nm =>
+        val d = new java.io.File(fs, nm)
+        if (d.exists()) Scratch.rm(d)
+      }
+      AtomicDirCommit.sweepTmp(fs, TmpSweepAgeMs)
+      vs
     }
-    AtomicDirCommit.sweepTmp(fs, TmpSweepAgeMs)
-    vs
   }
 
   /** V6 delta: triples in version b but not a (new) / in a but not b

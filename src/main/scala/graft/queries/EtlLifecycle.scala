@@ -131,10 +131,10 @@ object EtlLifecycle {
     // arms × 2 loads re-parsed every card 16× (measured at sf0.1:
     // 6.2 → 4.9 s same-harness minima; the remainder is the two MERGEs
     // — the instrument's actual subject)
-    val cat = TagCategorizer.categorize(tagged, TagCategorizer.Vocabs(
-      languages = LangVocab, libraries = Seq("libA", "libB"),
-      tasks = Seq("translation")))
-      .localCheckpoint()
+    val cat = graft.operators.Checkpoints.ck(
+      TagCategorizer.categorize(tagged, TagCategorizer.Vocabs(
+        languages = LangVocab, libraries = Seq("libA", "libB"),
+        tasks = Seq("translation"))))
 
     // T1: the FAIR4ML triple arms (P1 known fields inline: name, url)
     val subj = concat(lit("model:"), col("doc_id"))

@@ -30,19 +30,26 @@ private[queries] object LifecycleMerge {
                              scratchPrefix: String,
                              batch: Int => DataFrame,
                              extra: Seq[Column]): DataFrame =
-    Scratch.withScratch(scratchPrefix, dir) { tmp =>
-      val store = new TripletStore(s, tmp.getAbsolutePath)
-      store.merge(batch(1), new Timestamp(T1 * 1000))
-      store.merge(batch(2), new Timestamp(T3 * 1000))
-      val ranges = store.ranges.localCheckpoint()
-      val nDeprecated = ranges.filter(col("deprecated")).count()
-      val nSubjects = store.distinctSubjectCount
-      ranges.filter(!col("deprecated"))
-        .select(Seq(col("subject"), col("predicate"), col("obj"),
-          col("objKind").as("objkind")) ++ extra ++ Seq(
-          expr("unix_micros(useStart) div 1000").as("start_ms"),
-          lit(nSubjects).as("n_subjects"),
-          lit(nDeprecated).as("n_deprecated")): _*)
-        .localCheckpoint()
+    // Checkpoint hygiene: the batch builders' and the ranges snapshot's
+    // checkpoints are all dead once the FINAL result below materializes
+    // (its own localCheckpoint is eager and deliberately NOT scope-
+    // registered — it is the returned table), so the scope frees every
+    // intermediate block before this graded row even returns.
+    graft.operators.Checkpoints.scoped {
+      Scratch.withScratch(scratchPrefix, dir) { tmp =>
+        val store = new TripletStore(s, tmp.getAbsolutePath)
+        store.merge(batch(1), new Timestamp(T1 * 1000))
+        store.merge(batch(2), new Timestamp(T3 * 1000))
+        val ranges = graft.operators.Checkpoints.ck(store.ranges)
+        val nDeprecated = ranges.filter(col("deprecated")).count()
+        val nSubjects = store.distinctSubjectCount
+        ranges.filter(!col("deprecated"))
+          .select(Seq(col("subject"), col("predicate"), col("obj"),
+            col("objKind").as("objkind")) ++ extra ++ Seq(
+            expr("unix_micros(useStart) div 1000").as("start_ms"),
+            lit(nSubjects).as("n_subjects"),
+            lit(nDeprecated).as("n_deprecated")): _*)
+          .localCheckpoint()
+      }
     }
 }

@@ -10,15 +10,29 @@ import org.apache.spark.sql.types.StructType
   * consolidation. The acceptance logic lives in the subclasses; the
   * storage, visibility and compaction rules live once, here.
   *
-  * Concurrency contract: INGESTS serialize — each runs as a
-  * [[serialized]] mutation (batch set pinned once, commit to the pinned
-  * next id, lost races collide on the rename and re-run acceptance
-  * against the winner's state), so two concurrent ingests land as some
-  * serial order with full cross-batch dedup (StoreConcurrencySpec).
-  * Compaction, sweeps and generation maintenance remain SINGLE-OWNER:
-  * they renumber or rewrite batch dirs, which no concurrent pin can
-  * survive — run them from one owner on the compaction cadence (the
-  * same split the TripletStore multi-writer demo documents).
+  * Concurrency contract — two explicit rules, both ENFORCED at the
+  * commit rename, never by convention alone:
+  *
+  *  - INGESTS serialize, and MAY run concurrently with each other and
+  *    with a maintenance pass: each ingest runs as a [[serialized]]
+  *    mutation (batch set pinned once, commit to the pinned next id,
+  *    lost races collide on the rename and re-run acceptance against
+  *    the winner's state), so concurrent ingests land as some serial
+  *    order with full cross-batch dedup (StoreConcurrencySpec) — and an
+  *    ingest racing a maintenance commit simply loses the rename and
+  *    re-runs against the consolidated state.
+  *  - Compaction / sweep maintenance ([[compact]], [[rewriteAll]]) is
+  *    SINGLE-OWNER, and the owner fails FAST rather than corrupting:
+  *    maintenance commits through the same [[graft.load.AtomicDirCommit]]
+  *    rename as ingests, so a batch landing at its target id first —
+  *    a racing ingest, or a second maintenance owner violating the
+  *    contract — makes the maintenance rename collide and throw
+  *    [[BatchedSignatureStore.ConcurrentMaintenanceException]] with the
+  *    store unchanged (marker rolled back). Maintenance does NOT retry:
+  *    a lost maintenance race is a scheduling bug to surface, not a
+  *    state to paper over. Run it from one owner on the compaction
+  *    cadence (the same split the TripletStore multi-writer demo
+  *    documents).
   */
 abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
 
@@ -36,7 +50,6 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
 
   private def pendingMarker =
     new java.io.File(storageRoot, "_COMPACT_PENDING")
-  recoverCompaction()
 
   /** The batch set a [[serialized]] mutation on THIS thread pinned at
     * its start — [[batches]] (and through it [[table]], [[size]] and
@@ -50,8 +63,60 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
 
   protected def batches: Seq[Int] = {
     val p = pinned.get()
-    if (p != null) p
-    else graft.load.CommittedDirs.list(storageRoot, "b=")
+    if (p != null) p else committedBatches
+  }
+
+  /** Committed batch ids as a READER must see them: when a maintenance
+    * pass committed its consolidated batch but crashed before removing
+    * the dirs it supersedes (marker present + token-matched `b=next`),
+    * the superseded ids are masked out — readers and new ingest pins see
+    * exactly the consolidated state immediately, with zero destructive
+    * action on the read path; the physical cleanup stays owner-driven
+    * ([[recoverCompaction]] at the next maintenance entry). A marker
+    * whose target id is NOT token-matched masks nothing: that `b=next`
+    * is a racing ingest's real data and every older dir is still live. */
+  private def committedBatches: Seq[Int] = {
+    val all = graft.load.CommittedDirs.list(storageRoot, "b=")
+    readMarker() match {
+      case Some((next, token)) if maintCommitted(next, token) =>
+        all.filter(_ >= next)
+      case _ => all
+    }
+  }
+
+  /** The pending-maintenance marker's (target id, owner token), if any.
+    * The token ties the marker to ITS pass's consolidated dir: without
+    * it, recovery could not tell "my commit landed" from "a racing
+    * ingest's batch landed at the same dense id" — and would delete
+    * live batches below an ingest's commit. */
+  private def readMarker(): Option[(Int, String)] =
+    if (!pendingMarker.exists()) None
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(
+        pendingMarker.toPath), "UTF-8").trim.split("\n")
+      lines.headOption.flatMap(_.toIntOption)
+        .map(n => (n, lines.drop(1).headOption.getOrElse("")))
+    }
+
+  /** True iff `b=next` is a COMMITTED dir carrying this maintenance
+    * pass's own token file (written into the temp dir before the
+    * rename, so it travels with the commit atomically). */
+  private def maintCommitted(next: Int, token: String): Boolean = {
+    val d = new java.io.File(storageRoot, s"b=$next")
+    token.nonEmpty &&
+      new java.io.File(d, "_SUCCESS").exists() &&
+      new java.io.File(d, s"_MAINT-$token").exists()
+  }
+
+  /** Atomically publish the pending marker (temp + ATOMIC_MOVE: a plain
+    * writeString truncates in place and a concurrent reader sees EMPTY). */
+  private def writeMarker(next: Int, token: String): Unit = {
+    val tmp = new java.io.File(storageRoot,
+      s".tmp-marker-${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.write(tmp.toPath, s"$next\n$token".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, pendingMarker.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Run `body` as ONE serialized mutation: pin the committed batch set,
@@ -67,7 +132,7 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
   protected def serialized[T](body: => T): T = {
     var attempts = 0
     while (true) {
-      pinned.set(graft.load.CommittedDirs.list(storageRoot, "b="))
+      pinned.set(committedBatches)
       try return body
       catch {
         case e: java.util.ConcurrentModificationException =>
@@ -86,19 +151,27 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
       .filter(f => f.isDirectory && f.getName.startsWith("b=") &&
         f.getName.drop(2).toIntOption.exists(_ < next))
 
-  /** Finish or roll back a compaction interrupted by a crash: the marker
-    * (written before the consolidated batch) names the target id. If that
-    * batch committed, the old dirs are permanent duplicates — finish the
-    * cleanup; if it did not, remove the torn write and let the old batches
-    * stand. Runs once, at construction (single-writer store). */
+  /** Finish or roll back a maintenance pass interrupted by a crash: the
+    * marker (written before the consolidated batch) names the target id
+    * and the owner token. Token-matched `b=next` committed → the old
+    * dirs are superseded duplicates (already masked from readers by
+    * [[committedBatches]]) — finish the physical cleanup. No
+    * token-matched commit → this pass never landed; any `b=next`
+    * PRESENT is a racing ingest's committed data (kept) or a
+    * pre-protocol torn write (swept), and the old batches stand.
+    *
+    * Runs ONLY from the maintenance entry points, under the single
+    * owner's control — NOT at construction: constructing a reader/ingest
+    * instance while another owner's maintenance is mid-flight must not
+    * delete that owner's marker or its in-progress state
+    * (StoreConcurrencySpec pins multi-instance construction). */
   private def recoverCompaction(): Unit =
-    if (pendingMarker.exists()) {
-      new String(java.nio.file.Files.readAllBytes(pendingMarker.toPath),
-        "UTF-8").trim.toIntOption.foreach { next =>
-        if (new java.io.File(new java.io.File(storageRoot, s"b=$next"),
-            "_SUCCESS").exists())
-          dirsBelow(next).foreach(rmTree)
-        else rmTree(new java.io.File(storageRoot, s"b=$next"))
+    readMarker().foreach { case (next, token) =>
+      if (maintCommitted(next, token)) dirsBelow(next).foreach(rmTree)
+      else {
+        val d = new java.io.File(storageRoot, s"b=$next")
+        if (d.exists() && !new java.io.File(d, "_SUCCESS").exists())
+          rmTree(d)
       }
       pendingMarker.delete()
     }
@@ -140,17 +213,11 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     * duplication a pre-recovery reader-instance crash left behind. */
   def compact(): Int = {
     val root = storageRoot
+    recoverCompaction()
     val bs = batches
-    if (bs.length > 1) {
-      val next = bs.last + 1
-      java.nio.file.Files.write(pendingMarker.toPath,
-        String.valueOf(next).getBytes("UTF-8"))
-      table.dropDuplicates(schema.fieldNames.toIndexedSeq)
-        .select(schema.fieldNames.map(col): _*)
-        .write.mode(SaveMode.Overwrite).parquet(s"${root.getPath}/b=$next")
-      bs.foreach(b => rmTree(new java.io.File(s"${root.getPath}/b=$b")))
-      pendingMarker.delete()
-    }
+    if (bs.length > 1)
+      commitConsolidated(
+        table.dropDuplicates(schema.fieldNames.toIndexedSeq), bs)
     graft.load.AtomicDirCommit.sweepTmp(root,
       graft.load.TripletStore.TmpSweepAgeMs)
     batches.length
@@ -158,24 +225,55 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
 
   /** Replace the store's contents with `rows` (same schema) as ONE
     * consolidated batch — the eviction write path (a sweep that drops
-    * rows, unlike [[compact]] which only consolidates). Crash-safe by
-    * the same marker protocol: marker first, then the committed
-    * consolidated write (its plan may still READ the old batch dirs —
-    * the target is a different dir, so the scan is safe), then old-dir
-    * removal; a crash after the commit is finished by
-    * [[recoverCompaction]], a crash before it is rolled back. */
+    * rows, unlike [[compact]] which only consolidates). Same marker +
+    * rename protocol. */
   protected def rewriteAll(rows: DataFrame): Unit = {
-    val root = storageRoot
+    recoverCompaction()
     val bs = batches
-    if (bs.nonEmpty) {
-      val next = bs.last + 1
-      java.nio.file.Files.write(pendingMarker.toPath,
-        String.valueOf(next).getBytes("UTF-8"))
-      rows.select(schema.fieldNames.map(col): _*)
-        .write.mode(SaveMode.Overwrite).parquet(s"${root.getPath}/b=$next")
-      bs.foreach(b => rmTree(new java.io.File(s"${root.getPath}/b=$b")))
-      pendingMarker.delete()
+    if (bs.nonEmpty) commitConsolidated(rows, bs)
+  }
+
+  /** The single-owner maintenance commit shared by [[compact]] and
+    * [[rewriteAll]]: replace the batch dirs in `bs` with `rows` as one
+    * consolidated batch at the next dense id.
+    *
+    * Crash-safe by the marker protocol: the tokened marker is published
+    * FIRST, then the consolidated dir (token file inside, so it travels
+    * with the rename) commits via [[graft.load.AtomicDirCommit]] — its
+    * plan may still READ the old batch dirs; the target is a different
+    * dir, so the scan is safe — then the superseded dirs drop and the
+    * marker clears. A crash after the commit is masked immediately
+    * ([[committedBatches]]) and cleaned at the next maintenance entry; a
+    * crash before it leaves the old batches standing.
+    *
+    * Race-safe by the rename: a batch landing at `b=next` first (a
+    * concurrent serialized ingest, or a second maintenance owner) makes
+    * the rename collide — the marker is rolled back, the store is
+    * UNCHANGED, and the owner gets a loud
+    * [[BatchedSignatureStore.ConcurrentMaintenanceException]] instead of
+    * the pre-protocol silent clobber-or-delete of the ingest's commit. */
+  private def commitConsolidated(rows: DataFrame, bs: Seq[Int]): Unit = {
+    val root = storageRoot
+    val next = bs.last + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    writeMarker(next, token)
+    val tmp = graft.load.AtomicDirCommit.tmpFor(root, s"b$next")
+    rows.select(schema.fieldNames.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+    java.nio.file.Files.write(
+      new java.io.File(tmp, s"_MAINT-$token").toPath, Array.empty[Byte])
+    try graft.load.AtomicDirCommit.commit(tmp, new java.io.File(root, s"b=$next"))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        pendingMarker.delete()
+        throw new BatchedSignatureStore.ConcurrentMaintenanceException(
+          s"maintenance on $path lost the commit rename for b=$next: a " +
+            "concurrent writer (an ingest, or a second maintenance owner " +
+            "violating the single-owner contract) committed that id " +
+            s"first. The store is unchanged; re-run the maintenance. ($e)")
     }
+    bs.foreach(b => rmTree(new java.io.File(s"${root.getPath}/b=$b")))
+    pendingMarker.delete()
   }
 }
 
@@ -185,6 +283,14 @@ object BatchedSignatureStore {
     * each retry means another writer committed first, so the bound only
     * trips under pathological contention. */
   val MaxIngestRetries = 8
+
+  /** A single-owner maintenance pass ([[BatchedSignatureStore.compact]]
+    * / `rewriteAll`) lost its commit rename to a concurrently committed
+    * batch. The store is UNCHANGED (marker rolled back, no dir deleted);
+    * deliberately NOT retried — a maintenance race is a scheduling bug
+    * to surface, not a state to converge through. */
+  class ConcurrentMaintenanceException(msg: String)
+    extends IllegalStateException(msg)
 
   /** Result of a full-recall dedup SWEEP over a standing index — the
     * compact-thorough half of the ingest-fast / compact-thorough split

@@ -90,6 +90,92 @@ class CheckpointHygieneSpec extends AnyFunSuite {
       s"index mutators leaked: ${(persisted -- before).toSeq.sorted}")
   }
 
+  private def tripleBatch(ids: Range, licVer: Int, tSec: Long) = {
+    import org.apache.spark.sql.functions._
+    ids.map(i => (s"model:$i", "schema:license", s"lic-$licVer.$i", "literal",
+        "", "parser", 0.8)).toDF(
+        "subject", "predicate", "obj", "objKind", "datatype",
+        "extractionMethod", "confidence")
+      .withColumn("extractionTime", timestamp_seconds(lit(tSec)))
+  }
+
+  test("TripletStore merge and compact free their internal checkpoints") {
+    // merge returns a scalar after a durable delta commit, so its two
+    // internal checkpoints (deduped batch + MERGE join) are dead on
+    // return — and StreamingLoad calls merge once per MICRO-BATCH, the
+    // unbounded-growth regime Checkpoints' scaladoc warns about. 20
+    // merges model a sustained stream; the block set must stay FLAT
+    // after every one, not just at the end (auto-compaction fires midway
+    // at the default cadence, covering compact(keep) on the same run).
+    val before = persisted
+    val dir = Files.createTempDirectory("ckpt_store").toFile
+    try {
+      val store = new graft.load.TripletStore(spark, dir.getAbsolutePath)
+      (0 until 20).foreach { b =>
+        store.merge(tripleBatch(0 until 30, licVer = b % 3, tSec = 1704067200L + b * 3600),
+          new java.sql.Timestamp((1704067200L + b * 3600) * 1000))
+        assert(persisted == before,
+          s"merge leaked by micro-batch $b: ${(persisted -- before).toSeq.sorted}")
+      }
+      store.compact(keep = 1)
+      store.compact(new java.sql.Timestamp(1704067200L * 1000 + 10L * 3600 * 1000))
+      assert(persisted == before,
+        s"compact leaked: ${(persisted -- before).toSeq.sorted}")
+      assert(store.currentTriples.count() > 0)
+    } finally graft.load.Scratch.rm(dir)
+  }
+
+  test("streaming load keeps the block store flat across 20 micro-batches") {
+    // the real regime: StreamingLoad.foreachBatch → merge per
+    // micro-batch on the STREAM's thread (scoped reclamation is
+    // thread-confined — it must work there too)
+    import org.apache.spark.sql.functions._
+    val before = persisted
+    val src = Files.createTempDirectory("ckpt_stream_src")
+    val ckpt = Files.createTempDirectory("ckpt_stream_ck")
+    val dir = Files.createTempDirectory("ckpt_stream_store").toFile
+    try {
+      (0 until 20).foreach { b =>
+        tripleBatch(0 until 20, licVer = b % 2, tSec = 1704067200L + b * 3600)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(src.resolve(s"stage$b").toString)
+        val part = Files.list(src.resolve(s"stage$b"))
+          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(part, src.resolve(f"b$b%03d.parquet"))
+      }
+      val store = new graft.load.TripletStore(spark, dir.getAbsolutePath)
+      val q = graft.streaming.StreamingLoad.start(
+        graft.streaming.StreamingLoad.readTripleStream(spark, src.toString),
+        store, ckpt.toString)
+      q.processAllAvailable()
+      q.stop()
+      assert(store.currentVersion >= 19, "all 20 micro-batches must merge")
+      assert(persisted == before,
+        s"streamed merges leaked: ${(persisted -- before).toSeq.sorted}")
+    } finally {
+      graft.load.Scratch.rm(dir)
+      graft.load.Scratch.rm(src.toFile)
+      graft.load.Scratch.rm(ckpt.toFile)
+    }
+  }
+
+  test("lifecycle rows free every intermediate; only the returned result survives") {
+    // q_etl_lifecycle runs two full extraction passes (each with a
+    // typed-map parse checkpoint) plus two merges and a ranges snapshot;
+    // all of that is dead once the final result materializes — exactly
+    // one block set (the returned eager checkpoint) may remain, and
+    // Checkpoints.free must reclaim it (what graft.Bench does per query)
+    val before = persisted
+    val out = graft.queries.EtlLifecycle.etlLifecycle(spark, graft.TestSpark.sf0001)
+    assert(out.count() > 0)
+    val leaked = persisted -- before
+    assert(leaked.size == 1,
+      s"expected only the result checkpoint, got ${leaked.toSeq.sorted}")
+    Checkpoints.free(out)
+    assert(persisted == before,
+      s"result block not reclaimed: ${(persisted -- before).toSeq.sorted}")
+  }
+
   test("vector-index cell splitting frees its corpus-sized join per round") {
     // splitUntilBalanced calls splitHotCells up to maxRounds times; each
     // round localCheckpoints the corpus-sized `assigned` join — unscoped,

@@ -63,39 +63,74 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(s.nAdded == 0)
   }
 
-  test("crash after consolidated commit, before cleanup: recovery finishes it") {
+  test("crash after consolidated commit, before cleanup: masked reads, owner-driven cleanup") {
     val dir = Files.createTempDirectory("dedup_crash1").toString
     val idx = new DedupIndex(spark, dir)
     idx.ingest(docs(1L -> "alpha beta gamma delta"))
     idx.ingest(docs(2L -> "epsilon zeta eta theta"))
     // simulate compact() dying between the b=2 commit and old-dir removal:
-    // consolidated batch + pending marker present, b=0/b=1 still on disk
+    // tokened marker + consolidated batch carrying the matching _MAINT
+    // token file, b=0/b=1 still on disk
     idx.signatures.write.parquet(s"$dir/b=2")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_COMPACT_PENDING"), "2".getBytes("UTF-8"))
+      java.nio.file.Paths.get(dir, "b=2/_MAINT-tok1"), Array.empty[Byte])
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_COMPACT_PENDING"), "2\ntok1".getBytes("UTF-8"))
+    // read path: superseded dirs are MASKED immediately — a mere reader
+    // instance takes no destructive action (the marker and old dirs stay,
+    // so the crashed owner's recovery evidence survives construction)
     val reopened = new DedupIndex(spark, dir)
     assert(reopened.size == 2, "old batches must not double-count")
+    assert(new java.io.File(dir, "b=0").exists(),
+      "a reader must not delete the crashed owner's superseded dirs")
+    assert(new java.io.File(dir, "_COMPACT_PENDING").exists(),
+      "a reader must not clear the crashed owner's marker")
+    // the next maintenance entry finishes the physical cleanup
+    assert(reopened.compact() == 1)
+    assert(reopened.size == 2)
     assert(!new java.io.File(dir, "b=0").exists())
     assert(!new java.io.File(dir, "_COMPACT_PENDING").exists())
   }
 
-  test("crash before consolidated commit: torn write is rolled back") {
+  test("crash before consolidated commit: old batches stand; maintenance rolls back") {
     val dir = Files.createTempDirectory("dedup_crash2").toString
     val idx = new DedupIndex(spark, dir)
     idx.ingest(docs(1L -> "alpha beta gamma delta"))
     idx.ingest(docs(2L -> "epsilon zeta eta theta"))
-    // marker written, consolidated dir torn (no _SUCCESS)
+    // marker written, consolidated dir torn (no _SUCCESS — a
+    // pre-rename-protocol writer's shape; the rename protocol itself
+    // can only leave .tmp- garbage)
     new java.io.File(dir, "b=2").mkdirs()
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "b=2/part-junk"), "x".getBytes("UTF-8"))
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_COMPACT_PENDING"), "2".getBytes("UTF-8"))
+      java.nio.file.Paths.get(dir, "_COMPACT_PENDING"), "2\ntok2".getBytes("UTF-8"))
     val reopened = new DedupIndex(spark, dir)
     assert(reopened.size == 2, "old batches must survive a rolled-back compact")
-    assert(!new java.io.File(dir, "b=2").exists())
-    // and a rerun compaction completes normally
+    // a rerun compaction rolls the torn write back, then completes
     assert(reopened.compact() == 1)
     assert(reopened.size == 2)
+    assert(!new java.io.File(dir, "_COMPACT_PENDING").exists())
+  }
+
+  test("a racing ingest's batch at the marker's target id is never deleted") {
+    // the recovery-ambiguity case the token exists for: marker names
+    // b=2, but the committed b=2 carries NO matching token — it is a
+    // concurrent serialized ingest's REAL data (the maintenance that
+    // wrote the marker lost its rename and rolled back, or died before
+    // committing). Recovery must keep b=2 AND the older batches.
+    val dir = Files.createTempDirectory("dedup_crash3").toString
+    val idx = new DedupIndex(spark, dir)
+    idx.ingest(docs(1L -> "alpha beta gamma delta"))
+    idx.ingest(docs(2L -> "epsilon zeta eta theta"))
+    idx.ingest(docs(3L -> "iota kappa lambda mu")) // b=2: a real ingest
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_COMPACT_PENDING"), "2\ntokX".getBytes("UTF-8"))
+    val reopened = new DedupIndex(spark, dir)
+    assert(reopened.size == 3, "no masking without a token match")
+    assert(reopened.compact() == 1)
+    assert(reopened.size == 3,
+      "recovery must not delete live batches below an ingest's commit")
   }
 
   test("empty and shingle-less docs still dedup exactly") {

@@ -68,6 +68,49 @@ class StoreConcurrencySpec extends AnyFunSuite {
     } finally graft.load.Scratch.rm(tmp)
   }
 
+  test("maintenance racing an ingest fails FAST with the store unchanged") {
+    // single-owner enforcement (not just contract prose): an ingest that
+    // commits the compaction's target id mid-pass makes the maintenance
+    // rename COLLIDE — it throws ConcurrentMaintenanceException with the
+    // marker rolled back and no dir deleted, instead of the pre-protocol
+    // silent Overwrite-clobber (or deletion) of the ingest's commit.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_conc_maint").toFile
+    try {
+      val plain = new DedupIndex(spark, tmp.getAbsolutePath)
+      plain.ingest(Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"))
+      plain.ingest(Seq((2L, "epsilon zeta eta theta")).toDF("doc_id", "text"))
+      // gated owner: its compact() reads `table` AFTER listing the batch
+      // set; the override lands a concurrent ingest (b=2, the compaction's
+      // own target id) in exactly that window
+      var raced = false
+      val gated = new DedupIndex(spark, tmp.getAbsolutePath) {
+        override def table: org.apache.spark.sql.DataFrame = {
+          val t = super.table
+          if (!raced) {
+            raced = true
+            new DedupIndex(spark, tmp.getAbsolutePath).ingest(
+              Seq((3L, "iota kappa lambda mu")).toDF("doc_id", "text"))
+          }
+          t
+        }
+      }
+      val e = intercept[BatchedSignatureStore.ConcurrentMaintenanceException] {
+        gated.compact()
+      }
+      assert(e.getMessage.contains("single-owner"))
+      assert(!new java.io.File(tmp, "_COMPACT_PENDING").exists(),
+        "the lost maintenance must roll its marker back")
+      // exactly one side succeeded: the ingest's doc is live alongside
+      // every pre-existing survivor — nothing clobbered, nothing deleted
+      val after = new DedupIndex(spark, tmp.getAbsolutePath)
+      assert(after.signatures.select("doc_id").as[Long].collect().toSet ==
+        Set(1L, 2L, 3L))
+      // and a re-run maintenance (the contract's remedy) completes
+      assert(after.compact() == 1)
+      assert(after.size == 3)
+    } finally graft.load.Scratch.rm(tmp)
+  }
+
   test("barrier fuzz: racing ingests always land a serial-order outcome") {
     // A ingests {1, 2}, B ingests {3 = exact dup of 1, 4}, barrier-synced
     // so both pin the same (empty) snapshot. Serial A→B keeps {1,2,4};
