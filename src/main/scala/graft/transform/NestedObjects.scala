@@ -47,6 +47,19 @@ object NestedObjects {
           org.apache.spark.sql.functions.lit(s"platform=$platform"),
           org.apache.spark.sql.functions.lit("type=run"),
           id.cast("string")), 256))
+  /** Generic typed entity URI — the same `sha256("platform=..|type=..|
+    * id")` convention with a PER-ROW type column, for platforms whose
+    * records fan out by entity type (AI4Life's model/dataset/application
+    * grouping, `AI4LifeExtractor.py:223-243`): q_ai4life_lifecycle's
+    * triple arms and its oracle must hash identically, so the formula
+    * lives once, here. */
+  def typedEntityUri(platform: String, tpe: org.apache.spark.sql.Column,
+                     id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.concat(
+      org.apache.spark.sql.functions.lit(Base),
+      entityHash(platform, tpe, id.cast("string")))
+
   val SchemaNs = "https://schema.org/"
   val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
   val XsdString = "http://www.w3.org/2001/XMLSchema#string"
