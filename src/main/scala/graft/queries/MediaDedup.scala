@@ -124,8 +124,8 @@ object MediaDedup {
     * `kkept` (gid, sig, band, bv — cold buckets only). Drop-mode
     * (escLevels=0) replay — the search and incremental-intake twins,
     * whose engine paths keep stable (un-escalated) bucket keys. */
-  private def cappedBandCtes(src: String, p: String): String = {
-    val cap = BandedLsh.BucketCap
+  private def cappedBandCtes(src: String, p: String,
+                             cap: Int = BandedLsh.BucketCap): String = {
     val bands = (0 until Bands)
       .map(b => s"SELECT gid, sig, $b AS band, " +
         s"(sig >> ${b * BandBits}) & ${(1 << BandBits) - 1} AS bv FROM ${p}grp")
@@ -693,7 +693,168 @@ object MediaDedup {
        |GROUP BY c.cap_name, c.cap""".stripMargin
   }
 
+  /** One stage of the recall-at-cap instrument: capped banded search
+    * ([[searchSigs]] at [[SweepDemoCap]]) scored against the
+    * BANDED-REACHABLE exact top-[[SearchK]] — the ground truth that
+    * isolates the CAP's effect (global exact top-k measures band
+    * non-collision and reads flat regardless of cap or sweep;
+    * RecallAtCapSpec documents that finding). Truth per probe: the
+    * Hamming-nearest corpus rows among those sharing >= 1 band bucket
+    * with it, NO cap, ties broken by doc_id; probes whose reachable set
+    * is empty are generic LSH misses at any cap and are excluded.
+    * recall_at_5 is the micro-average hits/truth — a single integer
+    * ratio, so engine and oracle agree to the last bit. */
+  private def recallStage(stage: String, corpus: DataFrame,
+                          probes: DataFrame): DataFrame = {
+    val banded = searchSigs(probes, corpus, k = SearchK,
+        bucketCap = SweepDemoCap)
+      .select(col("query_id"), col("media_id").as("doc_id"))
+    def proj(df: DataFrame) = df.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until Bands).map(b =>
+        shiftright(col("sig"), b * BandBits)
+          .bitwiseAND(lit((1 << BandBits) - 1))): _*)).as(Seq("band", "bv")))
+    val qb = proj(probes).select(col("doc_id").as("query_id"),
+      col("sig").as("qsig"), col("band"), col("bv"))
+    val reach = qb.join(proj(corpus), Seq("band", "bv"))
+      .select(col("query_id"), col("qsig"), col("doc_id"), col("sig"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("hamming"), col("doc_id"))
+    val truth = reach
+      .withColumn("hamming",
+        bit_count(col("qsig").bitwiseXOR(col("sig"))).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SearchK)
+      .select("query_id", "doc_id")
+    // three one-row aggregates crossed broadcast — never a wide join
+    val tAgg = truth.agg(countDistinct("query_id").as("n_probes_scored"),
+      count(lit(1)).as("n_truth"))
+    val hAgg = truth.join(banded, Seq("query_id", "doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val iAgg = corpus.agg(count(lit(1)).as("n_index"))
+    tAgg.crossJoin(broadcast(hAgg)).crossJoin(broadcast(iAgg))
+      .select(lit(stage).as("stage"), col("n_index"),
+        col("n_probes_scored"), col("n_truth"), col("n_hits"),
+        when(col("n_truth") === 0, lit(0.0))
+          .otherwise(col("n_hits").cast("double") / col("n_truth"))
+          .as("recall_at_5"))
+  }
+
+  /** Recall at the ENGAGED cap, pre and post sweep, as one graded
+    * two-row query (r10 task: promote the RecallAtCapSpec instrument
+    * into the oracle ledger). The q_media_sweep construction — two
+    * intake batches at [[SweepDemoCap]], where hot buckets genuinely
+    * engage — then external probes (every 20th pre-sweep survivor's
+    * signature perturbed INSIDE band 0: bits 0,2,4 flipped, Hamming 3,
+    * bands 1-3 shared with the source) searched at the same engaged
+    * cap, scored against banded-reachable exact top-5 ground truth;
+    * the sweep runs and the same probes re-score against the swept
+    * index. The `pre` row measures what the conservative capped intake
+    * FORFEITS; the `post` row measures what the sweep RECOVERS (its
+    * eviction cools the buckets the cap was dropping). */
+  def recallAtCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Checkpoints.scoped {
+      graft.load.Scratch.withScratch("graft_recall_q", dir) { tmp =>
+        val idx = new graft.similarity.MediaDedupIndex(s, tmp.getAbsolutePath)
+        val media = mediaOf(s, dir)
+        idx.ingest(media.filter(col("id") < 250), bucketCap = SweepDemoCap)
+        idx.ingest(media.filter(col("id") >= 250), bucketCap = SweepDemoCap)
+        val preSigs = graft.operators.Checkpoints.ck(
+          idx.signatures.select(col("media_id").as("doc_id"), col("sig")))
+        val probes = graft.operators.Checkpoints.ck(
+          preSigs.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"),
+              col("sig").bitwiseXOR(lit(21L)).as("sig")))
+        // the pre row must MATERIALIZE before the sweep mutates the index
+        val pre = graft.operators.Checkpoints.ck(
+          recallStage("pre", preSigs, probes))
+        idx.sweep()
+        val postSigs = idx.signatures
+          .select(col("media_id").as("doc_id"), col("sig"))
+        pre.unionByName(recallStage("post", postSigs, probes))
+          .localCheckpoint()
+      }
+    }
+
+  /** Replay: intake survivors at [[SweepDemoCap]], the q_media_sweep
+    * keeper set (terminal-star ladder + min-propagation), the perturbed
+    * probe set, then per stage the capped drop-mode search AND the
+    * uncapped banded-reachable exact top-5, scored micro-average. */
+  val recallAtCapSql: String = {
+    val mask = (1 << BandBits) - 1
+    def proj(src: String, idc: String, sigc: String): String = (0 until Bands)
+      .map(b => s"SELECT $idc, $sigc, $b AS band, " +
+        s"($sigc >> ${b * BandBits}) & $mask AS bv FROM $src")
+      .mkString("\nUNION ALL\n")
+    def stage(src: String, p: String): String =
+      s"""${cappedBandCtes(src, p, SweepDemoCap)},
+         |${p}khit AS (
+         |  SELECT DISTINCT q.query_id, q.qsig, k.gid, k.sig
+         |  FROM qb q JOIN ${p}kkept k USING (band, bv)),
+         |${p}lsh AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT k.query_id, m.doc_id,
+         |      row_number() OVER (PARTITION BY k.query_id
+         |        ORDER BY bit_count(xor(k.qsig, k.sig)), m.doc_id) AS rn
+         |    FROM ${p}khit k JOIN ${p}mem m ON m.gid = k.gid)
+         |  WHERE rn <= $SearchK),
+         |${p}cb AS (
+         |${proj(src, "doc_id", "sig")}),
+         |${p}reach AS (
+         |  SELECT DISTINCT q.query_id, q.qsig, c.doc_id, c.sig
+         |  FROM qb q JOIN ${p}cb c USING (band, bv)),
+         |${p}truth AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY bit_count(xor(qsig, sig)), doc_id) AS rn
+         |    FROM ${p}reach)
+         |  WHERE rn <= $SearchK)""".stripMargin
+    s"""$sigChainSql,
+       |${intakeSurvivorCtes(SweepDemoCap)},
+       |surv AS MATERIALIZED (SELECT doc_id, sig FROM b1s UNION ALL
+       |         SELECT doc_id, sig FROM b2s),
+       |${escalatedPairCtes("surv", "w", terminalStar = true)},
+       |edges AS (SELECT doc1 AS ea, doc2 AS eb FROM wpairs
+       |          UNION SELECT doc2, doc1 FROM wpairs),
+       |reach(node, r) AS (
+       |    SELECT ea, ea FROM (SELECT DISTINCT ea FROM edges)
+       |  UNION
+       |    SELECT reach.node, e.eb FROM reach JOIN edges e ON reach.r = e.ea),
+       |comp AS (SELECT node, MIN(r) AS grp FROM reach GROUP BY node),
+       |kept AS MATERIALIZED (
+       |  SELECT s.doc_id, s.sig FROM surv s LEFT JOIN comp c ON s.doc_id = c.node
+       |  WHERE COALESCE(c.grp, s.doc_id) = s.doc_id),
+       |qs AS (SELECT doc_id + 100000 AS query_id, xor(sig, 21) AS qsig
+       |       FROM surv WHERE doc_id % 20 = 0),
+       |qb AS (
+       |${proj("qs", "query_id", "qsig")}),
+       |${stage("surv", "pr")},
+       |${stage("kept", "po")},
+       |rows AS (
+       |  SELECT 'pre' AS stage,
+       |    (SELECT count(*) FROM surv) AS n_index,
+       |    (SELECT count(DISTINCT query_id) FROM prtruth) AS n_probes_scored,
+       |    (SELECT count(*) FROM prtruth) AS n_truth,
+       |    (SELECT count(*) FROM prtruth t JOIN prlsh l
+       |       USING (query_id, doc_id)) AS n_hits
+       |  UNION ALL
+       |  SELECT 'post',
+       |    (SELECT count(*) FROM kept),
+       |    (SELECT count(DISTINCT query_id) FROM potruth),
+       |    (SELECT count(*) FROM potruth),
+       |    (SELECT count(*) FROM potruth t JOIN polsh l
+       |       USING (query_id, doc_id)))
+       |SELECT stage, CAST(n_index AS BIGINT) AS n_index,
+       |  CAST(n_probes_scored AS BIGINT) AS n_probes_scored,
+       |  CAST(n_truth AS BIGINT) AS n_truth,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  CASE WHEN n_truth = 0 THEN 0.0
+       |       ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall_at_5
+       |FROM rows""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_recall_at_cap" -> recallAtCap _,
     "q_media_neardup" -> mediaNearDup _,
     "q_media_groups" -> mediaGroups _,
     "q_frame_overlap" -> frameOverlap _,
@@ -705,6 +866,7 @@ object MediaDedup {
     "q_sweep_decision" -> sweepDecision _)
 
   val oracles: Map[String, String] = Map(
+    "q_recall_at_cap" -> recallAtCapSql,
     "q_media_neardup" -> mediaNearDupSql,
     "q_media_groups" -> mediaGroupsSql,
     "q_frame_overlap" -> frameOverlapSql,
