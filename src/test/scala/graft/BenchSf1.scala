@@ -52,7 +52,12 @@ object BenchSf1 {
     // expensive graded queries — measured at the decade the round they
     // ship (the corpus_pipeline_v2 lesson: never leave a new expensive
     // row's decade inferred)
-    "q_etl_lifecycle", "q_openml_lifecycle")
+    "q_etl_lifecycle", "q_openml_lifecycle",
+    // r11 additions: the third lifecycle (fixed 600-part slice BY
+    // DESIGN) and the recall-at-cap instrument (fixed intake slices) —
+    // both expected ~1x; measured so the fixed-slice claim is pinned,
+    // not asserted
+    "q_ai4life_lifecycle", "q_recall_at_cap")
 
   import BenchProtocol.Timing
 
@@ -86,6 +91,14 @@ object BenchSf1 {
         dt
       }
 
+    // fixture pin: the corpus is regenerated per session — tie this
+    // run's numbers to the committed content checksum, or a future
+    // drift investigation cannot rule out fixture drift. A mismatch
+    // refuses the tools/ stamp exactly like contention does.
+    val fixtureErr = Sf1Fixture.verify(spark, sf1Dir)
+    fixtureErr.foreach(e =>
+      System.err.println(s"[sf1bench] FIXTURE MISMATCH: $e"))
+
     // warm session machinery
     Tables(spark, "/root/testdata/sf0.1", "documents").count()
     Tables(spark, sf1Dir, "documents").count()
@@ -102,18 +115,24 @@ object BenchSf1 {
         f""""sf01_med":${a.med},"sf1_med":${b.med},""" +
         f""""sf01_spread":${a.spread},"sf1_spread":${b.spread}}""" }.mkString(",")
     val loadAfter = BenchProtocol.loadavg()
+    val fixtureField = fixtureErr match {
+      case None => s""""fixture":"${Sf1Fixture.ChecksumPath} verified","""
+      case Some(e) => s""""fixture_mismatch":"${e.replace("\"", "'")}","""
+    }
     val json = s"""{"metric":"sf1_top${TopN.size}","unit":"sec","sf1_dir":"$sf1Dir",""" +
-      s""""protocol":"best_of_$n","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
+      s""""protocol":"best_of_$n",$fixtureField""" +
+      s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
       s""""total_sf01":${rows.map(_._2.min).sum},"total_sf1":${rows.map(_._3.min).sum},""" +
       s""""queries":{$qs}}"""
     println(json)
-    val stamp = loadBefore < stampGate
+    val stamp = loadBefore < stampGate && fixtureErr.isEmpty
     val out =
       if (stamp) s"tools/bench_sf1_top${TopN.size}.json"
       else s"/tmp/bench_sf1_top${TopN.size}_contended.json"
     if (!stamp)
-      System.err.println(f"[sf1bench] loadavg_before $loadBefore%.2f >= " +
-        f"$stampGate%.1f — REFUSING the tools/ stamp; wrote $out instead")
+      System.err.println(f"[sf1bench] loadavg_before $loadBefore%.2f (gate " +
+        f"$stampGate%.1f) fixtureOk=${fixtureErr.isEmpty} — REFUSING the " +
+        s"tools/ stamp; wrote $out instead")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     spark.stop()
   }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Content fingerprint for the regenerated-per-session sf1 bench corpus
+  * (`tools/gen_sf1.py` → /tmp/graft_sf1). The corpus is NOT committed —
+  * only its benchmark numbers are — so without a committed fingerprint a
+  * future drift investigation cannot rule out fixture drift (the r10
+  * judge's finding). Per table: row count + an ORDER-INDEPENDENT xor of
+  * per-row xxhash64 over every column cast to string — parquet binaries
+  * and row order may differ across duckdb versions, content must not.
+  * The committed expectation lives at `tools/sf1_checksum.json`
+  * (regenerate with `Test/runMain graft.Sf1Checksum` after a deliberate
+  * testdata refresh); [[BenchSf1]] verifies it and REFUSES the tools/
+  * stamp on mismatch. */
+object Sf1Fixture {
+
+  val TableNames = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  val ChecksumPath = "tools/sf1_checksum.json"
+
+  /** (table, rowCount, xorOfRowHashes) per table, read through the
+    * normalizing [[Tables]] reader (the ts-physical-type detection is
+    * part of what the engine sees — fingerprint that, not raw bytes). */
+  def fingerprint(spark: SparkSession, dir: String): Seq[(String, Long, Long)] =
+    TableNames.map { t =>
+      val df = Tables(spark, dir, t)
+      val row = df
+        .select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).head()
+      (t, row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+
+  def render(fp: Seq[(String, Long, Long)]): String =
+    fp.map { case (t, n, x) => s""""$t":{"n":$n,"xor":$x}""" }
+      .mkString("{", ",", "}\n")
+
+  private val Entry = """"([a-z]+)":\{"n":(-?\d+),"xor":(-?\d+)\}""".r
+
+  def parse(json: String): Map[String, (Long, Long)] =
+    Entry.findAllMatchIn(json)
+      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+
+  /** Verify `dir` against the committed checksum. Returns an error
+    * message, or None when the fixture matches. */
+  def verify(spark: SparkSession, dir: String): Option[String] = {
+    val f = new java.io.File(ChecksumPath)
+    if (!f.exists())
+      return Some(s"$ChecksumPath missing — run Test/runMain graft.Sf1Checksum " +
+        "and commit it")
+    val expected = parse(java.nio.file.Files.readString(f.toPath))
+    val actual = fingerprint(spark, dir)
+    val bad = actual.filter { case (t, n, x) =>
+      !expected.get(t).contains((n, x)) }
+    if (bad.isEmpty) None
+    else Some(bad.map { case (t, n, x) =>
+      s"$t: got (n=$n, xor=$x), committed ${expected.get(t)}" }.mkString("; "))
+  }
+}
+
+/** Stamp (or re-stamp after a deliberate testdata refresh) the committed
+  * sf1 fixture checksum. Run: sbt "Test/runMain graft.Sf1Checksum" */
+object Sf1Checksum {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1"))
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val json = Sf1Fixture.render(Sf1Fixture.fingerprint(spark, dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(Sf1Fixture.ChecksumPath), json)
+    println(s"[sf1checksum] wrote ${Sf1Fixture.ChecksumPath}: $json")
+    spark.stop()
+  }
+}

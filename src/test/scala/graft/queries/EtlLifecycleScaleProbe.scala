@@ -1,0 +1,110 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Second-decade evidence for q_etl_lifecycle (r10 VERDICT #4): the
+  * first decade measured 2.83× (sf0.1 → sf1) under a "corpus-linear by
+  * construction" adjudication — one decade cannot distinguish linear
+  * from mildly super-linear, so this probe measures BOTH halves of the
+  * chain separately at sf0.1 (1×), sf1 (10×, `tools/gen_sf1.py`) and a
+  * 100× documents-only slice staged with the same key-shift/verbatim
+  * replication:
+  *
+  *  - extraction half: the full card-parse → categorize → triple arms →
+  *    A7 disambiguation batch, aggregated OVER a computed column so
+  *    Catalyst cannot prune the typed-map work;
+  *  - MERGE half: both TripletStore merges over PRE-materialized
+  *    batches (extraction cost excluded), fresh scratch store per
+  *    attempt.
+  *
+  * The linear claim holds iff each half's decade ratio stays at or near
+  * 10× (every document re-extracts in load 2, so the touched slice IS
+  * the snapshot here — the lifecycle has no sub-linear merge regime to
+  * hide behind at this fixture). Numbers land in SCALE.md.
+  *
+  * Run idle: SPARK_DRIVER_MEM=32g sbt "Test/runMain graft.queries.EtlLifecycleScaleProbe"
+  */
+object EtlLifecycleScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val bestOf = args.headOption.map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sf01 = "/root/testdata/sf0.1"
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val sf10 = "/tmp/graft_etl_sf10"
+    // stage the 100x documents slice (the only table the chain reads)
+    if (!new java.io.File(s"$sf10/documents.parquet").exists()) {
+      val docs = Tables(spark, sf01, "documents")
+      val cols = docs.columns
+      docs.crossJoin(spark.range(100).select(col("id").as("rep")))
+        .select(cols.map(c => if (c == "doc_id")
+          (col("doc_id") + col("rep") * 10000000L).as("doc_id") else col(c)): _*)
+        .write.mode("overwrite").parquet(s"$sf10/documents.parquet")
+      println(s"[etl-scale] staged 100x documents at $sf10")
+    }
+
+    def minOf(f: => Double): Double = (1 to bestOf).map(_ => f).min
+
+    def timeExtraction(dir: String): Double = minOf {
+      val t0 = System.nanoTime()
+      // aggregate OVER computed columns: count() alone lets Catalyst
+      // prune the per-card parse (the verify-skill gotcha)
+      EtlLifecycle.extractionBatch(spark, dir, 1)
+        .agg(max(length(col("obj"))), max(col("confidence"))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def timeMerge(dir: String): Double = {
+      val b1 = EtlLifecycle.extractionBatch(spark, dir, 1).localCheckpoint()
+      val b2 = EtlLifecycle.extractionBatch(spark, dir, 2).localCheckpoint()
+      val t = minOf {
+        val tmp = java.nio.file.Files.createTempDirectory("etl_scale_store").toFile
+        try {
+          val store = new graft.load.TripletStore(spark, tmp.getAbsolutePath)
+          val t0 = System.nanoTime()
+          store.merge(b1, new Timestamp(LifecycleMerge.T1 * 1000))
+          store.merge(b2, new Timestamp(LifecycleMerge.T3 * 1000))
+          (System.nanoTime() - t0) / 1e9
+        } finally graft.load.Scratch.rm(tmp)
+      }
+      graft.operators.Checkpoints.free(b1)
+      graft.operators.Checkpoints.free(b2)
+      t
+    }
+
+    def timeFull(dir: String): Double = minOf {
+      val t0 = System.nanoTime()
+      val out = EtlLifecycle.etlLifecycle(spark, dir)
+      out.count()
+      graft.operators.Checkpoints.free(out)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val decades = Seq(("sf0.1(1x)", sf01), ("sf1(10x)", sf1), ("sf10(100x)", sf10))
+    val rows = decades.map { case (name, dir) =>
+      val e = timeExtraction(dir)
+      val m = timeMerge(dir)
+      val f = timeFull(dir)
+      println(f"[etl-scale] $name%-11s extract=$e%7.2fs merge=$m%7.2fs full=$f%7.2fs")
+      (name, e, m, f)
+    }
+    def ratios(i: Int, j: Int): String = {
+      val (na, ea, ma, fa) = rows(i); val (nb, eb, mb, fb) = rows(j)
+      f"[etl-scale] $na -> $nb: extract ${eb / ea}%5.2fx merge ${mb / ma}%5.2fx full ${fb / fa}%5.2fx"
+    }
+    println(ratios(0, 1))
+    println(ratios(1, 2))
+    spark.stop()
+  }
+}
