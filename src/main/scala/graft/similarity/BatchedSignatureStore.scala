@@ -19,8 +19,11 @@ import org.apache.spark.sql.types.StructType
   *    lost races collide on the rename and re-run acceptance against
   *    the winner's state), so concurrent ingests land as some serial
   *    order with full cross-batch dedup (StoreConcurrencySpec) — and an
-  *    ingest racing a maintenance commit simply loses the rename and
-  *    re-runs against the consolidated state.
+  *    ingest racing a maintenance commit simply loses the rename — or,
+  *    when the maintenance deletes dirs the ingest's pin still
+  *    referenced mid-scan, fails that scan — and re-runs against the
+  *    consolidated state either way (both retryable shapes live in
+  *    [[serialized]]).
   *  - Compaction / sweep maintenance ([[compact]], [[rewriteAll]]) is
   *    SINGLE-OWNER, and the owner fails FAST rather than corrupting:
   *    maintenance commits through the same [[graft.load.AtomicDirCommit]]
@@ -76,8 +79,12 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     * whose target id is NOT token-matched masks nothing: that `b=next`
     * is a racing ingest's real data and every older dir is still live. */
   private def committedBatches: Seq[Int] = {
+    // marker BEFORE the dir listing: the other order races a completing
+    // recovery (marker deleted between the two reads) into handing the
+    // caller a stale path list over just-removed dirs
+    val marker = readMarker()
     val all = graft.load.CommittedDirs.list(storageRoot, "b=")
-    readMarker() match {
+    marker match {
       case Some((next, token)) if maintCommitted(next, token) =>
         all.filter(_ >= next)
       case _ => all
@@ -135,7 +142,15 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
       pinned.set(committedBatches)
       try return body
       catch {
-        case e: java.util.ConcurrentModificationException =>
+        // two retryable shapes: the commit rename collided (another
+        // writer owns the pinned next id), or the pinned dirs VANISHED
+        // under the scan — a maintenance pass committed its consolidated
+        // batch and deleted the dirs this pin still referenced. Both
+        // mean the same thing: the snapshot is stale; re-pin (the masked
+        // listing now yields the consolidated state) and re-run.
+        case e: Throwable
+            if e.isInstanceOf[java.util.ConcurrentModificationException] ||
+              BatchedSignatureStore.vanishedInput(e) =>
           attempts += 1
           if (attempts > BatchedSignatureStore.MaxIngestRetries) throw e
       } finally pinned.remove()
@@ -153,12 +168,28 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
 
   /** Finish or roll back a maintenance pass interrupted by a crash: the
     * marker (written before the consolidated batch) names the target id
-    * and the owner token. Token-matched `b=next` committed → the old
-    * dirs are superseded duplicates (already masked from readers by
-    * [[committedBatches]]) — finish the physical cleanup. No
-    * token-matched commit → this pass never landed; any `b=next`
-    * PRESENT is a racing ingest's committed data (kept) or a
-    * pre-protocol torn write (swept), and the old batches stand.
+    * and the owner token.
+    *
+    *  - Token-matched `b=next` committed → the old dirs are superseded
+    *    duplicates (already masked from readers by [[committedBatches]])
+    *    — finish the physical cleanup. Safe at any marker age: the pass
+    *    LANDED, and finishing its idempotent deletions cannot hurt a
+    *    still-live owner doing the same.
+    *  - LEGACY marker (no token — written by a pre-token binary) → the
+    *    old single-owner semantics apply verbatim: committed `b=next` is
+    *    that pass's consolidated batch (finish the cleanup — treating it
+    *    as never-landed would permanently resurrect sweep-evicted rows);
+    *    uncommitted is its torn write (rolled back).
+    *  - Unmatched token, no commit: the pass either died pre-commit or
+    *    is STILL IN FLIGHT on another owner — indistinguishable from
+    *    here. A FRESH marker is presumed in flight and recovery THROWS
+    *    ([[BatchedSignatureStore.ConcurrentMaintenanceException]]) so a
+    *    second owner can neither delete the first owner's marker nor
+    *    clobber it with its own (the marker-lifecycle half of the
+    *    single-owner enforcement; the rename is the commit half). Past
+    *    [[BatchedSignatureStore.MaintInFlightMs]] the pass is presumed
+    *    dead: roll back (a committed `b=next` WITHOUT the token is a
+    *    racing ingest's real data and stands).
     *
     * Runs ONLY from the maintenance entry points, under the single
     * owner's control — NOT at construction: constructing a reader/ingest
@@ -167,13 +198,28 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     * (StoreConcurrencySpec pins multi-instance construction). */
   private def recoverCompaction(): Unit =
     readMarker().foreach { case (next, token) =>
-      if (maintCommitted(next, token)) dirsBelow(next).foreach(rmTree)
-      else {
-        val d = new java.io.File(storageRoot, s"b=$next")
-        if (d.exists() && !new java.io.File(d, "_SUCCESS").exists())
-          rmTree(d)
+      val d = new java.io.File(storageRoot, s"b=$next")
+      val committed = new java.io.File(d, "_SUCCESS").exists()
+      if (maintCommitted(next, token)) {
+        dirsBelow(next).foreach(rmTree)
+        pendingMarker.delete()
+      } else if (token.isEmpty) {
+        if (committed) dirsBelow(next).foreach(rmTree)
+        else if (d.exists()) rmTree(d)
+        pendingMarker.delete()
+      } else {
+        val age = System.currentTimeMillis() - pendingMarker.lastModified()
+        if (age < BatchedSignatureStore.MaintInFlightMs)
+          throw new BatchedSignatureStore.ConcurrentMaintenanceException(
+            s"a maintenance pass on $path appears IN FLIGHT (pending " +
+              s"marker for b=$next is ${age / 1000}s old, no committed " +
+              "token match): refusing to recover or overwrite it. Re-run " +
+              "after it completes, or after the marker ages past " +
+              s"${BatchedSignatureStore.MaintInFlightMs / 1000}s if its " +
+              "owner crashed pre-commit.")
+        if (d.exists() && !committed) rmTree(d)
+        pendingMarker.delete()
       }
-      pendingMarker.delete()
     }
 
   /** The standing signature table (empty-schema DF for a fresh index). */
@@ -283,6 +329,35 @@ object BatchedSignatureStore {
     * each retry means another writer committed first, so the bound only
     * trips under pathological contention. */
   val MaxIngestRetries = 8
+
+  /** Age past which an unmatched pending marker is presumed a DEAD
+    * writer's leftover rather than an in-flight pass (a live pass
+    * commits within seconds of writing its marker) — the maintenance
+    * twin of [[graft.load.TripletStore.TmpSweepAgeMs]]. */
+  val MaintInFlightMs: Long = graft.load.TripletStore.TmpSweepAgeMs
+
+  /** True when the exception chain says a pinned input dir vanished
+    * under the scan (FileNotFound anywhere in the cause chain, or
+    * Spark's path-not-found analysis error at plan construction) — the
+    * reader-side signature of a maintenance pass deleting dirs it
+    * superseded. For a [[BatchedSignatureStore.serialized]] mutation
+    * that means: stale pin, re-pin and re-run. */
+  private[similarity] def vanishedInput(e: Throwable): Boolean = {
+    var c = e
+    var depth = 0
+    while (c != null && depth < 16) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if Option(a.getErrorClass).exists(_.contains("PATH_NOT_FOUND")) =>
+          return true
+        case _ =>
+      }
+      c = if (c.getCause ne c) c.getCause else null
+      depth += 1
+    }
+    false
+  }
 
   /** A single-owner maintenance pass ([[BatchedSignatureStore.compact]]
     * / `rewriteAll`) lost its commit rename to a concurrently committed

@@ -27,8 +27,12 @@ object Sf1Fixture {
   def fingerprint(spark: SparkSession, dir: String): Seq[(String, Long, Long)] =
     TableNames.map { t =>
       val df = Tables(spark, dir, t)
+      // null-coalesce BEFORE hashing: xxhash64 SKIPS null inputs, so
+      // without a sentinel a (null,'x') row hashes like ('x',null) — the
+      // same boundary-shift trap TripletStore.withIdentity coalesces for
       val row = df
-        .select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
+        .select(xxhash64(df.columns.map(c =>
+          coalesce(col(c).cast("string"), lit("<null>"))): _*).as("h"))
         .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).head()
       (t, row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
     }

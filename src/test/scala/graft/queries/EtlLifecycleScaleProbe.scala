@@ -56,18 +56,29 @@ object EtlLifecycleScaleProbe {
 
     def minOf(f: => Double): Double = (1 to bestOf).map(_ => f).min
 
+    // every extractionBatch call runs under a Checkpoints scope: its
+    // internal `cat` checkpoint only registers for reclamation when one
+    // is active, and an unscoped probe would pin one corpus-sized block
+    // set PER CALL — storage pressure that skews the very timings this
+    // probe exists to measure
     def timeExtraction(dir: String): Double = minOf {
-      val t0 = System.nanoTime()
-      // aggregate OVER computed columns: count() alone lets Catalyst
-      // prune the per-card parse (the verify-skill gotcha)
-      EtlLifecycle.extractionBatch(spark, dir, 1)
-        .agg(max(length(col("obj"))), max(col("confidence"))).head()
-      (System.nanoTime() - t0) / 1e9
+      graft.operators.Checkpoints.scoped {
+        val t0 = System.nanoTime()
+        // aggregate OVER computed columns: count() alone lets Catalyst
+        // prune the per-card parse (the verify-skill gotcha)
+        EtlLifecycle.extractionBatch(spark, dir, 1)
+          .agg(max(length(col("obj"))), max(col("confidence"))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
     }
 
     def timeMerge(dir: String): Double = {
-      val b1 = EtlLifecycle.extractionBatch(spark, dir, 1).localCheckpoint()
-      val b2 = EtlLifecycle.extractionBatch(spark, dir, 2).localCheckpoint()
+      // the returned plain localCheckpoint is NOT scope-registered; the
+      // scope frees only the internal cat block once b1/b2 materialize
+      val b1 = graft.operators.Checkpoints.scoped(
+        EtlLifecycle.extractionBatch(spark, dir, 1).localCheckpoint())
+      val b2 = graft.operators.Checkpoints.scoped(
+        EtlLifecycle.extractionBatch(spark, dir, 2).localCheckpoint())
       val t = minOf {
         val tmp = java.nio.file.Files.createTempDirectory("etl_scale_store").toFile
         try {

@@ -107,7 +107,16 @@ class DedupIndexSpec extends AnyFunSuite {
       java.nio.file.Paths.get(dir, "_COMPACT_PENDING"), "2\ntok2".getBytes("UTF-8"))
     val reopened = new DedupIndex(spark, dir)
     assert(reopened.size == 2, "old batches must survive a rolled-back compact")
-    // a rerun compaction rolls the torn write back, then completes
+    // a FRESH unmatched marker is presumed an in-flight pass on another
+    // owner: maintenance refuses loudly rather than deleting its marker
+    intercept[BatchedSignatureStore.ConcurrentMaintenanceException] {
+      reopened.compact()
+    }
+    assert(new java.io.File(dir, "_COMPACT_PENDING").exists())
+    // once the marker ages past the in-flight window the pass is
+    // presumed dead: the rerun rolls the torn write back, then completes
+    new java.io.File(dir, "_COMPACT_PENDING").setLastModified(
+      System.currentTimeMillis() - BatchedSignatureStore.MaintInFlightMs - 1000)
     assert(reopened.compact() == 1)
     assert(reopened.size == 2)
     assert(!new java.io.File(dir, "_COMPACT_PENDING").exists())
@@ -126,11 +135,35 @@ class DedupIndexSpec extends AnyFunSuite {
     idx.ingest(docs(3L -> "iota kappa lambda mu")) // b=2: a real ingest
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_COMPACT_PENDING"), "2\ntokX".getBytes("UTF-8"))
+    // aged past the in-flight window: the dead pass rolls back
+    new java.io.File(dir, "_COMPACT_PENDING").setLastModified(
+      System.currentTimeMillis() - BatchedSignatureStore.MaintInFlightMs - 1000)
     val reopened = new DedupIndex(spark, dir)
     assert(reopened.size == 3, "no masking without a token match")
     assert(reopened.compact() == 1)
     assert(reopened.size == 3,
       "recovery must not delete live batches below an ingest's commit")
+  }
+
+  test("legacy pre-token marker: a committed consolidated batch finishes cleanup") {
+    // upgrade path: an OLD binary's sweep crashed between its b=2 commit
+    // and old-dir removal, leaving the single-line marker format.
+    // Treating it as never-landed would permanently resurrect the rows
+    // that sweep evicted — legacy markers keep the legacy semantics.
+    val dir = Files.createTempDirectory("dedup_crash4").toString
+    val idx = new DedupIndex(spark, dir)
+    idx.ingest(docs(1L -> "alpha beta gamma delta"))
+    idx.ingest(docs(2L -> "epsilon zeta eta theta"))
+    // the old sweep kept only doc 2 (doc 1 "evicted")
+    idx.signatures.filter(org.apache.spark.sql.functions.col("doc_id") === 2L)
+      .write.parquet(s"$dir/b=2")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_COMPACT_PENDING"), "2".getBytes("UTF-8"))
+    val reopened = new DedupIndex(spark, dir)
+    assert(reopened.compact() == 1)
+    assert(reopened.signatures.select("doc_id").as[Long].collect().toSet
+      == Set(2L), "legacy cleanup must not resurrect evicted rows")
+    assert(!new java.io.File(dir, "_COMPACT_PENDING").exists())
   }
 
   test("empty and shingle-less docs still dedup exactly") {
