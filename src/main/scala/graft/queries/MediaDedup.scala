@@ -709,10 +709,12 @@ object MediaDedup {
     val banded = searchSigs(probes, corpus, k = SearchK,
         bucketCap = SweepDemoCap)
       .select(col("query_id"), col("media_id").as("doc_id"))
-    def proj(df: DataFrame) = df.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until Bands).map(b =>
-        shiftright(col("sig"), b * BandBits)
-          .bitwiseAND(lit((1 << BandBits) - 1))): _*)).as(Seq("band", "bv")))
+    // band extraction through the shared lshInput projection (the same
+    // b0..b3 columns searchSigs bands on), not a fourth inline copy of
+    // the shift/mask formula
+    def proj(df: DataFrame) = lshInput(df).select(col("doc_id"), col("sig"),
+      posexplode(array((0 until Bands).map(i => col(s"b$i")): _*))
+        .as(Seq("band", "bv")))
     val qb = proj(probes).select(col("doc_id").as("query_id"),
       col("sig").as("qsig"), col("band"), col("bv"))
     val reach = qb.join(proj(corpus), Seq("band", "bv"))

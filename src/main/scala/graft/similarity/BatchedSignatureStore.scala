@@ -87,6 +87,15 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     marker match {
       case Some((next, token)) if maintCommitted(next, token) =>
         all.filter(_ >= next)
+      // a LEGACY marker (no token) with a committed target is an old
+      // binary's landed consolidation (recoverCompaction's legacy arm):
+      // mask the superseded dirs for it too, or every reader
+      // double-counts — and resurrects sweep-evicted rows — until the
+      // first maintenance call after the upgrade
+      case Some((next, token))
+          if token.isEmpty && new java.io.File(
+            new java.io.File(storageRoot, s"b=$next"), "_SUCCESS").exists() =>
+        all.filter(_ >= next)
       case _ => all
     }
   }
@@ -97,13 +106,15 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     * ingest's batch landed at the same dense id" — and would delete
     * live batches below an ingest's commit. */
   private def readMarker(): Option[(Int, String)] =
-    if (!pendingMarker.exists()) None
-    else {
+    try {
+      // single read, no exists() pre-check: the owner can delete the
+      // marker between the two calls (readers run concurrently with
+      // maintenance by contract) — a vanished marker is simply None
       val lines = new String(java.nio.file.Files.readAllBytes(
         pendingMarker.toPath), "UTF-8").trim.split("\n")
       lines.headOption.flatMap(_.toIntOption)
         .map(n => (n, lines.drop(1).headOption.getOrElse("")))
-    }
+    } catch { case _: java.io.IOException => None }
 
   /** True iff `b=next` is a COMMITTED dir carrying this maintenance
     * pass's own token file (written into the temp dir before the
@@ -150,7 +161,8 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
         // listing now yields the consolidated state) and re-run.
         case e: Throwable
             if e.isInstanceOf[java.util.ConcurrentModificationException] ||
-              BatchedSignatureStore.vanishedInput(e) =>
+              BatchedSignatureStore.vanishedInput(e,
+                storageRoot.getAbsolutePath) =>
           attempts += 1
           if (attempts > BatchedSignatureStore.MaxIngestRetries) throw e
       } finally pinned.remove()
@@ -304,12 +316,17 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     val token = java.util.UUID.randomUUID().toString.take(8)
     writeMarker(next, token)
     val tmp = graft.load.AtomicDirCommit.tmpFor(root, s"b$next")
-    rows.select(schema.fieldNames.map(col): _*)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
-    java.nio.file.Files.write(
-      new java.io.File(tmp, s"_MAINT-$token").toPath, Array.empty[Byte])
-    try graft.load.AtomicDirCommit.commit(tmp, new java.io.File(root, s"b=$next"))
-    catch {
+    // ANY pre-rename failure rolls the marker back in-process (not just
+    // the rename collision): a leaked fresh tokened marker would wedge
+    // every maintenance call — including this owner's own retry — behind
+    // the in-flight presumption for MaintInFlightMs
+    try {
+      rows.select(schema.fieldNames.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+      java.nio.file.Files.write(
+        new java.io.File(tmp, s"_MAINT-$token").toPath, Array.empty[Byte])
+      graft.load.AtomicDirCommit.commit(tmp, new java.io.File(root, s"b=$next"))
+    } catch {
       case e: java.util.ConcurrentModificationException =>
         pendingMarker.delete()
         throw new BatchedSignatureStore.ConcurrentMaintenanceException(
@@ -317,6 +334,10 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
             "concurrent writer (an ingest, or a second maintenance owner " +
             "violating the single-owner contract) committed that id " +
             s"first. The store is unchanged; re-run the maintenance. ($e)")
+      case e: Throwable =>
+        pendingMarker.delete()
+        rmTree(tmp)
+        throw e
     }
     bs.foreach(b => rmTree(new java.io.File(s"${root.getPath}/b=$b")))
     pendingMarker.delete()
@@ -336,20 +357,26 @@ object BatchedSignatureStore {
     * twin of [[graft.load.TripletStore.TmpSweepAgeMs]]. */
   val MaintInFlightMs: Long = graft.load.TripletStore.TmpSweepAgeMs
 
-  /** True when the exception chain says a pinned input dir vanished
-    * under the scan (FileNotFound anywhere in the cause chain, or
-    * Spark's path-not-found analysis error at plan construction) — the
+  /** True when the exception chain says a pinned STORE dir vanished
+    * under the scan (FileNotFound in the cause chain, or Spark's
+    * path-not-found analysis error, naming a path under `under`) — the
     * reader-side signature of a maintenance pass deleting dirs it
     * superseded. For a [[BatchedSignatureStore.serialized]] mutation
-    * that means: stale pin, re-pin and re-run. */
-  private[similarity] def vanishedInput(e: Throwable): Boolean = {
+    * that means: stale pin, re-pin and re-run. Scoped to the store root
+    * ON PURPOSE: a genuinely missing USER input path must surface
+    * immediately, not re-run the full acceptance MaxIngestRetries
+    * times. */
+  private[similarity] def vanishedInput(e: Throwable, under: String): Boolean = {
     var c = e
     var depth = 0
     while (c != null && depth < 16) {
+      val m = Option(c.getMessage).getOrElse("")
       c match {
-        case _: java.io.FileNotFoundException => return true
+        case _: java.io.FileNotFoundException if m.contains(under) =>
+          return true
         case a: org.apache.spark.sql.AnalysisException
-            if Option(a.getErrorClass).exists(_.contains("PATH_NOT_FOUND")) =>
+            if Option(a.getErrorClass).exists(_.contains("PATH_NOT_FOUND")) &&
+              m.contains(under) =>
           return true
         case _ =>
       }

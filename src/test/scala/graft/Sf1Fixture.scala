@@ -21,34 +21,43 @@ object Sf1Fixture {
 
   val ChecksumPath = "tools/sf1_checksum.json"
 
-  /** (table, rowCount, xorOfRowHashes) per table, read through the
+  /** (table, rowCount, xorOfRowHashes, modSumOfRowHashes) per table, read through the
     * normalizing [[Tables]] reader (the ts-physical-type detection is
     * part of what the engine sees — fingerprint that, not raw bytes). */
-  def fingerprint(spark: SparkSession, dir: String): Seq[(String, Long, Long)] =
+  def fingerprint(spark: SparkSession, dir: String)
+      : Seq[(String, Long, Long, Long)] =
     TableNames.map { t =>
       val df = Tables(spark, dir, t)
       // null-coalesce BEFORE hashing: xxhash64 SKIPS null inputs, so
       // without a sentinel a (null,'x') row hashes like ('x',null) — the
-      // same boundary-shift trap TripletStore.withIdentity coalesces for
+      // same boundary-shift trap TripletStore.withIdentity coalesces for.
+      // Two independent folds: xor is blind to EVEN-multiplicity changes
+      // (a row xored with itself cancels), the mod-prime sum is not —
+      // together a duplicate-count drift that preserves row count still
+      // trips the pin.
       val row = df
         .select(xxhash64(df.columns.map(c =>
-          coalesce(col(c).cast("string"), lit("<null>"))): _*).as("h"))
-        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).head()
-      (t, row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+          coalesce(col(c).cast("string"), lit("<null>"))): _*).as("h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
+          sum(pmod(col("h"), lit(1000000007L))).as("s")).head()
+      (t, row.getLong(0),
+        if (row.isNullAt(1)) 0L else row.getLong(1),
+        if (row.isNullAt(2)) 0L else row.getLong(2))
     }
 
-  def render(fp: Seq[(String, Long, Long)]): String =
-    fp.map { case (t, n, x) => s""""$t":{"n":$n,"xor":$x}""" }
+  def render(fp: Seq[(String, Long, Long, Long)]): String =
+    fp.map { case (t, n, x, sm) => s""""$t":{"n":$n,"xor":$x,"sum":$sm}""" }
       .mkString("{", ",", "}\n")
 
-  private val Entry = """"([a-z]+)":\{"n":(-?\d+),"xor":(-?\d+)\}""".r
+  private val Entry =
+    """"([a-z]+)":\{"n":(-?\d+),"xor":(-?\d+),"sum":(-?\d+)\}""".r
 
-  def parse(json: String): Map[String, (Long, Long)] =
+  def parse(json: String): Map[String, (Long, Long, Long)] =
     Entry.findAllMatchIn(json)
-      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+      .map(m => m.group(1) ->
+        (m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)).toMap
 
-  /** Verify `dir` against the committed checksum. Returns an error
-    * message, or None when the fixture matches. */
+
   def verify(spark: SparkSession, dir: String): Option[String] = {
     val f = new java.io.File(ChecksumPath)
     if (!f.exists())
@@ -56,11 +65,12 @@ object Sf1Fixture {
         "and commit it")
     val expected = parse(java.nio.file.Files.readString(f.toPath))
     val actual = fingerprint(spark, dir)
-    val bad = actual.filter { case (t, n, x) =>
-      !expected.get(t).contains((n, x)) }
+    val bad = actual.filter { case (t, n, x, sm) =>
+      !expected.get(t).contains((n, x, sm)) }
     if (bad.isEmpty) None
-    else Some(bad.map { case (t, n, x) =>
-      s"$t: got (n=$n, xor=$x), committed ${expected.get(t)}" }.mkString("; "))
+    else Some(bad.map { case (t, n, x, sm) =>
+      s"$t: got (n=$n, xor=$x, sum=$sm), committed ${expected.get(t)}" }
+      .mkString("; "))
   }
 }
 

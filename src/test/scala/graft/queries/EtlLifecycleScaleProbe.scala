@@ -43,8 +43,10 @@ object EtlLifecycleScaleProbe {
     val sf01 = "/root/testdata/sf0.1"
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
     val sf10 = "/tmp/graft_etl_sf10"
-    // stage the 100x documents slice (the only table the chain reads)
-    if (!new java.io.File(s"$sf10/documents.parquet").exists()) {
+    // stage the 100x documents slice (the only table the chain reads);
+    // _SUCCESS, not bare existence — a torn dir from a killed prior run
+    // would silently measure a truncated fixture
+    if (!new java.io.File(s"$sf10/documents.parquet/_SUCCESS").exists()) {
       val docs = Tables(spark, sf01, "documents")
       val cols = docs.columns
       docs.crossJoin(spark.range(100).select(col("id").as("rep")))
