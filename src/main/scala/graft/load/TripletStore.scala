@@ -469,9 +469,15 @@ class TripletStore(spark: SparkSession, path: String,
       if (!baseVersions.contains(cut)) {
         val snap = Checkpoints.ck(reconstruct(cut, openOnly = false)
           .withColumn("v", lit(cut)))
-        graft.sinks.Sinks.writeClustered(snap, s"$path/base=$cut",
+        // rename-committed like every other landing in this store: two
+        // compaction owners racing the same cut collide loudly instead
+        // of interleaving Overwrite writes into one torn-but-committed
+        // base (the pre-protocol shape BatchedSignatureStore fixed)
+        val tmp = AtomicDirCommit.tmpFor(fs, s"base$cut")
+        graft.sinks.Sinks.writeClustered(snap, tmp.getAbsolutePath,
           nFilesFor(snap.count()), targetRowsPerFile,
           "tripletHash", "infoHash")
+        AtomicDirCommit.commit(tmp, new java.io.File(fs, s"base=$cut"))
       }
       (dropped.flatMap(d => Seq(s"v=$d", s"base=$d")) :+ s"v=$cut")
         .foreach { nm =>
@@ -501,6 +507,17 @@ class TripletStore(spark: SparkSession, path: String,
     * that silently answers from purged history. The base itself commits
     * via `_SUCCESS` before any deletion, like [[compact(keep:Int)*]].
     *
+    * Merge-race ordering: the pass first CLAIMS its version number with
+    * an empty rename-committed delta, so a concurrent merge racing the
+    * same number collides and retries ABOVE the base instead of landing
+    * `v=N` beside `base=N` (different dir names — no rename collision)
+    * where reconstruction would silently mask it. The claim dir is
+    * deliberately LEFT IN PLACE after the pass (empty, masked by its
+    * base): deleting it would reopen the slot for a straggler merge
+    * that pinned its snapshot before the claim and renames after the
+    * cleanup. A crash between the claim and the base commit likewise
+    * leaves only the harmless empty delta.
+    *
     * @return the version numbers dropped from the version-travel window
     */
   def compact(olderThan: Timestamp): Seq[Int] = {
@@ -513,18 +530,57 @@ class TripletStore(spark: SparkSession, path: String,
       fs.mkdirs()
       java.nio.file.Files.writeString(
         new java.io.File(fs, HorizonMarker).toPath, newHorizon.toString)
-      val cur = vs.last
-      val nv = cur + 1
-      val snap = Checkpoints.ck(reconstruct(cur, openOnly = false)
+      // CLAIM the target version number with an empty rename-committed
+      // delta before building the purged base. The base lands under a
+      // DIFFERENT dir name (`base=N`) than a merge's delta (`v=N`), so
+      // without the claim a concurrent merge could commit v=N while
+      // retention commits base=N — no rename collision, and the merge's
+      // committed delta would sit "at or below the base" and be
+      // silently masked by levelsAt: a LOST UPDATE, not a loud failure.
+      // With the claim, a racing merge collides on v=N and retries at
+      // N+1, which stays above the base and survives.
+      var nv = -1
+      var attempts = 0
+      while (nv < 0) {
+        val target = versions.last + 1
+        val claim = AtomicDirCommit.tmpFor(fs, s"v$target")
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physSchema)
+          .write.parquet(claim.getAbsolutePath)
+        try {
+          AtomicDirCommit.commit(claim, new java.io.File(fs, s"v=$target"))
+          nv = target
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempts += 1
+            if (attempts > 5) throw e // pathological merge contention
+        }
+      }
+      // reconstruct at nv-1, NOT the entry snapshot: a merge that
+      // committed between entry and the claim sits in (entry, nv) and
+      // must fold into the base — the deletion below drops every level
+      // under nv, so a base built from the stale entry state would
+      // silently lose that merge
+      val snap = Checkpoints.ck(reconstruct(nv - 1, openOnly = false)
         .filter(!col("deprecated") ||
           col("useEnd") >= lit(new Timestamp(newHorizon)))
         .withColumn("v", lit(nv)))
-      graft.sinks.Sinks.writeClustered(snap, s"$path/base=$nv",
+      val tmp = AtomicDirCommit.tmpFor(fs, s"base$nv")
+      graft.sinks.Sinks.writeClustered(snap, tmp.getAbsolutePath,
         nFilesFor(snap.count()), targetRowsPerFile, "tripletHash", "infoHash")
-      vs.flatMap(d => Seq(s"v=$d", s"base=$d")).foreach { nm =>
-        val d = new java.io.File(fs, nm)
-        if (d.exists()) Scratch.rm(d)
-      }
+      AtomicDirCommit.commit(tmp, new java.io.File(fs, s"base=$nv"))
+      // drop everything the base supersedes — but NOT the claim delta:
+      // deleting it would REOPEN the v=nv slot for a merge that pinned
+      // v0 = nv-1 before the claim and renames after this cleanup (its
+      // landing would sit at-or-below the base and be masked — the fuzz
+      // spec caught exactly that). The empty claim is harmless beside
+      // its base (levelsAt ignores deltas at or below a base) and keeps
+      // such a straggler colliding loudly.
+      versions.filter(_ < nv).flatMap(d => Seq(s"v=$d", s"base=$d"))
+        .foreach { nm =>
+          val d = new java.io.File(fs, nm)
+          if (d.exists()) Scratch.rm(d)
+        }
       AtomicDirCommit.sweepTmp(fs, TmpSweepAgeMs)
       vs
     }

@@ -132,6 +132,86 @@ class TripletStoreSpec extends AnyFunSuite {
       .select("obj").as[String].collect().toSet == Set("alpha-v3", "nlp"))
   }
 
+  test("retention CLAIMS its version: merges land above the purged base") {
+    // the silent-lost-update shape: retention's base lands under
+    // `base=N` while a merge's delta lands under `v=N` — different dir
+    // names, so the two could both "commit" and reconstruction would
+    // mask the merge. The claim makes retention consume N itself: the
+    // next merge must land at N+1, ABOVE the base, and survive.
+    val dir = Files.createTempDirectory("graft_ts_claim").toFile
+    try {
+      val store = new TripletStore(spark, dir.getAbsolutePath,
+        autoCompactEvery = 0)
+      store.merge(batch(Seq(("m:1", "p", "a")), "2024-01-01 00:00:00"),
+        ts("2024-01-01 00:00:00"))
+      val cur = store.currentVersion
+      store.compact(olderThan = ts("2024-01-15 00:00:00"))
+      // retention consumed cur+1 (claim) and its base sits there; the
+      // claim delta PERSISTS (empty, masked by the base) so a straggler
+      // merge that pinned v0 = cur before the claim still collides on
+      // the rename instead of landing beside the base and being masked
+      assert(store.currentVersion == cur + 1)
+      assert(new java.io.File(dir, s"v=${cur + 1}").exists(),
+        "the claim delta must stay to keep the version slot closed")
+      val st = store.merge(batch(Seq(("m:2", "p", "b")), "2024-02-01 00:00:00"),
+        ts("2024-02-01 00:00:00"))
+      assert(st.nNew == 1)
+      assert(store.currentVersion == cur + 2,
+        "a post-retention merge must land above the base")
+      assert(store.currentTriples.count() == 2,
+        "both the pre-retention and post-retention triples are live")
+    } finally Scratch.rm(dir)
+  }
+
+  test("retention fuzz: a concurrent merge is never silently masked") {
+    // barrier-raced merge || compact(olderThan): whatever the
+    // interleaving, the merged batch's OPEN rows must be present
+    // afterwards (retention only purges closed ranges below the
+    // horizon). The merge may lose the claim race (CME -> re-merge) or
+    // scan a level the retention deleted (loud failure -> re-merge);
+    // silence + missing rows is the one forbidden outcome.
+    import java.util.concurrent.TimeUnit
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (0 until 3).foreach { round =>
+      val dir = Files.createTempDirectory(s"graft_ts_rfuzz$round").toFile
+      try {
+        val store = new TripletStore(spark, dir.getAbsolutePath,
+          autoCompactEvery = 0)
+        store.merge(batch(Seq(("m:0", "p", "x")), "2024-01-01 00:00:00"),
+          ts("2024-01-01 00:00:00"))
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val fM = Future {
+          barrier.await(60, TimeUnit.SECONDS)
+          var done = false
+          var attempts = 0
+          while (!done) {
+            try {
+              store.merge(batch(Seq((s"m:$round", "p", "y")),
+                "2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"))
+              done = true
+            } catch {
+              case e: Throwable =>
+                attempts += 1
+                if (attempts > 5) throw e
+            }
+          }
+        }
+        val fR = Future {
+          barrier.await(60, TimeUnit.SECONDS)
+          store.compact(olderThan = ts("2024-01-15 00:00:00"))
+        }
+        Await.result(fM, 2.minutes)
+        Await.result(fR, 2.minutes)
+        val subjects = store.currentTriples.select("subject")
+          .as[String].collect().toSet
+        assert(subjects == Set("m:0", s"m:$round"),
+          s"round $round: a racing merge was masked: $subjects")
+      } finally Scratch.rm(dir)
+    }
+  }
+
   test("distinct extraction methods keep separate ranges (V2/J5)") {
     val dir = Files.createTempDirectory("store2").toString
     val store = new TripletStore(spark, dir)
