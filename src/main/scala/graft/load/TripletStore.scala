@@ -42,13 +42,23 @@ import graft.operators.Checkpoints
   * join hash-partition on the same identity key, so the join reuses the
   * window's exchange rather than shuffling twice.
   *
-  * Scale: the merge first restricts the level rows to the batch's
-  * subjects (a semi-join AQE can broadcast — the identity key embeds the
-  * subject, so whole groups drop, never a group's shadowing rows), THEN
-  * windows and full-outer joins on tripletHash+infoHash with the window's
-  * exchange reused by the join — per batch the store is scanned once but
-  * only the touched slice is shuffled and materialized: O(touched +
-  * batch), not O(store). The read side spans the base plus the deltas
+  * Scale: level dirs carry a subject-hash partition column (`sbkt =
+  * pmod(xxhash64(subject), N)`, N pinned per store in `_BUCKETS`); the
+  * merge collects its batch's distinct bucket ids (≤ N, a driver-safe
+  * scalar list) and PRUNES the level read to those partition dirs — so
+  * the scan itself is O(touched buckets), not a full-lake read per
+  * micro-batch. Within the read partitions the merge restricts rows to
+  * the batch's subjects (a semi-join AQE can broadcast — the identity
+  * key embeds the subject, so whole groups drop, never a group's
+  * shadowing rows), THEN windows and full-outer joins on
+  * tripletHash+infoHash with the window's exchange reused by the join:
+  * O(touched + batch) read, shuffled and materialized, never O(store).
+  * Levels below `bucketMinRows` write UNBUCKETED — a small level is
+  * cheaper to scan whole than to fan out 64 ways, and the pruning win
+  * lives in the lake-sized levels (the compacted base above all) — and
+  * pre-bucket stores migrate in place: unbucketed levels read in full
+  * (correct, unpruned) until the next compaction rebuckets the base.
+  * The read side spans the base plus the deltas
   * since the last compaction, bounded by the AUTOMATIC compaction
   * cadence: after a merge pushes the live level count (base + deltas)
   * past `autoCompactEvery`, the merge itself compacts down to
@@ -86,11 +96,74 @@ import graft.operators.Checkpoints
 class TripletStore(spark: SparkSession, path: String,
                    autoCompactEvery: Int = 4,
                    autoCompactKeep: Int = 2,
-                   targetRowsPerFile: Long = 1L << 20) {
+                   targetRowsPerFile: Long = 1L << 20,
+                   subjectBuckets: Int = TripletStore.DefaultSubjectBuckets,
+                   bucketMinRows: Long = TripletStore.DefaultBucketMinRows) {
 
   import TripletStore._
 
   private val fs = new java.io.File(path)
+
+  /** Atomic marker publication (temp sibling + ATOMIC_MOVE): a plain
+    * truncate-in-place write races a concurrent reader into observing
+    * the EMPTY mid-write file — the fuzz caught exactly that on the
+    * format marker, and retention runs concurrently with merges/readers
+    * by design, so the horizon marker needs the same discipline. */
+  private def publishMarker(name: String, contents: String): Unit = {
+    val tmp = new java.io.File(fs,
+      s".tmp-marker-${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.writeString(tmp.toPath, contents)
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(fs, name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The store's pinned bucket count: the recorded marker when present
+    * (any bucketed level was ever written), else the constructor seed. */
+  private def bucketN: Int = {
+    val m = new java.io.File(fs, BucketMarker)
+    if (m.exists())
+      java.nio.file.Files.readString(m.toPath).trim.toInt
+    else subjectBuckets
+  }
+
+  /** Pin `n` as the store's bucket count before the FIRST bucketed
+    * commit — the marker must exist before any `sbkt=` dir so a reader
+    * never has to guess the modulus. Idempotent once present. */
+  private def ensureBucketMarker(n: Int): Unit = {
+    fs.mkdirs()
+    if (!new java.io.File(fs, BucketMarker).exists())
+      publishMarker(BucketMarker, n.toString)
+  }
+
+  /** A level dir written under the bucketed layout carries `sbkt=`
+    * partition children; a pre-bucket, sub-threshold, or empty dir does
+    * not. Per-dir self-description is what lets one store hold both
+    * layouts side by side — permanently, not just mid-migration. */
+  private def isBucketed(dirName: String): Boolean =
+    Option(new java.io.File(fs, dirName).listFiles())
+      .exists(_.exists(f => f.isDirectory &&
+        f.getName.startsWith(s"$BucketCol=")))
+
+  /** Commit `level` (physSchema rows) as `dirName` via the rename
+    * protocol — subject-bucketed when the level is lake-sized
+    * (`rows >= bucketMinRows`, see [[TripletStore.DefaultBucketMinRows]]),
+    * plain below the floor; identity-clustered either way. */
+  private def commitLevel(level: DataFrame, rows: Long, tmpTag: String,
+                          dirName: String): Unit = {
+    val tmp = AtomicDirCommit.tmpFor(fs, tmpTag)
+    if (rows >= bucketMinRows) {
+      val bN = bucketN
+      ensureBucketMarker(bN) // never a bucketed dir without its modulus
+      graft.sinks.Sinks.writeClusteredBy(
+        level.withColumn(BucketCol, subjectBucket(col("subject"), bN)),
+        tmp.getAbsolutePath, nFilesFor(rows), targetRowsPerFile,
+        BucketCol, "tripletHash", "infoHash")
+    } else
+      graft.sinks.Sinks.writeClustered(level, tmp.getAbsolutePath,
+        nFilesFor(rows), targetRowsPerFile, "tripletHash", "infoHash")
+    AtomicDirCommit.commit(tmp, new java.io.File(fs, dirName))
+  }
 
   /** Only COMMITTED snapshots are visible (shared `_SUCCESS` gating —
     * see CommittedDirs); additionally, a non-empty store must carry the
@@ -143,15 +216,42 @@ class TripletStore(spark: SparkSession, path: String,
 
   /** The committed level files covering snapshot v: the newest base ≤ v
     * plus every delta in (base, v]. Deltas at or below a base are its
-    * leftovers (a compaction that crashed before its deletions) and are
-    * superseded by construction. */
-  private def levelsAt(v: Int): Option[DataFrame] = {
+    * leftovers (a compaction that crashed before its deletions, or a
+    * retention pass's kept claim) and are superseded by construction.
+    *
+    * `buckets`, when given, restricts BUCKETED levels to those `sbkt`
+    * partitions — a planning-time PartitionFilter, so the scan reads
+    * only the touched partition dirs' files, not all live rows
+    * (PlanSpec pins the filter; StoreScaleProbe pins flat files-read
+    * under a 10× untouched-store growth). Pre-bucket levels carry no
+    * partition column and are read in full (correct, unpruned — they
+    * disappear at the next compaction). Visible to the plan/scale specs. */
+  private[graft] def levelsAt(v: Int,
+                              buckets: Option[Seq[Int]] = None): Option[DataFrame] = {
     val floor = baseVersions.filter(_ <= v).lastOption
     val deltas = deltaVersions.filter(d => d > floor.getOrElse(-1) && d <= v)
-    val dirs = floor.map(b => s"$path/base=$b").toSeq ++
-      deltas.map(d => s"$path/v=$d")
-    if (dirs.isEmpty) None
-    else Some(spark.read.schema(physSchema).parquet(dirs: _*))
+    val names = floor.map(b => s"base=$b").toSeq ++ deltas.map(d => s"v=$d")
+    if (names.isEmpty) None
+    else {
+      val (bucketed, plain) = names.partition(isBucketed)
+      // bucketed dirs are read ONE PER SCAN: a multi-root read would run
+      // partition discovery across the level names themselves (`v=N`
+      // conflicts with `sbkt=`); the level count is bounded by the
+      // compaction cadence, and the bucket filter pushes through the
+      // union into every scan's PartitionFilters
+      val bucketFilter = buckets.map(bs =>
+        if (bs.isEmpty) lit(false) else col(BucketCol).isin(bs: _*))
+      val parts =
+        bucketed.map { n =>
+          val df = spark.read.schema(bucketedPhysSchema)
+            .parquet(s"$path/$n")
+          bucketFilter.fold(df)(df.filter).drop(BucketCol)
+        } ++
+        (if (plain.isEmpty) None
+         else Some(spark.read.schema(physSchema)
+           .parquet(plain.map(n => s"$path/$n"): _*)))
+      Some(parts.reduce(_ unionByName _))
+    }
   }
 
   /** Snapshot reconstruction at version v. Open rows: latest writer per
@@ -164,11 +264,16 @@ class TripletStore(spark: SparkSession, path: String,
     * subject (tripletHash hashes it): the filter drops whole identity
     * groups, never a group's shadowing rows — and it turns the merge's
     * store-side shuffle into O(touched rows), with AQE free to broadcast
-    * the subject list when the batch is small. */
-  private def reconstruct(v: Int, openOnly: Boolean,
-                          subjects: Option[DataFrame] = None): DataFrame = {
+    * the subject list when the batch is small. `buckets` is the scan-side
+    * twin (see [[levelsAt]]): the subjects' bucket ids prune level FILES
+    * at planning time, the semi-join then filters rows within the read
+    * partitions — together the merge reads O(touched partitions) and
+    * materializes O(touched + batch). Visible to the plan/scale specs. */
+  private[graft] def reconstruct(v: Int, openOnly: Boolean,
+                                 subjects: Option[DataFrame] = None,
+                                 buckets: Option[Seq[Int]] = None): DataFrame = {
     requireRetained(v)
-    levelsAt(v) match {
+    levelsAt(v, buckets) match {
       case None => emptyRanges
       case Some(all0) =>
         // null-safe semi join: a legal null-subject row (the identity
@@ -292,9 +397,18 @@ class TripletStore(spark: SparkSession, path: String,
     // deprecate, or collide with a fresh insert — the identity key embeds
     // the subject), so the store side of the MERGE is the TOUCHED slice,
     // not the live store: the join below materializes O(touched + batch).
+    // The batch's distinct BUCKET ids (≤ bN, driver-bounded by
+    // construction) prune the level read to the touched partition dirs —
+    // without them every merge still SCANNED all live rows even though
+    // it materialized only the touched slice, a full-lake read per
+    // micro-batch under StreamingLoad at 100 TB.
+    val bN = bucketN
     val touchedSubjects = inc.select("subject").distinct()
+    val touchedBuckets = inc
+      .select(subjectBucket(col("subject"), bN).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
     val open = reconstruct(v0, openOnly = true,
-      subjects = Some(touchedSubjects))
+      subjects = Some(touchedSubjects), buckets = Some(touchedBuckets))
 
     // The MERGE join executes exactly ONCE (eager checkpoint); extended /
     // fresh / deprecation / stats / delta below all read the
@@ -354,25 +468,19 @@ class TripletStore(spark: SparkSession, path: String,
       nDeprecated = kinds.getOrElse("deprecated", 0L))
 
     val v = v0 + 1
-    // marker BEFORE the delta commit: written after, a crash between
+    // markers BEFORE the delta commit: written after, a crash between
     // the two would brick a correctly-keyed store (the format check only
-    // fires once a committed snapshot exists, so the early write is safe).
-    // Published ATOMICALLY (temp + rename) and only when absent/stale: a
-    // plain writeString truncates in place, and the two-writer fuzz
+    // fires once a committed snapshot exists, so the early write is
+    // safe), and a bucketed dir must never exist without its modulus
+    // pinned. Published ATOMICALLY (temp + rename, [[publishMarker]]):
+    // a plain writeString truncates in place, and the two-writer fuzz
     // caught a concurrent reader observing the EMPTY mid-write marker
     // and refusing a perfectly healthy store.
     fs.mkdirs()
     val marker = new java.io.File(fs, FormatMarker)
     val markerCurrent = marker.exists() &&
       java.nio.file.Files.readString(marker.toPath).trim == IdentityFormat.toString
-    if (!markerCurrent) {
-      val mtmp = new java.io.File(fs,
-        s".tmp-marker-${java.util.UUID.randomUUID().toString.take(8)}")
-      java.nio.file.Files.writeString(mtmp.toPath, IdentityFormat.toString)
-      java.nio.file.Files.move(mtmp.toPath, marker.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    if (!markerCurrent) publishMarker(FormatMarker, IdentityFormat.toString)
     // Optimistic concurrency on the version commit ([[AtomicDirCommit]]):
     // the delta is written to a process-unique temp dir, then committed
     // with ONE atomic rename to `v=N`. Two writers that both read
@@ -382,14 +490,12 @@ class TripletStore(spark: SparkSession, path: String,
     // re-merge to retry against the winner's). A crash at ANY point
     // leaves only `.tmp-` garbage swept by compaction — a torn `v=N`
     // cannot exist.
-    val tmp = AtomicDirCommit.tmpFor(fs, s"v$v")
-    // identity-clustered delta files: the stats job already counted the
-    // delta rows, so the file sizing is free
-    graft.sinks.Sinks.writeClustered(delta.withColumn("v", lit(v)),
-      tmp.getAbsolutePath,
-      nFilesFor(stats.nNew + stats.nExtended + stats.nDeprecated),
-      targetRowsPerFile, "tripletHash", "infoHash")
-    AtomicDirCommit.commit(tmp, new java.io.File(fs, s"v=$v"))
+    // identity-clustered delta files, subject-bucketed when lake-sized
+    // (bucketed dirs let future merges prune their level reads to the
+    // touched buckets); the stats job already counted the delta rows, so
+    // file sizing is free
+    commitLevel(delta.withColumn("v", lit(v)),
+      stats.nNew + stats.nExtended + stats.nDeprecated, s"v$v", s"v=$v")
 
     // auto-compaction cadence: once the live level count exceeds the
     // configured bound, fold down to `autoCompactKeep` retained versions
@@ -472,14 +578,20 @@ class TripletStore(spark: SparkSession, path: String,
         // rename-committed like every other landing in this store: two
         // compaction owners racing the same cut collide loudly instead
         // of interleaving Overwrite writes into one torn-but-committed
-        // base (the pre-protocol shape BatchedSignatureStore fixed)
-        val tmp = AtomicDirCommit.tmpFor(fs, s"base$cut")
-        graft.sinks.Sinks.writeClustered(snap, tmp.getAbsolutePath,
-          nFilesFor(snap.count()), targetRowsPerFile,
-          "tripletHash", "infoHash")
-        AtomicDirCommit.commit(tmp, new java.io.File(fs, s"base=$cut"))
+        // base (the pre-protocol shape BatchedSignatureStore fixed).
+        // A lake-sized base gets the bucket partition column here — the
+        // one-shot rebucket path for pre-bucket stores.
+        commitLevel(snap, snap.count(), s"base$cut", s"base=$cut")
       }
-      (dropped.flatMap(d => Seq(s"v=$d", s"base=$d")) :+ s"v=$cut")
+      // v=cut is NOT deleted beside its base: it is already masked by
+      // levelsAt (deltas at or below a base are superseded), and deleting
+      // it would REOPEN the version slot — a straggler merge that pinned
+      // v0 = cut-1 before base=cut committed and renames after this
+      // cleanup would land at-or-below the base and be silently masked
+      // (lost update) instead of colliding loudly. Exactly the shape
+      // compact(olderThan)'s claim protocol keeps closed; the kept dir is
+      // swept by the NEXT compaction once cut itself is superseded.
+      dropped.flatMap(d => Seq(s"v=$d", s"base=$d"))
         .foreach { nm =>
           val d = new java.io.File(fs, nm)
           if (d.exists()) Scratch.rm(d)
@@ -528,8 +640,11 @@ class TripletStore(spark: SparkSession, path: String,
     else Checkpoints.scoped {
       val newHorizon = math.max(horizonMs, olderThan.getTime)
       fs.mkdirs()
-      java.nio.file.Files.writeString(
-        new java.io.File(fs, HorizonMarker).toPath, newHorizon.toString)
+      // atomic publication: retention runs concurrently with merges and
+      // readers by design, and a truncate-in-place write would let a
+      // concurrent retentionHorizon/asOf reader observe the EMPTY
+      // mid-write file and throw — same discipline as the format marker
+      publishMarker(HorizonMarker, newHorizon.toString)
       // CLAIM the target version number with an empty rename-committed
       // delta before building the purged base. The base lands under a
       // DIFFERENT dir name (`base=N`) than a merge's delta (`v=N`), so
@@ -565,10 +680,7 @@ class TripletStore(spark: SparkSession, path: String,
         .filter(!col("deprecated") ||
           col("useEnd") >= lit(new Timestamp(newHorizon)))
         .withColumn("v", lit(nv)))
-      val tmp = AtomicDirCommit.tmpFor(fs, s"base$nv")
-      graft.sinks.Sinks.writeClustered(snap, tmp.getAbsolutePath,
-        nFilesFor(snap.count()), targetRowsPerFile, "tripletHash", "infoHash")
-      AtomicDirCommit.commit(tmp, new java.io.File(fs, s"base=$nv"))
+      commitLevel(snap, snap.count(), s"base$nv", s"base=$nv")
       // drop everything the base supersedes — but NOT the claim delta:
       // deleting it would REOPEN the v=nv slot for a merge that pinned
       // v0 = nv-1 before the claim and renames after this cleanup (its
@@ -606,9 +718,56 @@ object TripletStore {
 
   /** Store-format generation (bumped when withIdentity or the snapshot
     * layout changes): 2 = identity-hash fix, 3 = delta (merge-on-read)
-    * layout. */
+    * layout. The subject-bucket partition column added to format-3 levels
+    * is NOT a generation bump: each level dir self-describes (bucketed
+    * dirs carry `sbkt=` children), readers handle both layouts side by
+    * side, and pruning simply skips unbucketed levels — a pre-bucket
+    * store migrates in place (new deltas bucketed; the next compaction
+    * rebuckets the base). */
   val IdentityFormat = 3
   val FormatMarker = "_FORMAT"
+
+  /** Default subject-hash bucket count for the level layout's partition
+    * column. Sized so the per-delta file fan-out stays modest while a
+    * merge touching few subjects prunes most of the lake; at 100 TB the
+    * per-bucket slice of a base is still hundreds of GB — raise via the
+    * constructor for very hot stores (the first write pins the store's
+    * count in [[BucketMarker]]). */
+  val DefaultSubjectBuckets = 64
+
+  /** Partition column of bucketed level dirs: `sbkt =
+    * pmod(xxhash64(subject), N)`. The merge collects its batch's distinct
+    * bucket ids (≤ N, a driver-bounded scalar list) and restricts the
+    * level read to those partitions — files, not just rows. */
+  val BucketCol = "sbkt"
+
+  /** Row-count floor below which a level writes UNBUCKETED: the
+    * partition layout pays a 64-way dir/file fan-out per write and one
+    * scan per level dir per read, which dwarfs the level itself when the
+    * level is small — and pruning a small level saves nothing (reading
+    * it in full is already O(small)). The floor keeps toy/test stores
+    * and trickle deltas single-scan fast while lake-sized levels — the
+    * compacted base above all, and any bulk delta — get the partition
+    * column that makes a touched-bucket merge skip the rest of the lake.
+    * Default ≈ 4k rows per bucket file at [[DefaultSubjectBuckets]]. */
+  val DefaultBucketMinRows: Long = 1L << 18
+
+  /** Marker file pinning the store's bucket count N: pruning is only
+    * correct when the reader's bucket formula matches the writer's, so
+    * the FIRST bucketed write records N and every later read/write uses
+    * the recorded value (the constructor's `subjectBuckets` only seeds a
+    * fresh store). Multi-writer deployments must configure the same
+    * `subjectBuckets` — like the compaction single-owner rule, this is a
+    * deployment contract, not per-call coordination. */
+  val BucketMarker = "_BUCKETS"
+
+  /** The bucket id of `subject` under an N-bucket layout. Null subjects
+    * are legal rows (the identity hash null-coalesces), so the bucket
+    * formula coalesces with the same sentinel — deterministic for every
+    * subject including null. */
+  def subjectBucket(subject: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(coalesce(subject.cast("string"), lit("<null>"))),
+      lit(n.toLong)).cast("int")
 
   /** Epoch-millis marker recording the time-retention horizon (see
     * `compact(olderThan)`): as-of reads below it refuse. */
@@ -633,6 +792,12 @@ object TripletStore {
     * reconstruction's latest-writer-wins ordering key). */
   val physSchema: StructType = StructType(
     rangeSchema.fields :+ StructField("v", IntegerType))
+
+  /** Read schema of a BUCKETED level dir: physSchema plus the `sbkt`
+    * partition column (resolved from the dir names, never stored in the
+    * data files). */
+  val bucketedPhysSchema: StructType = StructType(
+    physSchema.fields :+ StructField(BucketCol, IntegerType))
 
   private val rangeCols = rangeSchema.fieldNames.toSeq.map(col)
 

@@ -320,6 +320,16 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     // the rename collision): a leaked fresh tokened marker would wedge
     // every maintenance call — including this owner's own retry — behind
     // the in-flight presumption for MaintInFlightMs
+    // Rollback deletes the marker ONLY while it still carries this pass's
+    // token: after a MaintInFlightMs takeover (a second owner rolled back
+    // the stale marker and published its own), an unconditional delete
+    // here — the slow loser waking up in its catch branch — would erase
+    // the LIVE owner's marker, so a crash of that owner after its commit
+    // would lose the masking/cleanup evidence and readers would
+    // double-count superseded dirs (for rewriteAll: resurrect
+    // sweep-evicted rows).
+    def rollbackMarker(): Unit =
+      if (readMarker().exists(_._2 == token)) pendingMarker.delete()
     try {
       rows.select(schema.fieldNames.map(col): _*)
         .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
@@ -328,19 +338,23 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
       graft.load.AtomicDirCommit.commit(tmp, new java.io.File(root, s"b=$next"))
     } catch {
       case e: java.util.ConcurrentModificationException =>
-        pendingMarker.delete()
+        rollbackMarker()
         throw new BatchedSignatureStore.ConcurrentMaintenanceException(
           s"maintenance on $path lost the commit rename for b=$next: a " +
             "concurrent writer (an ingest, or a second maintenance owner " +
             "violating the single-owner contract) committed that id " +
             s"first. The store is unchanged; re-run the maintenance. ($e)")
       case e: Throwable =>
-        pendingMarker.delete()
+        rollbackMarker()
         rmTree(tmp)
         throw e
     }
     bs.foreach(b => rmTree(new java.io.File(s"${root.getPath}/b=$b")))
-    pendingMarker.delete()
+    // token-checked for the same reason: a second owner entering
+    // maintenance between our commit and this line sees our token-matched
+    // marker, FINISHES our cleanup (recoverCompaction), and may already
+    // have published its own pass's marker — which must survive us.
+    rollbackMarker()
   }
 }
 

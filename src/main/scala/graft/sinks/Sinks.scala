@@ -51,6 +51,25 @@ object Sinks {
       .parquet(path)
   }
 
+  /** [[writeClustered]] with a hive-style partition column in front:
+    * `partitionCol` becomes `path/<partitionCol>=<value>/` dirs (and is
+    * dropped from the data files), so downstream readers filtering on it
+    * get planning-time PartitionFilters — whole files pruned, not rows.
+    * The range partitioning leads with the partition column, keeping the
+    * per-task partition-value fan-out (and thus the file count) bounded:
+    * each write task covers a contiguous (partitionCol, sortCols) range. */
+  def writeClusteredBy(df: DataFrame, path: String, nFiles: Int,
+                       maxRecordsPerFile: Long, partitionCol: String,
+                       sortCols: String*): Unit = {
+    val cols = (partitionCol +: sortCols).map(col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
   private def ntLines(triples: DataFrame) = {
     val spark = triples.sparkSession
     import spark.implicits._

@@ -513,4 +513,62 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("PushedFilters: [IsNotNull(n_chars), IsNotNull(text), " +
       "GreaterThanOrEqual(n_chars,150), IsNotNull(lang)"), s)
   }
+
+  test("triplet store merge prunes its level read by subject bucket") {
+    // the merge-path contract at 100 TB: the store-side read of the
+    // MERGE is partition-PRUNED to the batch's touched subject buckets
+    // — files skipped at planning time, not rows filtered after a
+    // full-lake scan (StreamingLoad merges per micro-batch, so an
+    // unpruned scan is the lake, every batch)
+    import java.sql.Timestamp
+    val storeDir = java.nio.file.Files.createTempDirectory("plan_store").toString
+    // bucketMinRows = 1 forces the bucketed layout at toy scale — the
+    // default floor only buckets lake-sized levels
+    val store = new load.TripletStore(spark, storeDir, autoCompactEvery = 0,
+      bucketMinRows = 1L)
+    def mkBatch(obj: String) = {
+      import spark.implicits._
+      (1 to 200).map(i => (s"m$i", "name", s"$obj$i"))
+        .toDF("subject", "predicate", "obj")
+        .withColumn("objKind", org.apache.spark.sql.functions.lit("literal"))
+        .withColumn("datatype", org.apache.spark.sql.functions.lit(""))
+        .withColumn("extractionMethod", org.apache.spark.sql.functions.lit("p"))
+        .withColumn("confidence", org.apache.spark.sql.functions.lit(1.0))
+        .withColumn("extractionTime",
+          org.apache.spark.sql.functions.lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+    }
+    store.merge(mkBatch("a"), Timestamp.valueOf("2024-01-01 00:00:00"))
+    store.merge(mkBatch("b"), Timestamp.valueOf("2024-02-01 00:00:00"))
+    import spark.implicits._
+    val oneSubject = Seq("m7").toDF("subject")
+    val bucket = spark.range(1).select(load.TripletStore.subjectBucket(
+        org.apache.spark.sql.functions.lit("m7"),
+        load.TripletStore.DefaultSubjectBuckets))
+      .head().getInt(0)
+    val pruned = store.reconstruct(store.currentVersion, openOnly = true,
+      subjects = Some(oneSubject), buckets = Some(Seq(bucket)))
+    pruned.collect() // execute THIS plan so its scan metrics populate
+    val s = planString(pruned)
+    // the bucket restriction lands as a PartitionFilter on every level scan
+    assert("PartitionFilters: \\[[^\\]]*sbkt".r.findFirstIn(s).isDefined, s)
+    // and it actually prunes: the scans read a small fraction of the
+    // store's files (one bucket partition per level, not all ~64)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
+      case other => Seq(other) ++ other.children.flatMap(walk)
+    }
+    val filesRead = walk(executed(pruned))
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value }.sum
+    def countParquet(f: java.io.File): Long =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) 1L else 0L }
+      else Option(f.listFiles()).map(_.map(countParquet).sum).getOrElse(0L)
+    val totalFiles = countParquet(new java.io.File(storeDir))
+    assert(totalFiles > 50, s"store too small to prove pruning: $totalFiles")
+    assert(filesRead <= 4 && filesRead >= 1,
+      s"pruned read touched $filesRead of $totalFiles files")
+    graft.load.Scratch.rm(new java.io.File(storeDir))
+  }
 }

@@ -118,6 +118,68 @@ object StoreScaleProbe {
         val cnt2 = store2.currentTriples.count()
         println(f"[store-c] currentTriples=$cnt2 read=${(System.nanoTime() - t1) / 1e9}%5.2fs")
       } finally load.Scratch.rm(root2)
+
+      // Bucket-pruning arm (r12): the UNTOUCHED store grows 10× while a
+      // FIXED small merge (5 subjects) repeats — under the subject-bucket
+      // partition layout the merge's level read must stay pinned to the
+      // touched buckets: files-read flat (≤ touched buckets × levels) and
+      // merge wall time flat, while the store's total file bytes grow.
+      // Pre-bucketing, every one of these merges scanned ALL live rows.
+      val root3 = load.Scratch.dir("probe_store_b", dir)
+      // bucketMinRows = 1 forces the bucketed layout at probe scale (by
+      // default only lake-sized levels bucket — at 100 TB the base always
+      // crosses the floor; this probe's whole store is toy-sized)
+      val store3 = new load.TripletStore(spark, root3.getAbsolutePath,
+        autoCompactEvery = 0, bucketMinRows = 1L)
+      def countParquet(f: java.io.File): Long =
+        if (f.isFile) { if (f.getName.endsWith(".parquet")) 1L else 0L }
+        else Option(f.listFiles()).map(_.map(countParquet).sum).getOrElse(0L)
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
+        case other => Seq(other) ++ other.children.flatMap(walk)
+      }
+      def fixedBatch(step: Int) = {
+        val s = docs.filter(col("doc_id") < 5)
+        s.select(concat(lit("http://m/"), col("doc_id")).as("subject"),
+            lit("http://p/source").as("predicate"),
+            concat(lit(s"s$step:"), col("source")).as("obj"))
+          .withColumn("objKind", lit("literal"))
+          .withColumn("datatype", lit(""))
+          .withColumn("extractionMethod", lit("probe"))
+          .withColumn("confidence", lit(1.0))
+          .withColumn("extractionTime",
+            lit(Timestamp.valueOf(f"2024-02-${step + 1}%02d 00:00:00")))
+      }
+      try {
+        println(s"[store-b] fixed 5-subject merge vs store growing in " +
+          s"$nBatches untouched slices (compacted to one bucketed base each step)")
+        (0 until nBatches).foreach { b =>
+          val t = Timestamp.valueOf(f"2024-01-${b + 1}%02d 00:00:00")
+          store3.merge(slice(b, changed = false).withColumn("extractionTime",
+            lit(t)), t)
+          store3.compact(keep = 1)
+          val dt = timed(store3.merge(fixedBatch(b),
+            Timestamp.valueOf(f"2024-02-${b + 1}%02d 00:00:00")))
+          // re-run the merge's pruned level read to count the files the
+          // scan actually touched (same subjects → same buckets)
+          val fb = load.TripletStore.withIdentity(fixedBatch(b))
+          val buckets = fb.select(load.TripletStore.subjectBucket(
+              col("subject"), load.TripletStore.DefaultSubjectBuckets).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val pruned = store3.reconstruct(store3.currentVersion,
+            openOnly = true, subjects = Some(fb.select("subject").distinct()),
+            buckets = Some(buckets))
+          pruned.collect()
+          val filesRead = walk(pruned.queryExecution.executedPlan)
+            .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.metrics("numFiles").value }.sum
+          println(f"[store-b] step=$b dt=$dt%6.2fs filesRead=$filesRead%3d " +
+            f"of ${countParquet(root3)}%4d storeMB=${dirBytes(root3) / 1e6}%7.2f " +
+            f"buckets=${buckets.length}")
+        }
+      } finally load.Scratch.rm(root3)
     } finally {
       load.Scratch.rm(root)
       spark.stop()

@@ -413,10 +413,13 @@ class TripletStoreSpec extends AnyFunSuite {
     // with "Cannot overwrite a path that is also being read from"
     store.compact(keep = 1)
     assert(store.currentTriples.collect().toSeq == before)
-    // the leftovers are gone; only the committed base remains
+    // the leftovers are gone; the committed base remains, plus v=cut —
+    // deliberately KEPT (masked by the base) so a straggler merge that
+    // pinned v0 = cut-1 before the base committed still collides on its
+    // rename instead of landing at-or-below the base and being masked
     val names = new java.io.File(dir).listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
-    assert(names == Set("base=2"), names.toString)
+    assert(names == Set("base=2", "v=2"), names.toString)
   }
 
   test("auto-compaction bounds the level count with no caller calls") {
@@ -472,33 +475,131 @@ class TripletStoreSpec extends AnyFunSuite {
 
   test("base and delta files are identity-clustered (disjoint key ranges)") {
     val dir = Files.createTempDirectory("store14").toString
-    // tiny targetRowsPerFile forces multiple files at toy scale
+    // tiny targetRowsPerFile forces multiple files at toy scale; 2 subject
+    // buckets so each bucket partition holds enough rows to split;
+    // bucketMinRows = 1 forces the bucketed layout below its default floor
     val store = new TripletStore(spark, dir, autoCompactEvery = 0,
-      targetRowsPerFile = 25L)
+      targetRowsPerFile = 25L, subjectBuckets = 2, bucketMinRows = 1L)
     val wide = (1 to 100).map(i => (s"m$i", "name", s"n$i"))
     store.merge(batch(wide, "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
     store.merge(batch(wide.map { case (s, p, _) => (s, p, "changed") },
       "2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"))
     store.compact(keep = 1)
+    // the clustering contract holds WITHIN each bucket partition: the
+    // sort leads with sbkt, so a file never spans buckets and inside a
+    // bucket the identity-hash ranges are disjoint across files
     def assertClustered(d: String): Unit = {
-      val files = new java.io.File(d).listFiles()
-        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
-      assert(files.length > 1, s"$d: want multiple files, got ${files.length}")
-      val ranges = files.map { f =>
-        val hs = spark.read.parquet(f).select("tripletHash")
-          .as[String].collect()
-        assert(hs.sameElements(hs.sorted), s"$f not sorted inside")
-        (hs.min, hs.max)
-      }.sortBy(_._1)
-      ranges.zip(ranges.tail).foreach { case ((_, hi), (lo, _)) =>
-        assert(hi <= lo, s"$d: overlapping file key ranges [$hi] vs [$lo]")
+      val bucketDirs = new java.io.File(d).listFiles()
+        .filter(f => f.isDirectory &&
+          f.getName.startsWith(s"${TripletStore.BucketCol}="))
+      assert(bucketDirs.nonEmpty, s"$d: no bucket partitions")
+      val multi = bucketDirs.map { bd =>
+        val files = bd.listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+        val ranges = files.map { f =>
+          val hs = spark.read.parquet(f).select("tripletHash")
+            .as[String].collect()
+          assert(hs.sameElements(hs.sorted), s"$f not sorted inside")
+          (hs.min, hs.max)
+        }.sortBy(_._1)
+        ranges.zip(ranges.tail).foreach { case ((_, hi), (lo, _)) =>
+          assert(hi <= lo, s"$bd: overlapping file key ranges [$hi] vs [$lo]")
+        }
+        files.length
       }
+      assert(multi.max > 1, s"$d: want a bucket with multiple files, got $multi")
     }
     assertClustered(s"$dir/base=1")
     // a fresh delta on top of the base is clustered the same way
     store.merge(batch(wide.map { case (s, p, _) => (s, p, "again") },
       "2024-03-01 00:00:00"), ts("2024-03-01 00:00:00"))
     assertClustered(s"$dir/v=2")
+  }
+
+  test("pre-bucket stores migrate in place: read-old, write-new, rebucket at compact") {
+    val dir = Files.createTempDirectory("store_mig").toString
+    // fabricate a format-3 PRE-BUCKET store: one plain (unpartitioned)
+    // committed delta plus the format marker, no _BUCKETS marker — the
+    // exact on-disk state a store written before the bucketed layout has
+    val legacy = TripletStore.withIdentity(batch(
+        Seq(("m1", "name", "alpha"), ("m2", "name", "beta")),
+        "2024-01-01 00:00:00"))
+      .withColumn("useStart", col("extractionTime"))
+      .withColumn("useEnd", col("extractionTime"))
+      .withColumn("deprecated", lit(false))
+      .withColumn("v", lit(0))
+      .select(TripletStore.physSchema.fieldNames.map(col).toIndexedSeq: _*)
+    legacy.write.parquet(s"$dir/v=0")
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, TripletStore.FormatMarker).toPath,
+      TripletStore.IdentityFormat.toString)
+
+    // bucketMinRows = 1: force the bucketed layout at toy scale (by
+    // default only lake-sized levels bucket)
+    val store = new TripletStore(spark, dir, autoCompactEvery = 0,
+      bucketMinRows = 1L)
+    assert(store.currentTriples.count() == 2)
+    // a merge reads the legacy level in full (correct, unpruned) and
+    // writes its delta under the NEW bucketed layout
+    val s = store.merge(batch(Seq(("m1", "name", "alpha-v2")),
+      "2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"))
+    assert(s.nNew == 1 && s.nDeprecated == 1, s.toString)
+    def hasBuckets(nm: String): Boolean =
+      new java.io.File(dir, nm).listFiles()
+        .exists(f => f.isDirectory &&
+          f.getName.startsWith(s"${TripletStore.BucketCol}="))
+    assert(hasBuckets("v=1"), "new delta must be bucketed")
+    assert(!hasBuckets("v=0"), "legacy level untouched by the merge")
+    assert(new java.io.File(dir, TripletStore.BucketMarker).exists(),
+      "the first bucketed write pins the store's bucket count")
+    // correctness across the mixed layout
+    assert(store.currentTriples.filter(col("obj") === "alpha-v2").count() == 1)
+    assert(store.currentTriples.count() == 2)
+    // one-shot rebucket: compaction folds the legacy level into a
+    // bucketed base — the store is fully bucketed from here on
+    store.compact(keep = 1)
+    assert(hasBuckets("base=1"), "compacted base must be bucketed")
+    assert(!new java.io.File(dir, "v=0").exists(), "legacy level swept")
+    assert(store.currentTriples.filter(col("obj") === "alpha-v2").count() == 1)
+    assert(store.ranges.count() == 3) // 2 open + 1 closed
+  }
+
+  test("lifecycle: later compactions sweep superseded retention claims") {
+    // a long-lived store interleaving merges, retention passes and
+    // compactions must not accumulate one stray v= dir per retention
+    // pass: each claim delta is swept as soon as a LATER pass supersedes
+    // its version — at every stage the disk holds exactly the live level
+    // set (newest base + claim-or-deltas at/above it)
+    val dir = Files.createTempDirectory("store_claims").toFile
+    def dirs(): Set[String] = dir.listFiles()
+      .filter(f => f.isDirectory && !f.getName.startsWith(".tmp-"))
+      .map(_.getName).toSet
+    try {
+      val store = new TripletStore(spark, dir.getAbsolutePath,
+        autoCompactEvery = 0)
+      store.merge(batch(Seq(("m1", "p", "a")), "2024-01-01 00:00:00"),
+        ts("2024-01-01 00:00:00"))                       // v=0
+      store.compact(olderThan = ts("2024-01-15 00:00:00")) // base=1 + claim v=1
+      assert(dirs() == Set("base=1", "v=1"), dirs().toString)
+      store.merge(batch(Seq(("m2", "p", "b")), "2024-02-01 00:00:00"),
+        ts("2024-02-01 00:00:00"))                       // v=2
+      // a SECOND retention pass sweeps the first pass's base AND claim
+      store.compact(olderThan = ts("2024-02-15 00:00:00")) // base=3 + claim v=3
+      assert(dirs() == Set("base=3", "v=3"), dirs().toString)
+      store.merge(batch(Seq(("m3", "p", "c")), "2024-03-01 00:00:00"),
+        ts("2024-03-01 00:00:00"))                       // v=4
+      store.merge(batch(Seq(("m4", "p", "d")), "2024-04-01 00:00:00"),
+        ts("2024-04-01 00:00:00"))                       // v=5
+      // version compaction sweeps the retention pass's base+claim once
+      // they fall below the cut, and leaves its OWN kept v=cut
+      store.compact(keep = 2)                            // cut=4
+      assert(dirs() == Set("base=4", "v=4", "v=5"), dirs().toString)
+      store.merge(batch(Seq(("m5", "p", "e")), "2024-05-01 00:00:00"),
+        ts("2024-05-01 00:00:00"))                       // v=6
+      store.compact(keep = 1)                            // cut=6
+      assert(dirs() == Set("base=6", "v=6"), dirs().toString)
+      assert(store.currentTriples.count() == 5)
+    } finally Scratch.rm(dir)
   }
 
   test("commit race: the losing writer throws, the winner's state survives") {
