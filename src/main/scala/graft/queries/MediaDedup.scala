@@ -693,8 +693,18 @@ object MediaDedup {
        |GROUP BY c.cap_name, c.cap""".stripMargin
   }
 
+  /** Engaged cap of the graded recall instrument — TIGHTER than
+    * [[SweepDemoCap]] on purpose: at cap 8 this corpus's hot buckets are
+    * hash-collision crowds of genuinely DISTINCT payloads, which the
+    * sweep rightly never evicts, so pre = post and the instrument shows
+    * nothing (the round-11 reading). At cap 2 a bucket is hot exactly
+    * when a near-dup family (or a small crowd containing one) shares it
+    * — the sweep's eviction is what cools it, and the graded row shows
+    * the forfeit/recover delta on the organic corpus itself. */
+  private[graft] val RecallCap = 2
+
   /** One stage of the recall-at-cap instrument: capped banded search
-    * ([[searchSigs]] at [[SweepDemoCap]]) scored against the
+    * ([[searchSigs]] at [[RecallCap]]) scored against the
     * BANDED-REACHABLE exact top-[[SearchK]] — the ground truth that
     * isolates the CAP's effect (global exact top-k measures band
     * non-collision and reads flat regardless of cap or sweep;
@@ -707,7 +717,7 @@ object MediaDedup {
   private def recallStage(stage: String, corpus: DataFrame,
                           probes: DataFrame): DataFrame = {
     val banded = searchSigs(probes, corpus, k = SearchK,
-        bucketCap = SweepDemoCap)
+        bucketCap = RecallCap)
       .select(col("query_id"), col("media_id").as("doc_id"))
     // band extraction through the shared lshInput projection (the same
     // b0..b3 columns searchSigs bands on), not a fourth inline copy of
@@ -745,26 +755,47 @@ object MediaDedup {
   /** Recall at the ENGAGED cap, pre and post sweep, as one graded
     * two-row query (r10 task: promote the RecallAtCapSpec instrument
     * into the oracle ledger). The q_media_sweep construction — two
-    * intake batches at [[SweepDemoCap]], where hot buckets genuinely
-    * engage — then external probes (every 20th pre-sweep survivor's
-    * signature perturbed INSIDE band 0: bits 0,2,4 flipped, Hamming 3,
-    * bands 1-3 shared with the source) searched at the same engaged
-    * cap, scored against banded-reachable exact top-5 ground truth;
-    * the sweep runs and the same probes re-score against the swept
-    * index. The `pre` row measures what the conservative capped intake
+    * intake batches at the engaged [[RecallCap]] — then external probes
+    * searched at the same engaged cap,
+    * scored against banded-reachable exact top-5 ground truth; the
+    * sweep runs and the same probes re-score against the swept index.
+    * The `pre` row measures what the conservative capped intake
     * FORFEITS; the `post` row measures what the sweep RECOVERS (its
-    * eviction cools the buckets the cap was dropping). */
+    * eviction cools the buckets the cap was dropping).
+    *
+    * Probes are BIASED toward the capped buckets (r11 task: the graded
+    * row must exercise the forfeit/recover delta, not just the spec's
+    * planted case): each probe is a survivor whose band-1 bucket is HOT
+    * at the intake cap, perturbed INSIDE band 0 (bits 0,2,4 flipped,
+    * Hamming 3 — bands 1-3 shared with the source). Such a probe's
+    * nearest reachable candidates are its source's near-dup family,
+    * which is exactly what the hot buckets hold — the capped pre search
+    * drops those buckets (recall forfeited), the sweep collapses the
+    * family to its keeper and cools them (recall recovered). Uniformly
+    * sampled probes measured pre = post here — their truth was
+    * cold-bucket reachable at any cap (COVERAGE.md round-11). */
   def recallAtCap(s: SparkSession, dir: String): DataFrame =
     graft.operators.Checkpoints.scoped {
       graft.load.Scratch.withScratch("graft_recall_q", dir) { tmp =>
         val idx = new graft.similarity.MediaDedupIndex(s, tmp.getAbsolutePath)
         val media = mediaOf(s, dir)
-        idx.ingest(media.filter(col("id") < 250), bucketCap = SweepDemoCap)
-        idx.ingest(media.filter(col("id") >= 250), bucketCap = SweepDemoCap)
+        idx.ingest(media.filter(col("id") < 250), bucketCap = RecallCap)
+        idx.ingest(media.filter(col("id") >= 250), bucketCap = RecallCap)
         val preSigs = graft.operators.Checkpoints.ck(
           idx.signatures.select(col("media_id").as("doc_id"), col("sig")))
+        // bands 1-3 are the ones a probe SHARES with its source (the
+        // perturbation lives inside band 0), so the bias keys on them
+        val mask = ((1 << BandBits) - 1).toLong
+        def bandOf(b: Int) = shiftrightunsigned(col("sig"), b * BandBits)
+          .bitwiseAND(lit(mask))
+        val shared = preSigs.select(col("doc_id"), col("sig"),
+          posexplode(array((1 until Bands).map(bandOf): _*))
+            .as(Seq("band", "bv")))
+        val hot = shared.groupBy("band", "bv").count()
+          .filter(col("count") > RecallCap).select("band", "bv")
         val probes = graft.operators.Checkpoints.ck(
-          preSigs.filter(col("doc_id") % 20 === 0)
+          shared.join(broadcast(hot), Seq("band", "bv"))
+            .select("doc_id", "sig").distinct()
             .select((col("doc_id") + 100000L).as("doc_id"),
               col("sig").bitwiseXOR(lit(21L)).as("sig")))
         // the pre row must MATERIALIZE before the sweep mutates the index
@@ -789,7 +820,7 @@ object MediaDedup {
         s"($sigc >> ${b * BandBits}) & $mask AS bv FROM $src")
       .mkString("\nUNION ALL\n")
     def stage(src: String, p: String): String =
-      s"""${cappedBandCtes(src, p, SweepDemoCap)},
+      s"""${cappedBandCtes(src, p, RecallCap)},
          |${p}khit AS (
          |  SELECT DISTINCT q.query_id, q.qsig, k.gid, k.sig
          |  FROM qb q JOIN ${p}kkept k USING (band, bv)),
@@ -812,7 +843,7 @@ object MediaDedup {
          |    FROM ${p}reach)
          |  WHERE rn <= $SearchK)""".stripMargin
     s"""$sigChainSql,
-       |${intakeSurvivorCtes(SweepDemoCap)},
+       |${intakeSurvivorCtes(RecallCap)},
        |surv AS MATERIALIZED (SELECT doc_id, sig FROM b1s UNION ALL
        |         SELECT doc_id, sig FROM b2s),
        |${escalatedPairCtes("surv", "w", terminalStar = true)},
@@ -826,8 +857,14 @@ object MediaDedup {
        |kept AS MATERIALIZED (
        |  SELECT s.doc_id, s.sig FROM surv s LEFT JOIN comp c ON s.doc_id = c.node
        |  WHERE COALESCE(c.grp, s.doc_id) = s.doc_id),
-       |qs AS (SELECT doc_id + 100000 AS query_id, xor(sig, 21) AS qsig
-       |       FROM surv WHERE doc_id % 20 = 0),
+       |sharedb AS (
+       |${(1 until Bands).map(b =>
+           s"SELECT doc_id, sig, $b AS band, (sig >> ${b * BandBits}) & $mask AS bv FROM surv")
+           .mkString("\nUNION ALL\n")}),
+       |hotb AS (SELECT band, bv FROM sharedb
+       |         GROUP BY band, bv HAVING count(*) > $RecallCap),
+       |qs AS (SELECT DISTINCT doc_id + 100000 AS query_id, xor(sig, 21) AS qsig
+       |       FROM sharedb JOIN hotb USING (band, bv)),
        |qb AS (
        |${proj("qs", "query_id", "qsig")}),
        |${stage("surv", "pr")},

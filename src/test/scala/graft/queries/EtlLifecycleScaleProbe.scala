@@ -104,6 +104,41 @@ object EtlLifecycleScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Incremental-merge arm (r11 VERDICT #2): the decade rows above
+    // re-extract EVERY document in load 2, so their merge measures
+    // linear-in-snapshot by construction (touched slice = snapshot).
+    // This arm keeps load 1 identical and shrinks load 2 to ~10% (and
+    // ~1%) of subjects at the SAME slice: the O(touched + batch)
+    // contract says the second merge must track the TOUCHED slice —
+    // down roughly with the batch, not flat at the snapshot's cost.
+    // (Bucket-level FILE pruning needs touched-buckets < N, i.e. a
+    // micro-batch of tens of subjects — StoreScaleProbe's arm 3 pins
+    // that regime; here 10% of subjects covers all 64 buckets and the
+    // win is the row-level touched-slice shuffle.)
+    def timeSecondMerge(dir: String, keepOneIn: Option[Int]): (Long, Double) = {
+      val b1 = graft.operators.Checkpoints.scoped(
+        EtlLifecycle.extractionBatch(spark, dir, 1).localCheckpoint())
+      val b2all = EtlLifecycle.extractionBatch(spark, dir, 2)
+      val b2 = graft.operators.Checkpoints.scoped(
+        keepOneIn.fold(b2all)(k =>
+            b2all.filter(pmod(xxhash64(col("subject")), lit(k)) === 0))
+          .localCheckpoint())
+      val n = b2.count()
+      val t = minOf {
+        val tmp = java.nio.file.Files.createTempDirectory("etl_scale_inc").toFile
+        try {
+          val store = new graft.load.TripletStore(spark, tmp.getAbsolutePath)
+          store.merge(b1, new Timestamp(LifecycleMerge.T1 * 1000)) // untimed
+          val t0 = System.nanoTime()
+          store.merge(b2, new Timestamp(LifecycleMerge.T3 * 1000))
+          (System.nanoTime() - t0) / 1e9
+        } finally graft.load.Scratch.rm(tmp)
+      }
+      graft.operators.Checkpoints.free(b1)
+      graft.operators.Checkpoints.free(b2)
+      (n, t)
+    }
+
     val decades = Seq(("sf0.1(1x)", sf01), ("sf1(10x)", sf1), ("sf10(100x)", sf10))
     val rows = decades.map { case (name, dir) =>
       val e = timeExtraction(dir)
@@ -118,6 +153,12 @@ object EtlLifecycleScaleProbe {
     }
     println(ratios(0, 1))
     println(ratios(1, 2))
+
+    Seq(None -> "full", Some(10) -> "10pct", Some(100) -> "1pct").foreach {
+      case (k, label) =>
+        val (n, t) = timeSecondMerge(sf10, k)
+        println(f"[etl-scale] sf10 second-merge touched=$label%-6s rows=$n%9d dt=$t%7.2fs")
+    }
     spark.stop()
   }
 }
