@@ -793,9 +793,14 @@ object MediaDedup {
             .as(Seq("band", "bv")))
         val hot = shared.groupBy("band", "bv").count()
           .filter(col("count") > RecallCap).select("band", "bv")
+        // every 3rd hot-bucket member: the bias (not the probe count) is
+        // what makes the delta show, and the probe set drives four
+        // search/truth passes — thinning it 3x cuts the instrument's
+        // staging cost without touching what it measures
         val probes = graft.operators.Checkpoints.ck(
           shared.join(broadcast(hot), Seq("band", "bv"))
             .select("doc_id", "sig").distinct()
+            .filter(col("doc_id") % 3 === 0)
             .select((col("doc_id") + 100000L).as("doc_id"),
               col("sig").bitwiseXOR(lit(21L)).as("sig")))
         // the pre row must MATERIALIZE before the sweep mutates the index
@@ -864,7 +869,8 @@ object MediaDedup {
        |hotb AS (SELECT band, bv FROM sharedb
        |         GROUP BY band, bv HAVING count(*) > $RecallCap),
        |qs AS (SELECT DISTINCT doc_id + 100000 AS query_id, xor(sig, 21) AS qsig
-       |       FROM sharedb JOIN hotb USING (band, bv)),
+       |       FROM sharedb JOIN hotb USING (band, bv)
+       |       WHERE doc_id % 3 = 0),
        |qb AS (
        |${proj("qs", "query_id", "qsig")}),
        |${stage("surv", "pr")},
