@@ -357,6 +357,29 @@ class TripletStore(spark: SparkSession, path: String,
   def distinctSubjectCount: Long =
     currentTriples.select("subject").distinct().count()
 
+  /** V8 point lookup: the current triples of exactly these subjects,
+    * read through the bucket-pruned level scan — the engine-side analog
+    * of the reference's hash index on subject
+    * (`data/configuration/hf/load/sql_files/init.sql:28-38`). The
+    * subjects' bucket ids prune level FILES at planning time (bucketed
+    * levels only; sub-threshold levels are scanned whole — they are
+    * small by construction), the semi-join filters rows within the read
+    * partitions: O(touched buckets + matching rows) on a bucketed
+    * store, never a lake scan. The bucket ids come from one tiny local
+    * job over the subject list, reusing the exact write-side expression
+    * (never a re-implementation of the hash). */
+  def currentTriplesFor(subjects: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val subjDf = subjects.toDF("subject")
+    val buckets = subjDf
+      .select(subjectBucket(col("subject"), bucketN).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    reconstruct(currentVersion, openOnly = true,
+        subjects = Some(subjDf), buckets = Some(buckets))
+      .select("subject", "predicate", "obj", "objKind", "datatype")
+      .distinct()
+  }
+
   /** MERGE one extraction batch.
     *
     * @param incoming columns: subject, predicate, obj, objKind, datatype,

@@ -363,12 +363,57 @@ object Versioned {
   val streamMergeSql: String =
     versionCompactedSqlAt(T2 * 1000 + 4 * 60000, T4 * 1000)
 
+  /** The five lookup subjects, one per fixture regime: untouched
+    * (doc:42), extended-unchanged (doc:103), deprecated + refreshed
+    * (doc:105 — %3 == 0 flips its hasLang), fresh-in-batch-2 (doc:350),
+    * and absent (doc:99999 — the lookup must return nothing, not fail). */
+  private val LookupSubjects =
+    Seq("doc:42", "doc:103", "doc:105", "doc:350", "doc:99999")
+
+  /** V8 point lookup graded end-to-end — the reference's hash index on
+    * subject (`init.sql:28-38`) as an engine verb: the two-batch fixture
+    * loads into a scratch store built with `bucketMinRows = 1` (the
+    * bucketed layout engages at fixture scale; by default only
+    * lake-sized levels bucket), then
+    * [[graft.load.TripletStore.currentTriplesFor]] reads exactly the
+    * five [[LookupSubjects]] through the bucket-pruned level scan —
+    * PartitionFilters on every bucketed level, PlanSpec-pinned. */
+  def subjectLookup(s: SparkSession, dir: String): DataFrame = {
+    val (b1, b2) = fixtureBatches(s, dir)
+    Scratch.withScratch("graft_sl_q", dir) { tmp =>
+      val store = new TripletStore(s, tmp.getAbsolutePath, bucketMinRows = 1L)
+      store.merge(b1, new Timestamp(T1 * 1000))
+      store.merge(b2, new Timestamp(T3 * 1000))
+      store.currentTriplesFor(LookupSubjects)
+        .select("subject", "predicate", "obj")
+        .localCheckpoint()
+    }
+  }
+
+  /** The current graph (the q_version_asof 'apr' arms) restricted to the
+    * lookup subjects. */
+  val subjectLookupSql: String = {
+    val in = LookupSubjects.map(sub => s"'$sub'").mkString(", ")
+    s"""WITH $fixtureCte
+       |SELECT subject, predicate, obj FROM (
+       |  SELECT subject, predicate, obj FROM b1
+       |  WHERE NOT (subject IN (SELECT subject FROM touched)
+       |    AND NOT EXISTS (SELECT 1 FROM b2 WHERE b2.subject = b1.subject
+       |      AND b2.predicate = b1.predicate AND b2.obj = b1.obj))
+       |  UNION ALL
+       |  SELECT subject, predicate, obj FROM b2
+       |  WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.subject = b2.subject
+       |    AND b1.predicate = b2.predicate AND b1.obj = b2.obj))
+       |WHERE subject IN ($in)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_version_history" -> versionHistory _,
     "q_version_delta" -> versionDelta _,
     "q_version_asof" -> versionAsOf _,
     "q_version_compacted" -> versionCompacted _,
     "q_version_ttl" -> versionTtl _,
+    "q_subject_lookup" -> subjectLookup _,
     "q_stream_merge" -> streamMerge _)
 
   val oracles: Map[String, String] = Map(
@@ -377,5 +422,6 @@ object Versioned {
     "q_version_asof" -> versionAsOfSql,
     "q_version_compacted" -> versionCompactedSql,
     "q_version_ttl" -> versionTtlSql,
+    "q_subject_lookup" -> subjectLookupSql,
     "q_stream_merge" -> streamMergeSql)
 }

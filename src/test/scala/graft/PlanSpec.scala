@@ -569,6 +569,11 @@ class PlanSpec extends AnyFunSuite {
     assert(totalFiles > 50, s"store too small to prove pruning: $totalFiles")
     assert(filesRead <= 4 && filesRead >= 1,
       s"pruned read touched $filesRead of $totalFiles files")
+    // the PUBLIC point-lookup verb rides the same pruned scan
+    val lookup = store.currentTriplesFor(Seq("m7"))
+    lookup.collect()
+    val ls = planString(lookup)
+    assert("PartitionFilters: \\[[^\\]]*sbkt".r.findFirstIn(ls).isDefined, ls)
     graft.load.Scratch.rm(new java.io.File(storeDir))
   }
 }

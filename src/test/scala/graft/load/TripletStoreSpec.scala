@@ -602,6 +602,27 @@ class TripletStoreSpec extends AnyFunSuite {
     } finally Scratch.rm(dir)
   }
 
+  test("point lookup returns exactly the subjects' current triples") {
+    val dir = Files.createTempDirectory("store_lookup").toString
+    val store = new TripletStore(spark, dir, bucketMinRows = 1L)
+    store.merge(batch(Seq(
+      ("m1", "name", "alpha"), ("m1", "task", "nlp"),
+      ("m2", "name", "beta"), ("m3", "name", "gamma")),
+      "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    store.merge(batch(Seq(("m1", "name", "alpha-v2"), ("m1", "task", "nlp")),
+      "2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"))
+    // current (not deprecated) triples of m1 and m3 only; m404 absent
+    val got = store.currentTriplesFor(Seq("m1", "m3", "m404"))
+      .select("subject", "obj").as[(String, String)].collect().toSet
+    assert(got == Set(("m1", "alpha-v2"), ("m1", "nlp"), ("m3", "gamma")), got)
+    // a pre-bucket (unbucketed) store answers the same lookup unpruned
+    val dir2 = Files.createTempDirectory("store_lookup2").toString
+    val plain = new TripletStore(spark, dir2) // default floor: plain levels
+    plain.merge(batch(Seq(("m1", "name", "alpha")), "2024-01-01 00:00:00"),
+      ts("2024-01-01 00:00:00"))
+    assert(plain.currentTriplesFor(Seq("m1")).count() == 1)
+  }
+
   test("commit race: the losing writer throws, the winner's state survives") {
     val dir = Files.createTempDirectory("store9").toString
     val store = new TripletStore(spark, dir)
