@@ -519,6 +519,24 @@ class TripletStore(spark: SparkSession, path: String,
     // file sizing is free
     commitLevel(delta.withColumn("v", lit(v)),
       stats.nNew + stats.nExtended + stats.nDeprecated, s"v$v", s"v=$v")
+    // Post-commit mask guard: the rename succeeding is NOT sufficient in
+    // the multi-writer regime — a compaction that ran between this
+    // writer's snapshot pin and its rename DELETES the dropped `v=` dirs,
+    // REOPENING those version slots (keeping v=cut only closes the
+    // cut-1 straggler; a writer pinned two or more versions stale
+    // renames into a reopened lower slot without collision). A delta at
+    // or below the newest base is permanently masked by levelsAt — a
+    // silent lost update — so detect it here and convert it to the loud
+    // retry path: remove our own (masked, unreadable) dir and throw. A
+    // false positive — the racing compaction's base already FOLDED this
+    // delta in — is safe: merge is idempotent (L1), the retry re-extends.
+    if (baseVersions.exists(_ >= v)) {
+      Scratch.rm(new java.io.File(fs, s"v=$v"))
+      throw new java.util.ConcurrentModificationException(
+        s"delta v=$v at $path landed at or below a concurrently committed " +
+          "base (a compaction reopened the version slot): the delta would " +
+          "be masked, not read — re-merge against the compacted state")
+    }
 
     // auto-compaction cadence: once the live level count exceeds the
     // configured bound, fold down to `autoCompactKeep` retained versions

@@ -814,10 +814,11 @@ object MediaDedup {
       }
     }
 
-  /** Replay: intake survivors at [[SweepDemoCap]], the q_media_sweep
-    * keeper set (terminal-star ladder + min-propagation), the perturbed
-    * probe set, then per stage the capped drop-mode search AND the
-    * uncapped banded-reachable exact top-5, scored micro-average. */
+  /** Replay: intake survivors at the engaged [[RecallCap]], the sweep's
+    * keeper set (terminal-star ladder + min-propagation), the
+    * hot-bucket-biased perturbed probe set, then per stage the capped
+    * drop-mode search AND the uncapped banded-reachable exact top-5,
+    * scored micro-average. */
   val recallAtCapSql: String = {
     val mask = (1 << BandBits) - 1
     def proj(src: String, idc: String, sigc: String): String = (0 until Bands)

@@ -320,16 +320,36 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     // the rename collision): a leaked fresh tokened marker would wedge
     // every maintenance call — including this owner's own retry — behind
     // the in-flight presumption for MaintInFlightMs
-    // Rollback deletes the marker ONLY while it still carries this pass's
+    // Rollback removes the marker ONLY while it still carries this pass's
     // token: after a MaintInFlightMs takeover (a second owner rolled back
     // the stale marker and published its own), an unconditional delete
     // here — the slow loser waking up in its catch branch — would erase
     // the LIVE owner's marker, so a crash of that owner after its commit
     // would lose the masking/cleanup evidence and readers would
     // double-count superseded dirs (for rewriteAll: resurrect
-    // sweep-evicted rows).
-    def rollbackMarker(): Unit =
-      if (readMarker().exists(_._2 == token)) pendingMarker.delete()
+    // sweep-evicted rows). A plain read-check-then-delete narrows but
+    // does not close that window (the takeover can land between the two
+    // calls), so the rollback CLAIMS the marker with one atomic rename,
+    // verifies ownership on the claimed file, and puts a foreign marker
+    // back. The put-back window (another owner's marker briefly absent)
+    // only opens in the already-pathological takeover interleaving and
+    // at worst makes one concurrent reader pin an unmasked (duplicated)
+    // batch list — transient, vs the permanent evidence loss a deletion
+    // caused.
+    def rollbackMarker(): Unit = {
+      val claimed = new java.io.File(storageRoot, s".tmp-rollback-$token")
+      try {
+        java.nio.file.Files.move(pendingMarker.toPath, claimed.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val ours = new String(java.nio.file.Files.readAllBytes(
+            claimed.toPath), "UTF-8").trim.split("\n")
+          .drop(1).headOption.contains(token)
+        if (ours) claimed.delete()
+        else java.nio.file.Files.move(claimed.toPath, pendingMarker.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: java.io.IOException => () } // marker already gone
+    }
     try {
       rows.select(schema.fieldNames.map(col): _*)
         .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)

@@ -553,19 +553,8 @@ class PlanSpec extends AnyFunSuite {
     assert("PartitionFilters: \\[[^\\]]*sbkt".r.findFirstIn(s).isDefined, s)
     // and it actually prunes: the scans read a small fraction of the
     // store's files (one bucket partition per level, not all ~64)
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
-      case other => Seq(other) ++ other.children.flatMap(walk)
-    }
-    val filesRead = walk(executed(pruned))
-      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.metrics("numFiles").value }.sum
-    def countParquet(f: java.io.File): Long =
-      if (f.isFile) { if (f.getName.endsWith(".parquet")) 1L else 0L }
-      else Option(f.listFiles()).map(_.map(countParquet).sum).getOrElse(0L)
-    val totalFiles = countParquet(new java.io.File(storeDir))
+    val filesRead = PlanWalk.filesRead(pruned)
+    val totalFiles = PlanWalk.countParquet(new java.io.File(storeDir))
     assert(totalFiles > 50, s"store too small to prove pruning: $totalFiles")
     assert(filesRead <= 4 && filesRead >= 1,
       s"pruned read touched $filesRead of $totalFiles files")

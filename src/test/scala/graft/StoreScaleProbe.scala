@@ -131,15 +131,6 @@ object StoreScaleProbe {
       // crosses the floor; this probe's whole store is toy-sized)
       val store3 = new load.TripletStore(spark, root3.getAbsolutePath,
         autoCompactEvery = 0, bucketMinRows = 1L)
-      def countParquet(f: java.io.File): Long =
-        if (f.isFile) { if (f.getName.endsWith(".parquet")) 1L else 0L }
-        else Option(f.listFiles()).map(_.map(countParquet).sum).getOrElse(0L)
-      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
-        case other => Seq(other) ++ other.children.flatMap(walk)
-      }
       def fixedBatch(step: Int) = {
         val s = docs.filter(col("doc_id") < 5)
         s.select(concat(lit("http://m/"), col("doc_id")).as("subject"),
@@ -172,12 +163,10 @@ object StoreScaleProbe {
             openOnly = true, subjects = Some(fb.select("subject").distinct()),
             buckets = Some(buckets))
           pruned.collect()
-          val filesRead = walk(pruned.queryExecution.executedPlan)
-            .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-              f.metrics("numFiles").value }.sum
+          val filesRead = PlanWalk.filesRead(pruned)
           println(f"[store-b] step=$b dt=$dt%6.2fs filesRead=$filesRead%3d " +
-            f"of ${countParquet(root3)}%4d storeMB=${dirBytes(root3) / 1e6}%7.2f " +
-            f"buckets=${buckets.length}")
+            f"of ${PlanWalk.countParquet(root3)}%4d " +
+            f"storeMB=${dirBytes(root3) / 1e6}%7.2f buckets=${buckets.length}")
         }
       } finally load.Scratch.rm(root3)
     } finally {

@@ -623,6 +623,54 @@ class TripletStoreSpec extends AnyFunSuite {
     assert(plain.currentTriplesFor(Seq("m1")).count() == 1)
   }
 
+  test("a merge landing in a compaction-reopened slot throws, never masks") {
+    // keeping v=cut closes only the cut-1 straggler; compaction DELETES
+    // the dropped v= dirs, reopening THOSE slots — a writer pinned two+
+    // versions stale renames into one without collision and its delta
+    // sits at-or-below the base, permanently masked by levelsAt. The
+    // post-commit mask guard must convert that silent lost update into
+    // the loud retry path.
+    val dir = Files.createTempDirectory("store_reopen").toString
+    val store = new TripletStore(spark, dir, autoCompactEvery = 0)
+    (1 to 4).foreach { i =>
+      store.merge(batch(Seq(("m1", "name", s"v$i")), s"2024-0$i-01 00:00:00"),
+        ts(s"2024-0$i-01 00:00:00"))
+    }
+    // a writer pinned at v0=0 whose store-side READ completes before the
+    // owner's compaction deletes v=0/v=1 (the levelsAt hook materializes
+    // the read, then interleaves compact(keep=2) — deterministically the
+    // read-then-delete-then-rename window): its rename to v=1 SUCCEEDS
+    // (slot reopened), and only the post-commit mask guard stands
+    // between that and a silently masked delta
+    val stale: TripletStore = new TripletStore(spark, dir, autoCompactEvery = 0) {
+      override def currentVersion: Int = 0
+      override private[graft] def levelsAt(v: Int, buckets: Option[Seq[Int]])
+          : Option[org.apache.spark.sql.DataFrame] = {
+        val out = super.levelsAt(v, buckets).map(_.localCheckpoint())
+        store.compact(keep = 2) // base=2, v=2 kept; v=0, v=1 DELETED
+        out
+      }
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      stale.merge(batch(Seq(("m9", "name", "ghost")), "2024-05-01 00:00:00"),
+        ts("2024-05-01 00:00:00"))
+    }
+    assert(!new java.io.File(dir, "v=0").exists(), "compaction interleaved")
+    assert(e.getMessage.contains("masked") || e.getMessage.contains("reopened"),
+      e.getMessage)
+    // nothing landed: no masked delta on disk, winner state intact
+    assert(!new java.io.File(dir, "v=1").exists(),
+      "the masked delta must be removed, not left below the base")
+    assert(store.currentTriples.filter(col("obj") === "ghost").count() == 0)
+    assert(store.currentTriples.filter(col("obj") === "v4").count() == 1)
+    // and the retry path lands it correctly above the base
+    val st = new TripletStore(spark, dir, autoCompactEvery = 0)
+      .merge(batch(Seq(("m9", "name", "ghost")), "2024-05-01 00:00:00"),
+        ts("2024-05-01 00:00:00"))
+    assert(st.nNew == 1)
+    assert(store.currentTriples.filter(col("obj") === "ghost").count() == 1)
+  }
+
   test("commit race: the losing writer throws, the winner's state survives") {
     val dir = Files.createTempDirectory("store9").toString
     val store = new TripletStore(spark, dir)

@@ -76,13 +76,24 @@ def main():
 
         per_query = {}
         for q in queries.split(","):
-            prev_min = min(b[2][q]["min"] for b in blocks if b[0] == "prev")
-            head_min = min(b[2][q]["min"] for b in blocks if b[0] == "head")
+            # a query missing from SOME block (mangled output line, name
+            # absent in the prev commit) must not throw away the whole
+            # session's timings — skip it with a note instead
+            prevs = [b[2][q]["min"] for b in blocks
+                     if b[0] == "prev" and q in b[2]]
+            heads = [b[2][q]["min"] for b in blocks
+                     if b[0] == "head" and q in b[2]]
+            if not prevs or not heads:
+                print(f"[drift-ab] WARNING: {q} missing from "
+                      f"{'prev' if not prevs else 'head'} blocks — skipped")
+                continue
+            prev_min, head_min = min(prevs), min(heads)
             per_query[q] = {
                 "prev_min_s": round(prev_min, 3),
                 "head_min_s": round(head_min, 3),
                 "ratio": round(head_min / prev_min, 3) if prev_min else None,
-                "blocks": [{b[0]: round(b[2][q]["min"], 3)} for b in blocks],
+                "blocks": [{b[0]: round(b[2][q]["min"], 3)}
+                           for b in blocks if q in b[2]],
             }
         artifact = {
             "prev_commit": prev_commit,
@@ -97,7 +108,8 @@ def main():
             json.dump(artifact, f, indent=2, sort_keys=True)
             f.write("\n")
         print(f"[drift-ab] wrote {out_path}")
-        for q, r in sorted(per_query.items(), key=lambda kv: -kv[1]["ratio"]):
+        for q, r in sorted(per_query.items(),
+                           key=lambda kv: -(kv[1]["ratio"] or 0)):
             print(f"[drift-ab] {q:28s} prev={r['prev_min_s']:7.2f} "
                   f"head={r['head_min_s']:7.2f} ratio={r['ratio']:5.2f}")
     finally:
