@@ -105,16 +105,22 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     * it, recovery could not tell "my commit landed" from "a racing
     * ingest's batch landed at the same dense id" — and would delete
     * live batches below an ingest's commit. */
+  /** The marker wire format (`"$next\n$token"`), parsed in ONE place —
+    * [[readMarker]] and the rollback's ownership check must never drift
+    * apart on it. */
+  private def parseMarker(bytes: Array[Byte]): Option[(Int, String)] = {
+    val lines = new String(bytes, "UTF-8").trim.split("\n")
+    lines.headOption.flatMap(_.toIntOption)
+      .map(n => (n, lines.drop(1).headOption.getOrElse("")))
+  }
+
   private def readMarker(): Option[(Int, String)] =
-    try {
+    try
       // single read, no exists() pre-check: the owner can delete the
       // marker between the two calls (readers run concurrently with
       // maintenance by contract) — a vanished marker is simply None
-      val lines = new String(java.nio.file.Files.readAllBytes(
-        pendingMarker.toPath), "UTF-8").trim.split("\n")
-      lines.headOption.flatMap(_.toIntOption)
-        .map(n => (n, lines.drop(1).headOption.getOrElse("")))
-    } catch { case _: java.io.IOException => None }
+      parseMarker(java.nio.file.Files.readAllBytes(pendingMarker.toPath))
+    catch { case _: java.io.IOException => None }
 
   /** True iff `b=next` is a COMMITTED dir carrying this maintenance
     * pass's own token file (written into the temp dir before the
@@ -338,17 +344,35 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     // caused.
     def rollbackMarker(): Unit = {
       val claimed = new java.io.File(storageRoot, s".tmp-rollback-$token")
-      try {
-        java.nio.file.Files.move(pendingMarker.toPath, claimed.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        val ours = new String(java.nio.file.Files.readAllBytes(
-            claimed.toPath), "UTF-8").trim.split("\n")
-          .drop(1).headOption.contains(token)
-        if (ours) claimed.delete()
-        else java.nio.file.Files.move(claimed.toPath, pendingMarker.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } catch { case _: java.io.IOException => () } // marker already gone
+      // only the CLAIM itself may treat IOException as "marker already
+      // gone" — a failure after a successful claim holds a possibly-live
+      // foreign marker and must attempt restoration, or the claimed file
+      // strands at .tmp-* where sweepTmp later deletes it permanently
+      val got =
+        try {
+          java.nio.file.Files.move(pendingMarker.toPath, claimed.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.io.IOException => false }
+      if (got) {
+        val ours =
+          try parseMarker(java.nio.file.Files.readAllBytes(claimed.toPath))
+            .exists(_._2 == token)
+          catch { case _: java.io.IOException => false } // unreadable: restore
+        if (!ours) {
+          // foreign (possibly live) marker: restore via an EXCLUSIVE hard
+          // link — createLink fails atomically when a marker already
+          // exists (a rename would silently clobber a third owner's
+          // freshly published one: permanent evidence loss), and the
+          // restored path keeps the original inode and mtime, so the
+          // MaintInFlightMs age gate reads unchanged. A link failure
+          // means a newer marker stands — the claimed copy is superseded.
+          try java.nio.file.Files.createLink(
+            pendingMarker.toPath, claimed.toPath)
+          catch { case _: java.io.IOException => () }
+        }
+        claimed.delete()
+      }
     }
     try {
       rows.select(schema.fieldNames.map(col): _*)

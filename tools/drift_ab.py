@@ -110,8 +110,9 @@ def main():
         print(f"[drift-ab] wrote {out_path}")
         for q, r in sorted(per_query.items(),
                            key=lambda kv: -(kv[1]["ratio"] or 0)):
+            ratio = "  n/a" if r["ratio"] is None else f"{r['ratio']:5.2f}"
             print(f"[drift-ab] {q:28s} prev={r['prev_min_s']:7.2f} "
-                  f"head={r['head_min_s']:7.2f} ratio={r['ratio']:5.2f}")
+                  f"head={r['head_min_s']:7.2f} ratio={ratio}")
     finally:
         subprocess.run(["git", "worktree", "remove", "--force", WORKTREE],
                        capture_output=True)
