@@ -43,16 +43,23 @@ import graft.operators.Checkpoints
   * window's exchange rather than shuffling twice.
   *
   * Scale: level dirs carry a subject-hash partition column (`sbkt =
-  * pmod(xxhash64(subject), N)`, N pinned per store in `_BUCKETS`); the
+  * pmod(xxhash64(subject), N)`, N pinned per store in `_BUCKETS` —
+  * auto-sized from the first lake-sized level by default); the
   * merge collects its batch's distinct bucket ids (≤ N, a driver-safe
   * scalar list) and PRUNES the level read to those partition dirs — so
   * the scan itself is O(touched buckets), not a full-lake read per
-  * micro-batch. Within the read partitions the merge restricts rows to
-  * the batch's subjects (a semi-join AQE can broadcast — the identity
-  * key embeds the subject, so whole groups drop, never a group's
-  * shadowing rows), THEN windows and full-outer joins on
-  * tripletHash+infoHash with the window's exchange reused by the join:
-  * O(touched + batch) read, shuffled and materialized, never O(store).
+  * micro-batch. Within the read partitions, files sort by (subject,
+  * identity hash), and a driver-bounded batch (≤ `subjectLiteralCap`
+  * distinct subjects) pushes its subject list into the scans as a
+  * LITERAL predicate — parquet footer stats then prune row groups
+  * inside each touched bucket, so pruning does NOT saturate when a
+  * large batch touches all N partition dirs (coupon-collector at
+  * ~N·ln N subjects). Above the cap the restriction falls back to a
+  * semi-join AQE can broadcast (the identity key embeds the subject,
+  * so whole groups drop, never a group's shadowing rows). Either way
+  * the merge THEN windows and full-outer joins on tripletHash+infoHash
+  * with the window's exchange reused by the join: O(touched + batch)
+  * read, shuffled and materialized, never O(store).
   * Levels below `bucketMinRows` write UNBUCKETED — a small level is
   * cheaper to scan whole than to fan out 64 ways, and the pruning win
   * lives in the lake-sized levels (the compacted base above all) — and
@@ -87,18 +94,25 @@ import graft.operators.Checkpoints
   * attempts, yielding a serializable history). A crash at any
   * point leaves only `.tmp-` garbage invisible to readers (swept by
   * compaction after [[TripletStore.TmpSweepAgeMs]]); a torn `v=N` dir
-  * cannot arise from this writer. Deletions (compaction) are NOT
-  * coordinated across processes: a compaction can delete level dirs a
-  * concurrent reader in another process is scanning (the reader fails
-  * loudly, not wrongly). Multi-process deployments should run
-  * compaction from one owner (set `autoCompactEvery = 0` elsewhere).
+  * cannot arise from this writer. Compaction/retention is SINGLE-OWNER
+  * and the rule is ENFORCED, not a convention: every pass first CLAIMS
+  * a tokened marker ([[TripletStore.CompactionMarker]], exclusive
+  * publish; stale markers taken over after
+  * [[TripletStore.TmpSweepAgeMs]]) — a second owner throws
+  * [[TripletStore.ConcurrentCompactionException]] with the store
+  * untouched, so two passes can never interleave deletions under each
+  * other's base builds. A compaction can still delete level dirs a
+  * concurrent READER in another process is scanning (the reader fails
+  * loudly, not wrongly); run merges freely, compaction serializes
+  * itself.
   */
 class TripletStore(spark: SparkSession, path: String,
                    autoCompactEvery: Int = 4,
                    autoCompactKeep: Int = 2,
                    targetRowsPerFile: Long = 1L << 20,
-                   subjectBuckets: Int = TripletStore.DefaultSubjectBuckets,
-                   bucketMinRows: Long = TripletStore.DefaultBucketMinRows) {
+                   subjectBuckets: Int = 0,
+                   bucketMinRows: Long = TripletStore.DefaultBucketMinRows,
+                   subjectLiteralCap: Int = TripletStore.DefaultSubjectLiteralCap) {
 
   import TripletStore._
 
@@ -118,22 +132,83 @@ class TripletStore(spark: SparkSession, path: String,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Publish `name` EXCLUSIVELY: of N concurrent publishers exactly one
+    * wins, the losers observe the winner's file, and the content is
+    * never seen torn (it lands in a temp sibling first; the final-name
+    * creation is atomic). Returns whether THIS call won. `Files.move`
+    * with ATOMIC_MOVE maps to rename(2) on POSIX, which silently
+    * REPLACES an existing target — so exclusivity comes from
+    * `createLink` (hard links fail atomically with
+    * FileAlreadyExistsException when the target exists); on a
+    * filesystem without hard links the fallback is an O_EXCL
+    * CREATE_NEW write (exclusive, though a reader racing the winner's
+    * in-flight content write can observe a short file — callers that
+    * cannot tolerate that should require a link-capable fs). */
+  private def publishMarkerExclusive(name: String, contents: String): Boolean = {
+    fs.mkdirs()
+    val target = new java.io.File(fs, name)
+    val tmp = new java.io.File(fs,
+      s".tmp-marker-${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.writeString(tmp.toPath, contents)
+    try {
+      try {
+        java.nio.file.Files.createLink(target.toPath, tmp.toPath)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException | _: SecurityException =>
+          try {
+            java.nio.file.Files.writeString(target.toPath, contents,
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+      }
+    } finally tmp.delete()
+  }
+
   /** The store's pinned bucket count: the recorded marker when present
-    * (any bucketed level was ever written), else the constructor seed. */
+    * (any bucketed level was ever written), else the constructor seed —
+    * or the default floor under auto-sizing (`subjectBuckets = 0`). The
+    * pre-pin value only feeds bucket-id computations against a store
+    * with NO bucketed levels, where pruning is a no-op regardless. */
   private def bucketN: Int = {
     val m = new java.io.File(fs, BucketMarker)
     if (m.exists())
       java.nio.file.Files.readString(m.toPath).trim.toInt
-    else subjectBuckets
+    else if (subjectBuckets > 0) subjectBuckets
+    else DefaultSubjectBuckets
   }
 
-  /** Pin `n` as the store's bucket count before the FIRST bucketed
-    * commit — the marker must exist before any `sbkt=` dir so a reader
-    * never has to guess the modulus. Idempotent once present. */
-  private def ensureBucketMarker(n: Int): Unit = {
-    fs.mkdirs()
-    if (!new java.io.File(fs, BucketMarker).exists())
-      publishMarker(BucketMarker, n.toString)
+  /** Pin the store's bucket count at the FIRST bucketed commit and
+    * return the PINNED value (which may be a concurrent winner's, not
+    * this writer's candidate). The marker must exist before any `sbkt=`
+    * dir so a reader never has to guess the modulus, and the publish is
+    * EXCLUSIVE + re-read: two first-bucketed writers configured with
+    * different seeds would otherwise race exists()-then-publish and
+    * leave a marker disagreeing with an already-written level's actual
+    * modulus — bucket pruning would then silently drop rows. Whoever
+    * wins, every writer buckets by the read-back value.
+    *
+    * Under auto-sizing (`subjectBuckets = 0`, the default) the candidate
+    * scales with the first lake-sized level — about one bucket per
+    * target file, clamped to [[TripletStore.DefaultSubjectBuckets]] ..
+    * [[TripletStore.MaxSubjectBuckets]] — so a 100 TB first base pins
+    * thousands of buckets instead of the flat 64 whose pruning term a
+    * ~200-subject batch already saturates (coupon-collector: a batch of
+    * s random subjects covers ~N(1-e^(-s/N)) buckets). Pre-pinned
+    * stores keep their recorded N forever. */
+  private def pinBucketN(rows: Long): Int = {
+    val m = new java.io.File(fs, BucketMarker)
+    if (!m.exists()) {
+      val candidate =
+        if (subjectBuckets > 0) subjectBuckets
+        else math.min(MaxSubjectBuckets.toLong, math.max(
+          DefaultSubjectBuckets.toLong, rows / targetRowsPerFile)).toInt
+      publishMarkerExclusive(BucketMarker, candidate.toString)
+    }
+    java.nio.file.Files.readString(m.toPath).trim.toInt
   }
 
   /** A level dir written under the bucketed layout carries `sbkt=`
@@ -148,20 +223,30 @@ class TripletStore(spark: SparkSession, path: String,
   /** Commit `level` (physSchema rows) as `dirName` via the rename
     * protocol — subject-bucketed when the level is lake-sized
     * (`rows >= bucketMinRows`, see [[TripletStore.DefaultBucketMinRows]]),
-    * plain below the floor; identity-clustered either way. */
+    * plain below the floor; SUBJECT-clustered either way: files sort by
+    * (subject, tripletHash, infoHash) within a bucket, so a literal
+    * subject predicate ([[reconstruct]]'s `subjectLits`) prunes whole
+    * files and row groups via parquet footer min/max stats INSIDE a
+    * touched bucket — the within-bucket continuation of partition
+    * pruning (the identity hash is md5, which destroys subject
+    * locality; the old tripletHash-first sort left a 100 TB bucket
+    * unprunable by subject). The MERGE join is unaffected: it hash
+    * partitions on (tripletHash, infoHash) regardless of file order. */
   private def commitLevel(level: DataFrame, rows: Long, tmpTag: String,
                           dirName: String): Unit = {
     val tmp = AtomicDirCommit.tmpFor(fs, tmpTag)
     if (rows >= bucketMinRows) {
-      val bN = bucketN
-      ensureBucketMarker(bN) // never a bucketed dir without its modulus
+      // pin BEFORE bucketing, bucket by the PINNED value (a concurrent
+      // first-bucketed writer may have won the pin with a different N)
+      val bN = pinBucketN(rows)
       graft.sinks.Sinks.writeClusteredBy(
         level.withColumn(BucketCol, subjectBucket(col("subject"), bN)),
         tmp.getAbsolutePath, nFilesFor(rows), targetRowsPerFile,
-        BucketCol, "tripletHash", "infoHash")
+        BucketCol, "subject", "tripletHash", "infoHash")
     } else
       graft.sinks.Sinks.writeClustered(level, tmp.getAbsolutePath,
-        nFilesFor(rows), targetRowsPerFile, "tripletHash", "infoHash")
+        nFilesFor(rows), targetRowsPerFile,
+        "subject", "tripletHash", "infoHash")
     AtomicDirCommit.commit(tmp, new java.io.File(fs, dirName))
   }
 
@@ -264,26 +349,44 @@ class TripletStore(spark: SparkSession, path: String,
     * subject (tripletHash hashes it): the filter drops whole identity
     * groups, never a group's shadowing rows — and it turns the merge's
     * store-side shuffle into O(touched rows), with AQE free to broadcast
-    * the subject list when the batch is small. `buckets` is the scan-side
-    * twin (see [[levelsAt]]): the subjects' bucket ids prune level FILES
-    * at planning time, the semi-join then filters rows within the read
-    * partitions — together the merge reads O(touched partitions) and
-    * materializes O(touched + batch). Visible to the plan/scale specs. */
+    * the subject list when the batch is small. `subjectLits` is the
+    * stronger, driver-bounded form of the same restriction: a LITERAL
+    * `isin` predicate that reaches the parquet scans as a pushed filter
+    * (`PushedFilters: [In(subject, ...)]`), so footer min/max stats on
+    * the subject-sorted files prune row groups and whole files WITHIN a
+    * touched bucket — the semi-join can only drop rows after reading
+    * them. The two are exclusive; `subjectLits` must be the COMPLETE
+    * subject set (the deprecation arm treats every surviving open row
+    * as touched). `buckets` is the scan-side twin (see [[levelsAt]]):
+    * the subjects' bucket ids prune level FILES at planning time —
+    * together the merge reads O(touched partitions ∩ matching row
+    * groups) and materializes O(touched + batch). Visible to the
+    * plan/scale specs. */
   private[graft] def reconstruct(v: Int, openOnly: Boolean,
                                  subjects: Option[DataFrame] = None,
-                                 buckets: Option[Seq[Int]] = None): DataFrame = {
+                                 buckets: Option[Seq[Int]] = None,
+                                 subjectLits: Option[Seq[String]] = None): DataFrame = {
     requireRetained(v)
     levelsAt(v, buckets) match {
       case None => emptyRanges
       case Some(all0) =>
-        // null-safe semi join: a legal null-subject row (the identity
-        // hash null-coalesces) must stay visible to merge — with a plain
-        // equi-join null never equals null, so such rows could never be
-        // extended or deprecated and every re-merge would open a new
-        // shadowing range.
-        val all = subjects.fold(all0)(s =>
-          all0.join(s.select(col("subject").as("__batch_subject")),
-            col("subject") <=> col("__batch_subject"), "left_semi"))
+        // null-safe in both forms: a legal null-subject row (the identity
+        // hash null-coalesces) must stay visible to merge — a plain
+        // equi-join (or a bare isin) never matches null, so such rows
+        // could never be extended or deprecated and every re-merge would
+        // open a new shadowing range.
+        val all = subjectLits match {
+          case Some(lits) =>
+            val (nulls, named) = lits.partition(_ == null)
+            val p0 =
+              if (named.isEmpty) lit(false)
+              else col("subject").isin(named: _*)
+            all0.filter(
+              if (nulls.nonEmpty) p0 || col("subject").isNull else p0)
+          case None => subjects.fold(all0)(s =>
+            all0.join(s.select(col("subject").as("__batch_subject")),
+              col("subject") <=> col("__batch_subject"), "left_semi"))
+        }
         val w = Window.partitionBy("tripletHash", "infoHash")
           .orderBy(col("v").desc, col("deprecated").asc)
         val open = all.withColumn("rn", row_number().over(w))
@@ -357,25 +460,68 @@ class TripletStore(spark: SparkSession, path: String,
   def distinctSubjectCount: Long =
     currentTriples.select("subject").distinct().count()
 
-  /** V8 point lookup: the current triples of exactly these subjects,
-    * read through the bucket-pruned level scan — the engine-side analog
-    * of the reference's hash index on subject
-    * (`data/configuration/hf/load/sql_files/init.sql:28-38`). The
-    * subjects' bucket ids prune level FILES at planning time (bucketed
-    * levels only; sub-threshold levels are scanned whole — they are
-    * small by construction), the semi-join filters rows within the read
-    * partitions: O(touched buckets + matching rows) on a bucketed
-    * store, never a lake scan. The bucket ids come from one tiny local
-    * job over the subject list, reusing the exact write-side expression
-    * (never a re-implementation of the hash). */
-  def currentTriplesFor(subjects: Seq[String]): DataFrame = {
+  /** The bucket ids of `subjects` under the store's pinned modulus —
+    * one tiny local job over the subject list, reusing the exact
+    * write-side expression (never a re-implementation of the hash). */
+  private def bucketsOf(subjects: Seq[String]): Seq[Int] = {
     import spark.implicits._
-    val subjDf = subjects.toDF("subject")
-    val buckets = subjDf
+    subjects.toDF("subject")
       .select(subjectBucket(col("subject"), bucketN).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    reconstruct(currentVersion, openOnly = true,
-        subjects = Some(subjDf), buckets = Some(buckets))
+  }
+
+  /** The reconstruction restricted to exactly `subjects`, through BOTH
+    * pruning terms: the subjects' bucket ids prune level FILES at
+    * planning time (bucketed levels only; sub-threshold levels are
+    * scanned whole — they are small by construction), and below
+    * `subjectLiteralCap` the subject list itself pushes into the scans
+    * as a literal `isin` — parquet footer stats on the subject-sorted
+    * files then prune row groups WITHIN each touched bucket, so the
+    * read is O(matching row groups), not O(touched bucket). Above the
+    * cap (a list too large for a sane predicate tree) the restriction
+    * falls back to the null-safe semi-join. */
+  private def subjectScoped(subjects: Seq[String], openOnly: Boolean): DataFrame = {
+    val buckets = Some(bucketsOf(subjects))
+    if (subjects.size <= subjectLiteralCap)
+      reconstruct(currentVersion, openOnly,
+        buckets = buckets, subjectLits = Some(subjects))
+    else {
+      import spark.implicits._
+      reconstruct(currentVersion, openOnly,
+        subjects = Some(subjects.toDF("subject")), buckets = buckets)
+    }
+  }
+
+  /** V8 point lookup: the current triples of exactly these subjects,
+    * read through the bucket-pruned, literal-pushdown level scan — the
+    * engine-side analog of the reference's hash index on subject
+    * (`data/configuration/hf/load/sql_files/init.sql:28-38`):
+    * O(matching rows), never a lake or even a whole-bucket scan. */
+  def currentTriplesFor(subjects: Seq[String]): DataFrame =
+    subjectScoped(subjects, openOnly = true)
+      .select("subject", "predicate", "obj", "objKind", "datatype")
+      .distinct()
+
+  /** V8 point lookup AT A TIMESTAMP: these subjects' triples as of `t`
+    * — the composition of [[currentTriplesFor]] and [[asOf]], the
+    * reference's most natural history-table read ("what did this model
+    * card say in January"), sharing the bucket-pruned literal-pushdown
+    * scan instead of filtering a whole-store as-of. Closed ranges
+    * participate (a range deprecated after `t` still answers), so the
+    * scan spans open and closed rows of the subjects — still O(their
+    * matching row groups). Below the retention horizon it THROWS like
+    * [[asOf]]: purged history must never silently answer. */
+  def currentTriplesFor(subjects: Seq[String], asOf: Timestamp): DataFrame = {
+    val h = horizonMs
+    if (asOf.getTime < h)
+      throw new IllegalArgumentException(
+        s"as-of $asOf is below the retention horizon ${new Timestamp(h)} " +
+          s"of the store at $path: closed ranges ending before the " +
+          "horizon were purged by compact(olderThan) and the snapshot " +
+          "cannot be reconstructed")
+    subjectScoped(subjects, openOnly = false)
+      .filter(col("useStart") <= lit(asOf) &&
+        (lit(asOf) <= col("useEnd") || !col("deprecated")))
       .select("subject", "predicate", "obj", "objKind", "datatype")
       .distinct()
   }
@@ -424,14 +570,31 @@ class TripletStore(spark: SparkSession, path: String,
     // construction) prune the level read to the touched partition dirs —
     // without them every merge still SCANNED all live rows even though
     // it materialized only the touched slice, a full-lake read per
-    // micro-batch under StreamingLoad at 100 TB.
+    // micro-batch under StreamingLoad at 100 TB. And when the batch's
+    // distinct subjects are themselves driver-bounded (≤
+    // subjectLiteralCap — every micro-batch regime), the subject list
+    // pushes into the level scans as a LITERAL predicate: row groups
+    // prune within touched buckets, so the pruning term no longer
+    // saturates once a batch covers all N buckets (coupon-collector at
+    // ~N·ln N subjects) — the read stays O(matching row groups) even
+    // when every partition dir is touched. Above the cap the null-safe
+    // semi-join restriction still bounds what materializes.
     val bN = bucketN
-    val touchedSubjects = inc.select("subject").distinct()
-    val touchedBuckets = inc
-      .select(subjectBucket(col("subject"), bN).as("b")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val open = reconstruct(v0, openOnly = true,
-      subjects = Some(touchedSubjects), buckets = Some(touchedBuckets))
+    val subjSample = inc.select("subject").distinct()
+      .limit(subjectLiteralCap + 1).collect().map(_.getString(0)).toSeq
+    val open =
+      if (subjSample.size <= subjectLiteralCap)
+        reconstruct(v0, openOnly = true,
+          buckets = Some(bucketsOf(subjSample)),
+          subjectLits = Some(subjSample))
+      else {
+        val touchedBuckets = inc
+          .select(subjectBucket(col("subject"), bN).as("b")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        reconstruct(v0, openOnly = true,
+          subjects = Some(inc.select("subject").distinct()),
+          buckets = Some(touchedBuckets))
+      }
 
     // The MERGE join executes exactly ONCE (eager checkpoint); extended /
     // fresh / deprecation / stats / delta below all read the
@@ -530,8 +693,17 @@ class TripletStore(spark: SparkSession, path: String,
     // retry path: remove our own (masked, unreadable) dir and throw. A
     // false positive — the racing compaction's base already FOLDED this
     // delta in — is safe: merge is idempotent (L1), the retry re-extends.
-    if (baseVersions.exists(_ >= v)) {
-      Scratch.rm(new java.io.File(fs, s"v=$v"))
+    val basesNow = baseVersions
+    if (basesNow.exists(_ >= v)) {
+      // When the racing compaction's cut EQUALS v, it folded this delta
+      // into base=v and deliberately kept v=cut standing to hold the
+      // slot closed — removing it here would reopen the very slot the
+      // keep-v=cut rule protects. The kept dir is already masked by
+      // levelsAt and harmless; only remove our dir when it is NOT a
+      // kept cut. The throw stays either way: a fold means the merge
+      // landed and the retry's re-apply is idempotent (L1).
+      if (!basesNow.contains(v))
+        Scratch.rm(new java.io.File(fs, s"v=$v"))
       throw new java.util.ConcurrentModificationException(
         s"delta v=$v at $path landed at or below a concurrently committed " +
           "base (a compaction reopened the version slot): the delta would " +
@@ -541,9 +713,14 @@ class TripletStore(spark: SparkSession, path: String,
     // auto-compaction cadence: once the live level count exceeds the
     // configured bound, fold down to `autoCompactKeep` retained versions
     // — the level count a reader spans is thus never above
-    // autoCompactEvery + 1, without any caller involvement.
+    // autoCompactEvery + 1, without any caller involvement. A lost
+    // compaction CLAIM is skipped, not surfaced: the delta above is
+    // already durably committed (the merge SUCCEEDED), another owner is
+    // folding levels concurrently — rethrowing would report a landed
+    // merge as failed and a retry would re-apply the batch.
     if (autoCompactEvery > 0 && levelCount > autoCompactEvery)
-      compact(autoCompactKeep)
+      try compact(autoCompactKeep)
+      catch { case _: TripletStore.ConcurrentCompactionException => () }
     stats
   }
 
@@ -559,11 +736,13 @@ class TripletStore(spark: SparkSession, path: String,
     * bit-for-bit (VersioningLawsSpec fuzzes two barrier-synchronized
     * writers and proves that equality).
     *
-    * Requires `autoCompactEvery = 0`: compaction deletes level dirs and
-    * is deliberately NOT coordinated across writers (class doc) — and a
-    * compaction race loss after a SUCCESSFUL delta commit must not look
-    * like a merge loss, or the retry would re-apply the batch. Run
-    * compaction from one owner. `onRetry` surfaces each lost race (for
+    * Requires `autoCompactEvery = 0`: compaction deletes level dirs,
+    * and while the claim marker serializes compaction OWNERS against
+    * each other, a compaction deleting dirs under a concurrent merge's
+    * in-flight scan still fails that merge loudly — and such a loss
+    * after a SUCCESSFUL delta commit must not look like a merge loss,
+    * or the retry would re-apply the batch. Run compaction from one
+    * owner on its own cadence. `onRetry` surfaces each lost race (for
     * metrics); attempts beyond `maxAttempts` rethrow. */
   def mergeWithRetry(incoming: DataFrame, now: Timestamp,
                      maxAttempts: Int = 5,
@@ -593,6 +772,72 @@ class TripletStore(spark: SparkSession, path: String,
   private def nFilesFor(rows: Long): Int =
     math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
 
+  /** CLAIM single-owner compaction via a tokened marker — the
+    * TripletStore port of [[graft.similarity.BatchedSignatureStore]]'s
+    * maintenance protocol. Merges are rename-safe multi-writer, but
+    * compaction DELETES level dirs; before this claim, cross-process
+    * coordination was a scaladoc contract ("run compaction from one
+    * owner") with nothing enforcing it — two owners could interleave
+    * deletions under each other's base builds. Now the entry point is
+    * the enforcement: exactly one claimant wins the EXCLUSIVE marker
+    * publish ([[publishMarkerExclusive]]); a loser observing a FRESH
+    * marker throws [[TripletStore.ConcurrentCompactionException]] with
+    * the store untouched (a lost compaction race is a scheduling bug to
+    * surface, not retry); a marker older than
+    * [[TripletStore.TmpSweepAgeMs]] is a dead owner's leftover — the
+    * claimant atomically grabs it (rename) and publishes its own.
+    * Returns the owner token [[releaseCompaction]] requires. */
+  private def claimCompaction(): String = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    if (!publishMarkerExclusive(CompactionMarker, token)) {
+      val marker = new java.io.File(fs, CompactionMarker)
+      val age = System.currentTimeMillis() - marker.lastModified()
+      if (marker.exists() && age > TmpSweepAgeMs) {
+        // presumed-dead takeover: the GRAB is atomic (rename), so of N
+        // claimants over one stale marker exactly one proceeds to
+        // publish; the rest fall through to the loud throw below
+        val grab = new java.io.File(fs, s".tmp-claim-$token")
+        try {
+          java.nio.file.Files.move(marker.toPath, grab.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          grab.delete()
+        } catch { case _: java.io.IOException => () }
+      }
+      if (!publishMarkerExclusive(CompactionMarker, token))
+        throw new TripletStore.ConcurrentCompactionException(
+          s"a compaction pass on $path appears IN FLIGHT (claim marker " +
+            s"is ${age / 1000}s old): compaction is single-owner — the " +
+            "store is unchanged; re-run after the owner completes, or " +
+            s"after the marker ages past ${TmpSweepAgeMs / 1000}s if " +
+            "its owner crashed")
+    }
+    token
+  }
+
+  /** Release the compaction claim IF still ours — token-checked via the
+    * same atomic claim/verify/restore recipe as the signature store's
+    * marker rollback: a takeover (this owner presumed dead mid-pass)
+    * may have published a NEW live owner's marker, which an
+    * unconditional delete would erase. The grab is atomic; a foreign
+    * token is put back via exclusive link (a link failure means an even
+    * newer marker stands — the grabbed copy is superseded). */
+  private def releaseCompaction(token: String): Unit = {
+    val marker = new java.io.File(fs, CompactionMarker)
+    val grab = new java.io.File(fs, s".tmp-release-$token")
+    try {
+      java.nio.file.Files.move(marker.toPath, grab.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val ours =
+        try java.nio.file.Files.readString(grab.toPath).trim == token
+        catch { case _: java.io.IOException => false }
+      if (!ours) {
+        try java.nio.file.Files.createLink(marker.toPath, grab.toPath)
+        catch { case _: java.io.IOException => () }
+      }
+      grab.delete()
+    } catch { case _: java.io.IOException => () } // already released/taken
+  }
+
   /** Compaction: materialize the full state at the oldest retained
     * version as a base snapshot, then drop every level it supersedes —
     * the dropped versions (all but the newest `keep`) stop being
@@ -601,6 +846,14 @@ class TripletStore(spark: SparkSession, path: String,
     * mid-compaction leaves a readable store (leftover superseded dirs
     * are ignored by `levelsAt` and removed by the next compaction). */
   def compact(keep: Int = 2): Seq[Int] = {
+    // single-owner enforcement at the entry: every deletion below runs
+    // under the claimed marker ([[claimCompaction]])
+    val owner = claimCompaction()
+    try compactOwned(keep)
+    finally releaseCompaction(owner)
+  }
+
+  private def compactOwned(keep: Int): Seq[Int] = {
     val vs = versions
     val dropped = vs.dropRight(math.max(1, keep))
     if (dropped.isEmpty) dropped
@@ -674,6 +927,14 @@ class TripletStore(spark: SparkSession, path: String,
     * @return the version numbers dropped from the version-travel window
     */
   def compact(olderThan: Timestamp): Seq[Int] = {
+    // same single-owner claim as compact(keep): retention deletes every
+    // superseded level and must never interleave with a second owner
+    val owner = claimCompaction()
+    try compactOlderOwned(olderThan)
+    finally releaseCompaction(owner)
+  }
+
+  private def compactOlderOwned(olderThan: Timestamp): Seq[Int] = {
     val vs = versions
     if (vs.isEmpty) Seq.empty
     // scoped for the same reason as compact(keep): `snap` is dead once
@@ -768,13 +1029,30 @@ object TripletStore {
   val IdentityFormat = 3
   val FormatMarker = "_FORMAT"
 
-  /** Default subject-hash bucket count for the level layout's partition
-    * column. Sized so the per-delta file fan-out stays modest while a
-    * merge touching few subjects prunes most of the lake; at 100 TB the
-    * per-bucket slice of a base is still hundreds of GB — raise via the
-    * constructor for very hot stores (the first write pins the store's
-    * count in [[BucketMarker]]). */
+  /** FLOOR of the subject-hash bucket count for the level layout's
+    * partition column (and the pre-pin placeholder for bucket-id
+    * computations against stores with no bucketed level yet). Under
+    * auto-sizing (the default `subjectBuckets = 0`) the first bucketed
+    * commit derives N ≈ one bucket per target file from ITS row count,
+    * clamped to [this, [[MaxSubjectBuckets]]] — a toy store pins 64, a
+    * 100 TB first base pins thousands; an explicit constructor value
+    * overrides. The first write pins the store's count in
+    * [[BucketMarker]] either way. */
   val DefaultSubjectBuckets = 64
+
+  /** Ceiling of the auto-derived bucket count: past a few thousand
+    * partition dirs, per-level directory fan-out and listing cost beat
+    * the marginal pruning win — the within-bucket subject sort plus
+    * literal pushdown carries pruning below the bucket grain. */
+  val MaxSubjectBuckets = 4096
+
+  /** Subject-list size up to which merges and point lookups push the
+    * batch's subjects into the level scans as a LITERAL `isin` (parquet
+    * row-group pruning via footer stats on the subject-sorted files)
+    * instead of a semi-join. Driver-bounded by construction: 10k
+    * strings is a trivial task-binary payload; far above it the
+    * predicate tree itself becomes the cost and the semi-join wins. */
+  val DefaultSubjectLiteralCap = 10000
 
   /** Partition column of bucketed level dirs: `sbkt =
     * pmod(xxhash64(subject), N)`. The merge collects its batch's distinct
@@ -813,6 +1091,21 @@ object TripletStore {
   /** Epoch-millis marker recording the time-retention horizon (see
     * `compact(olderThan)`): as-of reads below it refuse. */
   val HorizonMarker = "_RETENTION_HORIZON"
+
+  /** Tokened single-owner compaction claim marker (content: the owner
+    * token; liveness: file mtime vs [[TmpSweepAgeMs]]) — see
+    * `claimCompaction`. */
+  val CompactionMarker = "_COMPACTING"
+
+  /** A compaction/retention pass lost the single-owner CLAIM to a live
+    * concurrent owner. The store is UNCHANGED (nothing was built or
+    * deleted); deliberately NOT retried by the engine — like
+    * [[graft.similarity.BatchedSignatureStore.ConcurrentMaintenanceException]],
+    * a maintenance race is a scheduling bug to surface. Auto-compaction
+    * inside `merge` is the one exception: it SKIPS on this (the merge
+    * itself landed; another owner is already folding levels). */
+  class ConcurrentCompactionException(msg: String)
+    extends IllegalStateException(msg)
 
   /** Age past which a `.tmp-` commit dir is considered a dead writer's
     * leftover and swept by compaction (a live writer's tmp mtime

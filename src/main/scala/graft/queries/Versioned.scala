@@ -215,9 +215,11 @@ object Versioned {
        |  AND b2.predicate = b1.predicate AND b2.obj = b1.obj)
        |  AND subject IN (SELECT subject FROM touched)""".stripMargin
 
-  val versionAsOfSql: String =
-    s"""WITH $fixtureCte
-       |SELECT 'jan' AS as_of, subject, predicate, obj FROM b1
+  /** Body of the two-probe-time as-of oracle — shared verbatim by
+    * q_version_asof (whole store) and q_subject_asof (the same read
+    * restricted to the lookup subjects). */
+  private val versionAsOfBody: String =
+    s"""SELECT 'jan' AS as_of, subject, predicate, obj FROM b1
        |UNION ALL
        |SELECT 'apr', subject, predicate, obj FROM b1
        |WHERE NOT (subject IN (SELECT subject FROM touched)
@@ -227,6 +229,8 @@ object Versioned {
        |SELECT 'apr', subject, predicate, obj FROM b2
        |WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.subject = b2.subject
        |  AND b1.predicate = b2.predicate AND b1.obj = b2.obj)""".stripMargin
+
+  val versionAsOfSql: String = s"WITH $fixtureCte\n$versionAsOfBody"
 
   /** The three-batch restatement: `s2` is the two-batch state (the
     * q_version_history oracle verbatim), then batch 3's MERGE arms apply
@@ -378,17 +382,52 @@ object Versioned {
     * [[graft.load.TripletStore.currentTriplesFor]] reads exactly the
     * five [[LookupSubjects]] through the bucket-pruned level scan —
     * PartitionFilters on every bucketed level, PlanSpec-pinned. */
-  def subjectLookup(s: SparkSession, dir: String): DataFrame = {
+  /** Load the two-batch fixture into a scratch BUCKETED store and hand
+    * it to `body` — shared by the two point-lookup verbs.
+    * `subjectBuckets = 8` (not the 64 floor): the instrument's cost is
+    * store construction, and with `bucketMinRows = 1` every level fans
+    * out one dir+file per touched bucket — 8 buckets cut that 8x while
+    * still proving multi-bucket pruning (the five lookup subjects span
+    * several of the 8). */
+  private def withLookupStore[T](s: SparkSession, dir: String, tag: String)
+                                (body: TripletStore => T): T = {
     val (b1, b2) = fixtureBatches(s, dir)
-    Scratch.withScratch("graft_sl_q", dir) { tmp =>
-      val store = new TripletStore(s, tmp.getAbsolutePath, bucketMinRows = 1L)
+    Scratch.withScratch(tag, dir) { tmp =>
+      val store = new TripletStore(s, tmp.getAbsolutePath,
+        bucketMinRows = 1L, subjectBuckets = 8)
       store.merge(b1, new Timestamp(T1 * 1000))
       store.merge(b2, new Timestamp(T3 * 1000))
+      body(store)
+    }
+  }
+
+  def subjectLookup(s: SparkSession, dir: String): DataFrame =
+    withLookupStore(s, dir, "graft_sl_q") { store =>
       store.currentTriplesFor(LookupSubjects)
         .select("subject", "predicate", "obj")
         .localCheckpoint()
     }
-  }
+
+  /** V8 point lookup AT A TIMESTAMP, graded end-to-end: the same five
+    * subjects read as of mid-January (pre-batch-2: doc:105's original
+    * hasLang still answers, doc:350 absent) and as of April (the
+    * current graph's slice) through
+    * [[graft.load.TripletStore.currentTriplesFor(subjects:Seq[String],asOf:java.sql.Timestamp)*]]
+    * — the bucket-pruned, literal-pushdown scan over open AND closed
+    * ranges, against the q_version_asof oracle restricted to the lookup
+    * set. The reference's most natural history read ("what did this
+    * card say in January") composed from the two graded verbs. */
+  def subjectAsOf(s: SparkSession, dir: String): DataFrame =
+    withLookupStore(s, dir, "graft_sa_q") { store =>
+      val jan = new Timestamp(1705276800L * 1000) // 2024-01-15T00:00:00Z
+      val apr = new Timestamp(1711929600L * 1000) // 2024-04-01T00:00:00Z
+      store.currentTriplesFor(LookupSubjects, jan)
+        .withColumn("as_of", lit("jan"))
+        .unionByName(store.currentTriplesFor(LookupSubjects, apr)
+          .withColumn("as_of", lit("apr")))
+        .select("as_of", "subject", "predicate", "obj")
+        .localCheckpoint()
+    }
 
   /** The current graph (the q_version_asof 'apr' arms) restricted to the
     * lookup subjects. */
@@ -407,6 +446,15 @@ object Versioned {
        |WHERE subject IN ($in)""".stripMargin
   }
 
+  /** The q_version_asof oracle restricted to the lookup subjects. */
+  val subjectAsOfSql: String = {
+    val in = LookupSubjects.map(sub => s"'$sub'").mkString(", ")
+    s"""WITH $fixtureCte
+       |SELECT as_of, subject, predicate, obj FROM (
+       |$versionAsOfBody
+       |) WHERE subject IN ($in)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_version_history" -> versionHistory _,
     "q_version_delta" -> versionDelta _,
@@ -414,6 +462,7 @@ object Versioned {
     "q_version_compacted" -> versionCompacted _,
     "q_version_ttl" -> versionTtl _,
     "q_subject_lookup" -> subjectLookup _,
+    "q_subject_asof" -> subjectAsOf _,
     "q_stream_merge" -> streamMerge _)
 
   val oracles: Map[String, String] = Map(
@@ -423,5 +472,6 @@ object Versioned {
     "q_version_compacted" -> versionCompactedSql,
     "q_version_ttl" -> versionTtlSql,
     "q_subject_lookup" -> subjectLookupSql,
+    "q_subject_asof" -> subjectAsOfSql,
     "q_stream_merge" -> streamMergeSql)
 }

@@ -342,38 +342,7 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     // at worst makes one concurrent reader pin an unmasked (duplicated)
     // batch list — transient, vs the permanent evidence loss a deletion
     // caused.
-    def rollbackMarker(): Unit = {
-      val claimed = new java.io.File(storageRoot, s".tmp-rollback-$token")
-      // only the CLAIM itself may treat IOException as "marker already
-      // gone" — a failure after a successful claim holds a possibly-live
-      // foreign marker and must attempt restoration, or the claimed file
-      // strands at .tmp-* where sweepTmp later deletes it permanently
-      val got =
-        try {
-          java.nio.file.Files.move(pendingMarker.toPath, claimed.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          true
-        } catch { case _: java.io.IOException => false }
-      if (got) {
-        val ours =
-          try parseMarker(java.nio.file.Files.readAllBytes(claimed.toPath))
-            .exists(_._2 == token)
-          catch { case _: java.io.IOException => false } // unreadable: restore
-        if (!ours) {
-          // foreign (possibly live) marker: restore via an EXCLUSIVE hard
-          // link — createLink fails atomically when a marker already
-          // exists (a rename would silently clobber a third owner's
-          // freshly published one: permanent evidence loss), and the
-          // restored path keeps the original inode and mtime, so the
-          // MaintInFlightMs age gate reads unchanged. A link failure
-          // means a newer marker stands — the claimed copy is superseded.
-          try java.nio.file.Files.createLink(
-            pendingMarker.toPath, claimed.toPath)
-          catch { case _: java.io.IOException => () }
-        }
-        claimed.delete()
-      }
-    }
+    def rollbackMarker(): Unit = rollbackPendingMarker(token)
     try {
       rows.select(schema.fieldNames.map(col): _*)
         .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
@@ -399,6 +368,75 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
     // marker, FINISHES our cleanup (recoverCompaction), and may already
     // have published its own pass's marker — which must survive us.
     rollbackMarker()
+  }
+
+  /** The EXCLUSIVE hard link a foreign-marker restore uses — seam for
+    * the portability spec (stubbed to throw UnsupportedOperationException
+    * there); production behavior is exactly `Files.createLink`. */
+  protected def createMarkerLink(target: java.nio.file.Path,
+                                 source: java.nio.file.Path): Unit =
+    java.nio.file.Files.createLink(target, source)
+
+  /** Roll back the pending marker IF it still carries `token`; restore a
+    * foreign (possibly live) owner's marker otherwise. See the rollback
+    * rationale at the call site ([[commitConsolidated]]). */
+  private[similarity] def rollbackPendingMarker(token: String): Unit = {
+    val claimed = new java.io.File(storageRoot, s".tmp-rollback-$token")
+    // only the CLAIM itself may treat IOException as "marker already
+    // gone" — a failure after a successful claim holds a possibly-live
+    // foreign marker and must attempt restoration, or the claimed file
+    // strands at .tmp-* where sweepTmp later deletes it permanently
+    val got =
+      try {
+        java.nio.file.Files.move(pendingMarker.toPath, claimed.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch { case _: java.io.IOException => false }
+    if (got) {
+      val ours =
+        try parseMarker(java.nio.file.Files.readAllBytes(claimed.toPath))
+          .exists(_._2 == token)
+        catch { case _: java.io.IOException => false } // unreadable: restore
+      // whether the claimed copy may be DISCARDED: true once the live
+      // marker state is settled (ours, restored, or provably superseded)
+      val disposable =
+        if (ours) true
+        else {
+          // foreign (possibly live) marker: restore via an EXCLUSIVE hard
+          // link — createLink fails atomically when a marker already
+          // exists (a rename would silently clobber a third owner's
+          // freshly published one: permanent evidence loss), and the
+          // restored path keeps the original inode and mtime, so the
+          // MaintInFlightMs age gate reads unchanged. ONLY
+          // FileAlreadyExistsException means a newer marker stands (the
+          // claimed copy is superseded); on a filesystem without hard
+          // links (UnsupportedOperationException, or EPERM surfacing as
+          // a bare IOException) the restore falls back to a
+          // non-replacing move of the claimed file itself — mtime
+          // travels with the rename, and a move collision again means
+          // supersession. If even the fallback fails, the claimed copy
+          // is the LAST evidence of a live owner's pass and must NOT be
+          // deleted (it strands at .tmp-*; sweepTmp's age gate gives the
+          // owner MaintInFlightMs to land before it is swept — strictly
+          // better than deleting it now).
+          try { createMarkerLink(pendingMarker.toPath, claimed.toPath); true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => true
+            case _: UnsupportedOperationException | _: SecurityException |
+                _: java.io.IOException =>
+              try {
+                java.nio.file.Files.move(claimed.toPath,
+                  pendingMarker.toPath,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                false // moved back: the claimed path no longer exists
+              } catch {
+                case _: java.nio.file.FileAlreadyExistsException => true
+                case _: java.io.IOException => false // keep the evidence
+              }
+          }
+        }
+      if (disposable) claimed.delete()
+    }
   }
 }
 

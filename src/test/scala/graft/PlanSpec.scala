@@ -558,11 +558,31 @@ class PlanSpec extends AnyFunSuite {
     assert(totalFiles > 50, s"store too small to prove pruning: $totalFiles")
     assert(filesRead <= 4 && filesRead >= 1,
       s"pruned read touched $filesRead of $totalFiles files")
-    // the PUBLIC point-lookup verb rides the same pruned scan
+    // the PUBLIC point-lookup verb rides the same pruned scan, AND the
+    // subject list reaches the parquet reader as a PUSHED literal
+    // predicate — with level files subject-sorted, footer min/max stats
+    // prune row groups INSIDE a touched bucket, so the lookup is
+    // O(matching rows) even when a bucket is terabytes (the r12
+    // saturation finding's within-bucket continuation)
     val lookup = store.currentTriplesFor(Seq("m7"))
     lookup.collect()
     val ls = planString(lookup)
     assert("PartitionFilters: \\[[^\\]]*sbkt".r.findFirstIn(ls).isDefined, ls)
+    assert("PushedFilters: \\[[^\\]]*In\\(subject".r.findFirstIn(ls).isDefined
+      || "PushedFilters: \\[[^\\]]*EqualTo\\(subject".r.findFirstIn(ls).isDefined, ls)
+    // the MERGE path pushes the same literal predicate when the batch's
+    // subject count is driver-bounded (every micro-batch regime): the
+    // level read prunes by row group even when the batch touches ALL
+    // buckets and partition pruning alone saturates
+    val mergeRead = store.reconstruct(store.currentVersion, openOnly = true,
+      buckets = Some(Seq(bucket)), subjectLits = Some(Seq("m7")))
+    mergeRead.collect()
+    val ms = planString(mergeRead)
+    assert("PushedFilters: \\[[^\\]]*In\\(subject".r.findFirstIn(ms).isDefined
+      || "PushedFilters: \\[[^\\]]*EqualTo\\(subject".r.findFirstIn(ms).isDefined, ms)
+    // and no store-side join remains on the literal path — the filter IS
+    // the restriction (the semi-join shape is the >cap fallback only)
+    assert(!ms.contains("LeftSemi"), ms)
     graft.load.Scratch.rm(new java.io.File(storeDir))
   }
 }

@@ -29,6 +29,18 @@ object PlanWalk {
       .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }
       .sum
 
+  /** Sum of `numOutputRows` over every file scan in `df`'s executed
+    * plan — the rows the scans actually MATERIALIZED after partition
+    * pruning AND parquet row-group pruning (pushed literal predicates
+    * against footer min/max stats). `numFiles` cannot see row-group
+    * pruning: a pushed filter still opens each planned file's footer,
+    * it just skips the data pages — so "did the within-bucket subject
+    * sort prune" is a rows question, not a files question. */
+  def scanOutputRows(df: DataFrame): Long =
+    walk(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f.metrics("numOutputRows").value }
+      .sum
+
   /** Parquet data files under `f`, recursively. */
   def countParquet(f: java.io.File): Long =
     if (f.isFile) { if (f.getName.endsWith(".parquet")) 1L else 0L }

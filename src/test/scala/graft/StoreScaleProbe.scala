@@ -169,6 +169,62 @@ object StoreScaleProbe {
             f"storeMB=${dirBytes(root3) / 1e6}%7.2f buckets=${buckets.length}")
         }
       } finally load.Scratch.rm(root3)
+
+      // Saturation + within-bucket continuation arm (r13): partition
+      // pruning alone SATURATES — a batch of s random subjects covers
+      // ~N(1-e^(-s/N)) buckets, so past s ≈ N·ln N every partition dir
+      // is touched and files-read ≈ total again. The literal subject
+      // pushdown (subject-sorted level files + isin against footer
+      // stats) must keep the SCAN's materialized rows at O(matching)
+      // even then. Two pinned Ns show the ceiling moves with the knob
+      // while the literal path's row bound does not depend on it.
+      Seq(16, 64).foreach { n =>
+        val rootd = load.Scratch.dir(s"probe_store_d$n", dir)
+        // small target file size: several files per bucket, so
+        // within-bucket pruning has something to skip
+        val stored = new load.TripletStore(spark, rootd.getAbsolutePath,
+          autoCompactEvery = 0, bucketMinRows = 1L, subjectBuckets = n,
+          targetRowsPerFile = 2048L)
+        try {
+          val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+          (0 until nBatches).foreach { b =>
+            stored.merge(slice(b, changed = false)
+              .withColumn("extractionTime", lit(t0)), t0)
+          }
+          stored.compact(keep = 1)
+          val totalFiles = PlanWalk.countParquet(rootd)
+          val totalRows = stored.ranges.count()
+          println(s"[store-d] N=$n base: files=$totalFiles rows=$totalRows")
+          Seq(5, 50, 200, 1000, 5000).foreach { s =>
+            val subjList = (0 until s).map(i => s"http://m/$i")
+            val subjDf = {
+              import spark.implicits._
+              subjList.toDF("subject")
+            }
+            val buckets = subjDf.select(load.TripletStore.subjectBucket(
+                col("subject"), n).as("b")).distinct()
+              .collect().map(_.getInt(0)).toSeq
+            // r12 shape: partition pruning + semi-join (rows filtered
+            // AFTER the scan materializes the touched partitions)
+            val semi = stored.reconstruct(stored.currentVersion,
+              openOnly = true, subjects = Some(subjDf),
+              buckets = Some(buckets))
+            semi.collect()
+            // r13 shape: same partitions, literal pushdown prunes row
+            // groups inside them
+            val litDf = stored.reconstruct(stored.currentVersion,
+              openOnly = true, buckets = Some(buckets),
+              subjectLits = Some(subjList))
+            val matching = litDf.collect().length
+            println(f"[store-d] N=$n subjects=$s%5d " +
+              f"buckets=${buckets.length}%3d " +
+              f"files=${PlanWalk.filesRead(litDf)}%4d/$totalFiles%4d " +
+              f"scanRows(semi)=${PlanWalk.scanOutputRows(semi)}%8d " +
+              f"scanRows(lit)=${PlanWalk.scanOutputRows(litDf)}%8d " +
+              f"matching=$matching%7d")
+          }
+        } finally load.Scratch.rm(rootd)
+      }
     } finally {
       load.Scratch.rm(root)
       spark.stop()

@@ -473,7 +473,7 @@ class TripletStoreSpec extends AnyFunSuite {
       Set("beta"))
   }
 
-  test("base and delta files are identity-clustered (disjoint key ranges)") {
+  test("base and delta files are subject-clustered (disjoint subject ranges)") {
     val dir = Files.createTempDirectory("store14").toString
     // tiny targetRowsPerFile forces multiple files at toy scale; 2 subject
     // buckets so each bucket partition holds enough rows to split;
@@ -486,8 +486,11 @@ class TripletStoreSpec extends AnyFunSuite {
       "2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"))
     store.compact(keep = 1)
     // the clustering contract holds WITHIN each bucket partition: the
-    // sort leads with sbkt, so a file never spans buckets and inside a
-    // bucket the identity-hash ranges are disjoint across files
+    // sort leads with (sbkt, subject), so a file never spans buckets and
+    // inside a bucket the SUBJECT ranges are disjoint across files —
+    // that subject ordering is what lets a literal subject predicate
+    // prune row groups/files via parquet footer stats inside a touched
+    // bucket (the within-bucket continuation of partition pruning)
     def assertClustered(d: String): Unit = {
       val bucketDirs = new java.io.File(d).listFiles()
         .filter(f => f.isDirectory &&
@@ -497,7 +500,7 @@ class TripletStoreSpec extends AnyFunSuite {
         val files = bd.listFiles()
           .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
         val ranges = files.map { f =>
-          val hs = spark.read.parquet(f).select("tripletHash")
+          val hs = spark.read.parquet(f).select("subject")
             .as[String].collect()
           assert(hs.sameElements(hs.sorted), s"$f not sorted inside")
           (hs.min, hs.max)
@@ -736,5 +739,153 @@ class TripletStoreSpec extends AnyFunSuite {
     // the open v3 row flips to closed (replaced, not added); fresh v4 adds 1
     assert(store.ranges.count() == before + 1)
     assert(store.currentTriples.filter(col("obj") === "v4").count() == 1)
+  }
+
+  test("as-of point lookup: a subject's history at a timestamp, horizon-gated") {
+    val dir = Files.createTempDirectory("store_asof_pl").toString
+    val store = new TripletStore(spark, dir, bucketMinRows = 1L)
+    store.merge(batch(Seq(
+      ("m1", "name", "alpha"), ("m2", "name", "beta"), ("m3", "name", "gamma")),
+      "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    store.merge(batch(Seq(("m1", "name", "alpha-v2"), ("m3", "name", "gamma")),
+      "2024-03-01 00:00:00"), ts("2024-03-01 00:00:00"))
+    // mid-February: m1's ORIGINAL name still answers (its range closed
+    // at the March merge), m2 untouched, m404 absent
+    val feb = store.currentTriplesFor(Seq("m1", "m2", "m404"),
+        ts("2024-02-01 00:00:00"))
+      .select("subject", "obj").as[(String, String)].collect().toSet
+    assert(feb == Set(("m1", "alpha"), ("m2", "beta")), feb)
+    // April: the current graph's slice — m1's refreshed value
+    val apr = store.currentTriplesFor(Seq("m1", "m2", "m404"),
+        ts("2024-04-01 00:00:00"))
+      .select("subject", "obj").as[(String, String)].collect().toSet
+    assert(apr == Set(("m1", "alpha-v2"), ("m2", "beta")), apr)
+    // the whole-store as-of and the point lookup agree at every probe
+    Seq("2024-02-01 00:00:00", "2024-04-01 00:00:00").foreach { t =>
+      val whole = store.asOf(ts(t)).filter(col("subject").isin("m1", "m2"))
+        .select("subject", "obj").as[(String, String)].collect().toSet
+      val point = store.currentTriplesFor(Seq("m1", "m2"), ts(t))
+        .select("subject", "obj").as[(String, String)].collect().toSet
+      assert(whole == point, s"$t: $whole vs $point")
+    }
+    // after time-retention the below-horizon lookup THROWS like asOf —
+    // purged closed ranges must never silently answer
+    store.compact(olderThan = ts("2024-03-15 00:00:00"))
+    intercept[IllegalArgumentException] {
+      store.currentTriplesFor(Seq("m1"), ts("2024-02-01 00:00:00"))
+    }
+    Scratch.rm(new java.io.File(dir))
+  }
+
+  test("subject restriction: literal pushdown and semi-join fallback agree") {
+    // the SAME store read through both reconstruction paths — below the
+    // cap (literal isin, pushed to the scans) and above it (null-safe
+    // semi-join) — must answer identically, null subject included
+    val dir = Files.createTempDirectory("store_litcap").toString
+    // cap = 3: a 4-subject batch falls back to the semi-join path
+    val store = new TripletStore(spark, dir, autoCompactEvery = 0,
+      bucketMinRows = 1L, subjectLiteralCap = 3)
+    store.merge(batch(Seq(
+      ("m1", "name", "a"), ("m2", "name", "b"), ("m3", "name", "c"),
+      ("m4", "name", "d"), (null, "name", "nullsub")),
+      "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    // 5 distinct subjects (incl. null) > cap: the merge's deprecation
+    // arm must still see every touched subject via the semi-join
+    val s2 = store.merge(batch(Seq(
+      ("m1", "name", "a2"), ("m2", "name", "b"), ("m3", "name", "c"),
+      ("m4", "name", "d"), (null, "name", "nullsub2")),
+      "2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"))
+    assert(s2.nNew == 2 && s2.nDeprecated == 2 && s2.nExtended == 3, s2)
+    // a 2-subject merge rides the literal path — same arms, same result
+    val s3 = store.merge(batch(Seq(
+      ("m1", "name", "a3"), (null, "name", "nullsub2")),
+      "2024-03-01 00:00:00"), ts("2024-03-01 00:00:00"))
+    assert(s3.nNew == 1 && s3.nDeprecated == 1 && s3.nExtended == 1, s3)
+    // both lookup paths agree (null can't ride Seq[String] lookups; the
+    // named subjects answer identically below and above the cap)
+    val subs = Seq("m1", "m2", "m3", "m4")
+    val lit = store.currentTriplesFor(subs) // 4 > cap=3: semi-join
+      .select("subject", "obj").as[(String, String)].collect().toSet
+    val lit2 = store.currentTriplesFor(subs.take(2)) // literal path
+      .select("subject", "obj").as[(String, String)].collect().toSet
+    assert(lit == Set(("m1", "a3"), ("m2", "b"), ("m3", "c"), ("m4", "d")), lit)
+    assert(lit2 == Set(("m1", "a3"), ("m2", "b")), lit2)
+    Scratch.rm(new java.io.File(dir))
+  }
+
+  test("bucket count: auto-derived from the first lake-sized level, pin wins races") {
+    // auto-sizing: with no explicit seed, the first bucketed commit pins
+    // ~one bucket per target file, clamped to the [64, 4096] band —
+    // at toy scale rows/target clamps UP to the floor; with a tiny
+    // target the derived value escapes the floor
+    val dir = Files.createTempDirectory("store_autoN").toString
+    val store = new TripletStore(spark, dir, autoCompactEvery = 0,
+      targetRowsPerFile = 2L, bucketMinRows = 1L)
+    val wide = (1 to 150).map(i => (s"m$i", "name", s"n$i"))
+    store.merge(batch(wide, "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    val pinned = java.nio.file.Files.readString(
+      new java.io.File(dir, TripletStore.BucketMarker).toPath).trim.toInt
+    assert(pinned == 75, s"150 rows / 2 per file should derive 75, got $pinned")
+    // a second handle with a DIFFERENT explicit seed must follow the pin
+    // (exclusive publish + read-back: a level bucketed under a modulus
+    // disagreeing with the marker would make pruning silently drop rows)
+    val other = new TripletStore(spark, dir, autoCompactEvery = 0,
+      targetRowsPerFile = 2L, bucketMinRows = 1L, subjectBuckets = 4)
+    other.merge(batch(Seq(("m1", "name", "changed")), "2024-02-01 00:00:00"),
+      ts("2024-02-01 00:00:00"))
+    assert(java.nio.file.Files.readString(
+      new java.io.File(dir, TripletStore.BucketMarker).toPath).trim.toInt == 75)
+    // the lookup prunes by the PINNED modulus and still answers right
+    assert(other.currentTriplesFor(Seq("m1"))
+      .select("obj").as[String].collect().toSet == Set("changed"))
+    // an explicit seed on a FRESH store still wins over auto-derivation
+    val dir2 = Files.createTempDirectory("store_autoN2").toString
+    val seeded = new TripletStore(spark, dir2, autoCompactEvery = 0,
+      targetRowsPerFile = 2L, bucketMinRows = 1L, subjectBuckets = 4)
+    seeded.merge(batch(wide.take(20), "2024-01-01 00:00:00"),
+      ts("2024-01-01 00:00:00"))
+    assert(java.nio.file.Files.readString(
+      new java.io.File(dir2, TripletStore.BucketMarker).toPath).trim.toInt == 4)
+    Scratch.rm(new java.io.File(dir)); Scratch.rm(new java.io.File(dir2))
+  }
+
+  test("compaction is single-owner: a second owner throws, a dead one is taken over") {
+    val dir = Files.createTempDirectory("store_cclaim").toString
+    val store = new TripletStore(spark, dir, autoCompactEvery = 0)
+    (1 to 3).foreach { i =>
+      store.merge(batch(Seq(("m1", "name", s"v$i")), s"2024-0$i-01 00:00:00"),
+        ts(s"2024-0$i-01 00:00:00"))
+    }
+    val dirsBefore = new java.io.File(dir).listFiles().map(_.getName).toSet
+    // owner A mid-pass: a FRESH claim marker stands (published here with
+    // the real wire format — token content, liveness by mtime)
+    val marker = new java.io.File(dir, TripletStore.CompactionMarker)
+    java.nio.file.Files.writeString(marker.toPath, "ownerA01")
+    val e = intercept[TripletStore.ConcurrentCompactionException] {
+      store.compact(keep = 1)
+    }
+    assert(e.getMessage.contains("single-owner"), e.getMessage)
+    // the loser touched NOTHING: no base built, no level deleted, and
+    // owner A's claim still stands with its token
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet
+      == dirsBefore + TripletStore.CompactionMarker)
+    assert(java.nio.file.Files.readString(marker.toPath).trim == "ownerA01")
+    // owner A dies: past the liveness window its marker is taken over
+    // and the pass runs to completion, releasing the claim
+    assert(marker.setLastModified(
+      System.currentTimeMillis() - TripletStore.TmpSweepAgeMs - 60000))
+    val dropped = store.compact(keep = 1)
+    assert(dropped.nonEmpty)
+    assert(!marker.exists(), "a completed pass must release its claim")
+    assert(store.currentTriples.filter(col("obj") === "v3").count() == 1)
+    // retention claims through the same gate
+    java.nio.file.Files.writeString(marker.toPath, "ownerB02")
+    intercept[TripletStore.ConcurrentCompactionException] {
+      store.compact(olderThan = ts("2024-02-15 00:00:00"))
+    }
+    marker.delete()
+    store.compact(olderThan = ts("2024-02-15 00:00:00"))
+    assert(!marker.exists())
+    Scratch.rm(new java.io.File(dir))
   }
 }

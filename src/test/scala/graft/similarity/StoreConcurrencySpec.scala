@@ -138,4 +138,38 @@ class StoreConcurrencySpec extends AnyFunSuite {
       } finally graft.load.Scratch.rm(tmp)
     }
   }
+
+  test("marker restore survives a link-incapable filesystem (move-back fallback)") {
+    // the rollback's foreign-marker restore uses an EXCLUSIVE hard link;
+    // on a mount without hard links (or EPERM) the link always fails —
+    // pre-fix, the rollback then deleted the claimed file, dropping the
+    // LAST copy of a LIVE owner's marker (permanent evidence loss: that
+    // owner's post-commit masking/cleanup would never run and readers
+    // would double-count superseded dirs). The fallback must put the
+    // claimed file itself back via a non-replacing move.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nolink").toFile
+    try {
+      val marker = new java.io.File(tmp, "_COMPACT_PENDING")
+      java.nio.file.Files.write(marker.toPath, "7\nforeign1".getBytes("UTF-8"))
+      val noLink = new DedupIndex(spark, tmp.getAbsolutePath) {
+        override protected def createMarkerLink(t: java.nio.file.Path,
+                                                s: java.nio.file.Path): Unit =
+          throw new UnsupportedOperationException("no hard links on this fs")
+      }
+      // a different pass's rollback claims the marker, finds a foreign
+      // token, and must RESTORE it despite the stubbed link failure
+      noLink.rollbackPendingMarker("mytoken9")
+      assert(marker.exists(), "live foreign marker dropped by the rollback")
+      assert(new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8") == "7\nforeign1")
+      // nothing strands at the claim path either
+      assert(!tmp.listFiles().exists(_.getName.startsWith(".tmp-rollback")),
+        tmp.listFiles().map(_.getName).mkString(","))
+      // and the OWN-token rollback still removes its own marker outright
+      val owned = new DedupIndex(spark, tmp.getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, "9\nmine0001".getBytes("UTF-8"))
+      owned.rollbackPendingMarker("mine0001")
+      assert(!marker.exists(), "own marker must be rolled back")
+    } finally graft.load.Scratch.rm(tmp)
+  }
 }

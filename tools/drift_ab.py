@@ -16,6 +16,12 @@ session shape) — only the same-harness HEAD/prev ratios are meaningful.
 
 Usage:
   python3 tools/drift_ab.py <prev-commit> <out.json> <q1,q2,...> [iters] [sfdir]
+  python3 tools/drift_ab.py <prev-commit> <out.json> top20@tools/bench_rN_idle_full.json
+
+The second form (r12 VERDICT #5: fold drift into certification) picks
+the top-N queries by per-query seconds from a committed idle bench
+artifact, so each round's adjudication is one mechanical command over
+the PREVIOUS round's certified artifact instead of a hand-picked list.
 """
 import json
 import os
@@ -56,6 +62,13 @@ def main():
     prev_commit, out_path, queries = sys.argv[1], sys.argv[2], sys.argv[3]
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     sfdir = sys.argv[5] if len(sys.argv) > 5 else "/root/testdata/sf0.1"
+    m = re.match(r"^top(\d+)@(.+)$", queries)
+    if m:
+        n, bench_path = int(m.group(1)), m.group(2)
+        bench = json.load(open(bench_path))["queries"]
+        top = sorted(bench.items(), key=lambda kv: -kv[1])[:n]
+        queries = ",".join(q for q, _ in top)
+        print(f"[drift-ab] top{n} by {bench_path}: {queries}")
     head = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
                           text=True).stdout.strip()
 
