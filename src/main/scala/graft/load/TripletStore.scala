@@ -118,6 +118,27 @@ class TripletStore(spark: SparkSession, path: String,
 
   private val fs = new java.io.File(path)
 
+  // The literal subject path's row-group pruning rides the parquet In
+  // pushdown, and Spark COLLAPSES an In of more than
+  // `spark.sql.parquet.pushdown.inFilterThreshold` (default 10!) values
+  // into a bare min..max range — which for hash-scattered subject names
+  // spans the whole lexicographic space and prunes nothing. Pruning is
+  // this store's read contract, so raise the session threshold (never
+  // lower it) up to [[TripletStore.MaxPushdownLiterals]]: the pushed
+  // filter is a BINARY or-tree whose evaluation recurses per value —
+  // the StoreScaleProbe measured ~1000 values fine and 5000 a
+  // task-killing StackOverflowError — so past the safe depth the
+  // range-collapse is the graceful fallback (no row-group pruning, scan
+  // still partition-pruned and join-free). The per-row-group cost below
+  // the cap is a metadata predicate evaluation; the win is skipping the
+  // data pages of every non-matching row group in a touched bucket.
+  {
+    val k = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val target = math.min(subjectLiteralCap, MaxPushdownLiterals)
+    val cur = scala.util.Try(spark.conf.get(k).toInt).getOrElse(10)
+    if (cur < target) spark.conf.set(k, target.toString)
+  }
+
   /** Atomic marker publication (temp sibling + ATOMIC_MOVE): a plain
     * truncate-in-place write races a concurrent reader into observing
     * the EMPTY mid-write file — the fuzz caught exactly that on the
@@ -1051,8 +1072,18 @@ object TripletStore {
     * row-group pruning via footer stats on the subject-sorted files)
     * instead of a semi-join. Driver-bounded by construction: 10k
     * strings is a trivial task-binary payload; far above it the
-    * predicate tree itself becomes the cost and the semi-join wins. */
+    * predicate tree itself becomes the cost and the semi-join wins.
+    * Row-group pruning engages below [[MaxPushdownLiterals]]; between
+    * the two bounds the literal path still wins by skipping the join. */
   val DefaultSubjectLiteralCap = 10000
+
+  /** Largest literal set the store lets parquet push as an or-of-equals
+    * tree: the pushed filter recurses per value at evaluation and
+    * ~5000 values StackOverflowError'd a scan task in the probe (1000
+    * measured safe; kept at a power-of-two margin below the cliff).
+    * Above this the In collapses to a min/max range — correct, merely
+    * unpruned. */
+  val MaxPushdownLiterals = 1024
 
   /** Partition column of bucketed level dirs: `sbkt =
     * pmod(xxhash64(subject), N)`. The merge collects its batch's distinct

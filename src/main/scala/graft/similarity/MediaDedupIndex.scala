@@ -52,10 +52,20 @@ class MediaDedupIndex(spark: SparkSession, path: String)
   def ingest(media: Dataset[BinaryPipeline.MediaRow],
              bucketCap: Int = graft.operators.BandedLsh.BucketCap)
       : DedupIndex.IngestStats =
+    ingestSignatures(MediaDedup.mediaSignatures(media)
+      .select(col("doc_id").as("media_id"), col("sig")), bucketCap)
+
+  /** [[ingest]] with the decode already done: `sigs` is the decoded
+    * signature batch (media_id, sig) — the production shape where the
+    * corpus decodes ONCE at arrival and the same table feeds the index
+    * and every analytics consumer (the graded instrument family shares
+    * one memoized decode this way, [[MediaDedup.corpusSignatures]]). */
+  def ingestSignatures(sigs: DataFrame,
+                       bucketCap: Int = graft.operators.BandedLsh.BucketCap)
+      : DedupIndex.IngestStats =
     serialized { graft.operators.Checkpoints.scoped {
       val batch = graft.operators.Checkpoints.ck(
-        MediaDedup.mediaSignatures(media)
-          .select(col("doc_id").as("media_id"), col("sig")))
+        sigs.select(col("media_id"), col("sig")))
       val nIn = batch.count()
       val survivors = graft.operators.Checkpoints.ck(
         acceptancePlan(batch, signatures, bucketCap,

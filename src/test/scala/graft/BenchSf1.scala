@@ -87,7 +87,12 @@ object BenchSf1 {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // same memo exemption as graft.Bench: session-lived graft.memo.*
+        // checkpoints (the media decode-once table) survive the per-run
+        // sweep; everything else a finished run pinned is dropped
+        spark.sparkContext.getPersistentRDDs.values
+          .filterNot(r => Option(r.name).exists(_.startsWith("graft.memo.")))
+          .foreach(_.unpersist(false))
         dt
       }
 

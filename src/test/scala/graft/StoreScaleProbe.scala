@@ -180,11 +180,13 @@ object StoreScaleProbe {
       // while the literal path's row bound does not depend on it.
       Seq(16, 64).foreach { n =>
         val rootd = load.Scratch.dir(s"probe_store_d$n", dir)
-        // small target file size: several files per bucket, so
-        // within-bucket pruning has something to skip
+        // small target file size: several row groups per bucket, so
+        // within-bucket pruning has something to skip (at 100 TB a
+        // bucket holds thousands of 1M-row files; this is that geometry
+        // shrunk to probe scale)
         val stored = new load.TripletStore(spark, rootd.getAbsolutePath,
           autoCompactEvery = 0, bucketMinRows = 1L, subjectBuckets = n,
-          targetRowsPerFile = 2048L)
+          targetRowsPerFile = 256L)
         try {
           val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
           (0 until nBatches).foreach { b =>
