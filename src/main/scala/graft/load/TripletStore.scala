@@ -73,12 +73,12 @@ import graft.operators.Checkpoints
   * 1-4 level cycle with flat merge wall time becomes the default
   * operating mode instead of a caller's chore (`autoCompactEvery = 0`
   * disables it for callers managing their own cadence). Base and delta
-  * files are clustered by the identity hash ([[graft.sinks.Sinks
-  * .writeClustered]] on tripletHash, infoHash): each file covers a
-  * narrow identity range with footer min/max stats, so reconstruction
-  * and MERGE co-partition with incoming batches and point/subject reads
-  * prune whole files; `targetRowsPerFile` sizes the range partitioning
-  * (at 100 TB: total rows / target file size).
+  * files are SUBJECT-clustered ([[graft.sinks.Sinks.writeClustered]]
+  * on subject, tripletHash, infoHash — sbkt leading when bucketed):
+  * each file covers a narrow subject range with footer min/max stats,
+  * so the literal subject predicates above prune row groups and whole
+  * files; `targetRowsPerFile` sizes the range partitioning (at 100 TB:
+  * total rows / target file size).
   *
   * Time-travel below the compaction horizon THROWS rather than
   * returning an empty snapshot: a `delta(fromV, toV)` whose `fromV` was
@@ -482,14 +482,12 @@ class TripletStore(spark: SparkSession, path: String,
     currentTriples.select("subject").distinct().count()
 
   /** The bucket ids of `subjects` under the store's pinned modulus —
-    * one tiny local job over the subject list, reusing the exact
-    * write-side expression (never a re-implementation of the hash). */
-  private def bucketsOf(subjects: Seq[String]): Seq[Int] = {
-    import spark.implicits._
-    subjects.toDF("subject")
-      .select(subjectBucket(col("subject"), bucketN).as("b")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-  }
+    * evaluated ON THE DRIVER through the same Catalyst expression class
+    * the write side codegens ([[TripletStore.subjectBucketLocal]]
+    * documents the parity pin), so a point lookup or a literal-path
+    * merge spends ZERO Spark jobs deriving its partition filter. */
+  private def bucketsOf(subjects: Seq[String]): Seq[Int] =
+    subjects.map(TripletStore.subjectBucketLocal(_, bucketN)).distinct
 
   /** The reconstruction restricted to exactly `subjects`, through BOTH
     * pruning terms: the subjects' bucket ids prune level FILES at
@@ -1046,7 +1044,11 @@ object TripletStore {
     * dirs carry `sbkt=` children), readers handle both layouts side by
     * side, and pruning simply skips unbucketed levels — a pre-bucket
     * store migrates in place (new deltas bucketed; the next compaction
-    * rebuckets the base). */
+    * rebuckets the base). The same holds for the r13 subject-first file
+    * sort: file ORDER is not a format property — levels written under
+    * the older identity-hash sort stay readable and correct, they just
+    * yield no within-bucket row-group pruning until the next compaction
+    * rewrites them subject-sorted. */
   val IdentityFormat = 3
   val FormatMarker = "_FORMAT"
 
@@ -1118,6 +1120,26 @@ object TripletStore {
   def subjectBucket(subject: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(coalesce(subject.cast("string"), lit("<null>"))),
       lit(n.toLong)).cast("int")
+
+  /** [[subjectBucket]] evaluated on the driver for ONE subject — the
+    * same Catalyst `XxHash64` expression class (same default seed 42)
+    * the column form plans, interpreted instead of codegen'd, so a
+    * lookup's or a literal-path merge's partition filter costs ZERO
+    * Spark jobs. NOT a re-implementation of the hash: a
+    * reimplementation could drift from the write side and silently
+    * prune live rows; TripletStoreSpec pins driver/executor parity
+    * over a sample including the null sentinel. */
+  def subjectBucketLocal(subject: String, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val coalesced = if (subject == null) "<null>" else subject
+    // seed 42L = the `xxhash64` SQL function's fixed seed (XxHash64's
+    // FunctionBuilder applies it; pinned by the parity spec)
+    val h = XxHash64(Seq(Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(coalesced),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    (((h % n) + n) % n).toInt
+  }
 
   /** Epoch-millis marker recording the time-retention horizon (see
     * `compact(olderThan)`): as-of reads below it refuse. */

@@ -57,7 +57,12 @@ object BenchSf1 {
     // DESIGN) and the recall-at-cap instrument (fixed intake slices) —
     // both expected ~1x; measured so the fixed-slice claim is pinned,
     // not asserted
-    "q_ai4life_lifecycle", "q_recall_at_cap")
+    "q_ai4life_lifecycle", "q_recall_at_cap",
+    // r13 additions: the two point-lookup verbs — fixed five-subject
+    // lookups whose bucket + row-group pruning is exactly the term
+    // that must NOT grow with the corpus (the fixture store itself is
+    // fixed-slice; the lookup scan is the claim under measure)
+    "q_subject_lookup", "q_subject_asof")
 
   import BenchProtocol.Timing
 

@@ -849,6 +849,22 @@ class TripletStoreSpec extends AnyFunSuite {
     Scratch.rm(new java.io.File(dir)); Scratch.rm(new java.io.File(dir2))
   }
 
+  test("driver-side bucket id equals the write-side column expression") {
+    // bucketsOf evaluates the SAME Catalyst XxHash64 (seed 42) on the
+    // driver that subjectBucket codegens on executors — any drift
+    // (seed, sentinel, pmod semantics) would silently prune live rows,
+    // so parity is pinned over a sample including null and unicode
+    val sample: Seq[String] = Seq("m1", "doc:42", "http://m/123", "",
+      "über/模型", "a b", null) ++ (0 until 64).map(i => s"s$i")
+    Seq(2, 8, 64, 75, 4096).foreach { n =>
+      val viaColumn = sample.toDF("subject")
+        .select(TripletStore.subjectBucket(col("subject"), n))
+        .collect().map(_.getInt(0)).toSeq
+      val viaDriver = sample.map(TripletStore.subjectBucketLocal(_, n))
+      assert(viaColumn == viaDriver, s"n=$n: $viaColumn vs $viaDriver")
+    }
+  }
+
   test("compaction is single-owner: a second owner throws, a dead one is taken over") {
     val dir = Files.createTempDirectory("store_cclaim").toString
     val store = new TripletStore(spark, dir, autoCompactEvery = 0)
