@@ -43,15 +43,21 @@ import graft.operators.Checkpoints
   * window's exchange rather than shuffling twice.
   *
   * Scale: level dirs carry a subject-hash partition column (`sbkt =
-  * pmod(xxhash64(subject), N)`, N pinned per store in `_BUCKETS` —
-  * auto-sized from the first lake-sized level by default); the
+  * pmod(xxhash64(subject), N)`). N is auto-sized from the first
+  * lake-sized level by default (`_BUCKETS` records the current count),
+  * RE-DERIVED at compaction when the base outgrew it (a store that
+  * starts small does not keep its day-one N at 100 TB), and every
+  * bucketed level SELF-DESCRIBES the modulus it was actually written
+  * with (`_SBKT_N` inside the dir) — so levels under different Ns
+  * coexist and each gets its own correct bucket filter; the
   * merge collects its batch's distinct bucket ids (≤ N, a driver-safe
   * scalar list) and PRUNES the level read to those partition dirs — so
   * the scan itself is O(touched buckets), not a full-lake read per
   * micro-batch. Within the read partitions, files sort by (subject,
   * identity hash), and a driver-bounded batch (≤ `subjectLiteralCap`
   * distinct subjects) pushes its subject list into the scans as a
-  * LITERAL predicate — parquet footer stats then prune row groups
+  * LITERAL predicate — parquet footer stats AND per-file subject bloom
+  * filters then prune row groups
   * inside each touched bucket, so pruning does NOT saturate when a
   * large batch touches all N partition dirs (coupon-collector at
   * ~N·ln N subjects). Above the cap the restriction falls back to a
@@ -97,11 +103,18 @@ import graft.operators.Checkpoints
   * cannot arise from this writer. Compaction/retention is SINGLE-OWNER
   * and the rule is ENFORCED, not a convention: every pass first CLAIMS
   * a tokened marker ([[TripletStore.CompactionMarker]], exclusive
-  * publish; stale markers taken over after
-  * [[TripletStore.TmpSweepAgeMs]]) — a second owner throws
+  * publish) and HEARTBEATS it (mtime refresh every
+  * [[TripletStore.CompactionHeartbeatMs]]) for as long as the pass
+  * runs — a second owner throws
   * [[TripletStore.ConcurrentCompactionException]] with the store
-  * untouched, so two passes can never interleave deletions under each
-  * other's base builds. A compaction can still delete level dirs a
+  * untouched; only a marker whose HEARTBEAT is stale (no refresh for
+  * [[TripletStore.TmpSweepAgeMs]] — a crashed owner, not merely a slow
+  * one: a 100 TB base build routinely outlives any fixed claim age) is
+  * taken over. The owner re-verifies its token immediately before the
+  * deletion phase, so a pass that WAS taken over (JVM paused past the
+  * liveness window) aborts loudly with its base committed and nothing
+  * deleted, rather than interleaving deletions under the new owner's
+  * build. A compaction can still delete level dirs a
   * concurrent READER in another process is scanning (the reader fails
   * loudly, not wrongly); run merges freely, compaction serializes
   * itself.
@@ -118,26 +131,19 @@ class TripletStore(spark: SparkSession, path: String,
 
   private val fs = new java.io.File(path)
 
-  // The literal subject path's row-group pruning rides the parquet In
-  // pushdown, and Spark COLLAPSES an In of more than
-  // `spark.sql.parquet.pushdown.inFilterThreshold` (default 10!) values
-  // into a bare min..max range — which for hash-scattered subject names
-  // spans the whole lexicographic space and prunes nothing. Pruning is
-  // this store's read contract, so raise the session threshold (never
-  // lower it) up to [[TripletStore.MaxPushdownLiterals]]: the pushed
-  // filter is a BINARY or-tree whose evaluation recurses per value —
-  // the StoreScaleProbe measured ~1000 values fine and 5000 a
-  // task-killing StackOverflowError — so past the safe depth the
-  // range-collapse is the graceful fallback (no row-group pruning, scan
-  // still partition-pruned and join-free). The per-row-group cost below
-  // the cap is a metadata predicate evaluation; the win is skipping the
-  // data pages of every non-matching row group in a touched bucket.
-  {
-    val k = "spark.sql.parquet.pushdown.inFilterThreshold"
-    val target = math.min(subjectLiteralCap, MaxPushdownLiterals)
-    val cur = scala.util.Try(spark.conf.get(k).toInt).getOrElse(10)
-    if (cur < target) spark.conf.set(k, target.toString)
-  }
+  // No session conf is touched (r13 raised
+  // `spark.sql.parquet.pushdown.inFilterThreshold` session-wide to keep
+  // large Ins from "collapsing to a min..max range"): the r14
+  // in-pushdown probe (tools/in_pushdown_r14.txt, graft.InPushProbe)
+  // measured Spark 4.1's ABOVE-threshold In path and found it is NOT a
+  // range collapse — it prunes row groups by the value set against
+  // footer stats and subject bloom filters, at ANY literal count, with
+  // none of the or-tree's recursion cliff (task StackOverflowError in
+  // (1024, 1536], tools/pushdown_cliff_r14.txt) and a fraction of its
+  // planning cost. Leaving the threshold at its default routes every
+  // >10-literal subject predicate through that path; the one regression
+  // is scattered point-sets over LEGACY (pre-bloom) levels, which prune
+  // ~2x less tightly until the next compaction rewrites them bloomed.
 
   /** Atomic marker publication (temp sibling + ATOMIC_MOVE): a plain
     * truncate-in-place write races a concurrent reader into observing
@@ -218,19 +224,61 @@ class TripletStore(spark: SparkSession, path: String,
     * [[TripletStore.MaxSubjectBuckets]] — so a 100 TB first base pins
     * thousands of buckets instead of the flat 64 whose pruning term a
     * ~200-subject batch already saturates (coupon-collector: a batch of
-    * s random subjects covers ~N(1-e^(-s/N)) buckets). Pre-pinned
-    * stores keep their recorded N forever. */
+    * s random subjects covers ~N(1-e^(-s/N)) buckets). The pin is NOT
+    * forever under auto-sizing: compaction re-derives it when the base
+    * outgrew the recorded count ([[repinCandidate]]) — a store that
+    * starts small would otherwise keep its day-one N at 10^12 rows
+    * (~1.6 TB per touched bucket at N=64). Explicitly seeded stores
+    * keep their recorded N. */
   private def pinBucketN(rows: Long): Int = {
     val m = new java.io.File(fs, BucketMarker)
     if (!m.exists()) {
       val candidate =
         if (subjectBuckets > 0) subjectBuckets
-        else math.min(MaxSubjectBuckets.toLong, math.max(
-          DefaultSubjectBuckets.toLong, rows / targetRowsPerFile)).toInt
+        else autoBucketN(rows)
       publishMarkerExclusive(BucketMarker, candidate.toString)
     }
     java.nio.file.Files.readString(m.toPath).trim.toInt
   }
+
+  /** The auto-sizing rule: about one bucket per target file, clamped to
+    * [[TripletStore.DefaultSubjectBuckets]]..[[TripletStore.MaxSubjectBuckets]]. */
+  private def autoBucketN(rows: Long): Int =
+    math.min(MaxSubjectBuckets.toLong, math.max(
+      DefaultSubjectBuckets.toLong, rows / targetRowsPerFile)).toInt
+
+  /** The new bucket count a compaction should re-pin — Some only when
+    * the pass is the safe re-pin moment: the store auto-sizes (an
+    * explicit `subjectBuckets` is the caller's contract to keep), the
+    * base being materialized is lake-sized and derives at least TWICE
+    * the recorded N (hysteresis: never shrink, never churn the marker
+    * for marginal growth), and every level SURVIVING the pass is
+    * either unbucketed or self-describes its own modulus
+    * ([[TripletStore.LevelBucketMarker]]) — a surviving legacy level
+    * reads the store marker as its modulus fallback, so moving the
+    * marker under it would silently mis-prune; such levels block the
+    * re-pin until a pass rewrites them (the next compaction, once this
+    * code wrote them self-described). Compaction is the natural re-pin
+    * moment: it is single-owner (the claim), rewrites the base anyway,
+    * and once the old levels drop no reader depends on the old modulus
+    * — the new base self-describes the new N from its first commit,
+    * and the marker itself moves only AFTER the deletion phase. */
+  private def repinCandidate(rows: Long, survivors: Seq[String]): Option[Int] = {
+    val m = new java.io.File(fs, BucketMarker)
+    if (subjectBuckets != 0 || rows < bucketMinRows || !m.exists()) None
+    else {
+      val recorded = java.nio.file.Files.readString(m.toPath).trim.toInt
+      val candidate = autoBucketN(rows)
+      val safe = survivors.forall(n => !isBucketed(n) || levelSelfDescribed(n))
+      if (candidate >= 2L * recorded && safe) Some(candidate) else None
+    }
+  }
+
+  /** The level dirs a compaction at `cut` leaves standing above its
+    * base (the still-delta-queryable retained versions). */
+  private def survivorsAbove(cut: Int): Seq[String] =
+    deltaVersions.filter(_ > cut).map(d => s"v=$d") ++
+      baseVersions.filter(_ > cut).map(b => s"base=$b")
 
   /** A level dir written under the bucketed layout carries `sbkt=`
     * partition children; a pre-bucket, sub-threshold, or empty dir does
@@ -252,24 +300,62 @@ class TripletStore(spark: SparkSession, path: String,
     * pruning (the identity hash is md5, which destroys subject
     * locality; the old tripletHash-first sort left a 100 TB bucket
     * unprunable by subject). The MERGE join is unaffected: it hash
-    * partitions on (tripletHash, infoHash) regardless of file order. */
+    * partitions on (tripletHash, infoHash) regardless of file order.
+    *
+    * A bucketed level SELF-DESCRIBES its modulus: the N it was bucketed
+    * with lands as [[TripletStore.LevelBucketMarker]] inside the dir,
+    * atomic with the commit rename — readers derive each level's bucket
+    * filter from the level's OWN modulus, never a store-wide guess, so
+    * levels written under different Ns (compaction re-pins, see
+    * [[compact(keep:Int)*]]) coexist correctly. `forceN` buckets by an
+    * explicit count instead of the pinned marker — the re-pin path,
+    * where the new N must land with the base BEFORE the store marker
+    * moves (legacy non-self-described levels read the store marker as
+    * fallback and must keep reading their old N until they are
+    * deleted). */
   private def commitLevel(level: DataFrame, rows: Long, tmpTag: String,
-                          dirName: String): Unit = {
+                          dirName: String, forceN: Option[Int] = None): Unit = {
     val tmp = AtomicDirCommit.tmpFor(fs, tmpTag)
+    // subject bloom filters per row group: the sorted-file footer stats
+    // prune by subject RANGE; the bloom prunes by subject SET — the
+    // difference is row groups whose min..max happens to span a probed
+    // subject that is not actually present (most row groups of a
+    // touched bucket under a hash-scattered probe set: measured 2x in
+    // tools/in_pushdown_r14.txt). Cheap at write (bounded bytes per
+    // column chunk), read-side use is parquet's default row-group
+    // filtering — no reader conf needed.
+    val bloom = Map("parquet.bloom.filter.enabled#subject" -> "true")
     if (rows >= bucketMinRows) {
       // pin BEFORE bucketing, bucket by the PINNED value (a concurrent
       // first-bucketed writer may have won the pin with a different N)
-      val bN = pinBucketN(rows)
-      graft.sinks.Sinks.writeClusteredBy(
+      val bN = forceN.getOrElse(pinBucketN(rows))
+      graft.sinks.Sinks.writeClusteredByOpts(
         level.withColumn(BucketCol, subjectBucket(col("subject"), bN)),
-        tmp.getAbsolutePath, nFilesFor(rows), targetRowsPerFile,
+        tmp.getAbsolutePath, nFilesFor(rows), targetRowsPerFile, bloom,
         BucketCol, "subject", "tripletHash", "infoHash")
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, LevelBucketMarker).toPath, bN.toString)
     } else
-      graft.sinks.Sinks.writeClustered(level, tmp.getAbsolutePath,
-        nFilesFor(rows), targetRowsPerFile,
+      graft.sinks.Sinks.writeClusteredOpts(level, tmp.getAbsolutePath,
+        nFilesFor(rows), targetRowsPerFile, bloom,
         "subject", "tripletHash", "infoHash")
     AtomicDirCommit.commit(tmp, new java.io.File(fs, dirName))
   }
+
+  /** The modulus a bucketed level's `sbkt` ids were computed with: its
+    * own [[TripletStore.LevelBucketMarker]] when present; the store
+    * marker (which cannot have moved while any such level survives —
+    * [[repinCandidate]] refuses) for levels written before
+    * self-description. */
+  private def levelModulus(dirName: String): Int = {
+    val m = new java.io.File(new java.io.File(fs, dirName), LevelBucketMarker)
+    if (m.exists())
+      java.nio.file.Files.readString(m.toPath).trim.toInt
+    else bucketN
+  }
+
+  private def levelSelfDescribed(dirName: String): Boolean =
+    new java.io.File(new java.io.File(fs, dirName), LevelBucketMarker).exists()
 
   /** Only COMMITTED snapshots are visible (shared `_SUCCESS` gating —
     * see CommittedDirs); additionally, a non-empty store must carry the
@@ -325,15 +411,19 @@ class TripletStore(spark: SparkSession, path: String,
     * leftovers (a compaction that crashed before its deletions, or a
     * retention pass's kept claim) and are superseded by construction.
     *
-    * `buckets`, when given, restricts BUCKETED levels to those `sbkt`
-    * partitions — a planning-time PartitionFilter, so the scan reads
-    * only the touched partition dirs' files, not all live rows
-    * (PlanSpec pins the filter; StoreScaleProbe pins flat files-read
-    * under a 10× untouched-store growth). Pre-bucket levels carry no
+    * `bucketsFor`, when given, restricts each BUCKETED level to the
+    * touched `sbkt` partitions — a planning-time PartitionFilter, so the
+    * scan reads only the touched partition dirs' files, not all live
+    * rows (PlanSpec pins the filter; StoreScaleProbe pins flat
+    * files-read under a 10× untouched-store growth). It is a FUNCTION
+    * of the level's modulus, evaluated per level against that level's
+    * self-described N ([[levelModulus]]): after a compaction re-pin,
+    * retained old-N deltas and the new-N base each get their own
+    * correct filter. Pre-bucket levels carry no
     * partition column and are read in full (correct, unpruned — they
     * disappear at the next compaction). Visible to the plan/scale specs. */
   private[graft] def levelsAt(v: Int,
-                              buckets: Option[Seq[Int]] = None): Option[DataFrame] = {
+                              bucketsFor: Option[Int => Seq[Int]] = None): Option[DataFrame] = {
     val floor = baseVersions.filter(_ <= v).lastOption
     val deltas = deltaVersions.filter(d => d > floor.getOrElse(-1) && d <= v)
     val names = floor.map(b => s"base=$b").toSeq ++ deltas.map(d => s"v=$d")
@@ -343,15 +433,17 @@ class TripletStore(spark: SparkSession, path: String,
       // bucketed dirs are read ONE PER SCAN: a multi-root read would run
       // partition discovery across the level names themselves (`v=N`
       // conflicts with `sbkt=`); the level count is bounded by the
-      // compaction cadence, and the bucket filter pushes through the
-      // union into every scan's PartitionFilters
-      val bucketFilter = buckets.map(bs =>
-        if (bs.isEmpty) lit(false) else col(BucketCol).isin(bs: _*))
+      // compaction cadence, and each bucket filter pushes into its own
+      // scan's PartitionFilters
       val parts =
         bucketed.map { n =>
           val df = spark.read.schema(bucketedPhysSchema)
             .parquet(s"$path/$n")
-          bucketFilter.fold(df)(df.filter).drop(BucketCol)
+          val filt = bucketsFor.map { f =>
+            val bs = f(levelModulus(n))
+            if (bs.isEmpty) lit(false) else col(BucketCol).isin(bs: _*)
+          }
+          filt.fold(df)(df.filter).drop(BucketCol)
         } ++
         (if (plain.isEmpty) None
          else Some(spark.read.schema(physSchema)
@@ -378,17 +470,18 @@ class TripletStore(spark: SparkSession, path: String,
     * touched bucket — the semi-join can only drop rows after reading
     * them. The two are exclusive; `subjectLits` must be the COMPLETE
     * subject set (the deprecation arm treats every surviving open row
-    * as touched). `buckets` is the scan-side twin (see [[levelsAt]]):
-    * the subjects' bucket ids prune level FILES at planning time —
+    * as touched). `bucketsFor` is the scan-side twin (see [[levelsAt]]):
+    * the subjects' bucket ids — under each level's own self-described
+    * modulus — prune level FILES at planning time —
     * together the merge reads O(touched partitions ∩ matching row
     * groups) and materializes O(touched + batch). Visible to the
     * plan/scale specs. */
   private[graft] def reconstruct(v: Int, openOnly: Boolean,
                                  subjects: Option[DataFrame] = None,
-                                 buckets: Option[Seq[Int]] = None,
+                                 bucketsFor: Option[Int => Seq[Int]] = None,
                                  subjectLits: Option[Seq[String]] = None): DataFrame = {
     requireRetained(v)
-    levelsAt(v, buckets) match {
+    levelsAt(v, bucketsFor) match {
       case None => emptyRanges
       case Some(all0) =>
         // null-safe in both forms: a legal null-subject row (the identity
@@ -398,6 +491,14 @@ class TripletStore(spark: SparkSession, path: String,
         // open a new shadowing range.
         val all = subjectLits match {
           case Some(lits) =>
+            // ONE In regardless of size (<= subjectLiteralCap): Spark 4.1
+            // pushes any >10-literal In through its native set path —
+            // per-row-group pruning against footer stats AND the subject
+            // bloom filters commitLevel writes, with no or-tree recursion
+            // cliff and no range collapse (measured:
+            // tools/in_pushdown_r14.txt). Row-level evaluation is a
+            // hash-set InSet. The former 1k..10k "dead zone" (r13 capped
+            // the pushed or-tree at 1024) does not exist on this path.
             val (nulls, named) = lits.partition(_ == null)
             val p0 =
               if (named.isEmpty) lit(false)
@@ -481,16 +582,22 @@ class TripletStore(spark: SparkSession, path: String,
   def distinctSubjectCount: Long =
     currentTriples.select("subject").distinct().count()
 
-  /** The bucket ids of `subjects` under the store's pinned modulus —
+  /** The bucket ids of `subjects` as a function of a level's modulus —
     * evaluated ON THE DRIVER through the same Catalyst expression class
     * the write side codegens ([[TripletStore.subjectBucketLocal]]
     * documents the parity pin), so a point lookup or a literal-path
-    * merge spends ZERO Spark jobs deriving its partition filter. */
-  private def bucketsOf(subjects: Seq[String]): Seq[Int] =
-    subjects.map(TripletStore.subjectBucketLocal(_, bucketN)).distinct
+    * merge spends ZERO Spark jobs deriving its partition filters.
+    * Memoized per modulus: [[levelsAt]] calls it once per bucketed
+    * level, and after a re-pin two moduli are live at once. */
+  private def bucketsFn(subjects: Seq[String]): Int => Seq[Int] = {
+    val memo = scala.collection.concurrent.TrieMap.empty[Int, Seq[Int]]
+    n => memo.getOrElseUpdate(n,
+      subjects.map(TripletStore.subjectBucketLocal(_, n)).distinct)
+  }
 
   /** The reconstruction restricted to exactly `subjects`, through BOTH
-    * pruning terms: the subjects' bucket ids prune level FILES at
+    * pruning terms: the subjects' bucket ids (per level modulus) prune
+    * level FILES at
     * planning time (bucketed levels only; sub-threshold levels are
     * scanned whole — they are small by construction), and below
     * `subjectLiteralCap` the subject list itself pushes into the scans
@@ -500,14 +607,14 @@ class TripletStore(spark: SparkSession, path: String,
     * cap (a list too large for a sane predicate tree) the restriction
     * falls back to the null-safe semi-join. */
   private def subjectScoped(subjects: Seq[String], openOnly: Boolean): DataFrame = {
-    val buckets = Some(bucketsOf(subjects))
+    val buckets = Some(bucketsFn(subjects))
     if (subjects.size <= subjectLiteralCap)
       reconstruct(currentVersion, openOnly,
-        buckets = buckets, subjectLits = Some(subjects))
+        bucketsFor = buckets, subjectLits = Some(subjects))
     else {
       import spark.implicits._
       reconstruct(currentVersion, openOnly,
-        subjects = Some(subjects.toDF("subject")), buckets = buckets)
+        subjects = Some(subjects.toDF("subject")), bucketsFor = buckets)
     }
   }
 
@@ -598,21 +705,26 @@ class TripletStore(spark: SparkSession, path: String,
     // ~N·ln N subjects) — the read stays O(matching row groups) even
     // when every partition dir is touched. Above the cap the null-safe
     // semi-join restriction still bounds what materializes.
-    val bN = bucketN
     val subjSample = inc.select("subject").distinct()
       .limit(subjectLiteralCap + 1).collect().map(_.getString(0)).toSeq
     val open =
       if (subjSample.size <= subjectLiteralCap)
         reconstruct(v0, openOnly = true,
-          buckets = Some(bucketsOf(subjSample)),
+          bucketsFor = Some(bucketsFn(subjSample)),
           subjectLits = Some(subjSample))
       else {
-        val touchedBuckets = inc
-          .select(subjectBucket(col("subject"), bN).as("b")).distinct()
-          .collect().map(_.getInt(0)).toSeq
+        // above the cap the batch's bucket ids come from a Spark job
+        // over the checkpointed batch — one distinct-aggregate per live
+        // modulus (one normally; two in the window after a re-pin while
+        // old-N deltas survive), memoized so levelsAt's per-level calls
+        // reuse it
+        val touched = scala.collection.concurrent.TrieMap.empty[Int, Seq[Int]]
+        val touchedFn = (m: Int) => touched.getOrElseUpdate(m,
+          inc.select(subjectBucket(col("subject"), m).as("b")).distinct()
+            .collect().map(_.getInt(0)).toSeq)
         reconstruct(v0, openOnly = true,
           subjects = Some(inc.select("subject").distinct()),
-          buckets = Some(touchedBuckets))
+          bucketsFor = Some(touchedFn))
       }
 
     // The MERGE join executes exactly ONCE (eager checkpoint); extended /
@@ -799,14 +911,19 @@ class TripletStore(spark: SparkSession, path: String,
     * owner") with nothing enforcing it — two owners could interleave
     * deletions under each other's base builds. Now the entry point is
     * the enforcement: exactly one claimant wins the EXCLUSIVE marker
-    * publish ([[publishMarkerExclusive]]); a loser observing a FRESH
+    * publish ([[publishMarkerExclusive]]); a loser observing a LIVE
     * marker throws [[TripletStore.ConcurrentCompactionException]] with
     * the store untouched (a lost compaction race is a scheduling bug to
-    * surface, not retry); a marker older than
+    * surface, not retry); a marker whose heartbeat
+    * ([[startCompactionHeartbeat]]) went stale for
     * [[TripletStore.TmpSweepAgeMs]] is a dead owner's leftover — the
     * claimant atomically grabs it (rename) and publishes its own.
-    * Returns the owner token [[releaseCompaction]] requires. */
-  private def claimCompaction(): String = {
+    * Liveness is the marker's MTIME, which the owner refreshes for the
+    * whole pass — a fixed claim age would presume any pass longer than
+    * the window dead (a 100 TB base build routinely is) and take over
+    * a LIVE owner. Returns the owner token [[releaseCompaction]]
+    * requires. */
+  private[load] def claimCompaction(): String = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     if (!publishMarkerExclusive(CompactionMarker, token)) {
       val marker = new java.io.File(fs, CompactionMarker)
@@ -824,37 +941,139 @@ class TripletStore(spark: SparkSession, path: String,
       }
       if (!publishMarkerExclusive(CompactionMarker, token))
         throw new TripletStore.ConcurrentCompactionException(
-          s"a compaction pass on $path appears IN FLIGHT (claim marker " +
-            s"is ${age / 1000}s old): compaction is single-owner — the " +
-            "store is unchanged; re-run after the owner completes, or " +
-            s"after the marker ages past ${TmpSweepAgeMs / 1000}s if " +
-            "its owner crashed")
+          s"a compaction pass on $path appears IN FLIGHT (claim " +
+            s"heartbeat ${age / 1000}s ago): compaction is single-owner " +
+            "— the store is unchanged; re-run after the owner completes, " +
+            s"or after its heartbeat stalls past ${TmpSweepAgeMs / 1000}s " +
+            "if it crashed")
     }
     token
   }
 
+  /** Refresh the claim marker's liveness (mtime) IFF it still carries
+    * `token`; returns whether this owner still holds the claim. The
+    * refresh is a `setLastModifiedTime`, never a content rewrite — if a
+    * takeover swaps the marker between the read and the touch (only
+    * possible after this owner already looked dead for the full
+    * liveness window), the touch refreshes the NEW owner's mtime, which
+    * is harmless; a rewrite would clobber its token. */
+  private[load] def heartbeatCompaction(token: String): Boolean = {
+    val marker = new java.io.File(fs, CompactionMarker)
+    val ours =
+      try java.nio.file.Files.readString(marker.toPath).trim == token
+      catch { case _: java.io.IOException => false }
+    if (ours) {
+      try java.nio.file.Files.setLastModifiedTime(marker.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () } // gone: next beat reports lost
+    }
+    ours
+  }
+
+  /** Heartbeat the compaction claim on a daemon thread until interrupted
+    * (or until a beat observes a foreign token — ownership lost, stop
+    * touching). Keeps a LIVE owner's marker fresh for however long the
+    * pass runs, so [[claimCompaction]]'s staleness takeover only ever
+    * fires on a genuinely crashed owner — a write-once marker made any
+    * pass longer than [[TripletStore.TmpSweepAgeMs]] (routine for a
+    * 100 TB base build) look dead and invited interleaved deletions. */
+  private[load] def startCompactionHeartbeat(
+      token: String,
+      intervalMs: Long = CompactionHeartbeatMs): Thread = {
+    val t = new Thread(() => {
+      try {
+        var owned = true
+        while (owned && !Thread.currentThread().isInterrupted) {
+          Thread.sleep(intervalMs)
+          owned = heartbeatCompaction(token)
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-compaction-heartbeat-$token")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  /** Abort (loudly) when the claim no longer carries `token` — called
+    * immediately BEFORE the deletion phase of a pass: the base build may
+    * have outlived even the heartbeat (a JVM pause past the liveness
+    * window lets a claimant take over), and deleting level dirs under
+    * the new owner's build is the exact interleaving the claim exists to
+    * prevent. Aborting here is safe: the base committed via its own
+    * `_SUCCESS` and is either readable or superseded; no level was
+    * deleted by this pass. */
+  private[load] def verifyCompactionClaim(token: String): Unit = {
+    val marker = new java.io.File(fs, CompactionMarker)
+    val held =
+      try java.nio.file.Files.readString(marker.toPath).trim == token
+      catch { case _: java.io.IOException => false }
+    if (!held)
+      throw new TripletStore.ConcurrentCompactionException(
+        s"compaction on $path lost its claim before the deletion phase " +
+          "(taken over as presumed dead — the owner's heartbeat stalled " +
+          s"past ${TmpSweepAgeMs / 1000}s): the committed base is " +
+          "readable and harmless; NO level was deleted by this pass — " +
+          "the takeover owner's pass performs the cleanup")
+  }
+
+  /** The EXCLUSIVE hard link a foreign-marker restore uses — seam for
+    * the portability spec (stubbed to throw UnsupportedOperationException
+    * there); production behavior is exactly `Files.createLink`. */
+  protected def createMarkerLink(target: java.nio.file.Path,
+                                 source: java.nio.file.Path): Unit =
+    java.nio.file.Files.createLink(target, source)
+
   /** Release the compaction claim IF still ours — token-checked via the
-    * same atomic claim/verify/restore recipe as the signature store's
-    * marker rollback: a takeover (this owner presumed dead mid-pass)
-    * may have published a NEW live owner's marker, which an
-    * unconditional delete would erase. The grab is atomic; a foreign
-    * token is put back via exclusive link (a link failure means an even
-    * newer marker stands — the grabbed copy is superseded). */
-  private def releaseCompaction(token: String): Unit = {
+    * same atomic claim/verify/restore recipe as
+    * [[graft.similarity.BatchedSignatureStore]]'s marker rollback: a
+    * takeover (this owner presumed dead mid-pass) may have published a
+    * NEW live owner's marker, which an unconditional delete would erase.
+    * The grab is atomic; a foreign token is put back via EXCLUSIVE link
+    * — only FileAlreadyExistsException means an even newer marker stands
+    * (the grabbed copy is superseded). On a filesystem without hard
+    * links (UnsupportedOperationException, or EPERM surfacing as a bare
+    * IOException) the restore falls back to a move-back of the grabbed
+    * file itself — mtime travels with the rename, so the liveness gate
+    * reads unchanged. If even the fallback fails, the grabbed copy is
+    * the LAST evidence of a live owner's pass and strands at `.tmp-*`
+    * (sweepTmp's age gate gives that owner [[TripletStore.TmpSweepAgeMs]]
+    * to land) — strictly better than deleting it now. */
+  private[load] def releaseCompaction(token: String): Unit = {
     val marker = new java.io.File(fs, CompactionMarker)
     val grab = new java.io.File(fs, s".tmp-release-$token")
-    try {
-      java.nio.file.Files.move(marker.toPath, grab.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // only the grab itself may treat IOException as "already released/
+    // taken": a failure after a successful grab holds a possibly-live
+    // foreign marker and must attempt restoration
+    val got =
+      try {
+        java.nio.file.Files.move(marker.toPath, grab.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch { case _: java.io.IOException => false }
+    if (got) {
       val ours =
         try java.nio.file.Files.readString(grab.toPath).trim == token
-        catch { case _: java.io.IOException => false }
-      if (!ours) {
-        try java.nio.file.Files.createLink(marker.toPath, grab.toPath)
-        catch { case _: java.io.IOException => () }
-      }
-      grab.delete()
-    } catch { case _: java.io.IOException => () } // already released/taken
+        catch { case _: java.io.IOException => false } // unreadable: restore
+      val disposable =
+        if (ours) true
+        else {
+          try { createMarkerLink(marker.toPath, grab.toPath); true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => true
+            case _: UnsupportedOperationException | _: SecurityException |
+                _: java.io.IOException =>
+              try {
+                java.nio.file.Files.move(grab.toPath, marker.toPath,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                false // moved back: the grabbed path no longer exists
+              } catch {
+                case _: java.nio.file.FileAlreadyExistsException => true
+                case _: java.io.IOException => false // keep the evidence
+              }
+          }
+        }
+      if (disposable) grab.delete()
+    }
   }
 
   /** Compaction: materialize the full state at the oldest retained
@@ -866,13 +1085,15 @@ class TripletStore(spark: SparkSession, path: String,
     * are ignored by `levelsAt` and removed by the next compaction). */
   def compact(keep: Int = 2): Seq[Int] = {
     // single-owner enforcement at the entry: every deletion below runs
-    // under the claimed marker ([[claimCompaction]])
+    // under the claimed marker ([[claimCompaction]]), kept live by the
+    // heartbeat for however long the base build takes
     val owner = claimCompaction()
-    try compactOwned(keep)
-    finally releaseCompaction(owner)
+    val hb = startCompactionHeartbeat(owner)
+    try compactOwned(keep, owner)
+    finally { hb.interrupt(); releaseCompaction(owner) }
   }
 
-  private def compactOwned(keep: Int): Seq[Int] = {
+  private def compactOwned(keep: Int, owner: String): Seq[Int] = {
     val vs = versions
     val dropped = vs.dropRight(math.max(1, keep))
     if (dropped.isEmpty) dropped
@@ -885,6 +1106,7 @@ class TripletStore(spark: SparkSession, path: String,
       // reconstruct(cut) would then read the very path being overwritten
       // (Spark refuses) — the committed base is the state; only the
       // superseded dirs remain to delete.
+      var repin: Option[Int] = None
       if (!baseVersions.contains(cut)) {
         val snap = Checkpoints.ck(reconstruct(cut, openOnly = false)
           .withColumn("v", lit(cut)))
@@ -893,9 +1115,21 @@ class TripletStore(spark: SparkSession, path: String,
         // of interleaving Overwrite writes into one torn-but-committed
         // base (the pre-protocol shape BatchedSignatureStore fixed).
         // A lake-sized base gets the bucket partition column here — the
-        // one-shot rebucket path for pre-bucket stores.
-        commitLevel(snap, snap.count(), s"base$cut", s"base=$cut")
+        // one-shot rebucket path for pre-bucket stores. When the base
+        // outgrew the recorded bucket count, THIS is the re-pin moment
+        // (single-owner, rewrites the base anyway): the base buckets by
+        // the re-derived N, self-described; the store marker moves only
+        // after the old levels drop ([[repinCandidate]]).
+        val rows = snap.count()
+        repin = repinCandidate(rows, survivorsAbove(cut))
+        commitLevel(snap, rows, s"base$cut", s"base=$cut", forceN = repin)
       }
+      // deletion phase gate: the base build above may have outlived even
+      // the heartbeat's liveness (a long JVM pause) and been taken over —
+      // deleting under the new owner's build is the exact interleaving
+      // the claim prevents, so re-verify the token NOW, with the base
+      // durably committed and nothing yet deleted
+      verifyCompactionClaim(owner)
       // v=cut is NOT deleted beside its base: it is already masked by
       // levelsAt (deltas at or below a base are superseded), and deleting
       // it would REOPEN the version slot — a straggler merge that pinned
@@ -909,6 +1143,13 @@ class TripletStore(spark: SparkSession, path: String,
           val d = new java.io.File(fs, nm)
           if (d.exists()) Scratch.rm(d)
         }
+      // the store marker moves LAST: legacy (pre-self-description)
+      // levels read it as their modulus fallback, so it must keep the
+      // old N until every level that depends on it is deleted above.
+      // A crash before this publish is benign — all surviving levels
+      // self-describe, later deltas bucket by the old N (correct, just
+      // coarser) and the next compaction re-derives again.
+      repin.foreach(n => publishMarker(BucketMarker, n.toString))
       AtomicDirCommit.sweepTmp(fs, TmpSweepAgeMs)
       dropped
     }
@@ -949,11 +1190,12 @@ class TripletStore(spark: SparkSession, path: String,
     // same single-owner claim as compact(keep): retention deletes every
     // superseded level and must never interleave with a second owner
     val owner = claimCompaction()
-    try compactOlderOwned(olderThan)
-    finally releaseCompaction(owner)
+    val hb = startCompactionHeartbeat(owner)
+    try compactOlderOwned(olderThan, owner)
+    finally { hb.interrupt(); releaseCompaction(owner) }
   }
 
-  private def compactOlderOwned(olderThan: Timestamp): Seq[Int] = {
+  private def compactOlderOwned(olderThan: Timestamp, owner: String): Seq[Int] = {
     val vs = versions
     if (vs.isEmpty) Seq.empty
     // scoped for the same reason as compact(keep): `snap` is dead once
@@ -1001,7 +1243,15 @@ class TripletStore(spark: SparkSession, path: String,
         .filter(!col("deprecated") ||
           col("useEnd") >= lit(new Timestamp(newHorizon)))
         .withColumn("v", lit(nv)))
-      commitLevel(snap, snap.count(), s"base$nv", s"base=$nv")
+      val rows = snap.count()
+      // retention is a keep-everything-in-one-base pass, so it is a
+      // re-pin moment exactly like compact(keep)'s — same guards, same
+      // marker-moves-last ordering
+      val repin = repinCandidate(rows, survivorsAbove(nv))
+      commitLevel(snap, rows, s"base$nv", s"base=$nv", forceN = repin)
+      // deletion phase gate — same rationale as compactOwned's: never
+      // delete under a takeover owner's build
+      verifyCompactionClaim(owner)
       // drop everything the base supersedes — but NOT the claim delta:
       // deleting it would REOPEN the v=nv slot for a merge that pinned
       // v0 = nv-1 before the claim and renames after this cleanup (its
@@ -1014,6 +1264,7 @@ class TripletStore(spark: SparkSession, path: String,
           val d = new java.io.File(fs, nm)
           if (d.exists()) Scratch.rm(d)
         }
+      repin.foreach(n => publishMarker(BucketMarker, n.toString))
       AtomicDirCommit.sweepTmp(fs, TmpSweepAgeMs)
       vs
     }
@@ -1048,7 +1299,11 @@ object TripletStore {
     * sort: file ORDER is not a format property — levels written under
     * the older identity-hash sort stay readable and correct, they just
     * yield no within-bucket row-group pruning until the next compaction
-    * rewrites them subject-sorted. */
+    * rewrites them subject-sorted. Likewise the r14 per-level modulus
+    * marker ([[LevelBucketMarker]]): levels without one read the store
+    * marker as fallback (whose value cannot have moved while they
+    * survive — re-pin refuses), and compaction rewrites them
+    * self-described. */
   val IdentityFormat = 3
   val FormatMarker = "_FORMAT"
 
@@ -1070,22 +1325,21 @@ object TripletStore {
   val MaxSubjectBuckets = 4096
 
   /** Subject-list size up to which merges and point lookups push the
-    * batch's subjects into the level scans as a LITERAL `isin` (parquet
-    * row-group pruning via footer stats on the subject-sorted files)
-    * instead of a semi-join. Driver-bounded by construction: 10k
-    * strings is a trivial task-binary payload; far above it the
-    * predicate tree itself becomes the cost and the semi-join wins.
-    * Row-group pruning engages below [[MaxPushdownLiterals]]; between
-    * the two bounds the literal path still wins by skipping the join. */
+    * batch's subjects into the level scans as LITERAL `isin` predicates
+    * (parquet row-group pruning via footer stats + subject bloom
+    * filters on the subject-sorted files) instead of a semi-join.
+    * Driver-bounded by construction: 10k strings is a trivial
+    * task-binary payload; far above it the literal plumbing itself
+    * becomes the cost and the semi-join wins. The whole cap range
+    * pushes as ONE In through Spark 4.1's native set path — footer
+    * stats + subject-bloom evaluation per row group, no or-tree, no
+    * recursion cliff: tools/in_pushdown_r14.txt measured it pruning at
+    * 5000 literals where the r13 design assumed a range collapse and
+    * capped the pushed or-tree at 1024 (the or-tree itself
+    * StackOverflows in (1024, 1536] — tools/pushdown_cliff_r14.txt —
+    * which is why the session In-threshold is left at its default and
+    * never raised). */
   val DefaultSubjectLiteralCap = 10000
-
-  /** Largest literal set the store lets parquet push as an or-of-equals
-    * tree: the pushed filter recurses per value at evaluation and
-    * ~5000 values StackOverflowError'd a scan task in the probe (1000
-    * measured safe; kept at a power-of-two margin below the cliff).
-    * Above this the In collapses to a min/max range — correct, merely
-    * unpruned. */
-  val MaxPushdownLiterals = 1024
 
   /** Partition column of bucketed level dirs: `sbkt =
     * pmod(xxhash64(subject), N)`. The merge collects its batch's distinct
@@ -1104,14 +1358,27 @@ object TripletStore {
     * Default ≈ 4k rows per bucket file at [[DefaultSubjectBuckets]]. */
   val DefaultBucketMinRows: Long = 1L << 18
 
-  /** Marker file pinning the store's bucket count N: pruning is only
-    * correct when the reader's bucket formula matches the writer's, so
-    * the FIRST bucketed write records N and every later read/write uses
-    * the recorded value (the constructor's `subjectBuckets` only seeds a
-    * fresh store). Multi-writer deployments must configure the same
-    * `subjectBuckets` — like the compaction single-owner rule, this is a
-    * deployment contract, not per-call coordination. */
+  /** Marker file pinning the store's CURRENT bucket count N: the count
+    * new lake-sized levels bucket by. The FIRST bucketed write records N
+    * (the constructor's `subjectBuckets` only seeds a fresh store);
+    * under auto-sizing, compaction RE-DERIVES it when the base outgrew
+    * the recorded count ([[TripletStore!.compact(keep:Int)*]]) — so a
+    * store that starts small does not keep its day-one N at 100 TB.
+    * Reads never guess from this marker alone: each bucketed level
+    * self-describes its own modulus ([[LevelBucketMarker]]); this
+    * store-level marker is the write-side source and the fallback for
+    * levels written before self-description shipped. */
   val BucketMarker = "_BUCKETS"
+
+  /** Per-level modulus marker (a file INSIDE each bucketed level dir,
+    * committed atomically with it): records the N that level's `sbkt`
+    * column was computed with. Per-level self-description is what makes
+    * re-pinning N at compaction SAFE — levels bucketed under different
+    * moduli can coexist (retained deltas under the old N beside a
+    * rebucketed base), each read with its own correct bucket filter;
+    * a single store-wide modulus would silently mis-prune the survivors
+    * the moment the pin moved. */
+  val LevelBucketMarker = "_SBKT_N"
 
   /** The bucket id of `subject` under an N-bucket layout. Null subjects
     * are legal rows (the identity hash null-coalesces), so the bucket
@@ -1162,8 +1429,17 @@ object TripletStore {
 
   /** Age past which a `.tmp-` commit dir is considered a dead writer's
     * leftover and swept by compaction (a live writer's tmp mtime
-    * refreshes with every landing part file). */
+    * refreshes with every landing part file). Doubles as the compaction
+    * claim's liveness window: a claim marker not HEARTBEATED
+    * ([[TripletStore!.startCompactionHeartbeat]]) for this long is a
+    * crashed owner's leftover and may be taken over. */
   val TmpSweepAgeMs: Long = 60L * 60 * 1000
+
+  /** Interval at which a compaction owner refreshes its claim marker's
+    * mtime — comfortably inside the [[TmpSweepAgeMs]] liveness window,
+    * so only a genuinely crashed (or hour-long-paused) owner ever looks
+    * dead, regardless of how long the pass itself runs. */
+  val CompactionHeartbeatMs: Long = TmpSweepAgeMs / 6
 
   val rangeSchema: StructType = StructType(Seq(
     StructField("tripletHash", StringType), StructField("subject", StringType),

@@ -42,12 +42,27 @@ object Sinks {
     * target file size); ordering columns double as the cluster key.
     */
   def writeClustered(df: DataFrame, path: String, nFiles: Int,
-                     maxRecordsPerFile: Long, sortCols: String*): Unit = {
+                     maxRecordsPerFile: Long, sortCols: String*): Unit =
+    writeClusteredOpts(df, path, nFiles, maxRecordsPerFile, Map.empty,
+      sortCols: _*)
+
+  /** [[writeClustered]] with extra per-write parquet options — e.g.
+    * `parquet.bloom.filter.enabled#<col> -> true` to emit a column
+    * bloom filter per row group: point-in-set predicates (`In`/`=`)
+    * then skip row groups whose min/max RANGE overlaps the probe but
+    * whose value SET does not — the case sorted-file footer stats
+    * cannot prune (a wide-range row group at a sort boundary, or an
+    * unsorted legacy file). */
+  def writeClusteredOpts(df: DataFrame, path: String, nFiles: Int,
+                         maxRecordsPerFile: Long,
+                         options: Map[String, String],
+                         sortCols: String*): Unit = {
     val cols = sortCols.map(col)
     df.repartitionByRange(nFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .options(options)
       .parquet(path)
   }
 
@@ -60,12 +75,23 @@ object Sinks {
     * each write task covers a contiguous (partitionCol, sortCols) range. */
   def writeClusteredBy(df: DataFrame, path: String, nFiles: Int,
                        maxRecordsPerFile: Long, partitionCol: String,
-                       sortCols: String*): Unit = {
+                       sortCols: String*): Unit =
+    writeClusteredByOpts(df, path, nFiles, maxRecordsPerFile, Map.empty,
+      partitionCol, sortCols: _*)
+
+  /** [[writeClusteredBy]] with extra per-write parquet options (see
+    * [[writeClusteredOpts]]). */
+  def writeClusteredByOpts(df: DataFrame, path: String, nFiles: Int,
+                           maxRecordsPerFile: Long,
+                           options: Map[String, String],
+                           partitionCol: String,
+                           sortCols: String*): Unit = {
     val cols = (partitionCol +: sortCols).map(col)
     df.repartitionByRange(nFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .options(options)
       .partitionBy(partitionCol)
       .parquet(path)
   }

@@ -541,12 +541,13 @@ class PlanSpec extends AnyFunSuite {
     store.merge(mkBatch("b"), Timestamp.valueOf("2024-02-01 00:00:00"))
     import spark.implicits._
     val oneSubject = Seq("m7").toDF("subject")
-    val bucket = spark.range(1).select(load.TripletStore.subjectBucket(
-        org.apache.spark.sql.functions.lit("m7"),
-        load.TripletStore.DefaultSubjectBuckets))
-      .head().getInt(0)
+    // per-level modulus form: the filter derives from each level's own
+    // self-described N (all levels share one N here, but the function
+    // shape is the contract)
+    val bucketsFor = (n: Int) =>
+      Seq(load.TripletStore.subjectBucketLocal("m7", n))
     val pruned = store.reconstruct(store.currentVersion, openOnly = true,
-      subjects = Some(oneSubject), buckets = Some(Seq(bucket)))
+      subjects = Some(oneSubject), bucketsFor = Some(bucketsFor))
     pruned.collect() // execute THIS plan so its scan metrics populate
     val s = planString(pruned)
     // the bucket restriction lands as a PartitionFilter on every level scan
@@ -575,7 +576,7 @@ class PlanSpec extends AnyFunSuite {
     // level read prunes by row group even when the batch touches ALL
     // buckets and partition pruning alone saturates
     val mergeRead = store.reconstruct(store.currentVersion, openOnly = true,
-      buckets = Some(Seq(bucket)), subjectLits = Some(Seq("m7")))
+      bucketsFor = Some(bucketsFor), subjectLits = Some(Seq("m7")))
     mergeRead.collect()
     val ms = planString(mergeRead)
     assert("PushedFilters: \\[[^\\]]*In\\(subject".r.findFirstIn(ms).isDefined
@@ -583,6 +584,17 @@ class PlanSpec extends AnyFunSuite {
     // and no store-side join remains on the literal path — the filter IS
     // the restriction (the semi-join shape is the >cap fallback only)
     assert(!ms.contains("LeftSemi"), ms)
+    // NATIVE In path (>10 literals — above the default session
+    // threshold, which this store deliberately never raises): the list
+    // must still reach every level scan as ONE pushed In — Spark 4.1's
+    // above-threshold path prunes it by stats+bloom (in_pushdown_r14) —
+    // with no join and no chunk-union
+    val wide = (1 to 40).map(i => s"m$i")
+    val nativeIn = store.currentTriplesFor(wide)
+    nativeIn.collect()
+    val ns = planString(nativeIn)
+    assert("PushedFilters: \\[[^\\]]*In\\(subject".r.findFirstIn(ns).isDefined, ns)
+    assert(!ns.contains("LeftSemi"), ns)
     graft.load.Scratch.rm(new java.io.File(storeDir))
   }
 }

@@ -156,17 +156,16 @@ object StoreScaleProbe {
           // re-run the merge's pruned level read to count the files the
           // scan actually touched (same subjects → same buckets)
           val fb = load.TripletStore.withIdentity(fixedBatch(b))
-          val buckets = fb.select(load.TripletStore.subjectBucket(
-              col("subject"), load.TripletStore.DefaultSubjectBuckets).as("b"))
-            .distinct().collect().map(_.getInt(0)).toSeq
+          val subjects5 = (0 until 5).map(i => s"http://m/$i")
           val pruned = store3.reconstruct(store3.currentVersion,
             openOnly = true, subjects = Some(fb.select("subject").distinct()),
-            buckets = Some(buckets))
+            bucketsFor = Some(n => subjects5
+              .map(load.TripletStore.subjectBucketLocal(_, n)).distinct))
           pruned.collect()
           val filesRead = PlanWalk.filesRead(pruned)
           println(f"[store-b] step=$b dt=$dt%6.2fs filesRead=$filesRead%3d " +
             f"of ${PlanWalk.countParquet(root3)}%4d " +
-            f"storeMB=${dirBytes(root3) / 1e6}%7.2f buckets=${buckets.length}")
+            f"storeMB=${dirBytes(root3) / 1e6}%7.2f")
         }
       } finally load.Scratch.rm(root3)
 
@@ -203,19 +202,19 @@ object StoreScaleProbe {
               import spark.implicits._
               subjList.toDF("subject")
             }
-            val buckets = subjDf.select(load.TripletStore.subjectBucket(
-                col("subject"), n).as("b")).distinct()
-              .collect().map(_.getInt(0)).toSeq
+            val buckets = subjList
+              .map(load.TripletStore.subjectBucketLocal(_, n)).distinct
+            val bucketsFor = Some((_: Int) => buckets)
             // r12 shape: partition pruning + semi-join (rows filtered
             // AFTER the scan materializes the touched partitions)
             val semi = stored.reconstruct(stored.currentVersion,
               openOnly = true, subjects = Some(subjDf),
-              buckets = Some(buckets))
+              bucketsFor = bucketsFor)
             semi.collect()
             // r13 shape: same partitions, literal pushdown prunes row
             // groups inside them
             val litDf = stored.reconstruct(stored.currentVersion,
-              openOnly = true, buckets = Some(buckets),
+              openOnly = true, bucketsFor = bucketsFor,
               subjectLits = Some(subjList))
             val matching = litDf.collect().length
             println(f"[store-d] N=$n subjects=$s%5d " +
@@ -226,6 +225,109 @@ object StoreScaleProbe {
               f"matching=$matching%7d")
           }
         } finally load.Scratch.rm(rootd)
+      }
+
+      // Re-pin arm (r14): a store that STARTS SMALL pins a small N at
+      // its first bucketed commit; after growing ~10× its compaction
+      // must RE-DERIVE the bucket count (auto-sizing only) so pruning
+      // granularity tracks the store, not its day-one size. Control: an
+      // explicitly seeded store (the pin-is-the-caller's-contract case)
+      // grown and compacted identically keeps its N — same level count,
+      // same data, different modulus → the files-read delta is the
+      // re-pin's, not the compaction's.
+      Seq(("pin64", 64), ("auto", 0)).foreach { case (tag, seedN) =>
+        val roote = load.Scratch.dir(s"probe_store_e_$tag", dir)
+        // target 64 rows/file so the grown base's auto-derivation
+        // (15000/64 = 234) clears the 2x re-pin hysteresis over the
+        // 64-bucket floor the day-one level pins
+        val storee = new load.TripletStore(spark, roote.getAbsolutePath,
+          autoCompactEvery = 0, bucketMinRows = 1L, subjectBuckets = seedN,
+          targetRowsPerFile = 64L)
+        try {
+          val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+          // day one: one slice pins the small N
+          storee.merge(slice(0, changed = false)
+            .withColumn("extractionTime", lit(t0)), t0)
+          val n0 = java.nio.file.Files.readString(new java.io.File(roote,
+            load.TripletStore.BucketMarker).toPath).trim.toInt
+          // growth: 9 more slices, then ONE compaction
+          (1 until nBatches).foreach { b =>
+            storee.merge(slice(b, changed = false)
+              .withColumn("extractionTime", lit(t0)), t0)
+          }
+          storee.compact(keep = 1)
+          val n1 = java.nio.file.Files.readString(new java.io.File(roote,
+            load.TripletStore.BucketMarker).toPath).trim.toInt
+          val lookup = storee.currentTriplesFor(
+            (0 until 5).map(i => s"http://m/$i"))
+          lookup.collect()
+          println(f"[store-e] $tag: N day-one=$n0 after-compaction=$n1 " +
+            f"lookupFilesRead=${PlanWalk.filesRead(lookup)}%4d of " +
+            f"${PlanWalk.countParquet(roote)}%4d " +
+            f"rows=${storee.ranges.count()}")
+        } finally load.Scratch.rm(roote)
+      }
+
+      // Dead-zone arm (r14): literal batches past the r13 or-tree cap
+      // (1024). r13 assumed an In above the session threshold collapsed
+      // to a useless min..max range; Spark 4.1's native above-threshold
+      // path actually prunes row groups by the value SET against footer
+      // stats + the subject blooms commitLevel writes — so the 5000-
+      // literal batch pushes as ONE In, no chunking, no threshold raise
+      // (graft.InPushProbe is the controlled matrix; this arm shows it
+      // end-to-end through reconstruct). What row groups CAN prune is
+      // density physics: a row group holding g subjects probed with p of
+      // S subjects is read with P(hit) ~ 1-e^(-pg/S) — the "scattered"
+      // shape (uniform every-90th) sits near saturation at probe
+      // geometry (g=256, p=5000, S=450k -> ~2.8 probes/row group) and
+      // becomes prunable at lake ratios; the "clustered" shape (10 runs
+      // of 500 — a crawl-frontier/platform-prefix batch) prunes to
+      // O(touched row groups) at ANY scale. Both are printed; semi =
+      // the join fallback reading every row of the touched buckets.
+      {
+        val rootf = load.Scratch.dir("probe_store_f", dir)
+        val storef = new load.TripletStore(spark, rootf.getAbsolutePath,
+          autoCompactEvery = 0, bucketMinRows = 1L, subjectBuckets = 64,
+          targetRowsPerFile = 256L)
+        try {
+          val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+          val s450k = spark.range(450000).select(
+              format_string("http://m/%07d", col("id")).as("subject"),
+              lit("http://p/x").as("predicate"),
+              concat(lit("v"), col("id")).as("obj"))
+            .withColumn("objKind", lit("literal"))
+            .withColumn("datatype", lit(""))
+            .withColumn("extractionMethod", lit("probe"))
+            .withColumn("confidence", lit(1.0))
+            .withColumn("extractionTime", lit(t0))
+          storef.merge(s450k, t0)
+          val totalRows = 450000L
+          println(s"[store-f] 450k subjects, N=64, 256-row files; " +
+            "5000-subject probes (past the r13 or-tree cap of 1024)")
+          val clustered = (0 until 10).flatMap(r =>
+            (0 until 500).map(i => f"http://m/${r * 45000 + i}%07d"))
+          val scattered = (0 until 5000).map(i => f"http://m/${i * 90}%07d")
+          Seq(("clustered", clustered), ("scattered", scattered)).foreach {
+            case (tag, subj) =>
+              val bucketsFor = Some((n: Int) => subj
+                .map(load.TripletStore.subjectBucketLocal(_, n)).distinct)
+              val subjDf = {
+                import spark.implicits._
+                subj.toDF("subject")
+              }
+              val semi = storef.reconstruct(storef.currentVersion,
+                openOnly = true, subjects = Some(subjDf),
+                bucketsFor = bucketsFor)
+              semi.collect()
+              val litDf = storef.reconstruct(storef.currentVersion,
+                openOnly = true, bucketsFor = bucketsFor,
+                subjectLits = Some(subj))
+              val matching = litDf.collect().length
+              println(f"[store-f] $tag%-9s scanRows(semi)=${PlanWalk.scanOutputRows(semi)}%7d " +
+                f"scanRows(lit)=${PlanWalk.scanOutputRows(litDf)}%7d " +
+                f"matching=$matching%5d of $totalRows")
+          }
+        } finally load.Scratch.rm(rootf)
       }
     } finally {
       load.Scratch.rm(root)

@@ -647,9 +647,9 @@ class TripletStoreSpec extends AnyFunSuite {
     // between that and a silently masked delta
     val stale: TripletStore = new TripletStore(spark, dir, autoCompactEvery = 0) {
       override def currentVersion: Int = 0
-      override private[graft] def levelsAt(v: Int, buckets: Option[Seq[Int]])
+      override private[graft] def levelsAt(v: Int, bucketsFor: Option[Int => Seq[Int]])
           : Option[org.apache.spark.sql.DataFrame] = {
-        val out = super.levelsAt(v, buckets).map(_.localCheckpoint())
+        val out = super.levelsAt(v, bucketsFor).map(_.localCheckpoint())
         store.compact(keep = 2) // base=2, v=2 kept; v=0, v=1 DELETED
         out
       }
@@ -901,6 +901,217 @@ class TripletStoreSpec extends AnyFunSuite {
     }
     marker.delete()
     store.compact(olderThan = ts("2024-02-15 00:00:00"))
+    assert(!marker.exists())
+    Scratch.rm(new java.io.File(dir))
+  }
+
+  test("large literal lists (native In path, >10 values) answer identically") {
+    // >10 literals rides Spark's ABOVE-threshold native In path (the
+    // session threshold is deliberately never raised — in_pushdown_r14
+    // measured the native path pruning by stats+bloom with no or-tree
+    // cliff). The semantics must be identical to the small-list or-tree
+    // form, nulls included, through lookup AND merge.
+    val dir = Files.createTempDirectory("store_natin").toString
+    val store = new TripletStore(spark, dir, autoCompactEvery = 0,
+      bucketMinRows = 1L)
+    val wide = (1 to 40).map(i => (s"m$i", "name", s"a$i")) :+
+      ((null: String, "name", "nullsub"))
+    store.merge(batch(wide, "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    // 40-subject lookup: one native In, no chunking, no join
+    val subs = (1 to 40).map(i => s"m$i")
+    val lookup = store.currentTriplesFor(subs)
+    assert(lookup.count() == 40)
+    assert(lookup.filter(col("subject") === "m7").select("obj")
+      .as[String].collect().toSet == Set("a7"))
+    // a 41-subject batch (> threshold, < cap) merges through the same
+    // literal read: extend/deprecate/fresh all correct, null included
+    val s2 = store.merge(batch(
+      (1 to 40).map(i => (s"m$i", "name", if (i % 2 == 0) s"a$i" else s"b$i"))
+        :+ ((null: String, "name", "null2")),
+      "2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"))
+    assert(s2.nExtended == 20 && s2.nDeprecated == 21 && s2.nNew == 21, s2)
+    assert(store.currentTriplesFor(Seq("m3")).select("obj")
+      .as[String].collect().toSet == Set("b3"))
+    Scratch.rm(new java.io.File(dir))
+  }
+
+  test("bucket count re-derives at compaction; mixed-moduli levels read correctly") {
+    // r13 residual: the N pin was forever — a store that starts small
+    // kept its day-one N at any scale. Compaction is the re-pin moment
+    // (single-owner, rewrites the base anyway); per-level `_SBKT_N`
+    // self-description is what makes it safe while old-N deltas survive.
+    val dir = Files.createTempDirectory("store_repin").toString
+    val store = new TripletStore(spark, dir, autoCompactEvery = 0,
+      targetRowsPerFile = 2L, bucketMinRows = 1L)
+    // day one: 150 rows / 2 per file derives 75 (above the 64 floor, so
+    // the later re-pin doubling is observable against a non-clamped pin)
+    val wide = (1 to 150).map(i => (s"m$i", "name", s"n$i"))
+    store.merge(batch(wide, "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    val marker = new java.io.File(dir, TripletStore.BucketMarker)
+    assert(java.nio.file.Files.readString(marker.toPath).trim.toInt == 75)
+    // every bucketed level self-describes its modulus, atomic with the
+    // commit
+    val lvl1 = new java.io.File(dir, "v=0")
+    assert(java.nio.file.Files.readString(new java.io.File(lvl1,
+      TripletStore.LevelBucketMarker).toPath).trim.toInt == 75)
+    // the store grows ~10x, then compacts with keep=2: ONE old-N delta
+    // SURVIVES above the new base, so the read path must handle two
+    // moduli live at once
+    val big = (1 to 1400).map(i => (s"g$i", "name", s"v$i"))
+    store.merge(batch(big, "2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"))
+    store.merge(batch(Seq(("m7", "name", "changed"), ("g9", "name", "gnew")),
+      "2024-03-01 00:00:00"), ts("2024-03-01 00:00:00"))
+    store.compact(keep = 2)
+    // base=1 carries 1550 rows → candidate 775 >= 2*75 → re-pinned
+    val n1 = java.nio.file.Files.readString(marker.toPath).trim.toInt
+    assert(n1 == 775, s"1550 rows / 2 per file should re-derive 775, got $n1")
+    assert(java.nio.file.Files.readString(new java.io.File(
+      new java.io.File(dir, "base=1"),
+      TripletStore.LevelBucketMarker).toPath).trim.toInt == n1,
+      "the rebucketed base must self-describe the NEW modulus")
+    assert(java.nio.file.Files.readString(new java.io.File(
+      new java.io.File(dir, "v=2"),
+      TripletStore.LevelBucketMarker).toPath).trim.toInt == 75,
+      "the surviving delta keeps self-describing its OLD modulus")
+    // point lookups across BOTH moduli answer correctly: m7 lives in the
+    // old-N delta (changed) and the new-N base (shadowed open row),
+    // m8/g1 only in the new-N base
+    assert(store.currentTriplesFor(Seq("m7")).select("obj")
+      .as[String].collect().toSet == Set("changed"))
+    assert(store.currentTriplesFor(Seq("m8", "g1")).select("obj")
+      .as[String].collect().toSet == Set("n8", "v1"))
+    // merges after the re-pin bucket by the new N
+    store.merge(batch(Seq(("z1", "name", "fresh")), "2024-04-01 00:00:00"),
+      ts("2024-04-01 00:00:00"))
+    assert(java.nio.file.Files.readString(new java.io.File(
+      new java.io.File(dir, "v=3"),
+      TripletStore.LevelBucketMarker).toPath).trim.toInt == n1)
+    assert(store.currentTriplesFor(Seq("z1")).count() == 1)
+    // the full state is intact end-to-end (window + mixed moduli):
+    // 150 m-subjects + 1400 g-subjects (m7/g9 values replaced 1:1) + z1
+    assert(store.currentTriples.count() == 150 + 1400 + 1)
+    // an EXPLICITLY seeded store never auto-re-pins: the pin is the
+    // caller's contract
+    val dir2 = Files.createTempDirectory("store_repin2").toString
+    val seeded = new TripletStore(spark, dir2, autoCompactEvery = 0,
+      targetRowsPerFile = 2L, bucketMinRows = 1L, subjectBuckets = 8)
+    seeded.merge(batch(wide, "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    seeded.merge(batch(big, "2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"))
+    seeded.compact(keep = 1)
+    assert(java.nio.file.Files.readString(new java.io.File(dir2,
+      TripletStore.BucketMarker).toPath).trim.toInt == 8)
+    Scratch.rm(new java.io.File(dir)); Scratch.rm(new java.io.File(dir2))
+  }
+
+  test("claim heartbeat: a slow LIVE owner survives a takeover attempt") {
+    // r13 residual: the marker was written once at claim and never
+    // refreshed, so any pass longer than TmpSweepAgeMs (routine for a
+    // 100 TB base build) was presumed dead and taken over LIVE — two
+    // owners then interleaved deletions. The heartbeat refreshes the
+    // marker's mtime for the whole pass; takeover keys on heartbeat
+    // staleness, not claim age.
+    val dir = Files.createTempDirectory("store_hb").toString
+    val store = new TripletStore(spark, dir, autoCompactEvery = 0)
+    store.merge(batch(Seq(("m1", "name", "a")), "2024-01-01 00:00:00"),
+      ts("2024-01-01 00:00:00"))
+    store.merge(batch(Seq(("m1", "name", "b")), "2024-02-01 00:00:00"),
+      ts("2024-02-01 00:00:00"))
+    val marker = new java.io.File(dir, TripletStore.CompactionMarker)
+    val token = store.claimCompaction()
+    // the pass has "run" longer than the liveness window...
+    assert(marker.setLastModified(
+      System.currentTimeMillis() - TripletStore.TmpSweepAgeMs - 60000))
+    // ...but the owner is ALIVE: its heartbeat refreshes the mtime
+    val hb = store.startCompactionHeartbeat(token, intervalMs = 25)
+    try {
+      val deadline = System.currentTimeMillis() + 5000
+      while (System.currentTimeMillis() - marker.lastModified() >
+          TripletStore.TmpSweepAgeMs && System.currentTimeMillis() < deadline)
+        Thread.sleep(25)
+      assert(System.currentTimeMillis() - marker.lastModified() <=
+        TripletStore.TmpSweepAgeMs, "heartbeat never refreshed the marker")
+      // a second claimant must NOT take over the live owner
+      intercept[TripletStore.ConcurrentCompactionException] {
+        store.compact(keep = 1)
+      }
+      assert(java.nio.file.Files.readString(marker.toPath).trim == token,
+        "the live owner's token must survive the takeover attempt")
+    } finally { hb.interrupt(); hb.join(2000) }
+    // owner genuinely dies (heartbeat stopped): stale again → taken over
+    assert(marker.setLastModified(
+      System.currentTimeMillis() - TripletStore.TmpSweepAgeMs - 60000))
+    assert(store.compact(keep = 1).nonEmpty)
+    assert(!marker.exists(), "a completed takeover pass releases the claim")
+    // a heartbeat observing a FOREIGN token stops touching the marker
+    // (ownership lost): the new owner's liveness is its own to maintain
+    java.nio.file.Files.writeString(marker.toPath, "newOwner1")
+    val past = System.currentTimeMillis() - 120000
+    assert(marker.setLastModified(past))
+    assert(!store.heartbeatCompaction(token))
+    assert(marker.lastModified() == past,
+      "a lost heartbeat must not refresh the new owner's marker")
+    marker.delete()
+    Scratch.rm(new java.io.File(dir))
+  }
+
+  test("deletion phase re-verifies the claim token; release restores a foreign marker") {
+    val dir = Files.createTempDirectory("store_verify").toString
+    val store = new TripletStore(spark, dir, autoCompactEvery = 0)
+    store.merge(batch(Seq(("m1", "name", "a")), "2024-01-01 00:00:00"),
+      ts("2024-01-01 00:00:00"))
+    val marker = new java.io.File(dir, TripletStore.CompactionMarker)
+    // claim held: verify passes
+    val token = store.claimCompaction()
+    store.verifyCompactionClaim(token)
+    // taken over mid-pass (JVM pause past the window): verify THROWS —
+    // the pass aborts with its base committed and nothing deleted
+    java.nio.file.Files.writeString(marker.toPath, "takeover1")
+    val e = intercept[TripletStore.ConcurrentCompactionException] {
+      store.verifyCompactionClaim(token)
+    }
+    assert(e.getMessage.contains("NO level was deleted"), e.getMessage)
+    // release after losing the claim: the grab/verify/restore recipe
+    // puts the NEW owner's marker back instead of deleting it
+    store.releaseCompaction(token)
+    assert(marker.exists(), "release must restore a foreign live marker")
+    assert(java.nio.file.Files.readString(marker.toPath).trim == "takeover1")
+    // release of OUR OWN claim removes the marker
+    java.nio.file.Files.writeString(marker.toPath, token)
+    store.releaseCompaction(token)
+    assert(!marker.exists())
+    // and releasing when no marker stands is a no-op (already taken)
+    store.releaseCompaction(token)
+    Scratch.rm(new java.io.File(dir))
+  }
+
+  test("release's foreign-marker restore survives a link-incapable filesystem") {
+    // r13 ADVICE: the restore swallowed EVERY IOException from
+    // createLink then deleted the grab — on a no-hardlink fs a
+    // takeover-then-release silently erased the new live owner's
+    // marker. Port of BatchedSignatureStore's move-back fallback.
+    val dir = Files.createTempDirectory("store_nolink").toString
+    val store = new TripletStore(spark, dir, autoCompactEvery = 0) {
+      override protected def createMarkerLink(
+          target: java.nio.file.Path, source: java.nio.file.Path): Unit =
+        throw new UnsupportedOperationException("no hard links here")
+    }
+    store.merge(batch(Seq(("m1", "name", "a")), "2024-01-01 00:00:00"),
+      ts("2024-01-01 00:00:00"))
+    val marker = new java.io.File(dir, TripletStore.CompactionMarker)
+    // a takeover owner's live marker stands; our stale release must not
+    // destroy it even though the exclusive-link restore is unavailable
+    java.nio.file.Files.writeString(marker.toPath, "liveOwner2")
+    store.releaseCompaction("staleTok1")
+    assert(marker.exists(),
+      "move-back fallback must restore the live owner's marker")
+    assert(java.nio.file.Files.readString(marker.toPath).trim == "liveOwner2")
+    assert(!new java.io.File(dir, ".tmp-release-staleTok1").exists(),
+      "the grabbed copy moved back, nothing strands")
+    // and the pass itself still completes end-to-end on such a fs
+    store.merge(batch(Seq(("m1", "name", "b")), "2024-02-01 00:00:00"),
+      ts("2024-02-01 00:00:00"))
+    marker.delete()
+    assert(store.compact(keep = 1).nonEmpty)
     assert(!marker.exists())
     Scratch.rm(new java.io.File(dir))
   }
