@@ -66,28 +66,28 @@ object MediaDedup {
     * memoized localCheckpoint is the production shape — a corpus
     * decodes at arrival, not per downstream reader — and each query's
     * own machinery (banding, caps, sweeps, oracles) still runs
-    * end-to-end on top of it. Keyed by (session, dir): checkpoints die
-    * with their session, and the table is (doc_id, sig) — a few KB per
-    * entry. */
-  private val decodeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    * end-to-end on top of it. Keyed by (session OBJECT, dir) via
+    * [[graft.operators.SessionMemo]]: checkpoints die with their
+    * session (stopped sessions prune on access; identity keying means a
+    * new session can never inherit a dead one's checkpoint), and the
+    * table is (doc_id, sig) — a few KB per entry. */
+  private val decodeMemo = new graft.operators.SessionMemo[DataFrame]
   private[graft] def corpusSignatures(s: SparkSession, dir: String): DataFrame =
-    decodeMemo.compute((System.identityHashCode(s), dir), (_, cur) =>
-      if (cur != null && checkpointLive(cur)) cur
-      else {
-        val c = mediaSignatures(mediaOf(s, dir)).localCheckpoint()
-        // name the checkpoint's RDD so storage-hygiene sweeps can tell
-        // the session-lived memo from a finished query's dead blocks
-        // (graft.Bench exempts graft.memo.* from its per-query sweep and
-        // still ends the session with a full sweep — final pinned
-        // count stays 0)
-        c.queryExecution.analyzed match {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.setName(s"graft.memo.mediaSig:$dir")
-          case _ => ()
-        }
-        c
-      })
+    decodeMemo.getOrCompute(s, dir)(
+      df => (df.sparkSession eq s) && checkpointLive(df)) {
+      val c = mediaSignatures(mediaOf(s, dir)).localCheckpoint()
+      // name the checkpoint's RDD so storage-hygiene sweeps can tell
+      // the session-lived memo from a finished query's dead blocks
+      // (graft.Bench exempts graft.memo.* from its per-query sweep and
+      // still ends the session with a full sweep — final pinned
+      // count stays 0)
+      c.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.setName(s"graft.memo.mediaSig:$dir")
+        case _ => ()
+      }
+      c
+    }
 
   /** A harness that sweeps ALL persistent RDDs between queries
     * (graft.Verify does; so does any caller outside our control) kills

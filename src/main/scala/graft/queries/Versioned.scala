@@ -388,21 +388,38 @@ object Versioned {
     * store construction, and with `bucketMinRows = 1` every level fans
     * out one dir+file per touched bucket — 8 buckets cut that 8x while
     * still proving multi-bucket pruning (the five lookup subjects span
-    * several of the 8). */
-  private def withLookupStore[T](s: SparkSession, dir: String, tag: String)
+    * several of the 8).
+    *
+    * The store itself BUILDS ONCE per (session, dir) — the same
+    * memoization the media family's decode got
+    * ([[MediaDedup.corpusSignatures]]): the two lookup verbs each
+    * rebuilt an identical two-merge fixture store (~3 s of pure
+    * instrument cost per bench sweep), while in production a lookup
+    * reads a store that already exists. Each verb's READ stays
+    * end-to-end (bucket-pruned, literal-pushdown scans) — only the
+    * fixture build is shared. The scratch dir outlives the query and is
+    * removed by a JVM shutdown hook; a swept/deleted dir re-builds. */
+  private val lookupStoreMemo = new graft.operators.SessionMemo[java.io.File]
+
+  private def withLookupStore[T](s: SparkSession, dir: String)
                                 (body: TripletStore => T): T = {
-    val (b1, b2) = fixtureBatches(s, dir)
-    Scratch.withScratch(tag, dir) { tmp =>
+    val root = lookupStoreMemo.getOrCompute(s, dir)(
+      f => new java.io.File(f, TripletStore.FormatMarker).exists()) {
+      val tmp = Scratch.dir("graft_lk_q", dir)
+      sys.addShutdownHook(Scratch.rm(tmp))
+      val (b1, b2) = fixtureBatches(s, dir)
       val store = new TripletStore(s, tmp.getAbsolutePath,
         bucketMinRows = 1L, subjectBuckets = 8)
       store.merge(b1, new Timestamp(T1 * 1000))
       store.merge(b2, new Timestamp(T3 * 1000))
-      body(store)
+      tmp
     }
+    body(new TripletStore(s, root.getAbsolutePath,
+      bucketMinRows = 1L, subjectBuckets = 8))
   }
 
   def subjectLookup(s: SparkSession, dir: String): DataFrame =
-    withLookupStore(s, dir, "graft_sl_q") { store =>
+    withLookupStore(s, dir) { store =>
       store.currentTriplesFor(LookupSubjects)
         .select("subject", "predicate", "obj")
         .localCheckpoint()
@@ -418,7 +435,7 @@ object Versioned {
     * set. The reference's most natural history read ("what did this
     * card say in January") composed from the two graded verbs. */
   def subjectAsOf(s: SparkSession, dir: String): DataFrame =
-    withLookupStore(s, dir, "graft_sa_q") { store =>
+    withLookupStore(s, dir) { store =>
       val jan = new Timestamp(1705276800L * 1000) // 2024-01-15T00:00:00Z
       val apr = new Timestamp(1711929600L * 1000) // 2024-04-01T00:00:00Z
       store.currentTriplesFor(LookupSubjects, jan)
