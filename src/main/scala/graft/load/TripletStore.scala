@@ -321,9 +321,13 @@ class TripletStore(spark: SparkSession, path: String,
     // difference is row groups whose min..max happens to span a probed
     // subject that is not actually present (most row groups of a
     // touched bucket under a hash-scattered probe set: measured 2x in
-    // tools/in_pushdown_r14.txt). Cheap at write (bounded bytes per
-    // column chunk), read-side use is parquet's default row-group
-    // filtering — no reader conf needed.
+    // tools/in_pushdown_r14.txt). Read-side use is parquet's default
+    // row-group filtering — no reader conf needed. Gated on the SAME
+    // lake-size floor as bucketing: a sub-threshold level is one or two
+    // row groups that any matching read loads anyway, so a bloom there
+    // is pure write-side overhead for pruning that can never engage
+    // (a DriftTwin A/B measured the overhead within noise at fixture
+    // scale — the gate is shape hygiene, not a hot fix).
     val bloom = Map("parquet.bloom.filter.enabled#subject" -> "true")
     if (rows >= bucketMinRows) {
       // pin BEFORE bucketing, bucket by the PINNED value (a concurrent
@@ -336,8 +340,8 @@ class TripletStore(spark: SparkSession, path: String,
       java.nio.file.Files.writeString(
         new java.io.File(tmp, LevelBucketMarker).toPath, bN.toString)
     } else
-      graft.sinks.Sinks.writeClusteredOpts(level, tmp.getAbsolutePath,
-        nFilesFor(rows), targetRowsPerFile, bloom,
+      graft.sinks.Sinks.writeClustered(level, tmp.getAbsolutePath,
+        nFilesFor(rows), targetRowsPerFile,
         "subject", "tripletHash", "infoHash")
     AtomicDirCommit.commit(tmp, new java.io.File(fs, dirName))
   }

@@ -43,13 +43,34 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    # optional: --json <path> writes a driver-schema per-query artifact
+    # (rows_match/schema_match/hash_match/spark_rows/oracle_rows/err) —
+    # the engine-side correctness witness each certification commits so
+    # an empty/glitched driver artifact is adjudicable by diff
+    # (r13: CORRECTNESS_r13.json arrived empty and the only recovery was
+    # a judge re-run).
+    args = [a for a in sys.argv[1:]]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    report = {}
+
+    def record(name, rows_match, schema_match, hash_match,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err}
+
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
@@ -59,6 +80,7 @@ def main():
             orows = oc.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+            record(name, False, False, False, err=f"oracle error: {str(e)[:200]}")
             n_fail += 1
             continue
         try:
@@ -67,27 +89,42 @@ def main():
             srows = sc.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark result missing: {str(e)[:200]}")
+            record(name, False, False, False, oracle_rows=len(orows),
+                   err=f"spark result missing: {str(e)[:200]}")
             n_fail += 1
             continue
         oc2, on = norm_rows(ocols, orows)
         sc2, sn = norm_rows(scols, srows)
         if oc2 != sc2:
             print(f"FAIL {name}: columns differ oracle={oc2} spark={sc2}")
+            record(name, len(on) == len(sn), False, False,
+                   spark_rows=len(sn), oracle_rows=len(on),
+                   err="columns differ")
             n_fail += 1
             continue
         if len(on) != len(sn):
             print(f"FAIL {name}: row count oracle={len(on)} spark={len(sn)}")
+            record(name, False, True, False,
+                   spark_rows=len(sn), oracle_rows=len(on), err=None)
             n_fail += 1
             continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(on, sn)) if a != b]
         if bad:
             i, a, b = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(on)} rows differ; first at {i}:\n  oracle={a}\n  spark ={b}")
+            record(name, True, True, False,
+                   spark_rows=len(sn), oracle_rows=len(on), err=None)
             n_fail += 1
         else:
             print(f"PASS {name} ({len(on)} rows)")
+            record(name, True, True, True,
+                   spark_rows=len(sn), oracle_rows=len(on), err=None)
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"== witness written: {json_out} ==")
     sys.exit(1 if n_fail else 0)
 
 
