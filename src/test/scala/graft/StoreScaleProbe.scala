@@ -284,14 +284,20 @@ object StoreScaleProbe {
       // of 500 — a crawl-frontier/platform-prefix batch) prunes to
       // O(touched row groups) at ANY scale. Both are printed; semi =
       // the join fallback reading every row of the touched buckets.
-      {
-        val rootf = load.Scratch.dir("probe_store_f", dir)
+      // Two subject-space sizes: at S=450k a uniform 5000-probe has
+      // λ = pg/S ≈ 2.8 expected probes per 256-subject row group (near
+      // saturation — most row groups genuinely contain a probe); at
+      // S=3M λ ≈ 0.43 and the skipped fraction must visibly grow,
+      // measuring the λ-trend the 100 TB claim extrapolates (at lake
+      // ratios λ ≪ 1 and nearly every row group skips).
+      Seq(450000L, 3000000L).foreach { totalRows =>
+        val rootf = load.Scratch.dir(s"probe_store_f$totalRows", dir)
         val storef = new load.TripletStore(spark, rootf.getAbsolutePath,
           autoCompactEvery = 0, bucketMinRows = 1L, subjectBuckets = 64,
           targetRowsPerFile = 256L)
         try {
           val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
-          val s450k = spark.range(450000).select(
+          val corpus = spark.range(totalRows).select(
               format_string("http://m/%07d", col("id")).as("subject"),
               lit("http://p/x").as("predicate"),
               concat(lit("v"), col("id")).as("obj"))
@@ -300,13 +306,15 @@ object StoreScaleProbe {
             .withColumn("extractionMethod", lit("probe"))
             .withColumn("confidence", lit(1.0))
             .withColumn("extractionTime", lit(t0))
-          storef.merge(s450k, t0)
-          val totalRows = 450000L
-          println(s"[store-f] 450k subjects, N=64, 256-row files; " +
-            "5000-subject probes (past the r13 or-tree cap of 1024)")
+          storef.merge(corpus, t0)
+          val lam = 5000.0 * 256 / totalRows
+          println(f"[store-f] S=$totalRows subjects, N=64, 256-row files; " +
+            f"5000-subject probes (past the r13 or-tree cap), lambda=$lam%.2f")
+          val stride = (totalRows / 10).toInt
           val clustered = (0 until 10).flatMap(r =>
-            (0 until 500).map(i => f"http://m/${r * 45000 + i}%07d"))
-          val scattered = (0 until 5000).map(i => f"http://m/${i * 90}%07d")
+            (0 until 500).map(i => f"http://m/${r * stride + i}%07d"))
+          val scattered = (0 until 5000).map(i =>
+            f"http://m/${i.toLong * (totalRows / 5000)}%07d")
           Seq(("clustered", clustered), ("scattered", scattered)).foreach {
             case (tag, subj) =>
               val bucketsFor = Some((n: Int) => subj
@@ -323,9 +331,10 @@ object StoreScaleProbe {
                 openOnly = true, bucketsFor = bucketsFor,
                 subjectLits = Some(subj))
               val matching = litDf.collect().length
-              println(f"[store-f] $tag%-9s scanRows(semi)=${PlanWalk.scanOutputRows(semi)}%7d " +
-                f"scanRows(lit)=${PlanWalk.scanOutputRows(litDf)}%7d " +
-                f"matching=$matching%5d of $totalRows")
+              println(f"[store-f] S=$totalRows $tag%-9s " +
+                f"scanRows(semi)=${PlanWalk.scanOutputRows(semi)}%8d " +
+                f"scanRows(lit)=${PlanWalk.scanOutputRows(litDf)}%8d " +
+                f"matching=$matching%5d")
           }
         } finally load.Scratch.rm(rootf)
       }
