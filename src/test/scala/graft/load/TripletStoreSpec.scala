@@ -1003,6 +1003,43 @@ class TripletStoreSpec extends AnyFunSuite {
     Scratch.rm(new java.io.File(dir)); Scratch.rm(new java.io.File(dir2))
   }
 
+  test("legacy survivors (no per-level modulus) block the re-pin until rewritten") {
+    // a pre-r14 bucketed level has no _SBKT_N and reads the store
+    // marker as its modulus fallback — moving the marker under it would
+    // silently mis-prune, so a compaction whose SURVIVORS include such
+    // a level must refuse to re-pin; the next pass (which rewrites
+    // everything) re-pins.
+    val dir = Files.createTempDirectory("store_legacy").toString
+    val store = new TripletStore(spark, dir, autoCompactEvery = 0,
+      targetRowsPerFile = 2L, bucketMinRows = 1L)
+    val wide = (1 to 150).map(i => (s"m$i", "name", s"n$i"))
+    store.merge(batch(wide, "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    store.merge(batch((1 to 1400).map(i => (s"g$i", "name", s"v$i")),
+      "2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"))
+    store.merge(batch(Seq(("m7", "name", "changed")), "2024-03-01 00:00:00"),
+      ts("2024-03-01 00:00:00"))
+    val marker = new java.io.File(dir, TripletStore.BucketMarker)
+    assert(java.nio.file.Files.readString(marker.toPath).trim.toInt == 75)
+    // simulate a pre-r14 level: strip the surviving delta's modulus file
+    assert(new java.io.File(new java.io.File(dir, "v=2"),
+      TripletStore.LevelBucketMarker).delete())
+    store.compact(keep = 2) // survivor v=2 is legacy → re-pin refused
+    assert(java.nio.file.Files.readString(marker.toPath).trim.toInt == 75,
+      "a legacy survivor must keep the store marker (its modulus) in place")
+    // the legacy survivor still reads correctly via the marker fallback
+    assert(store.currentTriplesFor(Seq("m7")).select("obj")
+      .as[String].collect().toSet == Set("changed"))
+    // the next compaction rewrites everything → re-pin proceeds
+    store.compact(keep = 1)
+    val n1 = java.nio.file.Files.readString(marker.toPath).trim.toInt
+    // full state = 1550 open + 1 closed (m7's deprecated n7) = 1551 rows
+    assert(n1 == 775, s"full compaction should re-pin 1551/2 -> 775, got $n1")
+    assert(store.currentTriplesFor(Seq("m7")).select("obj")
+      .as[String].collect().toSet == Set("changed"))
+    assert(store.currentTriples.count() == 1550)
+    Scratch.rm(new java.io.File(dir))
+  }
+
   test("claim heartbeat: a slow LIVE owner survives a takeover attempt") {
     // r13 residual: the marker was written once at claim and never
     // refreshed, so any pass longer than TmpSweepAgeMs (routine for a
