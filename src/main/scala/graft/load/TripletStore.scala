@@ -496,17 +496,38 @@ class TripletStore(spark: SparkSession, path: String,
         val all = subjectLits match {
           case Some(lits) =>
             // ONE In regardless of size (<= subjectLiteralCap): Spark 4.1
-            // pushes any >10-literal In through its native set path —
+            // pushes any above-threshold In through its native set path —
             // per-row-group pruning against footer stats AND the subject
             // bloom filters commitLevel writes, with no or-tree recursion
             // cliff and no range collapse (measured:
             // tools/in_pushdown_r14.txt). Row-level evaluation is a
             // hash-set InSet. The former 1k..10k "dead zone" (r13 capped
             // the pushed or-tree at 1024) does not exist on this path.
+            //
+            // Defense for deployment-RAISED thresholds: an In at or
+            // below the session inFilterThreshold pushes as an
+            // or-of-equals whose evaluation recursion StackOverflows
+            // past the measured cliff (1024 safe, 1536 task-fatal —
+            // tools/pushdown_cliff_r14.txt). At the default threshold
+            // (10) no list here can form one; if the session raised the
+            // threshold past [[TripletStore.OrTreeSafeLiterals]] (a
+            // common tuning knob), a mid-size list would — so split it
+            // into measured-safe In chunks OR-ed together: each pushed
+            // subtree stays at or under the guard (total depth <=
+            // guard + cap/guard, far below the cliff) and row eval
+            // stays one hash InSet per chunk.
             val (nulls, named) = lits.partition(_ == null)
+            val threshold = scala.util.Try(spark.conf.get(
+              "spark.sql.parquet.pushdown.inFilterThreshold").toInt)
+              .getOrElse(10)
+            val chunked =
+              if (named.size > OrTreeSafeLiterals && named.size <= threshold)
+                named.sorted.grouped(OrTreeSafeLiterals).toSeq
+              else Seq(named)
             val p0 =
               if (named.isEmpty) lit(false)
-              else col("subject").isin(named: _*)
+              else chunked.map(c => col("subject").isin(c: _*))
+                .reduce(_ || _)
             all0.filter(
               if (nulls.nonEmpty) p0 || col("subject").isNull else p0)
           case None => subjects.fold(all0)(s =>
@@ -955,23 +976,32 @@ class TripletStore(spark: SparkSession, path: String,
   }
 
   /** Refresh the claim marker's liveness (mtime) IFF it still carries
-    * `token`; returns whether this owner still holds the claim. The
+    * `token`; returns whether the heartbeat should CONTINUE. The
     * refresh is a `setLastModifiedTime`, never a content rewrite — if a
     * takeover swaps the marker between the read and the touch (only
     * possible after this owner already looked dead for the full
     * liveness window), the touch refreshes the NEW owner's mtime, which
-    * is harmless; a rewrite would clobber its token. */
+    * is harmless; a rewrite would clobber its token. Only an OBSERVED
+    * foreign token stops the heartbeat: a transient read failure (an
+    * NFS blip at hour 2 of a 6-hour base build) skips the touch and
+    * retries next beat — treating it as lost ownership would silently
+    * kill the thread, let the marker age past the liveness window, and
+    * invite a live-owner takeover, the exact failure the heartbeat
+    * exists to prevent. */
   private[load] def heartbeatCompaction(token: String): Boolean = {
     val marker = new java.io.File(fs, CompactionMarker)
-    val ours =
-      try java.nio.file.Files.readString(marker.toPath).trim == token
-      catch { case _: java.io.IOException => false }
-    if (ours) {
-      try java.nio.file.Files.setLastModifiedTime(marker.toPath,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-      catch { case _: java.io.IOException => () } // gone: next beat reports lost
+    val state =
+      try Some(java.nio.file.Files.readString(marker.toPath).trim == token)
+      catch { case _: java.io.IOException => None } // unreadable: retry
+    state match {
+      case Some(true) =>
+        try java.nio.file.Files.setLastModifiedTime(marker.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        catch { case _: java.io.IOException => () } // transient: retry next beat
+        true
+      case Some(false) => false // confirmed foreign: ownership lost, stop
+      case None => true
     }
-    ours
   }
 
   /** Heartbeat the compaction claim on a daemon thread until interrupted
@@ -1067,8 +1097,15 @@ class TripletStore(spark: SparkSession, path: String,
             case _: UnsupportedOperationException | _: SecurityException |
                 _: java.io.IOException =>
               try {
-                java.nio.file.Files.move(grab.toPath, marker.toPath,
-                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                // deliberately NON-atomic move: ATOMIC_MOVE maps to
+                // rename(2), which silently REPLACES an existing target
+                // — an even-newer owner's marker published between our
+                // grab and this restore would be clobbered by our
+                // superseded copy. The plain move stats the target first
+                // and throws FileAlreadyExistsException (= supersession,
+                // grab disposable); the residual stat-then-rename window
+                // is microseconds vs an unconditional replace.
+                java.nio.file.Files.move(grab.toPath, marker.toPath)
                 false // moved back: the grabbed path no longer exists
               } catch {
                 case _: java.nio.file.FileAlreadyExistsException => true
@@ -1344,6 +1381,15 @@ object TripletStore {
     * which is why the session In-threshold is left at its default and
     * never raised). */
   val DefaultSubjectLiteralCap = 10000
+
+  /** Largest In ONE pushed or-of-equals subtree may hold when a
+    * deployment-raised `inFilterThreshold` forces the or-tree form on a
+    * mid-size list (at the default threshold of 10 nothing here forms
+    * one): the r14 cliff probe measured 1024 safe and 1536 a
+    * task-killing StackOverflowError (tools/pushdown_cliff_r14.txt).
+    * reconstruct splits such lists into chunks of this size OR-ed
+    * together — each pushed subtree stays measured-safe. */
+  val OrTreeSafeLiterals = 1024
 
   /** Partition column of bucketed level dirs: `sbkt =
     * pmod(xxhash64(subject), N)`. The merge collects its batch's distinct

@@ -401,12 +401,22 @@ object Versioned {
     * removed by a JVM shutdown hook; a swept/deleted dir re-builds. */
   private val lookupStoreMemo = new graft.operators.SessionMemo[java.io.File]
 
+  // ONE shutdown hook sweeping a registry instead of a hook per build:
+  // a long-lived JVM cycling sessions would otherwise grow the hook set
+  // (and each superseded dir lives until exit regardless — ~100 KB per
+  // (session, dir), removed here in one pass)
+  private val lookupStoreDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  sys.addShutdownHook {
+    lookupStoreDirs.forEach(d => Scratch.rm(d))
+  }
+
   private def withLookupStore[T](s: SparkSession, dir: String)
                                 (body: TripletStore => T): T = {
     val root = lookupStoreMemo.getOrCompute(s, dir)(
       f => new java.io.File(f, TripletStore.FormatMarker).exists()) {
       val tmp = Scratch.dir("graft_lk_q", dir)
-      sys.addShutdownHook(Scratch.rm(tmp))
+      lookupStoreDirs.add(tmp)
       val (b1, b2) = fixtureBatches(s, dir)
       val store = new TripletStore(s, tmp.getAbsolutePath,
         bucketMinRows = 1L, subjectBuckets = 8)

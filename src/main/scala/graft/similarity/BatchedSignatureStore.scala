@@ -425,9 +425,15 @@ abstract class BatchedSignatureStore(spark: SparkSession, path: String) {
             case _: UnsupportedOperationException | _: SecurityException |
                 _: java.io.IOException =>
               try {
+                // NON-atomic on purpose: ATOMIC_MOVE rename(2) silently
+                // REPLACES an existing target, so an even-newer owner's
+                // marker published between the grab and this restore
+                // would be clobbered by the superseded copy; the plain
+                // move throws FileAlreadyExistsException instead
+                // (supersession — disposable), at the cost of a
+                // microsecond stat-then-rename window
                 java.nio.file.Files.move(claimed.toPath,
-                  pendingMarker.toPath,
-                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                  pendingMarker.toPath)
                 false // moved back: the claimed path no longer exists
               } catch {
                 case _: java.nio.file.FileAlreadyExistsException => true

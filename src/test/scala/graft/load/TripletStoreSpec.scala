@@ -850,7 +850,7 @@ class TripletStoreSpec extends AnyFunSuite {
   }
 
   test("driver-side bucket id equals the write-side column expression") {
-    // bucketsOf evaluates the SAME Catalyst XxHash64 (seed 42) on the
+    // bucketsFn/subjectBucketLocal evaluates the SAME Catalyst XxHash64 (seed 42) on the
     // driver that subjectBucket codegens on executors — any drift
     // (seed, sentinel, pmod semantics) would silently prune live rows,
     // so parity is pinned over a sample including null and unicode
@@ -1001,6 +1001,34 @@ class TripletStoreSpec extends AnyFunSuite {
     assert(java.nio.file.Files.readString(new java.io.File(dir2,
       TripletStore.BucketMarker).toPath).trim.toInt == 8)
     Scratch.rm(new java.io.File(dir)); Scratch.rm(new java.io.File(dir2))
+  }
+
+  test("a deployment-raised In threshold cannot re-form a cliff-deep or-tree") {
+    // the store never raises spark.sql.parquet.pushdown.inFilterThreshold
+    // itself, but a deployment commonly does — an In at or below the
+    // threshold pushes as an or-of-equals whose evaluation recursion
+    // StackOverflows past the measured cliff (1024 ok, 1536 task-fatal).
+    // reconstruct must split such lists into measured-safe chunks: with
+    // the threshold raised to 5000, a 2000-subject lookup would have
+    // died pre-defense; chunked it answers.
+    val dir = Files.createTempDirectory("store_rthresh").toString
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val before = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "5000")
+      val store = new TripletStore(spark, dir, autoCompactEvery = 0,
+        bucketMinRows = 1L)
+      store.merge(batch((1 to 2500).map(i => (s"m$i", "name", s"a$i")),
+        "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+      val subs = (1 to 2000).map(i => s"m$i")
+      val lookup = store.currentTriplesFor(subs)
+      assert(lookup.count() == 2000)
+      assert(lookup.filter(col("subject") === "m1999").select("obj")
+        .as[String].collect().toSet == Set("a1999"))
+    } finally {
+      spark.conf.set(key, before)
+      Scratch.rm(new java.io.File(dir))
+    }
   }
 
   test("legacy survivors (no per-level modulus) block the re-pin until rewritten") {

@@ -53,8 +53,14 @@ def main():
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args) or args[i + 1].startswith("q_"):
+            raise SystemExit("usage: check.py <sfDir> <outDir> [query ...]"
+                             " [--json <out.json>]")
         json_out = args[i + 1]
         del args[i:i + 2]
+    if len(args) < 2:
+        raise SystemExit("usage: check.py <sfDir> <outDir> [query ...]"
+                         " [--json <out.json>]")
     sf_dir, out_dir = args[0], args[1]
     only = set(args[2:])
     con = duckdb.connect()
