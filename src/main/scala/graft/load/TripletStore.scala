@@ -103,12 +103,14 @@ import graft.operators.Checkpoints
   * cannot arise from this writer. Compaction/retention is SINGLE-OWNER
   * and the rule is ENFORCED, not a convention: every pass first CLAIMS
   * a tokened marker ([[TripletStore.CompactionMarker]], exclusive
-  * publish) and HEARTBEATS it (mtime refresh every
+  * publish) and HEARTBEATS it (sequence bump in the
+  * [[TripletStore.CompactionSeqMarker]] sidecar + mtime refresh, every
   * [[TripletStore.CompactionHeartbeatMs]]) for as long as the pass
   * runs — a second owner throws
   * [[TripletStore.ConcurrentCompactionException]] with the store
-  * untouched; only a marker whose HEARTBEAT is stale (no refresh for
-  * [[TripletStore.TmpSweepAgeMs]] — a crashed owner, not merely a slow
+  * untouched; only a marker a claimant has OBSERVED unchanged across
+  * [[TripletStore.TmpSweepAgeMs]] on its own clock (a crashed owner,
+  * not merely a slow or clock-skewed
   * one: a 100 TB base build routinely outlives any fixed claim age) is
   * taken over. The owner re-verifies its token immediately before the
   * deletion phase, so a pass that WAS taken over (JVM paused past the
@@ -195,6 +197,38 @@ class TripletStore(spark: SparkSession, path: String,
     } finally tmp.delete()
   }
 
+  /** Parse an int marker with a BOUNDED retry on empty/unparseable
+    * content: [[publishMarkerExclusive]]'s CREATE_NEW fallback (on a
+    * link-incapable filesystem) documents that a reader racing the
+    * winner's in-flight content write can observe a SHORT file — a bare
+    * `readString(...).trim.toInt` there crashed one of a racing
+    * first-bucketed writer pair with an unhelpful
+    * NumberFormatException instead of the documented contract. The torn
+    * state lasts one write syscall, so a few 25 ms retries absorb it;
+    * persistent garbage (tampering, a real torn marker from a
+    * pre-protocol writer) still fails loudly, now with the contract in
+    * the message. */
+  private[load] def readMarkerInt(m: java.io.File): Int = {
+    var attempt = 0
+    var out = Option.empty[Int]
+    while (out.isEmpty) {
+      out = java.nio.file.Files.readString(m.toPath).trim.toIntOption
+      if (out.isEmpty) {
+        attempt += 1
+        if (attempt >= MarkerReadAttempts)
+          throw new IllegalStateException(
+            s"marker ${m.getName} at $path holds no parseable int after " +
+              s"$MarkerReadAttempts reads: a racing writer's in-flight " +
+              "CREATE_NEW content write resolves in milliseconds — " +
+              "persistent garbage means a torn or tampered marker " +
+              "(concurrent first-bucketed writers require a " +
+              "link-capable filesystem)")
+        Thread.sleep(25)
+      }
+    }
+    out.get
+  }
+
   /** The store's pinned bucket count: the recorded marker when present
     * (any bucketed level was ever written), else the constructor seed —
     * or the default floor under auto-sizing (`subjectBuckets = 0`). The
@@ -202,8 +236,7 @@ class TripletStore(spark: SparkSession, path: String,
     * with NO bucketed levels, where pruning is a no-op regardless. */
   private def bucketN: Int = {
     val m = new java.io.File(fs, BucketMarker)
-    if (m.exists())
-      java.nio.file.Files.readString(m.toPath).trim.toInt
+    if (m.exists()) readMarkerInt(m)
     else if (subjectBuckets > 0) subjectBuckets
     else DefaultSubjectBuckets
   }
@@ -238,7 +271,7 @@ class TripletStore(spark: SparkSession, path: String,
         else autoBucketN(rows)
       publishMarkerExclusive(BucketMarker, candidate.toString)
     }
-    java.nio.file.Files.readString(m.toPath).trim.toInt
+    readMarkerInt(m)
   }
 
   /** The auto-sizing rule: about one bucket per target file, clamped to
@@ -257,17 +290,29 @@ class TripletStore(spark: SparkSession, path: String,
     * ([[TripletStore.LevelBucketMarker]]) — a surviving legacy level
     * reads the store marker as its modulus fallback, so moving the
     * marker under it would silently mis-prune; such levels block the
-    * re-pin until a pass rewrites them (the next compaction, once this
-    * code wrote them self-described). Compaction is the natural re-pin
+    * re-pin until a pass rewrites them. Since r15 that rewrite happens
+    * IN the same pass ([[rewriteLegacyIn]] runs before this check), so
+    * the guard is defense-in-depth rather than a multi-cycle wait.
+    * Compaction is the natural re-pin
     * moment: it is single-owner (the claim), rewrites the base anyway,
     * and once the old levels drop no reader depends on the old modulus
     * — the new base self-describes the new N from its first commit,
-    * and the marker itself moves only AFTER the deletion phase. */
+    * and the marker itself moves only AFTER the deletion phase.
+    *
+    * MIXED-BINARY FLEETS: the survivor check is a point-in-time
+    * snapshot. A pre-r14 writer binary (one that buckets without
+    * self-describing) committing a delta BETWEEN this check and the
+    * marker move would read the NEW store marker as that level's
+    * modulus fallback and silently mis-prune. Same-version writers
+    * always self-describe, so the contract is operational: upgrade
+    * every writer before the first compaction of an upgraded store —
+    * a pre-self-description binary must not write to a store whose
+    * marker has re-pinned. */
   private def repinCandidate(rows: Long, survivors: Seq[String]): Option[Int] = {
     val m = new java.io.File(fs, BucketMarker)
     if (subjectBuckets != 0 || rows < bucketMinRows || !m.exists()) None
     else {
-      val recorded = java.nio.file.Files.readString(m.toPath).trim.toInt
+      val recorded = readMarkerInt(m)
       val candidate = autoBucketN(rows)
       val safe = survivors.forall(n => !isBucketed(n) || levelSelfDescribed(n))
       if (candidate >= 2L * recorded && safe) Some(candidate) else None
@@ -275,10 +320,30 @@ class TripletStore(spark: SparkSession, path: String,
   }
 
   /** The level dirs a compaction at `cut` leaves standing above its
-    * base (the still-delta-queryable retained versions). */
+    * base (the still-delta-queryable retained versions), each resolved
+    * through [[pick]] to its rewritten generation when one committed. */
   private def survivorsAbove(cut: Int): Seq[String] =
-    deltaVersions.filter(_ > cut).map(d => s"v=$d") ++
-      baseVersions.filter(_ > cut).map(b => s"base=$b")
+    (deltaVersions.filter(_ > cut).map(d => s"v=$d") ++
+      baseVersions.filter(_ > cut).map(b => s"base=$b")).map(pick)
+
+  /** Whether `dirName` is a COMMITTED dir under this store (rename
+    * protocol: `_SUCCESS` travels with the atomic rename). */
+  private def committedDir(dirName: String): Boolean =
+    new java.io.File(new java.io.File(fs, dirName), "_SUCCESS").exists()
+
+  /** Resolve a level name to its REWRITTEN generation (`r` + name) when
+    * one has committed — the read-side half of [[rewriteLegacyLevels]].
+    * A legacy level is never swapped in place (a reader listing during
+    * a swap window would silently reconstruct WITHOUT the level — a
+    * wrong answer, not a loud failure): the rewrite commits additively
+    * as a sibling `rv=N` / `rbase=N`, readers prefer it from the moment
+    * its `_SUCCESS` lands, and the original stays standing — masked for
+    * reads, still guarding its version slot against straggler renames —
+    * until the version itself drops out of the retention window. */
+  private def pick(dirName: String): String = {
+    val r = "r" + dirName
+    if (committedDir(r)) r else dirName
+  }
 
   /** A level dir written under the bucketed layout carries `sbkt=`
     * partition children; a pre-bucket, sub-threshold, or empty dir does
@@ -353,8 +418,7 @@ class TripletStore(spark: SparkSession, path: String,
     * self-description. */
   private def levelModulus(dirName: String): Int = {
     val m = new java.io.File(new java.io.File(fs, dirName), LevelBucketMarker)
-    if (m.exists())
-      java.nio.file.Files.readString(m.toPath).trim.toInt
+    if (m.exists()) readMarkerInt(m)
     else bucketN
   }
 
@@ -430,7 +494,8 @@ class TripletStore(spark: SparkSession, path: String,
                               bucketsFor: Option[Int => Seq[Int]] = None): Option[DataFrame] = {
     val floor = baseVersions.filter(_ <= v).lastOption
     val deltas = deltaVersions.filter(d => d > floor.getOrElse(-1) && d <= v)
-    val names = floor.map(b => s"base=$b").toSeq ++ deltas.map(d => s"v=$d")
+    val names = (floor.map(b => s"base=$b").toSeq ++
+      deltas.map(d => s"v=$d")).map(pick)
     if (names.isEmpty) None
     else {
       val (bucketed, plain) = names.partition(isBucketed)
@@ -512,22 +577,28 @@ class TripletStore(spark: SparkSession, path: String,
             // (10) no list here can form one; if the session raised the
             // threshold past [[TripletStore.OrTreeSafeLiterals]] (a
             // common tuning knob), a mid-size list would — so split it
-            // into measured-safe In chunks OR-ed together: each pushed
-            // subtree stays at or under the guard (total depth <=
-            // guard + cap/guard, far below the cliff) and row eval
-            // stays one hash InSet per chunk.
+            // into [[TripletStore.OrTreeChunkLiterals]]-sized In chunks
+            // combined with a BALANCED pairwise Or reduction: the
+            // deepest pushed path is one chunk's or-tree plus
+            // log2(#chunks) (~517 at the 10k cap — well clear of the
+            // bracketed (1024, 1536] cliff, where the former
+            // left-associative reduce added #chunks-1 linear depth in
+            // unmeasured territory), and row eval stays one hash InSet
+            // per chunk.
             val (nulls, named) = lits.partition(_ == null)
             val threshold = scala.util.Try(spark.conf.get(
               "spark.sql.parquet.pushdown.inFilterThreshold").toInt)
               .getOrElse(10)
             val chunked =
               if (named.size > OrTreeSafeLiterals && named.size <= threshold)
-                named.sorted.grouped(OrTreeSafeLiterals).toSeq
+                named.sorted.grouped(OrTreeChunkLiterals).toSeq
               else Seq(named)
+            def balancedOr(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+              if (cs.size == 1) cs.head
+              else balancedOr(cs.grouped(2).map(_.reduce(_ || _)).toSeq)
             val p0 =
               if (named.isEmpty) lit(false)
-              else chunked.map(c => col("subject").isin(c: _*))
-                .reduce(_ || _)
+              else balancedOr(chunked.map(c => col("subject").isin(c: _*)))
             all0.filter(
               if (nulls.nonEmpty) p0 || col("subject").isNull else p0)
           case None => subjects.fold(all0)(s =>
@@ -943,51 +1014,128 @@ class TripletStore(spark: SparkSession, path: String,
     * ([[startCompactionHeartbeat]]) went stale for
     * [[TripletStore.TmpSweepAgeMs]] is a dead owner's leftover — the
     * claimant atomically grabs it (rename) and publishes its own.
-    * Liveness is the marker's MTIME, which the owner refreshes for the
-    * whole pass — a fixed claim age would presume any pass longer than
-    * the window dead (a 100 TB base build routinely is) and take over
-    * a LIVE owner. Returns the owner token [[releaseCompaction]]
-    * requires. */
+    *
+    * Liveness is judged CLOCK-FREE, by observed progress: the owner's
+    * heartbeat bumps a monotone sequence in the
+    * [[TripletStore.CompactionSeqMarker]] sidecar (and refreshes the
+    * marker mtime, which pre-r15 claimants key on); a claimant takes
+    * over only after it has OBSERVED an unchanged (marker content,
+    * marker mtime, sequence) across [[claimLivenessWindowMs]] measured
+    * on its OWN monotonic clock. Comparing the claimant's wall clock to
+    * an mtime the OWNER's clock stamped (the r14 scheme) let a clock
+    * skew at or above the window — or a filesystem with coarse mtime
+    * fidelity — take over a LIVE owner; no cross-host clock is read
+    * on this path at all. The mtime still participates as a CHANGE
+    * signal (any refresh resets the observation), so a still-beating
+    * pre-r15 owner is also safe from an r15 claimant. One deliberate
+    * exception: a marker stale past 24x the window falls to takeover on
+    * first sight — the ephemeral-claimant recovery floor (see the
+    * inline rationale). Returns the owner token
+    * [[releaseCompaction]] requires. */
   private[load] def claimCompaction(): String = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     if (!publishMarkerExclusive(CompactionMarker, token)) {
       val marker = new java.io.File(fs, CompactionMarker)
-      val age = System.currentTimeMillis() - marker.lastModified()
-      if (marker.exists() && age > TmpSweepAgeMs) {
-        // presumed-dead takeover: the GRAB is atomic (rename), so of N
-        // claimants over one stale marker exactly one proceeds to
+      val seq = new java.io.File(fs, CompactionSeqMarker)
+      // one composite observation: any component changing between two
+      // observations means the owner made progress
+      val observed =
+        try Some(java.nio.file.Files.readString(marker.toPath).trim +
+          "|" + marker.lastModified() + "|" +
+          (if (seq.exists())
+            scala.util.Try(
+              java.nio.file.Files.readString(seq.toPath).trim)
+              .getOrElse("<torn>")
+          else "<none>"))
+        catch { case _: java.io.IOException => None } // released: retry below
+      val nowNs = System.nanoTime()
+      val frozenForMs = observed.map { st =>
+        val prev = claimObservation.get()
+        if (prev == null || prev._1 != st) {
+          claimObservation.set((st, nowNs)); 0L
+        } else (nowNs - prev._2) / 1000000L
+      }
+      // Disaster-recovery floor for EPHEMERAL claimants: observation
+      // memory is process-local, so a claimant that never lives a full
+      // window (a fresh JVM per batch run) could never reclaim a crashed
+      // store — auto-compaction would skip forever and levels would
+      // accumulate unboundedly. A marker whose mtime age exceeds 24x the
+      // window is treated as frozen on FIRST sight. This is the one
+      // remaining cross-host clock comparison, deliberately at a bound
+      // where it is harmless: a live owner heartbeats its mtime every
+      // CompactionHeartbeatMs, so a wrongful takeover here requires
+      // claimant-vs-owner clock skew (or mtime-fidelity loss) exceeding
+      // a full DAY at production settings — and the owner's
+      // pre-deletion verify still bounds the damage if it ever fires.
+      val ancient = observed.isDefined && marker.exists() &&
+        System.currentTimeMillis() - marker.lastModified() >
+          24L * claimLivenessWindowMs
+      if (frozenForMs.exists(_ >= claimLivenessWindowMs) || ancient) {
+        // observed-dead takeover: the GRAB is atomic (rename), so of N
+        // claimants over one frozen marker exactly one proceeds to
         // publish; the rest fall through to the loud throw below
         val grab = new java.io.File(fs, s".tmp-claim-$token")
         try {
           java.nio.file.Files.move(marker.toPath, grab.toPath,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           grab.delete()
+          onClaimTakeover(observed.get)
         } catch { case _: java.io.IOException => () }
       }
       if (!publishMarkerExclusive(CompactionMarker, token))
         throw new TripletStore.ConcurrentCompactionException(
           s"a compaction pass on $path appears IN FLIGHT (claim " +
-            s"heartbeat ${age / 1000}s ago): compaction is single-owner " +
-            "— the store is unchanged; re-run after the owner completes, " +
-            s"or after its heartbeat stalls past ${TmpSweepAgeMs / 1000}s " +
-            "if it crashed")
+            s"unchanged for ${frozenForMs.getOrElse(0L) / 1000}s on this " +
+            "observer's clock): compaction is single-owner — the store " +
+            "is unchanged; re-run after the owner completes, or keep " +
+            "re-running: a claim observed frozen for " +
+            s"${claimLivenessWindowMs / 1000}s is a crashed owner's " +
+            "leftover and is taken over")
     }
+    claimObservation.set(null) // claimed: a future claim starts fresh
     token
   }
 
-  /** Refresh the claim marker's liveness (mtime) IFF it still carries
-    * `token`; returns whether the heartbeat should CONTINUE. The
-    * refresh is a `setLastModifiedTime`, never a content rewrite — if a
-    * takeover swaps the marker between the read and the touch (only
-    * possible after this owner already looked dead for the full
-    * liveness window), the touch refreshes the NEW owner's mtime, which
-    * is harmless; a rewrite would clobber its token. Only an OBSERVED
+  /** Last (composite claim observation, own-monotonic-clock nanos) this
+    * instance saw — the observe-no-progress takeover's memory. Process-
+    * local by design: a restarted claimant conservatively re-observes
+    * for a full window before presuming death. */
+  private val claimObservation =
+    new java.util.concurrent.atomic.AtomicReference[(String, Long)](null)
+
+  /** How long a claim must be observed UNCHANGED (own clock) before a
+    * claimant may presume its owner dead — seam for the protocol specs;
+    * production is [[TripletStore.TmpSweepAgeMs]]. */
+  protected def claimLivenessWindowMs: Long = TmpSweepAgeMs
+
+  /** Invoked when an observed-dead takeover GRAB succeeds, with the
+    * frozen observation — seam for the claim-protocol fuzz (asserts no
+    * live-beating owner stood at takeover time); production no-op. */
+  protected def onClaimTakeover(observed: String): Unit = ()
+
+  /** Monotone per-owner heartbeat sequence — the progress signal
+    * [[claimCompaction]]'s observe-no-progress liveness keys on. */
+  private val heartbeatSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Signal claim liveness IFF the marker still carries `token`;
+    * returns whether the heartbeat should CONTINUE. Two signals per
+    * beat: the [[TripletStore.CompactionSeqMarker]] sidecar gets the
+    * next sequence (atomic publish — clock-free progress for r15+
+    * claimants), and the marker mtime is refreshed (the pre-r15
+    * claimants' liveness signal; for r15+ observers a refresh is merely
+    * another change that resets their observation). The marker itself
+    * is NEVER content-rewritten — if a takeover swaps it between the
+    * read and the touch (only possible after this owner already looked
+    * dead for a full liveness window), the touch refreshes the NEW
+    * owner's mtime and the sidecar carries a stale token one beat
+    * (self-healing: the new owner's next beat overwrites it, and
+    * observers see both writes as progress); a rewrite would clobber
+    * the new owner's token. Only an OBSERVED
     * foreign token stops the heartbeat: a transient read failure (an
-    * NFS blip at hour 2 of a 6-hour base build) skips the touch and
+    * NFS blip at hour 2 of a 6-hour base build) skips the signals and
     * retries next beat — treating it as lost ownership would silently
-    * kill the thread, let the marker age past the liveness window, and
-    * invite a live-owner takeover, the exact failure the heartbeat
-    * exists to prevent. */
+    * kill the thread, freeze the observation, and invite a live-owner
+    * takeover, the exact failure the heartbeat exists to prevent. */
   private[load] def heartbeatCompaction(token: String): Boolean = {
     val marker = new java.io.File(fs, CompactionMarker)
     val state =
@@ -995,9 +1143,12 @@ class TripletStore(spark: SparkSession, path: String,
       catch { case _: java.io.IOException => None } // unreadable: retry
     state match {
       case Some(true) =>
-        try java.nio.file.Files.setLastModifiedTime(marker.toPath,
-          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-        catch { case _: java.io.IOException => () } // transient: retry next beat
+        try {
+          publishMarker(CompactionSeqMarker,
+            s"$token ${heartbeatSeq.incrementAndGet()}")
+          java.nio.file.Files.setLastModifiedTime(marker.toPath,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        } catch { case _: java.io.IOException => () } // transient: retry next beat
         true
       case Some(false) => false // confirmed foreign: ownership lost, stop
       case None => true
@@ -1038,9 +1189,24 @@ class TripletStore(spark: SparkSession, path: String,
     * deleted by this pass. */
   private[load] def verifyCompactionClaim(token: String): Unit = {
     val marker = new java.io.File(fs, CompactionMarker)
-    val held =
-      try java.nio.file.Files.readString(marker.toPath).trim == token
-      catch { case _: java.io.IOException => false }
+    // a transient read failure here (an NFS blip at the deletion gate)
+    // must not cost the whole — potentially multi-hour — base build:
+    // retry briefly with backoff before concluding the claim was lost.
+    // The abort DIRECTION stays conservative: reads exhausted → not held.
+    var held = false
+    var attempt = 0
+    var settled = false
+    while (!settled) {
+      try {
+        held = java.nio.file.Files.readString(marker.toPath).trim == token
+        settled = true
+      } catch {
+        case _: java.io.IOException =>
+          attempt += 1
+          if (attempt >= MarkerReadAttempts) settled = true
+          else Thread.sleep(200L * attempt)
+      }
+    }
     if (!held)
       throw new TripletStore.ConcurrentCompactionException(
         s"compaction on $path lost its claim before the deletion phase " +
@@ -1114,7 +1280,75 @@ class TripletStore(spark: SparkSession, path: String,
           }
         }
       if (disposable) grab.delete()
+      // our own released claim takes its liveness sidecar with it; a
+      // foreign owner's sidecar is ITS progress signal — leave it
+      if (ours) new java.io.File(fs, CompactionSeqMarker).delete()
     }
+  }
+
+  /** Rewrite each LEGACY level among `names` — bucketed but not
+    * self-described (pre-r14 layout: no [[TripletStore.LevelBucketMarker]]
+    * and no per-row-group subject bloom filters) — as a committed
+    * sibling `r<name>` carrying identical rows under the SAME modulus
+    * (the store marker, which cannot have moved while the legacy level
+    * stands — [[repinCandidate]] refuses) plus the modern trimmings:
+    * self-described modulus, subject blooms, subject-sorted files.
+    * Readers prefer the rewritten generation via [[pick]] the moment it
+    * commits; the original stays standing as the version-slot guard
+    * (see [[pick]] for why an in-place swap is unacceptable) and both
+    * are swept when the version drops. Caller must hold the compaction
+    * claim: commits are additive and atomic, but two uncoordinated
+    * rewriters would duplicate lake-sized writes. A commit lost to a
+    * racing owner (split-brain during a takeover) is ignored — the
+    * winner's content is identical by construction. Returns the names
+    * this call rewrote. */
+  private def rewriteLegacyIn(names: Seq[String]): Seq[String] =
+    names.filter(n => !n.startsWith("r") &&
+        isBucketed(n) && !levelSelfDescribed(n))
+      .filter { n =>
+        val rn = "r" + n
+        if (committedDir(rn)) false
+        else {
+          val level = spark.read.schema(bucketedPhysSchema)
+            .parquet(s"$path/$n").drop(BucketCol)
+          val rows = level.count()
+          try {
+            commitLevel(level, rows, rn.replace("=", ""), rn,
+              forceN = Some(levelModulus(n)))
+            true
+          } catch {
+            case _: java.util.ConcurrentModificationException =>
+              committedDir(rn) // a racing owner landed the identical rewrite
+          }
+        }
+      }
+      .map("r" + _)
+
+  /** Maintenance verb: rewrite every LIVE legacy level (see
+    * [[rewriteLegacyIn]]) under the single-owner compaction claim, in
+    * ONE pass — without waiting for a compaction whose cut happens to
+    * absorb them. Why a dedicated verb: a store upgraded in place keeps
+    * its pre-r14 levels until a compaction folds them, and while they
+    * survive they prune ~2x looser on scattered point-sets (no subject
+    * blooms — tools/in_pushdown_r14.txt) and BLOCK the bucket re-pin
+    * ([[repinCandidate]]); the reference's hash indexes
+    * (`data/configuration/hf/load/sql_files/init.sql:28-38`) apply to
+    * all rows from creation, and so should this store's pruning
+    * machinery. Compaction also runs this on its survivors
+    * ([[compactOwned]]), so a routine compaction cadence self-heals; the
+    * verb exists for stores that want the read path modernized NOW.
+    * Returns the rewritten dir names. */
+  def rewriteLegacyLevels(): Seq[String] = {
+    val owner = claimCompaction()
+    val hb = startCompactionHeartbeat(owner)
+    try {
+      val floor = baseVersions.lastOption
+      val live = floor.map(b => s"base=$b").toSeq ++
+        deltaVersions.filter(_ > floor.getOrElse(-1)).map(d => s"v=$d")
+      val out = rewriteLegacyIn(live)
+      AtomicDirCommit.sweepTmp(fs, TmpSweepAgeMs)
+      out
+    } finally { hb.interrupt(); releaseCompaction(owner) }
   }
 
   /** Compaction: materialize the full state at the oldest retained
@@ -1142,6 +1376,17 @@ class TripletStore(spark: SparkSession, path: String,
     // (the return value is a version list, not a plan over `snap`)
     else Checkpoints.scoped {
       val cut = vs.takeRight(math.max(1, keep)).head
+      // Surviving legacy levels rewrite FIRST, inside the already-held
+      // claim (they are being listed anyway): additive atomic commits,
+      // after which every survivor self-describes — so the re-pin check
+      // below passes in THIS pass instead of waiting for a later cut to
+      // absorb the legacy dirs, and the read path reaches bloomed scan
+      // counts after one maintenance pass. The retry arm (base=cut
+      // already committed by a crashed prior pass) includes the base
+      // itself: a pre-r14 base is as legacy as any delta.
+      rewriteLegacyIn(
+        (if (baseVersions.contains(cut)) Seq(pick(s"base=$cut")) else Nil) ++
+          survivorsAbove(cut))
       // Retry safety: a prior compaction that crashed after committing
       // base=cut but before its deletions must NOT rewrite the base —
       // reconstruct(cut) would then read the very path being overwritten
@@ -1179,7 +1424,8 @@ class TripletStore(spark: SparkSession, path: String,
       // (lost update) instead of colliding loudly. Exactly the shape
       // compact(olderThan)'s claim protocol keeps closed; the kept dir is
       // swept by the NEXT compaction once cut itself is superseded.
-      dropped.flatMap(d => Seq(s"v=$d", s"base=$d"))
+      // rewritten generations (`rv=`/`rbase=`) sweep with their versions
+      dropped.flatMap(d => Seq(s"v=$d", s"base=$d", s"rv=$d", s"rbase=$d"))
         .foreach { nm =>
           val d = new java.io.File(fs, nm)
           if (d.exists()) Scratch.rm(d)
@@ -1300,7 +1546,8 @@ class TripletStore(spark: SparkSession, path: String,
       // spec caught exactly that). The empty claim is harmless beside
       // its base (levelsAt ignores deltas at or below a base) and keeps
       // such a straggler colliding loudly.
-      versions.filter(_ < nv).flatMap(d => Seq(s"v=$d", s"base=$d"))
+      versions.filter(_ < nv)
+        .flatMap(d => Seq(s"v=$d", s"base=$d", s"rv=$d", s"rbase=$d"))
         .foreach { nm =>
           val d = new java.io.File(fs, nm)
           if (d.exists()) Scratch.rm(d)
@@ -1382,14 +1629,28 @@ object TripletStore {
     * never raised). */
   val DefaultSubjectLiteralCap = 10000
 
-  /** Largest In ONE pushed or-of-equals subtree may hold when a
-    * deployment-raised `inFilterThreshold` forces the or-tree form on a
-    * mid-size list (at the default threshold of 10 nothing here forms
-    * one): the r14 cliff probe measured 1024 safe and 1536 a
-    * task-killing StackOverflowError (tools/pushdown_cliff_r14.txt).
-    * reconstruct splits such lists into chunks of this size OR-ed
-    * together — each pushed subtree stays measured-safe. */
+  /** Threshold ABOVE which a literal subject list, when a
+    * deployment-raised `inFilterThreshold` would force the or-tree form
+    * on it (at the default threshold of 10 nothing here forms one),
+    * gets chunked: the r14 cliff probe measured a 1024-deep pushed
+    * or-of-equals safe and 1536 a task-killing StackOverflowError
+    * (tools/pushdown_cliff_r14.txt). */
   val OrTreeSafeLiterals = 1024
+
+  /** Chunk size the defense actually splits at — deliberately HALF the
+    * measured-safe bracket, because the chunks recombine under a
+    * balanced Or whose extra log2(#chunks) depth rides on top of one
+    * chunk's or-tree: 512 + log2(20) ≈ 517 at the 10k literal cap,
+    * keeping the whole pushed path well inside measured territory
+    * instead of flirting with the (1024, 1536] cliff. */
+  val OrTreeChunkLiterals = 512
+
+  /** Bounded retry count for int-marker reads ([[TripletStore!.readMarkerInt]])
+    * and the deletion-gate claim verify — absorbs the CREATE_NEW
+    * fallback's documented short-file window and transient
+    * shared-filesystem read blips without turning either into a crash
+    * or a lost multi-hour pass. */
+  val MarkerReadAttempts = 5
 
   /** Partition column of bucketed level dirs: `sbkt =
     * pmod(xxhash64(subject), N)`. The merge collects its batch's distinct
@@ -1463,9 +1724,19 @@ object TripletStore {
   val HorizonMarker = "_RETENTION_HORIZON"
 
   /** Tokened single-owner compaction claim marker (content: the owner
-    * token; liveness: file mtime vs [[TmpSweepAgeMs]]) — see
-    * `claimCompaction`. */
+    * token; liveness: observed progress of the
+    * [[CompactionSeqMarker]] sidecar / marker mtime across a claimant's
+    * own [[TmpSweepAgeMs]] wait) — see `claimCompaction`. */
   val CompactionMarker = "_COMPACTING"
+
+  /** Claim-liveness sidecar (content: `<owner token> <sequence>`): the
+    * owner's heartbeat bumps the sequence every beat, so a claimant
+    * judges death by observing NO CHANGE across its own wait — no
+    * cross-host clock comparison, no mtime-fidelity dependence. Swept
+    * with the released claim; a crashed owner's leftover is harmless
+    * (stale token, frozen sequence — exactly what a takeover needs to
+    * observe). */
+  val CompactionSeqMarker = "_COMPACTING_SEQ"
 
   /** A compaction/retention pass lost the single-owner CLAIM to a live
     * concurrent owner. The store is UNCHANGED (nothing was built or
@@ -1480,9 +1751,10 @@ object TripletStore {
   /** Age past which a `.tmp-` commit dir is considered a dead writer's
     * leftover and swept by compaction (a live writer's tmp mtime
     * refreshes with every landing part file). Doubles as the compaction
-    * claim's liveness window: a claim marker not HEARTBEATED
-    * ([[TripletStore!.startCompactionHeartbeat]]) for this long is a
-    * crashed owner's leftover and may be taken over. */
+    * claim's liveness window: a claim whose heartbeat signals
+    * ([[TripletStore!.startCompactionHeartbeat]] — sequence sidecar +
+    * mtime) a claimant observes UNCHANGED for this long on its own
+    * clock is a crashed owner's leftover and may be taken over. */
   val TmpSweepAgeMs: Long = 60L * 60 * 1000
 
   /** Interval at which a compaction owner refreshes its claim marker's

@@ -1,5 +1,8 @@
 package graft.operators
 
+import scala.concurrent.{Await, Promise}
+import scala.concurrent.duration.Duration
+
 import org.apache.spark.sql.SparkSession
 
 /** Session-scoped memoization for expensive per-(session, dir) artifacts
@@ -16,26 +19,77 @@ import org.apache.spark.sql.SparkSession
   * `artifact.sparkSession eq s`-style identity in it where the value
   * carries a session.
   *
-  * The lock is held across `compute` — by design: the point of the memo
-  * is that the expensive build runs ONCE even when the bench harness
-  * fires the family's queries back to back. */
+  * Build-once is enforced PER KEY, not per memo: each (session, key)
+  * slot holds a promise its first claimant completes, and the memo-wide
+  * monitor guards only the map bookkeeping — never the multi-second
+  * Spark build itself. The earlier shape held the monitor across
+  * `compute`, so a cache HIT for one dir blocked behind an unrelated
+  * dir's build (and the media and lookup memos each serialized every
+  * session in the JVM through one lock); now a hit returns as soon as
+  * its own promise is complete. A failed build removes its slot and
+  * propagates to its owner; concurrent waiters of the failed slot
+  * retry the build themselves (the pre-latch behavior, serialized per
+  * caller). Re-entrant `getOrCompute` from inside `compute` is
+  * supported for OTHER keys (they no longer share a lock) and
+  * unsupported for the SAME key (a build awaiting its own promise
+  * would deadlock — it used to silently double-compute). */
 final class SessionMemo[V] {
 
   private val entries =
-    new java.util.IdentityHashMap[SparkSession, scala.collection.mutable.Map[String, V]]()
+    new java.util.IdentityHashMap[SparkSession, scala.collection.mutable.Map[String, Promise[V]]]()
 
   def getOrCompute(s: SparkSession, key: String)(valid: V => Boolean)
-                  (compute: => V): V = synchronized {
-    val it = entries.entrySet().iterator()
-    while (it.hasNext) {
-      if (it.next().getKey.sparkContext.isStopped) it.remove()
+                  (compute: => V): V = {
+    while (true) {
+      var owner = false
+      val slot = synchronized {
+        val it = entries.entrySet().iterator()
+        while (it.hasNext) {
+          if (it.next().getKey.sparkContext.isStopped) it.remove()
+        }
+        val m = entries.computeIfAbsent(s,
+          _ => scala.collection.mutable.Map.empty[String, Promise[V]])
+        m.get(key) match {
+          case Some(p) if !p.future.value.exists(_.isFailure) => p
+          case _ =>
+            val p = Promise[V]()
+            m.update(key, p)
+            owner = true
+            p
+        }
+      }
+      if (owner) {
+        val v =
+          try compute
+          catch {
+            case e: Throwable =>
+              // release the slot FIRST so retrying waiters/new callers
+              // claim a fresh one, then fail the promise they awaited
+              synchronized {
+                Option(entries.get(s))
+                  .foreach(m => if (m.get(key).contains(slot)) m.remove(key))
+              }
+              slot.failure(e)
+              throw e
+          }
+        slot.success(v)
+        return v
+      } else {
+        // await OUTSIDE any lock: a hit (completed promise) returns
+        // immediately regardless of other keys' in-flight builds
+        Await.ready(slot.future, Duration.Inf).value.get match {
+          case scala.util.Success(v) if valid(v) => return v
+          case scala.util.Success(_) =>
+            // stale artifact (swept checkpoint, deleted dir): drop the
+            // slot — unless someone already replaced it — and loop
+            synchronized {
+              Option(entries.get(s))
+                .foreach(m => if (m.get(key).contains(slot)) m.remove(key))
+            }
+          case scala.util.Failure(_) => () // owner removed the slot; loop
+        }
+      }
     }
-    val m = entries.computeIfAbsent(s,
-      _ => scala.collection.mutable.Map.empty[String, V])
-    m.get(key).filter(valid).getOrElse {
-      val v = compute
-      m.update(key, v)
-      v
-    }
+    throw new IllegalStateException("unreachable")
   }
 }

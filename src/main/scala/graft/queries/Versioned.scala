@@ -91,6 +91,45 @@ object Versioned {
         .localCheckpoint()
     }
 
+  /** The legacy-level rewrite verb graded end-to-end: the two-batch
+    * fixture loads into a scratch BUCKETED store (`bucketMinRows = 1` so
+    * the layout engages at fixture scale), both level dirs are stripped
+    * of their per-level modulus markers — simulating a store written
+    * before self-description and subject blooms shipped — and
+    * [[graft.load.TripletStore.rewriteLegacyLevels]] modernizes them in
+    * ONE claimed pass. The full ranges state then reads back THROUGH
+    * the rewritten sibling generations (`rv=` dirs, preferred by the
+    * level picker) and must hash-match the same pure-SQL two-batch
+    * MERGE restatement as q_version_history: identical rows, different
+    * physical read path — any drift in the rewrite's row fidelity, its
+    * modulus choice, or the generation preference mismatches here. */
+  def legacyRewrite(s: SparkSession, dir: String): DataFrame = {
+    val (b1, b2) = fixtureBatches(s, dir)
+    Scratch.withScratch("graft_lr_q", dir) { tmp =>
+      // 8 buckets, not the 64 floor: the instrument's cost is the
+      // fixture build + rewrite, and every level fans out one dir+file
+      // per touched bucket at bucketMinRows = 1 — same geometry rationale
+      // as the lookup-verb fixture store
+      val store = new TripletStore(s, tmp.getAbsolutePath,
+        bucketMinRows = 1L, subjectBuckets = 8)
+      store.merge(b1, new Timestamp(T1 * 1000))
+      store.merge(b2, new Timestamp(T3 * 1000))
+      Seq("v=0", "v=1").foreach { n =>
+        val m = new java.io.File(new java.io.File(tmp, n),
+          TripletStore.LevelBucketMarker)
+        require(m.delete(), s"fixture level $n was not self-described")
+      }
+      val rewritten = store.rewriteLegacyLevels()
+      require(rewritten.toSet == Set("rv=0", "rv=1"),
+        s"expected both fixture levels rewritten, got $rewritten")
+      store.ranges.select(col("subject"), col("predicate"), col("obj"),
+          expr("unix_micros(useStart) div 1000").as("start_ms"),
+          expr("unix_micros(useEnd) div 1000").as("end_ms"),
+          col("deprecated"))
+        .localCheckpoint()
+    }
+  }
+
   /** V6 delta emit, oracle-graded: triples added / retired between the two
     * snapshots — pure anti-joins over versions (`GraphHandler.py:78-148`).
     * Added = batch-2 fresh triples; retired = the deprecate-changed set. */
@@ -484,6 +523,7 @@ object Versioned {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_version_history" -> versionHistory _,
+    "q_legacy_rewrite" -> legacyRewrite _,
     "q_version_delta" -> versionDelta _,
     "q_version_asof" -> versionAsOf _,
     "q_version_compacted" -> versionCompacted _,
@@ -494,6 +534,9 @@ object Versioned {
 
   val oracles: Map[String, String] = Map(
     "q_version_history" -> versionHistorySql,
+    // identical state through the rewritten-generation read path: the
+    // oracle IS the two-batch MERGE restatement
+    "q_legacy_rewrite" -> versionHistorySql,
     "q_version_delta" -> versionDeltaSql,
     "q_version_asof" -> versionAsOfSql,
     "q_version_compacted" -> versionCompactedSql,

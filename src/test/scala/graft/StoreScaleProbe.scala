@@ -338,6 +338,102 @@ object StoreScaleProbe {
           }
         } finally load.Scratch.rm(rootf)
       }
+      // Legacy-rewrite arm (r15), part 1 — bloom recovery in ONE pass:
+      // a store upgraded in place keeps pre-r14 levels (no subject
+      // blooms, no _SBKT_N) until a compaction cut happens to absorb
+      // them; while they survive, scattered point-sets prune ~2x looser
+      // (store-f measured the bloomed floor). rewriteLegacyLevels()
+      // must return the read path to bloomed scan counts in one
+      // claimed maintenance pass — no compaction, no waiting. The
+      // "legacy" state is simulated by rewriting the committed level
+      // with identical rows, bucketing, and sort but WITHOUT blooms or
+      // the modulus marker (exactly what a pre-r14 binary wrote).
+      val rootg = load.Scratch.dir("probe_store_g", dir)
+      val storeg = new load.TripletStore(spark, rootg.getAbsolutePath,
+        autoCompactEvery = 0, bucketMinRows = 1L, subjectBuckets = 64,
+        targetRowsPerFile = 256L)
+      try {
+        val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+        val totalRows = 3000000L
+        val corpus = spark.range(totalRows).select(
+            format_string("http://m/%07d", col("id")).as("subject"),
+            lit("http://p/x").as("predicate"),
+            concat(lit("v"), col("id")).as("obj"))
+          .withColumn("objKind", lit("literal"))
+          .withColumn("datatype", lit(""))
+          .withColumn("extractionMethod", lit("probe"))
+          .withColumn("confidence", lit(1.0))
+          .withColumn("extractionTime", lit(t0))
+        storeg.merge(corpus, t0)
+        val scattered = (0 until 5000).map(i =>
+          f"http://m/${i.toLong * (totalRows / 5000)}%07d")
+        def probeRows(): Long = {
+          val litDf = storeg.reconstruct(storeg.currentVersion,
+            openOnly = true,
+            bucketsFor = Some((n: Int) => scattered
+              .map(load.TripletStore.subjectBucketLocal(_, n)).distinct),
+            subjectLits = Some(scattered))
+          litDf.collect()
+          PlanWalk.scanOutputRows(litDf)
+        }
+        val bloomed = probeRows()
+        // demote v=0 to the pre-r14 layout: same rows/bucketing/sort,
+        // no blooms, no self-described modulus
+        val lvl = new java.io.File(rootg, "v=0")
+        val legacyTmp = new java.io.File(rootg, ".tmp-legacy-sim")
+        val lvlDf = spark.read
+          .schema(load.TripletStore.bucketedPhysSchema)
+          .parquet(lvl.getAbsolutePath)
+        graft.sinks.Sinks.writeClusteredBy(lvlDf,
+          legacyTmp.getAbsolutePath, (totalRows / 256).toInt, 256L,
+          load.TripletStore.BucketCol, "subject", "tripletHash", "infoHash")
+        load.Scratch.rm(lvl)
+        java.nio.file.Files.move(legacyTmp.toPath, lvl.toPath)
+        val legacy = probeRows()
+        val rewritten = storeg.rewriteLegacyLevels()
+        val recovered = probeRows()
+        println(f"[store-g1] S=$totalRows scattered-5000 scanRows: " +
+          f"bloomed=$bloomed%8d legacy=$legacy%8d " +
+          f"afterRewrite=$recovered%8d (one pass: $rewritten)")
+      } finally load.Scratch.rm(rootg)
+
+      // Legacy-rewrite arm (r15), part 2 — re-pin eligibility in the
+      // SAME compaction: r14's repin guard refused while a legacy
+      // survivor stood (several cycles in the looser regime for a
+      // recently-merged delta); now the pass rewrites the survivor
+      // under the held claim first, so ONE compaction reaches both the
+      // modern read path and the re-pinned bucket count.
+      val rooth = load.Scratch.dir("probe_store_g2", dir)
+      val storeh = new load.TripletStore(spark, rooth.getAbsolutePath,
+        autoCompactEvery = 0, bucketMinRows = 1L, subjectBuckets = 0,
+        targetRowsPerFile = 64L)
+      try {
+        val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+        storeh.merge(slice(0, changed = false)
+          .withColumn("extractionTime", lit(t0)), t0)
+        val n0 = java.nio.file.Files.readString(new java.io.File(rooth,
+          load.TripletStore.BucketMarker).toPath).trim.toInt
+        (1 until nBatches).foreach { b =>
+          storeh.merge(slice(b, changed = false)
+            .withColumn("extractionTime", lit(t0)), t0)
+        }
+        // the LAST delta becomes a legacy survivor of the keep=2 cut
+        val survivorMarker = new java.io.File(
+          new java.io.File(rooth, s"v=${storeh.currentVersion}"),
+          load.TripletStore.LevelBucketMarker)
+        if (!survivorMarker.delete())
+          println("[store-g2] WARNING: survivor had no modulus marker")
+        storeh.compact(keep = 2)
+        val n1 = java.nio.file.Files.readString(new java.io.File(rooth,
+          load.TripletStore.BucketMarker).toPath).trim.toInt
+        val rv = new java.io.File(rooth, s"rv=${storeh.currentVersion}")
+        val rvDescribed = new java.io.File(rv,
+          load.TripletStore.LevelBucketMarker).exists()
+        println(f"[store-g2] legacy survivor + ONE compaction: " +
+          f"N day-one=$n0 after=$n1 " +
+          f"survivorRewritten=${rv.exists()} selfDescribed=$rvDescribed " +
+          f"rows=${storeh.ranges.count()}")
+      } finally load.Scratch.rm(rooth)
     } finally {
       load.Scratch.rm(root)
       spark.stop()

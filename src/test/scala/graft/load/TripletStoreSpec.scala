@@ -867,7 +867,9 @@ class TripletStoreSpec extends AnyFunSuite {
 
   test("compaction is single-owner: a second owner throws, a dead one is taken over") {
     val dir = Files.createTempDirectory("store_cclaim").toString
-    val store = new TripletStore(spark, dir, autoCompactEvery = 0)
+    val store = new TripletStore(spark, dir, autoCompactEvery = 0) {
+      override protected def claimLivenessWindowMs: Long = 300L
+    }
     (1 to 3).foreach { i =>
       store.merge(batch(Seq(("m1", "name", s"v$i")), s"2024-0$i-01 00:00:00"),
         ts(s"2024-0$i-01 00:00:00"))
@@ -886,10 +888,12 @@ class TripletStoreSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().map(_.getName).toSet
       == dirsBefore + TripletStore.CompactionMarker)
     assert(java.nio.file.Files.readString(marker.toPath).trim == "ownerA01")
-    // owner A dies: past the liveness window its marker is taken over
-    // and the pass runs to completion, releasing the claim
-    assert(marker.setLastModified(
-      System.currentTimeMillis() - TripletStore.TmpSweepAgeMs - 60000))
+    // owner A is dead (its claim never changes): the intercept above
+    // already STARTED this claimant's observation window; once the
+    // window passes on the claimant's own clock with no observed
+    // progress, the marker is taken over and the pass runs to
+    // completion, releasing the claim
+    Thread.sleep(400)
     val dropped = store.compact(keep = 1)
     assert(dropped.nonEmpty)
     assert(!marker.exists(), "a completed pass must release its claim")
@@ -1015,28 +1019,101 @@ class TripletStoreSpec extends AnyFunSuite {
     val key = "spark.sql.parquet.pushdown.inFilterThreshold"
     val before = spark.conf.get(key)
     try {
-      spark.conf.set(key, "5000")
+      spark.conf.set(key, "6000")
       val store = new TripletStore(spark, dir, autoCompactEvery = 0,
         bucketMinRows = 1L)
-      store.merge(batch((1 to 2500).map(i => (s"m$i", "name", s"a$i")),
+      store.merge(batch((1 to 6000).map(i => (s"m$i", "name", s"a$i")),
         "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+      // 2000 subjects → 4 chunks of 512 under the balanced Or
       val subs = (1 to 2000).map(i => s"m$i")
       val lookup = store.currentTriplesFor(subs)
       assert(lookup.count() == 2000)
       assert(lookup.filter(col("subject") === "m1999").select("obj")
         .as[String].collect().toSet == Set("a1999"))
+      // 5000 subjects → 10 chunks: the balanced pairwise reduction keeps
+      // the deepest pushed path at one chunk + log2(#chunks) (~516), so
+      // widening the list must not walk back toward the (1024, 1536]
+      // cliff the way the old left-associative reduce (+#chunks-1
+      // linear depth, unmeasured territory) did
+      val subs5k = (1 to 5000).map(i => s"m$i")
+      val lookup5k = store.currentTriplesFor(subs5k)
+      assert(lookup5k.count() == 5000)
+      assert(lookup5k.filter(col("subject") === "m4999").select("obj")
+        .as[String].collect().toSet == Set("a4999"))
     } finally {
       spark.conf.set(key, before)
       Scratch.rm(new java.io.File(dir))
     }
   }
 
-  test("legacy survivors (no per-level modulus) block the re-pin until rewritten") {
-    // a pre-r14 bucketed level has no _SBKT_N and reads the store
-    // marker as its modulus fallback — moving the marker under it would
-    // silently mis-prune, so a compaction whose SURVIVORS include such
-    // a level must refuse to re-pin; the next pass (which rewrites
-    // everything) re-pins.
+  test("disaster-recovery floor: a claim stale past 24x the window falls to first sight") {
+    // observation memory is process-local; an EPHEMERAL claimant (fresh
+    // JVM per batch run) never lives a full window, so without a floor a
+    // crashed claim would block auto-compaction forever. A marker whose
+    // mtime age exceeds 24x the window is taken over on FIRST sight —
+    // the one remaining clock comparison, at a bound (a full day at
+    // production settings) where wrongful takeover needs >24h skew.
+    val dir = Files.createTempDirectory("store_floor").toString
+    def mk() = new TripletStore(spark, dir, autoCompactEvery = 0) {
+      override protected def claimLivenessWindowMs: Long = 500L
+    }
+    mk().merge(batch(Seq(("m1", "name", "a")), "2024-01-01 00:00:00"),
+      ts("2024-01-01 00:00:00"))
+    mk().merge(batch(Seq(("m1", "name", "b")), "2024-02-01 00:00:00"),
+      ts("2024-02-01 00:00:00"))
+    val marker = new java.io.File(dir, TripletStore.CompactionMarker)
+    // a crashed owner's claim, long dead
+    java.nio.file.Files.writeString(marker.toPath, "deadOwner1")
+    assert(marker.setLastModified(
+      System.currentTimeMillis() - 24L * 500 - 60000))
+    // a FRESH claimant instance (no observation memory) reclaims at once
+    assert(mk().compact(keep = 1).nonEmpty,
+      "an ancient crashed claim must not require a second observation")
+    assert(!marker.exists())
+    // but a marker merely *somewhat* stale (inside the floor) still
+    // needs the observed-frozen window — no first-sight takeover
+    java.nio.file.Files.writeString(marker.toPath, "deadOwner2")
+    assert(marker.setLastModified(System.currentTimeMillis() - 2000))
+    intercept[TripletStore.ConcurrentCompactionException] {
+      mk().compact(keep = 1)
+    }
+    marker.delete()
+    Scratch.rm(new java.io.File(dir))
+  }
+
+  test("torn int-marker reads retry briefly, then fail with the fs contract") {
+    // publishMarkerExclusive's CREATE_NEW fallback (link-incapable fs)
+    // documents that a reader racing the winner's in-flight content
+    // write can observe a SHORT file; bucketN/pinBucketN used to crash
+    // that reader with a bare NumberFormatException. The bounded retry
+    // absorbs the milliseconds-long torn window; persistent garbage
+    // still fails loudly, now naming the link-capable-fs contract.
+    val dir = Files.createTempDirectory("store_torn").toString
+    val store = new TripletStore(spark, dir)
+    val m = new java.io.File(dir, "_PROBE")
+    java.nio.file.Files.writeString(m.toPath, "")
+    val filler = new Thread(() => {
+      Thread.sleep(60)
+      java.nio.file.Files.writeString(m.toPath, "64")
+    })
+    filler.start()
+    assert(store.readMarkerInt(m) == 64,
+      "an in-flight marker write must be retried, not crashed on")
+    filler.join(2000)
+    java.nio.file.Files.writeString(m.toPath, "not-an-int")
+    val e = intercept[IllegalStateException] { store.readMarkerInt(m) }
+    assert(e.getMessage.contains("link-capable"), e.getMessage)
+    Scratch.rm(new java.io.File(dir))
+  }
+
+  test("ONE compaction rewrites legacy survivors and re-pins in the same pass") {
+    // a pre-r14 bucketed level has no _SBKT_N (and no subject blooms)
+    // and reads the store marker as its modulus fallback — moving the
+    // marker under it would silently mis-prune. r14 made the re-pin
+    // REFUSE while such a survivor stood (several compaction cycles in
+    // the looser regime); r15 rewrites the survivor bloomed +
+    // self-described INSIDE the pass, under the already-held claim, so
+    // one compaction reaches both the modern read path and the re-pin.
     val dir = Files.createTempDirectory("store_legacy").toString
     val store = new TripletStore(spark, dir, autoCompactEvery = 0,
       targetRowsPerFile = 2L, bucketMinRows = 1L)
@@ -1051,70 +1128,139 @@ class TripletStoreSpec extends AnyFunSuite {
     // simulate a pre-r14 level: strip the surviving delta's modulus file
     assert(new java.io.File(new java.io.File(dir, "v=2"),
       TripletStore.LevelBucketMarker).delete())
-    store.compact(keep = 2) // survivor v=2 is legacy → re-pin refused
-    assert(java.nio.file.Files.readString(marker.toPath).trim.toInt == 75,
-      "a legacy survivor must keep the store marker (its modulus) in place")
-    // the legacy survivor still reads correctly via the marker fallback
+    store.compact(keep = 2)
+    // the survivor was rewritten as a committed sibling generation under
+    // its OLD modulus (the store marker at rewrite time), self-described
+    val rv = new java.io.File(dir, "rv=2")
+    assert(new java.io.File(rv, "_SUCCESS").exists(),
+      "the legacy survivor must be rewritten in the SAME pass")
+    assert(java.nio.file.Files.readString(new java.io.File(rv,
+      TripletStore.LevelBucketMarker).toPath).trim.toInt == 75,
+      "the rewrite keeps the level's original modulus, self-described")
+    // ...and the original stays standing as the version-slot guard (an
+    // in-place swap would open a silent missing-level reader window)
+    assert(new java.io.File(dir, "v=2").exists(),
+      "the original legacy dir keeps guarding its version slot")
+    // with every survivor self-described, the SAME pass re-pins:
+    // base=1 carries 1550 rows → candidate 775 >= 2*75
+    assert(java.nio.file.Files.readString(marker.toPath).trim.toInt == 775,
+      "one maintenance pass must reach re-pin eligibility AND re-pin")
+    // reads span the new-N base and the rewritten old-N survivor
     assert(store.currentTriplesFor(Seq("m7")).select("obj")
       .as[String].collect().toSet == Set("changed"))
-    // the next compaction rewrites everything → re-pin proceeds
+    assert(store.currentTriples.count() == 1550)
+    // the next full compaction folds the rewritten survivor into the
+    // base and sweeps both generations with the dropped version
     store.compact(keep = 1)
-    val n1 = java.nio.file.Files.readString(marker.toPath).trim.toInt
-    // full state = 1550 open + 1 closed (m7's deprecated n7) = 1551 rows
-    assert(n1 == 775, s"full compaction should re-pin 1551/2 -> 775, got $n1")
+    assert(java.nio.file.Files.readString(marker.toPath).trim.toInt == 775)
     assert(store.currentTriplesFor(Seq("m7")).select("obj")
       .as[String].collect().toSet == Set("changed"))
     assert(store.currentTriples.count() == 1550)
     Scratch.rm(new java.io.File(dir))
   }
 
-  test("claim heartbeat: a slow LIVE owner survives a takeover attempt") {
-    // r13 residual: the marker was written once at claim and never
-    // refreshed, so any pass longer than TmpSweepAgeMs (routine for a
-    // 100 TB base build) was presumed dead and taken over LIVE — two
-    // owners then interleaved deletions. The heartbeat refreshes the
-    // marker's mtime for the whole pass; takeover keys on heartbeat
-    // staleness, not claim age.
+  test("rewriteLegacyLevels modernizes live legacy levels in one claimed pass") {
+    // the standalone maintenance verb: no compaction, no cut — every
+    // LIVE legacy level gains its bloomed, self-described sibling in one
+    // pass, reads switch over immediately, and a second call is a no-op.
+    val dir = Files.createTempDirectory("store_lrw").toString
+    val store = new TripletStore(spark, dir, autoCompactEvery = 0,
+      targetRowsPerFile = 2L, bucketMinRows = 1L)
+    store.merge(batch((1 to 150).map(i => (s"m$i", "name", s"n$i")),
+      "2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    store.merge(batch(Seq(("m7", "name", "changed")), "2024-02-01 00:00:00"),
+      ts("2024-02-01 00:00:00"))
+    // both deltas become "legacy"
+    assert(new java.io.File(new java.io.File(dir, "v=0"),
+      TripletStore.LevelBucketMarker).delete())
+    assert(new java.io.File(new java.io.File(dir, "v=1"),
+      TripletStore.LevelBucketMarker).delete())
+    val rewritten = store.rewriteLegacyLevels()
+    assert(rewritten.toSet == Set("rv=0", "rv=1"), rewritten)
+    Seq("rv=0", "rv=1").foreach { rn =>
+      val d = new java.io.File(dir, rn)
+      assert(new java.io.File(d, "_SUCCESS").exists(), s"$rn not committed")
+      assert(java.nio.file.Files.readString(new java.io.File(d,
+        TripletStore.LevelBucketMarker).toPath).trim.toInt == 75,
+        s"$rn must self-describe the store modulus it was bucketed with")
+    }
+    // the claim released cleanly and reads are unchanged
+    assert(!new java.io.File(dir, TripletStore.CompactionMarker).exists())
+    assert(store.currentTriplesFor(Seq("m7")).select("obj")
+      .as[String].collect().toSet == Set("changed"))
+    assert(store.currentTriples.count() == 150)
+    // idempotent: everything already modern
+    assert(store.rewriteLegacyLevels().isEmpty)
+    Scratch.rm(new java.io.File(dir))
+  }
+
+  test("claim liveness is clock-free: skewed mtime survives, frozen seq is taken over") {
+    // r14 judged liveness by (claimant wall clock - marker mtime), where
+    // the mtime was stamped by the OWNER's clock: a claimant running
+    // >= TmpSweepAgeMs ahead — or a coarse-mtime filesystem — could take
+    // over a LIVE owner. r15 takes over only after the claimant itself
+    // observes an UNCHANGED (token, mtime, heartbeat sequence) across
+    // its own monotonic-clock window; no cross-host clock is compared.
     val dir = Files.createTempDirectory("store_hb").toString
-    val store = new TripletStore(spark, dir, autoCompactEvery = 0)
+    val windowMs = 600L
+    val store = new TripletStore(spark, dir, autoCompactEvery = 0) {
+      override protected def claimLivenessWindowMs: Long = windowMs
+    }
     store.merge(batch(Seq(("m1", "name", "a")), "2024-01-01 00:00:00"),
       ts("2024-01-01 00:00:00"))
     store.merge(batch(Seq(("m1", "name", "b")), "2024-02-01 00:00:00"),
       ts("2024-02-01 00:00:00"))
     val marker = new java.io.File(dir, TripletStore.CompactionMarker)
+    val seq = new java.io.File(dir, TripletStore.CompactionSeqMarker)
     val token = store.claimCompaction()
-    // the pass has "run" longer than the liveness window...
-    assert(marker.setLastModified(
-      System.currentTimeMillis() - TripletStore.TmpSweepAgeMs - 60000))
-    // ...but the owner is ALIVE: its heartbeat refreshes the mtime
+    val twoHoursPast = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    // owner ALIVE: heartbeat bumps the sequence sidecar every beat —
+    // while the test pins the marker mtime two hours in the past, the
+    // skew that took over a live owner under the r14 mtime-age rule
     val hb = store.startCompactionHeartbeat(token, intervalMs = 25)
     try {
-      val deadline = System.currentTimeMillis() + 5000
-      while (System.currentTimeMillis() - marker.lastModified() >
-          TripletStore.TmpSweepAgeMs && System.currentTimeMillis() < deadline)
-        Thread.sleep(25)
-      assert(System.currentTimeMillis() - marker.lastModified() <=
-        TripletStore.TmpSweepAgeMs, "heartbeat never refreshed the marker")
-      // a second claimant must NOT take over the live owner
-      intercept[TripletStore.ConcurrentCompactionException] {
-        store.compact(keep = 1)
+      val deadline = System.nanoTime() + 3 * windowMs * 1000000L
+      var attempts = 0
+      while (System.nanoTime() < deadline) {
+        marker.setLastModified(twoHoursPast)
+        intercept[TripletStore.ConcurrentCompactionException] {
+          store.compact(keep = 1)
+        }
+        attempts += 1
+        Thread.sleep(40)
       }
+      assert(attempts >= 3, "the attack loop must span several windows")
       assert(java.nio.file.Files.readString(marker.toPath).trim == token,
-        "the live owner's token must survive the takeover attempt")
+        "a beating owner must survive sustained takeover attempts " +
+          "regardless of how stale its marker mtime LOOKS")
+      assert(java.nio.file.Files.readString(seq.toPath).trim
+        .startsWith(token), "the heartbeat publishes <token> <seq>")
     } finally { hb.interrupt(); hb.join(2000) }
-    // owner genuinely dies (heartbeat stopped): stale again → taken over
-    assert(marker.setLastModified(
-      System.currentTimeMillis() - TripletStore.TmpSweepAgeMs - 60000))
-    assert(store.compact(keep = 1).nonEmpty)
+    // owner genuinely dead (sequence frozen) — and its last mtime touch
+    // is RECENT, which under the r14 age rule would have blocked the
+    // takeover for a full TmpSweepAgeMs: observe-no-progress takes it
+    // over after one observed-frozen window, clock-free in BOTH
+    // directions
+    java.nio.file.Files.setLastModifiedTime(marker.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    intercept[TripletStore.ConcurrentCompactionException] {
+      store.compact(keep = 1) // first sighting only STARTS the window
+    }
+    Thread.sleep(windowMs + 100)
+    assert(store.compact(keep = 1).nonEmpty,
+      "a frozen claim must be taken over after one observed window")
     assert(!marker.exists(), "a completed takeover pass releases the claim")
-    // a heartbeat observing a FOREIGN token stops touching the marker
-    // (ownership lost): the new owner's liveness is its own to maintain
+    assert(!seq.exists(), "the released claim takes its sidecar with it")
+    // a heartbeat observing a FOREIGN token stops signalling (ownership
+    // lost): the new owner's liveness is its own to maintain
     java.nio.file.Files.writeString(marker.toPath, "newOwner1")
     val past = System.currentTimeMillis() - 120000
     assert(marker.setLastModified(past))
     assert(!store.heartbeatCompaction(token))
     assert(marker.lastModified() == past,
       "a lost heartbeat must not refresh the new owner's marker")
+    assert(!seq.exists(),
+      "a lost heartbeat must not publish a sequence under a foreign claim")
     marker.delete()
     Scratch.rm(new java.io.File(dir))
   }
