@@ -1059,17 +1059,26 @@ class TripletStore(spark: SparkSession, path: String,
       // memory is process-local, so a claimant that never lives a full
       // window (a fresh JVM per batch run) could never reclaim a crashed
       // store — auto-compaction would skip forever and levels would
-      // accumulate unboundedly. A marker whose mtime age exceeds 24x the
+      // accumulate unboundedly. A claim whose mtime age exceeds 24x the
       // window is treated as frozen on FIRST sight. This is the one
       // remaining cross-host clock comparison, deliberately at a bound
-      // where it is harmless: a live owner heartbeats its mtime every
-      // CompactionHeartbeatMs, so a wrongful takeover here requires
-      // claimant-vs-owner clock skew (or mtime-fidelity loss) exceeding
-      // a full DAY at production settings — and the owner's
+      // where it is harmless — and it must hold on EVERY liveness file
+      // the owner refreshes: the marker mtime AND, when the sidecar
+      // exists (an r15+ owner), the sidecar's own mtime (each beat
+      // republishes it, so a live owner's sidecar is never older than
+      // one heartbeat). Keying the floor on the marker alone let a
+      // claimant whose clock (or whose view of the marker's mtime — the
+      // clock-free spec pins it hours in the past while the heartbeat
+      // still beats) read "ancient" take over a LIVE owner. A pre-r15
+      // owner has no sidecar and keeps the marker-mtime floor; a
+      // wrongful takeover now requires skew/fidelity loss exceeding a
+      // full DAY at production settings on BOTH files — and the owner's
       // pre-deletion verify still bounds the damage if it ever fires.
-      val ancient = observed.isDefined && marker.exists() &&
-        System.currentTimeMillis() - marker.lastModified() >
-          24L * claimLivenessWindowMs
+      val floorMs = 24L * claimLivenessWindowMs
+      def pastFloor(f: java.io.File): Boolean =
+        f.exists() && System.currentTimeMillis() - f.lastModified() > floorMs
+      val ancient = observed.isDefined && pastFloor(marker) &&
+        (!seq.exists() || pastFloor(seq))
       if (frozenForMs.exists(_ >= claimLivenessWindowMs) || ancient) {
         // observed-dead takeover: the GRAB is atomic (rename), so of N
         // claimants over one frozen marker exactly one proceeds to
@@ -1092,6 +1101,18 @@ class TripletStore(spark: SparkSession, path: String,
             s"${claimLivenessWindowMs / 1000}s is a crashed owner's " +
             "leftover and is taken over")
     }
+    // Bootstrap the progress sidecar AT CLAIM TIME, not at the first
+    // heartbeat: between winning the marker and the heartbeat's first
+    // beat the claim would otherwise have NO sidecar, and the
+    // disaster-recovery floor's sidecar-absent arm (pre-r15 owners)
+    // could read a live claim whose marker mtime merely LOOKS ancient
+    // as first-sight-frozen — the startup window the clock-free spec's
+    // attack loop hits. A failed publish is harmless (the first beat
+    // republishes); a takeover overwrites the dead owner's stale
+    // sidecar here, which is the self-healing the heartbeat documents.
+    try publishMarker(CompactionSeqMarker,
+      s"$token ${heartbeatSeq.incrementAndGet()}")
+    catch { case _: java.io.IOException => () }
     claimObservation.set(null) // claimed: a future claim starts fresh
     token
   }

@@ -1,54 +1,44 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
 
-/** Regenerates PLANS.md: the formatted physical plan of each headline
-  * query, the artifact backing the "is this the plan you'd want at
-  * 100 TB" review. Run with:
+/** Optimization-round instrument: dump `.explain("formatted")` for the
+  * named SparkEntry queries to `plans/<tag>/<name>_<suffix>.txt`, in a
+  * Bench-identical session, so plan-shape claims (Exchange count, join
+  * strategy, PushedFilters/ReadSchema) are diffable before/after a
+  * change. Usage:
+  *   sbt 'Test/runMain graft.PlanDump q_a,q_b r15 before'
   *
-  *   sbt "Test/runMain graft.PlanDump"
-  *
-  * Plans are the pre-execution (initial) plans at sf0.001 — AQE may
-  * re-plan exchanges at runtime; PlanSpec pins the load-bearing
-  * properties (pushdown, broadcasts, no-cartesian, shuffle counts)
-  * against the EXECUTED plans.
+  * Note: the imperative instrument queries (version family, index
+  * intakes) return a localCheckpoint of their result — their top-level
+  * plan is a bare `Scan ExistingRDD`, and building the DataFrame RUNS
+  * the instrument; their interesting plans are internal. The dump is
+  * still written (it proves that shape), but optimization evidence for
+  * those lives in stage-level notes, not the top-level explain.
   */
 object PlanDump {
-
-  private val Headline = Seq(
-    "q1_agg", "q_scan_pushdown", "q_join_broadcast", "q_topk",
-    "q_chunk_pack", "q_ngram_jaccard", "q_minhash_band_pairs",
-    "q_cosine_topk", "q_embed_neardup", "q_bfs_reach",
-    "q_nested_entities", "q_topk_agg", "q_sessionize",
-    "q_decontaminate", "q_bm25_topk", "q_pack_sequences",
-    "q_classifier_filter", "q_common_spans", "q_span_clip",
-    "q_temperature_mix", "q_lm_score",
-    "q_sq8_topk", "q_ann_sq8", "q_pq_topk", "q_cms_sketch",
-    "q_interleave",
-    "q_ann_opq", "q_weighted_sample", "q_triangles", "q_pmi_pairs",
-    "q_hll_sliding")
-
   def main(args: Array[String]): Unit = {
-    val spark = TestSpark.spark
-    val maxLines = 140
-    val sb = new StringBuilder
-    sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
-    sb.append("Generated by `sbt \"Test/runMain graft.PlanDump\"` at sf0.001.\n")
-    sb.append("Initial plans (AQE re-plans exchanges at runtime); PlanSpec\n")
-    sb.append("asserts the scale-critical properties on executed plans.\n")
-    Headline.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, TestSpark.sf0001)
-      val full = df.queryExecution
-        .explainString(org.apache.spark.sql.execution.FormattedMode)
-      val lines = full.linesIterator.toVector
-      val body =
-        if (lines.size <= maxLines) lines
-        else lines.take(maxLines) :+
-          s"... (${lines.size - maxLines} more lines truncated)"
-      sb.append(s"\n## $name\n\n```\n${body.mkString("\n")}\n```\n")
+    val names = args(0).split(",").toSeq
+    val tag = if (args.length > 1) args(1) else "r15"
+    val suffix = if (args.length > 2) args(2) else "before"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = java.nio.file.Paths.get(s"plans/$tag")
+    java.nio.file.Files.createDirectories(dir)
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      java.nio.file.Files.write(dir.resolve(s"${name}_$suffix.txt"),
+        plan.getBytes("UTF-8"))
+      println(s"[plandump] wrote plans/$tag/${name}_$suffix.txt " +
+        s"(${plan.linesIterator.size} lines)")
     }
-    Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"PLANS_WRITTEN=${Headline.size}")
     spark.stop()
   }
 }
