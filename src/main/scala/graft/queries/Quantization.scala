@@ -1327,8 +1327,14 @@ object Quantization {
     * annPqResidual/annOpq/bqRerank), so this measures the production
     * paths, not reimplementations; the exact baseline is the
     * brute-force pass over the raw embeddings (a degraded artifact
-    * degrades the ladder, not the baseline). Driver traffic: five
-    * bounded counts, the q_ann_recall discipline. */
+    * degrades the ladder, not the baseline). Driver traffic: one
+    * bounded count plus one ≤5-row collect (was five sequential
+    * counts — r15: the five arms are independent, so they now run as
+    * ONE labeled-union aggregation; Spark schedules their stages
+    * concurrently instead of five full job rounds back-to-back, guide
+    * §2.6/§1.2, and each arm's own plan is unchanged). The per-codec
+    * ratio arithmetic stays on the driver, bit-identical to the five-
+    * count form: hit counts are exact longs either way. */
   def codecRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val exact = VectorOps.cosineTopK(s, dir)
@@ -1341,9 +1347,14 @@ object Quantization {
       "pqr" -> annPqResidual(s, dir),
       "opq" -> annOpq(s, dir),
       "bq" -> bqRerank(s, dir))
-    arms.map { case (codec, df) =>
-      val hits = df.select(col("query_id"), col("neighbor_id"))
-        .join(exact, Seq("query_id", "neighbor_id")).count()
+    val hitsByCodec = arms.map { case (codec, df) =>
+        df.select(lit(codec).as("codec"), col("query_id"), col("neighbor_id"))
+      }.reduce(_.unionByName(_))
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("codec").agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    arms.map { case (codec, _) =>
+      val hits = hitsByCodec.getOrElse(codec, 0L)
       (codec, math.round(hits.toDouble / nExact * 10000) / 10000.0)
     }.toDF("codec", "recall_at_5")
   }

