@@ -93,3 +93,31 @@ final class SessionMemo[V] {
     throw new IllegalStateException("unreachable")
   }
 }
+
+object SessionMemo {
+
+  /** Shared validity predicate for memoized localCheckpoint artifacts:
+    * the checkpoint's blocks must still be persisted — a harness that
+    * sweeps ALL persistent RDDs between queries (graft.Verify does;
+    * graft.Bench's per-query sweep spares only `graft.memo.*` names)
+    * kills them, and the memo must then rebuild, never hand out a dead
+    * checkpoint whose blocks were the only copy of its data. */
+  private[graft] def checkpointLive(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      case _ => true
+    }
+
+  /** Name a memoized checkpoint's RDD `graft.memo.*` so storage-hygiene
+    * sweeps can tell a deliberately session-lived memo from a finished
+    * query's dead blocks; returns the DataFrame for chaining. */
+  private[graft] def nameCheckpoint(df: org.apache.spark.sql.DataFrame,
+                                    name: String): org.apache.spark.sql.DataFrame = {
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.setName(name)
+      case _ => ()
+    }
+    df
+  }
+}
