@@ -850,9 +850,16 @@ object MediaDedup {
     * family to its keeper and cools them (recall recovered). Uniformly
     * sampled probes measured pre = post here — their truth was
     * cold-bucket reachable at any cap (COVERAGE.md round-11). */
-  def recallAtCap(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Checkpoints.scoped {
-      graft.load.Scratch.withScratch("graft_recall_q", dir) { tmp =>
+  /** The two-batch [[RecallCap]] intake STATE, built ONCE per (session,
+    * dir) — the [[sweepDemoIntake]] discipline at the recall
+    * instrument's engaged cap: the intake is the instrument's
+    * construction (the standing index whose forfeit/recover delta the
+    * two rows measure), the sweep mutates a private seeded replica. */
+  private val recallIntakeMemo = new graft.operators.SessionMemo[DataFrame]
+  private def recallCapIntake(s: SparkSession, dir: String): DataFrame =
+    recallIntakeMemo.getOrCompute(s, dir)(
+      df => (df.sparkSession eq s) && checkpointLive(df)) {
+      graft.load.Scratch.withScratch("graft_recall_intake_q", dir) { tmp =>
         val idx = new graft.similarity.MediaDedupIndex(s, tmp.getAbsolutePath)
         val sig0 = corpusSignatures(s, dir)
           .select(col("doc_id").as("media_id"), col("sig"))
@@ -860,6 +867,16 @@ object MediaDedup {
           bucketCap = RecallCap)
         idx.ingestSignatures(sig0.filter(col("media_id") >= 250),
           bucketCap = RecallCap)
+        graft.operators.SessionMemo.nameCheckpoint(
+          idx.signatures.localCheckpoint(), s"graft.memo.recallIntake:$dir")
+      }
+    }
+
+  def recallAtCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Checkpoints.scoped {
+      graft.load.Scratch.withScratch("graft_recall_q", dir) { tmp =>
+        val idx = new graft.similarity.MediaDedupIndex(s, tmp.getAbsolutePath)
+        idx.seedBatch(recallCapIntake(s, dir))
         val preSigs = graft.operators.Checkpoints.ck(
           idx.signatures.select(col("media_id").as("doc_id"), col("sig")))
         // bands 1-3 are the ones a probe SHARES with its source (the
