@@ -71,6 +71,25 @@ class VectorIndex(spark: SparkSession, path: String,
       Some((IvfIndex.Model(readLines(ivfFile)), Sq8Model(s(0), s(1))))
     } else None
 
+  /** The frozen model files' exact text — the state-replication seam's
+    * model half (rows ride [[BatchedSignatureStore.seedBatch]]). The
+    * codec's persistence is an exact text roundtrip by design
+    * ([[writeLines]]/[[readLines]] via `Double.toString`/`parseDouble`),
+    * so carrying the TEXT reproduces the models bit-identically. */
+  private[graft] def modelTexts: (String, String) =
+    (Files.readString(ivfFile.toPath), Files.readString(sq8File.toPath))
+
+  /** Adopt externally-fit frozen models verbatim — the model half of the
+    * seeded-replica seam ([[BatchedSignatureStore.seedBatch]] doc): the
+    * texts must have come out of a real intake of this class at the same
+    * parameters ([[modelTexts]]), so the replica's models are
+    * bit-identical to the store they came from. */
+  private[graft] def seedModels(ivfText: String, sq8Text: String): Unit = {
+    storageRoot.mkdirs()
+    Files.writeString(ivfFile.toPath, ivfText)
+    Files.writeString(sq8File.toPath, sq8Text)
+  }
+
   private def fitOrLoad(emb: DataFrame): (IvfIndex.Model, Sq8Model) =
     models.getOrElse {
       val ivf = IvfIndex.fitSample(emb, k, iters, sampleSize)
@@ -396,6 +415,18 @@ object VectorIndex {
   val rowSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType), StructField("cell", IntegerType),
     StructField("sq8_codes", BinaryType), StructField("dn", DoubleType)))
+
+  /** Parse [[VectorIndex.modelTexts]] back into models without a store —
+    * for read-only instruments that measure against the frozen models and
+    * never touch the code table (the same exact text roundtrip the
+    * on-disk files make). */
+  private[graft] def parseModelTexts(ivfText: String,
+                                     sq8Text: String): (IvfIndex.Model, Sq8Model) = {
+    def parse(t: String): Array[Array[Double]] =
+      t.split("\n").map(_.split(",").map(java.lang.Double.parseDouble))
+    val s = parse(sq8Text)
+    (IvfIndex.Model(parse(ivfText)), Sq8Model(s(0), s(1)))
+  }
 
   /** What [[VectorIndex.maintainIfDrifted]] measured and did: the two
     * drift instruments, which acts fired, and the artifact generation
