@@ -89,16 +89,16 @@ object Versioned {
     * physical read path — any drift in the rewrite's row fidelity, its
     * modulus choice, or the generation preference mismatches here. */
   def legacyRewrite(s: SparkSession, dir: String): DataFrame = {
-    val (b1, b2) = fixtureBatches(s, dir)
+    // the intake is byte-for-byte the lookup verbs' bucketed fixture
+    // store (same geometry, same two merges) — the rewrite MUTATES its
+    // store, so it continues from a private dir-copy replica of the
+    // session-shared state ([[Scratch.copyDir]]; 8 buckets not the 64
+    // floor, same geometry rationale as [[fixtureStoreRoot]])
+    val root = fixtureStoreRoot(s, dir)
     Scratch.withScratch("graft_lr_q", dir) { tmp =>
-      // 8 buckets, not the 64 floor: the instrument's cost is the
-      // fixture build + rewrite, and every level fans out one dir+file
-      // per touched bucket at bucketMinRows = 1 — same geometry rationale
-      // as the lookup-verb fixture store
+      Scratch.copyDir(root, tmp)
       val store = new TripletStore(s, tmp.getAbsolutePath,
         bucketMinRows = 1L, subjectBuckets = 8)
-      store.merge(b1, new Timestamp(T1 * 1000))
-      store.merge(b2, new Timestamp(T3 * 1000))
       Seq("v=0", "v=1").foreach { n =>
         val m = new java.io.File(new java.io.File(tmp, n),
           TripletStore.LevelBucketMarker)
@@ -156,14 +156,15 @@ object Versioned {
     * latest-writer-wins window hash-mismatches against a pure-SQL
     * three-batch MERGE restatement. */
   def versionCompacted(s: SparkSession, dir: String): DataFrame = {
-    val (b1, b2) = fixtureBatches(s, dir)
     val b3 = batch(
       t(s, dir, "documents").filter(col("doc_id") >= 200 && col("doc_id") < 250),
       lit("newlang"), lit(T4))
+    // compaction + merge-on-base continue from the session-shared
+    // two-merge state on a private dir-copy replica (the verb mutates)
+    val root = mergedDefaultStoreRoot(s, dir)
     Scratch.withScratch("graft_vc_q", dir) { tmp =>
+      Scratch.copyDir(root, tmp)
       val store = new TripletStore(s, tmp.getAbsolutePath)
-      store.merge(b1, new Timestamp(T1 * 1000))
-      store.merge(b2, new Timestamp(T3 * 1000))
       store.compact(keep = 1)
       store.merge(b3, new Timestamp(T5 * 1000))
       store.ranges.select(col("subject"), col("predicate"), col("obj"),
@@ -317,14 +318,15 @@ object Versioned {
     * below-horizon THROW and horizon monotonicity are spec-pinned in
     * TripletStoreSpec; a refusal cannot be a DataFrame row.) */
   def versionTtl(s: SparkSession, dir: String): DataFrame = {
-    val (b1, b2) = fixtureBatches(s, dir)
     val b3 = batch(
       t(s, dir, "documents").filter(col("doc_id") >= 200 && col("doc_id") < 250),
       lit("newlang"), lit(T4))
+    // third merge + retention continue from the session-shared
+    // two-merge state on a private dir-copy replica (the verb mutates)
+    val root = mergedDefaultStoreRoot(s, dir)
     Scratch.withScratch("graft_vt_q", dir) { tmp =>
+      Scratch.copyDir(root, tmp)
       val store = new TripletStore(s, tmp.getAbsolutePath)
-      store.merge(b1, new Timestamp(T1 * 1000))
-      store.merge(b2, new Timestamp(T3 * 1000))
       store.merge(b3, new Timestamp(T5 * 1000))
       store.compact(olderThan = new Timestamp(T4 * 1000))
       store.ranges.select(col("subject"), col("predicate"), col("obj"),
@@ -444,9 +446,8 @@ object Versioned {
     lookupStoreDirs.forEach(d => Scratch.rm(d))
   }
 
-  private def withFixtureStore[T](s: SparkSession, dir: String)
-                                 (body: TripletStore => T): T = {
-    val root = lookupStoreMemo.getOrCompute(s, dir)(
+  private def fixtureStoreRoot(s: SparkSession, dir: String): java.io.File =
+    lookupStoreMemo.getOrCompute(s, dir)(
       f => new java.io.File(f, TripletStore.FormatMarker).exists()) {
       val tmp = Scratch.dir("graft_lk_q", dir)
       lookupStoreDirs.add(tmp)
@@ -457,9 +458,34 @@ object Versioned {
       store.merge(b2, new Timestamp(T3 * 1000))
       tmp
     }
-    body(new TripletStore(s, root.getAbsolutePath,
+
+  private def withFixtureStore[T](s: SparkSession, dir: String)
+                                 (body: TripletStore => T): T =
+    body(new TripletStore(s, fixtureStoreRoot(s, dir).getAbsolutePath,
       bucketMinRows = 1L, subjectBuckets = 8))
-  }
+
+  /** The DEFAULT-geometry two-merge state (b1@T1, b2@T3 under a plain
+    * `new TripletStore(s, path)`) shared by the two mutating retention
+    * verbs: q_version_compacted and q_version_ttl each continue from
+    * this exact state with their own compaction/merge tail. Built once
+    * per (session, dir) like [[fixtureStoreRoot]]; each verb MUTATES its
+    * store, so it runs on a private dir-copy replica
+    * ([[Scratch.copyDir]] — the store layout is self-contained, so the
+    * copy is byte-identical and the continuation reads precisely the
+    * state a private rebuild would have produced). The streaming load
+    * (q_stream_merge) keeps its private store: the stream IS its verb. */
+  private val mergedStoreMemo = new graft.operators.SessionMemo[java.io.File]
+  private def mergedDefaultStoreRoot(s: SparkSession, dir: String): java.io.File =
+    mergedStoreMemo.getOrCompute(s, dir)(
+      f => new java.io.File(f, TripletStore.FormatMarker).exists()) {
+      val tmp = Scratch.dir("graft_vm_q", dir)
+      lookupStoreDirs.add(tmp)
+      val (b1, b2) = fixtureBatches(s, dir)
+      val store = new TripletStore(s, tmp.getAbsolutePath)
+      store.merge(b1, new Timestamp(T1 * 1000))
+      store.merge(b2, new Timestamp(T3 * 1000))
+      tmp
+    }
 
   def subjectLookup(s: SparkSession, dir: String): DataFrame =
     withFixtureStore(s, dir) { store =>

@@ -1326,4 +1326,42 @@ class TripletStoreSpec extends AnyFunSuite {
     assert(!marker.exists())
     Scratch.rm(new java.io.File(dir))
   }
+
+  test("dir-copy replica continues a mutating pass identically to a private rebuild") {
+    // the dir-level state-replication seam the mutating version verbs
+    // ride (Scratch.copyDir): the store layout is self-contained, so a
+    // copy of the committed two-merge state must be byte-equivalent —
+    // the same compact + merge tail yields identical ranges either way
+    val b1 = batch(Seq(
+      ("m1", "name", "alpha"), ("m1", "task", "nlp"),
+      ("m2", "name", "beta")), "2024-01-01 00:00:00")
+    val b2 = batch(Seq(
+      ("m1", "name", "alpha"), ("m2", "name", "gamma")),
+      "2024-02-01 00:00:00")
+    val b3 = batch(Seq(("m3", "name", "delta")), "2024-03-01 00:00:00")
+
+    val srcDir = Files.createTempDirectory("store_tpl").toString
+    val tpl = new TripletStore(spark, srcDir)
+    tpl.merge(b1, ts("2024-01-01 00:00:00"))
+    tpl.merge(b2, ts("2024-02-01 00:00:00"))
+
+    def tail(store: TripletStore): Set[(String, String, String, Long, Long, Boolean)] = {
+      store.compact(keep = 1)
+      store.merge(b3, ts("2024-03-01 00:00:00"))
+      store.ranges.select(col("subject"), col("predicate"), col("obj"),
+          expr("unix_micros(useStart)"), expr("unix_micros(useEnd)"),
+          col("deprecated"))
+        .as[(String, String, String, Long, Long, Boolean)].collect().toSet
+    }
+
+    val copyDirF = Files.createTempDirectory("store_cp").toFile
+    Scratch.rm(copyDirF) // copyDir creates it
+    Scratch.copyDir(new java.io.File(srcDir), copyDirF)
+    val replica = new TripletStore(spark, copyDirF.getAbsolutePath)
+
+    val direct = tail(tpl)
+    assert(tail(replica) == direct)
+    Scratch.rm(new java.io.File(srcDir))
+    Scratch.rm(copyDirF)
+  }
 }
