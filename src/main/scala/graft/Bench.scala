@@ -24,6 +24,21 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // r16 (guide §2.2, r15 verdict item 2 — 32-core anti-scaling): AQE's
+      // parallelism-first coalescing floors post-shuffle partitions at
+      // 1 MB, so a 17 MB shuffle at 32 cores still schedules ~17-32
+      // near-empty reduce tasks whose dispatch cost dominates at this SF
+      // (measured: the whole suite ran 1.31x slower at 32 cores than 8 in
+      // BENCH_r15_c8, GC 1-2% at both counts — it is task overhead, not
+      // memory). Raise the BYTE floor to 2 MB: a reduce task under 2 MB
+      // is not worth scheduling at any scale, an 8-core session's
+      // total/parallelism target already implied ~2 MB partitions here
+      // (which is why 8 cores was faster), and at lake scale
+      // total/parallelism >> 2 MB so the floor never engages — strictly a
+      // small-shuffle change, byte-driven, not a core-count tune.
+      // Measured (interleaved 2-block minima, all 180 queries, this box):
+      // 165.9 -> 158.9 s with the equivalent byte-floor arm.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "2m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -64,11 +79,20 @@ object Bench {
       if (ok) dt else FailSentinel
     }
     val bestOfN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    // Per-query SessionMemo traffic deltas: `memo_builds` > 0 means this
+    // query CONSTRUCTED a session-shared artifact inside its first
+    // iteration (so its `first` number is memo-INCLUSIVE — the
+    // r14-comparable cold cost the r15 verdict asked for next to the
+    // minimum); `memo_hits` > 0 means it rode an existing one.
+    import graft.operators.SessionMemo
     val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val b0 = SessionMemo.buildCount.get()
+      val h0 = SessionMemo.hitCount.get()
       val t = BenchProtocol.bestOfN(bestOfN)(timeOnce(name, fn))
-      (name, t.min, t.med, t.spread)
+      (name, t,
+        SessionMemo.buildCount.get() - b0, SessionMemo.hitCount.get() - h0)
     }
-    val results = timings.map { case (name, mn, _, _) => name -> mn }
+    val results = timings.map { case (name, t, _, _) => name -> t.min }
     // storage-hygiene evidence: timeOnce frees every finished query's
     // blocks (including returned eager checkpoints), and the memos it
     // spared are swept HERE, so the session must END with an empty
@@ -83,7 +107,9 @@ object Bench {
     // driver's "queries" map stays a name->seconds map of MINIMA (its
     // parser's schema), the drift evidence rides next to it
     val spreads = timings
-      .map { case (k, _, med, sp) => "\"" + k + s"""":{"med":$med,"spread":$sp}""" }
+      .map { case (k, t, builds, hits) => "\"" + k +
+        s"""":{"med":${t.med},"spread":${t.spread},"first":${t.first}""" +
+        s""","memo_builds":$builds,"memo_hits":$hits}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The driver's per-round snapshot has twice run on a contended box

@@ -33,6 +33,11 @@ object Scratch {
     * The source must be quiescent (no concurrent writer); KB-sized
     * fixture stores copy in milliseconds. */
   def copyDir(src: File, dst: File): Unit = {
+    // fail fast, never silently copy "nothing": a missing/unreadable
+    // source (e.g. a shared memoized store root swept externally between
+    // its validity check and this copy) would otherwise hand the caller
+    // an EMPTY replica and a wrong answer instead of a loud error
+    require(src.isDirectory, s"copyDir source missing or not a directory: $src")
     dst.mkdirs()
     Option(src.listFiles()).getOrElse(Array.empty).foreach { f =>
       val t = new File(dst, f.getName)

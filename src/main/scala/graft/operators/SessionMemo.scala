@@ -59,6 +59,7 @@ final class SessionMemo[V] {
         }
       }
       if (owner) {
+        SessionMemo.buildCount.incrementAndGet()
         val v =
           try compute
           catch {
@@ -78,7 +79,9 @@ final class SessionMemo[V] {
         // await OUTSIDE any lock: a hit (completed promise) returns
         // immediately regardless of other keys' in-flight builds
         Await.ready(slot.future, Duration.Inf).value.get match {
-          case scala.util.Success(v) if valid(v) => return v
+          case scala.util.Success(v) if valid(v) =>
+            SessionMemo.hitCount.incrementAndGet()
+            return v
           case scala.util.Success(_) =>
             // stale artifact (swept checkpoint, deleted dir): drop the
             // slot — unless someone already replaced it — and loop
@@ -95,6 +98,15 @@ final class SessionMemo[V] {
 }
 
 object SessionMemo {
+
+  /** Process-wide memo-traffic counters — the bench reads per-query
+    * deltas so its full artifact can say which queries BUILT a
+    * session-shared memo (their first-iteration time is memo-inclusive)
+    * and which merely rode one (the r15 verdict's bench-comparability
+    * item). Monotone and approximate under concurrency; the bench loop
+    * is single-threaded. */
+  private[graft] val buildCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val hitCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Shared validity predicate for memoized localCheckpoint artifacts:
     * the checkpoint's blocks must still be persisted — a harness that

@@ -38,8 +38,26 @@ private[queries] object LifecycleMerge {
     graft.operators.Checkpoints.scoped {
       Scratch.withScratch(scratchPrefix, dir) { tmp =>
         val store = new TripletStore(s, tmp.getAbsolutePath)
+        // Overlap the two independent pieces of work (guide §2.6: Spark
+        // happily runs concurrent jobs; these were sequential only
+        // because this driver code called them sequentially): batch 2's
+        // EXTRACTION (per-card parse + triple arms + disambiguation —
+        // independent of the store) materializes on a helper thread
+        // while merge 1 runs, so its tasks back-fill the executor
+        // threads merge 1's tiny stages leave idle. The merges
+        // themselves stay ordered (merge 2 is defined against the
+        // post-merge-1 state). The helper wraps its OWN Checkpoints
+        // scope — the extraction's internal checkpoints die there; the
+        // handed-over checkpoint is freed explicitly after merge 2 (it
+        // is that merge's input, dead once the delta commits).
+        val b2f = scala.concurrent.Future {
+          graft.operators.Checkpoints.scoped(batch(2).localCheckpoint())
+        }(scala.concurrent.ExecutionContext.global)
         store.merge(batch(1), new Timestamp(T1 * 1000))
-        store.merge(batch(2), new Timestamp(T3 * 1000))
+        val b2 = scala.concurrent.Await.result(
+          b2f, scala.concurrent.duration.Duration.Inf)
+        store.merge(b2, new Timestamp(T3 * 1000))
+        graft.operators.Checkpoints.free(b2)
         val ranges = graft.operators.Checkpoints.ck(store.ranges)
         // Both audit scalars from ONE aggregate over the checkpointed
         // snapshot (r15): `ranges.filter(!deprecated)` IS the open set

@@ -839,8 +839,17 @@ object Quantization {
           if (st.rebuilt) 1L else 0L, st.genBefore.toLong,
           st.genAfter.toLong, f6(oorPost), maxPopPost)
       }
+      // the two case arms are INDEPENDENT (private replicas, disjoint
+      // scratch subdirs, session-shared intakes already built) — overlap
+      // them (guide §2.6) so the clean arm's jobs back-fill the executor
+      // threads the drifted arm's tiny stages leave idle; each arm keeps
+      // its own thread-confined Checkpoints scope
+      val cleanF = scala.concurrent.Future {
+        graft.operators.Checkpoints.scoped(caseRow("clean", "c", cleanSt))
+      }(scala.concurrent.ExecutionContext.global)
       val drifted = caseRow("drifted", "d", driftedSt)
-      val clean = caseRow("clean", "c", cleanSt)
+      val clean = scala.concurrent.Await.result(
+        cleanF, scala.concurrent.duration.Duration.Inf)
       Seq(drifted, clean).toDF("case_name", "oor_frac", "max_cell_share",
         "rebuild_fired", "gen_before", "gen_after", "oor_frac_post",
         "max_pop_post")

@@ -91,12 +91,14 @@ object Versioned {
   def legacyRewrite(s: SparkSession, dir: String): DataFrame = {
     // the intake is byte-for-byte the lookup verbs' bucketed fixture
     // store (same geometry, same two merges) — the rewrite MUTATES its
-    // store, so it continues from a private dir-copy replica of the
-    // session-shared state ([[Scratch.copyDir]]; 8 buckets not the 64
+    // store, so it continues from a private replica of the
+    // session-shared state, replicated through the store's own commit
+    // protocol ([[TripletStore.replicateTo]]; 8 buckets not the 64
     // floor, same geometry rationale as [[fixtureStoreRoot]])
     val root = fixtureStoreRoot(s, dir)
     Scratch.withScratch("graft_lr_q", dir) { tmp =>
-      Scratch.copyDir(root, tmp)
+      new TripletStore(s, root.getAbsolutePath,
+        bucketMinRows = 1L, subjectBuckets = 8).replicateTo(tmp)
       val store = new TripletStore(s, tmp.getAbsolutePath,
         bucketMinRows = 1L, subjectBuckets = 8)
       Seq("v=0", "v=1").foreach { n =>
@@ -160,10 +162,13 @@ object Versioned {
       t(s, dir, "documents").filter(col("doc_id") >= 200 && col("doc_id") < 250),
       lit("newlang"), lit(T4))
     // compaction + merge-on-base continue from the session-shared
-    // two-merge state on a private dir-copy replica (the verb mutates)
+    // two-merge state on a private replica (the verb mutates), replicated
+    // through the store's own commit protocol ([[TripletStore.replicateTo]]
+    // — committed levels + durable markers only, never a claim marker or
+    // tmp garbage), not a raw dir copy
     val root = mergedDefaultStoreRoot(s, dir)
     Scratch.withScratch("graft_vc_q", dir) { tmp =>
-      Scratch.copyDir(root, tmp)
+      new TripletStore(s, root.getAbsolutePath).replicateTo(tmp)
       val store = new TripletStore(s, tmp.getAbsolutePath)
       store.compact(keep = 1)
       store.merge(b3, new Timestamp(T5 * 1000))
@@ -322,10 +327,11 @@ object Versioned {
       t(s, dir, "documents").filter(col("doc_id") >= 200 && col("doc_id") < 250),
       lit("newlang"), lit(T4))
     // third merge + retention continue from the session-shared
-    // two-merge state on a private dir-copy replica (the verb mutates)
+    // two-merge state on a private replica (the verb mutates), via the
+    // store's commit-protocol replication (see versionCompacted)
     val root = mergedDefaultStoreRoot(s, dir)
     Scratch.withScratch("graft_vt_q", dir) { tmp =>
-      Scratch.copyDir(root, tmp)
+      new TripletStore(s, root.getAbsolutePath).replicateTo(tmp)
       val store = new TripletStore(s, tmp.getAbsolutePath)
       store.merge(b3, new Timestamp(T5 * 1000))
       store.compact(olderThan = new Timestamp(T4 * 1000))
@@ -358,11 +364,49 @@ object Versioned {
     * batch-mode `now` arguments. Any drift between the streaming path
     * and batch semantics — micro-batch ordering, foreachBatch state,
     * compaction inside the stream — hash-mismatches here. */
+  /** The three fixture INPUT FILES staged once per (session, dir) — r16,
+    * guide §6 on the stream's non-graded scaffolding: the three
+    * `coalesce(1).write.parquet` jobs wrote byte-identical fixture files
+    * per invocation (pure input staging, ~3 full batch computations
+    * before the stream even starts). The stream, its store, and its
+    * checkpoint stay fully PRIVATE per invocation — only the input bytes
+    * are shared, copied driver-side into each run's own in-dir in the
+    * same arrival order. */
+  private val streamInputMemo = new graft.operators.SessionMemo[java.io.File]
+  private def stagedStreamInputs(s: SparkSession, dir: String): java.io.File =
+    streamInputMemo.getOrCompute(s, dir)(
+      f => (1 to 3).forall(i =>
+        new java.io.File(new java.io.File(f, s"b$i"), "_SUCCESS").exists())) {
+      val tmp = Scratch.dir("graft_sm_in", dir)
+      sharedStoreDirs.add(tmp)
+      val (b1, b2) = fixtureBatches(s, dir)
+      val b3 = batch(
+        t(s, dir, "documents").filter(col("doc_id") >= 200 && col("doc_id") < 250),
+        lit("newlang"), lit(T4))
+      Seq("b1" -> b1, "b2" -> b2, "b3" -> b3).foreach { case (n, b) =>
+        b.coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(tmp, n).getAbsolutePath)
+      }
+      tmp
+    }
+
+  /** Copy one staged batch's data files into the stream's in-dir (the
+    * `mode("append")` drop, minus the recomputation): data files only —
+    * `_SUCCESS`/hidden files are source-ignored anyway — with their
+    * staged names (part-file UUIDs are globally unique, so drops never
+    * collide). */
+  private def dropStaged(staged: java.io.File, n: String, inDir: String): Unit = {
+    val dst = new java.io.File(inDir)
+    dst.mkdirs()
+    Option(new java.io.File(staged, n).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .foreach(f => java.nio.file.Files.copy(f.toPath,
+        new java.io.File(dst, f.getName).toPath))
+  }
+
   def streamMerge(s: SparkSession, dir: String): DataFrame = {
-    val (b1, b2) = fixtureBatches(s, dir)
-    val b3 = batch(
-      t(s, dir, "documents").filter(col("doc_id") >= 200 && col("doc_id") < 250),
-      lit("newlang"), lit(T4))
+    val staged = stagedStreamInputs(s, dir)
     Scratch.withScratch("graft_sm_q", dir) { tmp =>
       val inDir = new java.io.File(tmp, "in").getAbsolutePath
       val ckDir = new java.io.File(tmp, "ck").getAbsolutePath
@@ -370,14 +414,14 @@ object Versioned {
         autoCompactEvery = 1, autoCompactKeep = 1)
       // one file per logical batch; processAllAvailable between drops
       // pins the arrival order regardless of file-listing tiebreaks
-      b1.coalesce(1).write.mode("append").parquet(inDir)
+      dropStaged(staged, "b1", inDir)
       val q = graft.streaming.StreamingLoad.start(
         graft.streaming.StreamingLoad.readTripleStream(s, inDir), store, ckDir)
       try {
         q.processAllAvailable()
-        b2.coalesce(1).write.mode("append").parquet(inDir)
+        dropStaged(staged, "b2", inDir)
         q.processAllAvailable()
-        b3.coalesce(1).write.mode("append").parquet(inDir)
+        dropStaged(staged, "b3", inDir)
         q.processAllAvailable()
       } finally q.stop()
       store.ranges.select(col("subject"), col("predicate"), col("obj"),
@@ -439,18 +483,21 @@ object Versioned {
   // ONE shutdown hook sweeping a registry instead of a hook per build:
   // a long-lived JVM cycling sessions would otherwise grow the hook set
   // (and each superseded dir lives until exit regardless — ~100 KB per
-  // (session, dir), removed here in one pass)
-  private val lookupStoreDirs =
+  // (session, dir), removed here in one pass). Holds EVERY session-shared
+  // store root this object memoizes: the lookup-verb bucketed fixture
+  // store AND the default-geometry merged store the mutating verbs copy
+  // from.
+  private val sharedStoreDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
   sys.addShutdownHook {
-    lookupStoreDirs.forEach(d => Scratch.rm(d))
+    sharedStoreDirs.forEach(d => Scratch.rm(d))
   }
 
   private def fixtureStoreRoot(s: SparkSession, dir: String): java.io.File =
     lookupStoreMemo.getOrCompute(s, dir)(
       f => new java.io.File(f, TripletStore.FormatMarker).exists()) {
       val tmp = Scratch.dir("graft_lk_q", dir)
-      lookupStoreDirs.add(tmp)
+      sharedStoreDirs.add(tmp)
       val (b1, b2) = fixtureBatches(s, dir)
       val store = new TripletStore(s, tmp.getAbsolutePath,
         bucketMinRows = 1L, subjectBuckets = 8)
@@ -479,7 +526,7 @@ object Versioned {
     mergedStoreMemo.getOrCompute(s, dir)(
       f => new java.io.File(f, TripletStore.FormatMarker).exists()) {
       val tmp = Scratch.dir("graft_vm_q", dir)
-      lookupStoreDirs.add(tmp)
+      sharedStoreDirs.add(tmp)
       val (b1, b2) = fixtureBatches(s, dir)
       val store = new TripletStore(s, tmp.getAbsolutePath)
       store.merge(b1, new Timestamp(T1 * 1000))

@@ -61,8 +61,7 @@ class VectorIndex(spark: SparkSession, path: String,
       rows.map(_.map(java.lang.Double.toString).mkString(",")).mkString("\n"))
 
   private def readLines(f: java.io.File): Array[Array[Double]] =
-    Files.readString(f.toPath).split("\n")
-      .map(_.split(",").map(java.lang.Double.parseDouble))
+    VectorIndex.parseModelLines(Files.readString(f.toPath))
 
   /** Frozen models, present once the first batch landed. */
   def models: Option[(IvfIndex.Model, Sq8Model)] =
@@ -422,11 +421,16 @@ object VectorIndex {
     * on-disk files make). */
   private[graft] def parseModelTexts(ivfText: String,
                                      sq8Text: String): (IvfIndex.Model, Sq8Model) = {
-    def parse(t: String): Array[Array[Double]] =
-      t.split("\n").map(_.split(",").map(java.lang.Double.parseDouble))
-    val s = parse(sq8Text)
-    (IvfIndex.Model(parse(ivfText)), Sq8Model(s(0), s(1)))
+    val s = parseModelLines(sq8Text)
+    (IvfIndex.Model(parseModelLines(ivfText)), Sq8Model(s(0), s(1)))
   }
+
+  /** The ONE text -> rows parser of the exact-roundtrip model format —
+    * shared by the instance read path ([[VectorIndex!.models]]) and the
+    * storeless [[parseModelTexts]], so a format change in
+    * writeLines/readLines cannot silently drift the two apart. */
+  private[similarity] def parseModelLines(t: String): Array[Array[Double]] =
+    t.split("\n").map(_.split(",").map(java.lang.Double.parseDouble))
 
   /** What [[VectorIndex.maintainIfDrifted]] measured and did: the two
     * drift instruments, which acts fired, and the artifact generation

@@ -83,6 +83,8 @@ object BenchSf1 {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // bench-identical session: the r16 AQE byte floor (see Bench.scala)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "2m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

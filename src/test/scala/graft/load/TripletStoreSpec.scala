@@ -1364,4 +1364,65 @@ class TripletStoreSpec extends AnyFunSuite {
     Scratch.rm(new java.io.File(srcDir))
     Scratch.rm(copyDirF)
   }
+
+  test("replicateTo: commit-protocol replica continues identically and carries no claim state") {
+    // the r16 replication seam: committed levels + durable markers only,
+    // landing via tmp + atomic rename -- never a claim marker, a claim
+    // sidecar, .tmp- garbage, or a torn (no _SUCCESS) dir, so a replica
+    // can never inherit a phantom in-flight compaction
+    val b1 = batch(Seq(
+      ("m1", "name", "alpha"), ("m1", "task", "nlp"),
+      ("m2", "name", "beta")), "2024-01-01 00:00:00")
+    val b2 = batch(Seq(
+      ("m1", "name", "alpha"), ("m2", "name", "gamma")),
+      "2024-02-01 00:00:00")
+    val b3 = batch(Seq(("m3", "name", "delta")), "2024-03-01 00:00:00")
+
+    val srcDir = Files.createTempDirectory("store_rtpl").toString
+    val tpl = new TripletStore(spark, srcDir)
+    tpl.merge(b1, ts("2024-01-01 00:00:00"))
+    tpl.merge(b2, ts("2024-02-01 00:00:00"))
+    // junk a raw dir copy WOULD have carried over:
+    Files.writeString(new java.io.File(srcDir, TripletStore.CompactionMarker)
+      .toPath, "deadbeef")
+    Files.writeString(new java.io.File(srcDir, TripletStore.CompactionSeqMarker)
+      .toPath, "deadbeef 7")
+    new java.io.File(srcDir, ".tmp-v9-junk").mkdirs()
+    new java.io.File(srcDir, "v=9").mkdirs() // torn: no _SUCCESS
+
+    val dst = Files.createTempDirectory("store_rcp").toFile
+    Scratch.rm(dst)
+    tpl.replicateTo(dst)
+
+    assert(!new java.io.File(dst, TripletStore.CompactionMarker).exists(),
+      "claim marker must not replicate")
+    assert(!new java.io.File(dst, TripletStore.CompactionSeqMarker).exists(),
+      "claim sidecar must not replicate")
+    assert(!new java.io.File(dst, ".tmp-v9-junk").exists(),
+      "tmp garbage must not replicate")
+    assert(!new java.io.File(dst, "v=9").exists(),
+      "a torn (uncommitted) dir must not replicate")
+    assert(new java.io.File(new java.io.File(dst, "v=0"), "_SUCCESS").exists()
+      && new java.io.File(new java.io.File(dst, "v=1"), "_SUCCESS").exists(),
+      "both committed levels replicate committed")
+
+    // the junk out of the way, the same compact + merge tail must yield
+    // identical ranges on template and replica
+    Seq(TripletStore.CompactionMarker, TripletStore.CompactionSeqMarker,
+      ".tmp-v9-junk", "v=9")
+      .foreach(n => Scratch.rm(new java.io.File(srcDir, n)))
+    def tail(store: TripletStore): Set[(String, String, String, Long, Long, Boolean)] = {
+      store.compact(keep = 1)
+      store.merge(b3, ts("2024-03-01 00:00:00"))
+      store.ranges.select(col("subject"), col("predicate"), col("obj"),
+          expr("unix_micros(useStart)"), expr("unix_micros(useEnd)"),
+          col("deprecated"))
+        .as[(String, String, String, Long, Long, Boolean)].collect().toSet
+    }
+    val replica = new TripletStore(spark, dst.getAbsolutePath)
+    val direct = tail(tpl)
+    assert(tail(replica) == direct)
+    Scratch.rm(new java.io.File(srcDir))
+    Scratch.rm(dst)
+  }
 }
