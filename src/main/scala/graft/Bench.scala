@@ -30,15 +30,18 @@ object Bench {
       // near-empty reduce tasks whose dispatch cost dominates at this SF
       // (measured: the whole suite ran 1.31x slower at 32 cores than 8 in
       // BENCH_r15_c8, GC 1-2% at both counts — it is task overhead, not
-      // memory). Raise the BYTE floor to 2 MB: a reduce task under 2 MB
-      // is not worth scheduling at any scale, an 8-core session's
-      // total/parallelism target already implied ~2 MB partitions here
-      // (which is why 8 cores was faster), and at lake scale
-      // total/parallelism >> 2 MB so the floor never engages — strictly a
-      // small-shuffle change, byte-driven, not a core-count tune.
-      // Measured (interleaved 2-block minima, all 180 queries, this box):
-      // 165.9 -> 158.9 s with the equivalent byte-floor arm.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "2m")
+      // memory). A 2 MB byte floor was adopted mid-r16 on a coarse probe
+      // (165.9 -> 158.9 total with the equivalent arm), then adjudicated
+      // with two dedicated interleaved A/Bs of the floor ITSELF
+      // (tools/floor_ab_r16.json, tools/floor_full_ab_r16.json): full-
+      // suite net 1.015 (neutral) while consistently costing the CPU-
+      // dense mid-size shuffles 1.2-1.3x (q_pagerank 1.28, q_containment
+      // 1.27) — bytes under-estimate CPU, which is why parallelism-first
+      // is Spark's default. Reverted to the Spark default; the env knob
+      // stays so the floor remains A/B-able in the same harness (the
+      // driver never sets it).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "1m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -34,9 +34,10 @@ object CoalesceProbe {
     val PF = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
     val ADV = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
 
-    // (label, minPartitionSize, advisory) — the shipped r16 change is the
-    // byte-floor arm (Bench.scala: minPartitionSize 1m -> 2m, parallelism-
-    // first semantics untouched); earlier exploratory arms measured
+    // (label, minPartitionSize, advisory) — the 2m byte-floor arm shipped
+    // mid-r16 and was then REVERTED after dedicated interleaved A/Bs
+    // (tools/floor_ab_r16.json, tools/floor_full_ab_r16.json: net 1.015,
+    // q_pagerank/q_containment 1.2-1.3x); earlier exploratory arms measured
     // parallelismFirst=false at advisory 64m/8m/2m (see OPTIMIZATION_r16.md)
     val arms = Seq(
       ("default", "1m", "64m"),
